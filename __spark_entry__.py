@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All keys live in ``streamingdemo_spark.registry``; importing the
+plans/streaming/extensions packages populates it.
 """
 
 from __future__ import annotations
@@ -13,26 +15,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import streamingdemo_spark.plans  # noqa: F401  (registers plan keys)
+
+try:  # streaming + extension keys land in later build steps
+    import streamingdemo_spark.streaming.queries  # noqa: F401
+except ImportError:
+    pass
+try:
+    import streamingdemo_spark.extensions  # noqa: F401
+except ImportError:
+    pass
+
+from streamingdemo_spark.registry import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H-Q3 shape) on /root/testdata/sf0.001."""
+    return QUERIES["flagship_q3"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator key from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for every oracle=Y key."""
+    return dict(ORACLES)

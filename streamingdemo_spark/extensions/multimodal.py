@@ -1,0 +1,161 @@
+"""Multimodal-column operators (SURVEY §2.F, BASELINE.json).
+
+Media is modeled the way a 100 TB lakehouse stores it: an opaque
+``binary`` payload column plus typed metadata columns, processed by
+Arrow-batched ``mapInPandas`` stages. The container image has no
+image/audio codecs, so the decode step is a clearly-marked
+deterministic stub (``_fake_decode``) — the Spark-side plumbing
+(schemas, binary handling, batch iteration, partitioning) is real and
+is what these keys test.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import query
+
+_MAGIC = b"FAKEIMG1"
+
+
+@query(
+    "ext_multimodal_struct",
+    oracle="""
+    SELECT d.doc_id, d.lang AS meta_lang, d.n_chars AS meta_chars,
+           e.label AS media_label,
+           ROUND(CAST(e.embedding[1] AS DOUBLE), 3) AS feat_0,
+           ROUND(CAST(e.embedding[2] AS DOUBLE), 3) AS feat_1
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested multimodal record: struct(text meta) + embedding feature
+    ref, built then flattened — the schema shape of a joined
+    text+media training record."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    rec = (
+        t["documents"]
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("lang").alias("lang"), F.col("n_chars").alias("chars")
+            ).alias("meta"),
+            F.struct(
+                F.col("label").alias("label"), F.col("embedding").alias("emb")
+            ).alias("media"),
+        )
+    )
+    return rec.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.chars").alias("meta_chars"),
+        F.col("media.label").alias("media_label"),
+        F.round(F.element_at("media.emb", 1).cast("double"), 3).alias("feat_0"),
+        F.round(F.element_at("media.emb", 2).cast("double"), 3).alias("feat_1"),
+    )
+
+
+def _encode_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary payloads derived from the fixture: a fake
+    image header (magic, width, height) followed by the utf-8 text
+    bytes. Stands in for real media blobs with the same schema:
+    (doc_id, payload binary, media_type string)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    width = (F.col("n_chars") % 64 + 1).cast("int")
+    height = (F.col("n_chars") % 48 + 1).cast("int")
+    header = F.concat(
+        F.lit(_MAGIC),
+        F.encode(F.lpad(width.cast("string"), 6, "0"), "utf-8"),
+        F.encode(F.lpad(height.cast("string"), 6, "0"), "utf-8"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(header, F.encode("text", "utf-8")).alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode (no codec libraries in this environment).
+
+    Parses the deterministic fake header and "extracts features" as
+    simple byte statistics. A real implementation would replace the
+    body of this function with e.g. PIL/ffmpeg calls — the signature,
+    schema, and Arrow batch flow are exactly what production uses.
+    """
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            if not raw.startswith(_MAGIC):
+                raise NotImplementedError(
+                    "real media decode not available in this environment"
+                )
+            width = int(raw[8:14])
+            height = int(raw[14:20])
+            body = raw[20:]
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": len(body),
+                    "mean_byte": round(sum(body) / max(len(body), 1), 4),
+                }
+            )
+        yield pd.DataFrame(out)
+
+
+@query("ext_multimodal_decode")  # rows-only: stubbed decode
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: encode (JVM) → decode/feature-extract via
+    ``mapInPandas`` (Arrow-batched binary columns) → typed metadata.
+
+    100 TB notes: payloads stream through Python in Arrow batches (no
+    per-row pickling); repartition before the decode stage to spread
+    large blobs evenly; never collect payloads.
+    """
+    payloads = _encode_payload(spark, sf_dir).repartition(8, "doc_id")
+    return payloads.mapInPandas(
+        _fake_decode,
+        schema="doc_id long, width int, height int, n_bytes long, mean_byte double",
+    )
+
+
+@query("ext_multimodal_framesample")  # rows-only: stubbed frame sampling
+def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: each payload
+    expands to ceil(n_bytes/256)-frame metadata rows, sampled every 4th
+    frame — the 1-to-many mapInPandas shape of real frame extraction
+    (decode itself stubbed as byte-slicing)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[20:]
+                n_frames = (len(raw) + 255) // 256
+                for frame_no in range(0, n_frames, 4):
+                    chunk = raw[frame_no * 256 : (frame_no + 1) * 256]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_no": frame_no,
+                            "frame_bytes": len(chunk),
+                            "checksum": sum(chunk) % 65536,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    payloads = _encode_payload(spark, sf_dir)
+    return payloads.mapInPandas(
+        sample, schema="doc_id long, frame_no int, frame_bytes int, checksum int"
+    )

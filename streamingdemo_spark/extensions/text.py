@@ -1,0 +1,251 @@
+"""Text-analysis operators (SURVEY §2.F, BASELINE.json): tokenization,
+corpus stats, quality scoring, token counting, language-ID, TF-IDF,
+fingerprinting.
+
+Everything tokenizes with JVM builtins (split/explode/transform) — the
+hot path (per-token work over the whole corpus) never enters Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+@query(
+    "ext_text_tokens",
+    oracle="""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    counts AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token)
+    SELECT lang, token, n, rn FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+       FROM counts)
+    WHERE rn <= 5
+    """,
+)
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + token frequency: top-5 terms per language.
+
+    explode → two-level aggregate → windowed top-k: the canonical
+    distributed term-count (map-side partial agg keeps the exploded
+    shuffle bounded by vocabulary, not token count).
+    """
+    counts = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query(
+    "ext_text_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOP_SQL = "', '".join(STOPWORDS)
+
+
+@query(
+    "ext_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['{_STOP_SQL}'], t))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stop_ratio,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_unique_tokens,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS ttr
+    FROM documents
+    """,
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, stopword ratio, mean
+    token length, type-token ratio — the standard cheap filters of an
+    LLM data pipeline, all as one JVM-side projection."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stop_ratio"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tok,
+            4,
+        ).alias("avg_token_len"),
+        n_uniq.alias("n_unique_tokens"),
+        F.round(n_uniq.cast("double") / n_tok, 4).alias("ttr"),
+    )
+
+
+@query(
+    "ext_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                t -> (length(t) + 3) // 4), 'sum') AS BIGINT) AS bpe_est_tokens
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (≈1 token per 4 chars within each word) — the budget arithmetic of
+    training-data pipelines, computed without any tokenizer library."""
+    toks = F.split("text", " ")
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.floor((F.length(t) + 3) / 4)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("ws_tokens"),
+        bpe.alias("bpe_est_tokens"),
+    )
+
+
+@query("ext_text_langid")  # rows-only: model scores are float/heuristic
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-trigram profiles, trained on the corpus
+    itself: docs with doc_id % 10 < 8 build per-lang trigram weights
+    (log-scaled frequency, top 200 per lang); held-out docs score by
+    summed weight of matching trigrams, predicted lang = argmax.
+
+    Fully join/agg-based — the profile is a small broadcast dim; no
+    Python model, no UDF.
+    """
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    train = grams.filter(F.col("doc_id") % 10 < 8)
+    test = grams.filter(F.col("doc_id") % 10 >= 8)
+    profile = (
+        train.groupBy("lang", "gram")
+        .count()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("count"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("rn") <= 200)
+        .select(
+            F.col("lang").alias("p_lang"), "gram", F.log(1 + F.col("count")).alias("w")
+        )
+    )
+    scores = (
+        test.join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("p_lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("p_lang").alias("pred_lang"))
+    )
+    truth = d.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "lang")
+    return truth.join(pred, "doc_id", "left").select(
+        "doc_id", F.col("lang").alias("true_lang"), "pred_lang"
+    )
+
+
+@query("ext_text_tfidf")  # rows-only: float scores
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, top-3 terms per document: tf and df from two aggregates,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed), joined back per (doc, term).
+
+    The df table is vocabulary-sized — broadcast; only the token
+    explode shuffles, once.
+    """
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # driver scalar: one cheap count of a dim-sized table
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.withColumn("idf", F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1)
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 4)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
+@query("ext_text_fingerprint")  # rows-only: hash values engine-specific
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash every 4-token shingle (the rolling
+    window), keep the 4 smallest hashes (winnowing-style selection),
+    fingerprint = hash of that selection. Equal fingerprints ⇒
+    near-identical content — a compact dedup/citation key."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 4))),
+    )
+    smallest = F.slice(F.sort_array(shingle_hashes), 1, 4)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        smallest.alias("min_hashes"),
+        F.xxhash64(F.concat_ws(",", F.transform(smallest, lambda h: h.cast("string"))))
+        .alias("fingerprint"),
+    )

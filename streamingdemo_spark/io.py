@@ -1,0 +1,69 @@
+"""Fixture / table I/O.
+
+Plays the role of the reference's two data-access paths:
+- Hive-catalog table reads (``SparkSQLOperator.java:18``) -> parquet
+  reads + temp views, so ``spark.sql`` can address every table;
+- the schema-tagged stream source (``KafkaInput.java``) -> see
+  ``streamingdemo_spark.streaming`` for the readStream variants.
+
+100 TB design note: reads stay fully declarative (``spark.read
+.parquet``) so partition pruning / predicate pushdown / column pruning
+reach the scan. Nothing here collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw int64 (see session.py); convert
+        # with integer division — double division would lose precision
+        # above 2^53 ns.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the fixture tables as DataFrames keyed by table name."""
+    return {name: _load_one(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view of the same name.
+
+    Mirrors the reference's catalog-managed relations so arbitrary SQL
+    (the C1 entry point) can run against them.
+    """
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

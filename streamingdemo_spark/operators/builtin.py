@@ -1,0 +1,164 @@
+"""Built-in operators for the container (SURVEY §2.B1-B3, C1-C6).
+
+The reference ships three stub operators — KafkaInput, KafkaOutput,
+AddField (``src/iie/SparkStreaming/*.java``) — plus the SQL executor
+(``src/sparkSQL/SparkSQLOperator.java``). These are their working
+engine counterparts, plus the file-based source/sink used by tests
+(no broker in the test environment; Kafka wiring is format config
+only and is exercised as a smoke key in ``streaming``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.operators.registry import DEFAULT_REGISTRY
+
+register = DEFAULT_REGISTRY.register
+
+
+@register("parquet_source")
+def parquet_source(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Batch file source (plays KafkaInput's role for batch pipelines,
+    ``KafkaInput.java:9-23``). params: path, optional columns."""
+    df = spark.read.parquet(params["path"])
+    if cols := params.get("columns"):
+        df = df.select(*cols)
+    return {"out": df}
+
+
+@register("stream_parquet_source")
+def stream_parquet_source(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Streaming file source — the schema-tagged stream
+    (``DStreamWithSchema``) as a streaming DataFrame. params: path,
+    schema (DDL string; required — streaming scans need a fixed schema
+    up front)."""
+    reader = spark.readStream.schema(params["schema"]).format(
+        params.get("format", "parquet")
+    )
+    if mf := params.get("max_files_per_trigger"):
+        reader = reader.option("maxFilesPerTrigger", mf)
+    return {"out": reader.load(params["path"])}
+
+
+@register("kafka_source")
+def kafka_source(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Kafka source (B1, ``KafkaInput.java``): subscribe + JSON-decode
+    the value column against the declared schema — recovering the
+    "WithSchema" part of the reference's stream model. Requires the
+    kafka connector package + a broker; wiring is config-only here."""
+    df = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", params["bootstrap_servers"])
+        .option("subscribe", params["topic"])
+        .option("startingOffsets", params.get("starting_offsets", "earliest"))
+        .load()
+    )
+    parsed = df.select(
+        F.from_json(F.col("value").cast("string"), params["schema"]).alias("v")
+    ).select("v.*")
+    return {"out": parsed}
+
+
+@register("add_field")
+def add_field(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """AddField (B3, ``AddField.java:9-23``): 1-in-1-out projection
+    extend. params: name, expr (SQL expression string)."""
+    (df,) = inputs.values()
+    return {"out": df.withColumn(params["name"], F.expr(params["expr"]))}
+
+
+@register("filter")
+def filter_op(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    (df,) = inputs.values()
+    return {"out": df.filter(params["condition"])}
+
+
+@register("select")
+def select_op(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    (df,) = inputs.values()
+    return {"out": df.selectExpr(*params["exprs"])}
+
+
+@register("sql")
+def sql_op(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """The C1 SQL entry point (``SparkSQLOperator.java:17-19``): run an
+    arbitrary SQL statement; each input port is visible as a temp view
+    named by its port name."""
+    for port, df in inputs.items():
+        df.createOrReplaceTempView(port)
+    return {"out": spark.sql(params["query"])}
+
+
+@register("join")
+def join_op(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Equi-join of ports 'left' and 'right' (C3 shape). params: on
+    (list of column names or a SQL condition), how, broadcast_right."""
+    left, right = inputs["left"], inputs["right"]
+    if params.get("broadcast_right"):
+        right = F.broadcast(right)
+    on = params["on"]
+    if isinstance(on, str):
+        on = F.expr(on)
+    return {"out": left.join(right, on=on, how=params.get("how", "inner"))}
+
+
+@register("aggregate")
+def aggregate_op(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """groupBy + SQL aggregate expressions. params: group_by (list),
+    aggs (list of SQL aggregate expressions with aliases)."""
+    (df,) = inputs.values()
+    aggs = [F.expr(a) for a in params["aggs"]]
+    if group := params.get("group_by"):
+        return {"out": df.groupBy(*group).agg(*aggs)}
+    return {"out": df.agg(*aggs)}
+
+
+@register("parquet_sink")
+def parquet_sink(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Terminal batch sink (KafkaOutput's role, ``KafkaOutput.java:
+    9-22`` — consumes its input, returns no ports). Also returns the
+    written data re-read, so downstream verification can chain."""
+    (df,) = inputs.values()
+    df.write.mode(params.get("mode", "overwrite")).parquet(params["path"])
+    return {}
+
+
+@register("kafka_sink")
+def kafka_sink(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Kafka sink (B2, ``KafkaOutput.java``): JSON-encode all columns
+    into 'value' and write to a topic. Config-only without a broker."""
+    (df,) = inputs.values()
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    query = (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", params["bootstrap_servers"])
+        .option("topic", params["topic"])
+        .option("checkpointLocation", params["checkpoint"])
+        .start()
+    )
+    query.awaitTermination(params.get("timeout_sec", 0))
+    return {}

@@ -1,0 +1,70 @@
+"""Operator registry + dispatch contract (SURVEY §2.A4-A6, B5).
+
+The reference resolves operator ``mainClass`` strings from XML
+(``OpContainer.java:181-195``) or a MySQL table
+(``OpContainerTest.java:124-145``) and invokes them reflectively
+(``OpContainer.java:109-130``). Here: an in-process dict of callables,
+with dotted-path ``importlib`` resolution as the plugin escape hatch
+(the JDBC registry variant is intentionally not replicated — its
+string-concatenated SQL is an injection footgun, SURVEY appendix).
+
+Operator contract (the engine's ``StreamingOperator.java:5-8``, but
+with the *reflective call site's* true signature,
+``OpContainer.java:111-115``)::
+
+    execute(spark, params: dict, inputs: dict[str, DataFrame])
+        -> dict[str, DataFrame]
+
+Returned ports are merged into the container's global port registry
+keyed ``"<opName>.<port>"`` (``OpContainer.java:131-136``).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+OperatorFn = Callable[[SparkSession, dict, dict[str, DataFrame]], dict[str, DataFrame]]
+
+
+class Operator(Protocol):
+    def __call__(
+        self,
+        spark: SparkSession,
+        params: dict,
+        inputs: dict[str, DataFrame],
+    ) -> dict[str, DataFrame]: ...
+
+
+class OperatorRegistry:
+    def __init__(self) -> None:
+        self._ops: dict[str, OperatorFn] = {}
+
+    def register(self, name: str) -> Callable[[OperatorFn], OperatorFn]:
+        def deco(fn: OperatorFn) -> OperatorFn:
+            if name in self._ops:
+                raise ValueError(f"duplicate operator: {name}")
+            self._ops[name] = fn
+            return fn
+
+        return deco
+
+    def resolve(self, name: str) -> OperatorFn:
+        """Look up a registered operator, or import a dotted-path plugin
+        (``pkg.module:function``) — the engine's Class.forName."""
+        if name in self._ops:
+            return self._ops[name]
+        if ":" in name:
+            mod_name, fn_name = name.split(":", 1)
+            fn = getattr(importlib.import_module(mod_name), fn_name)
+            return fn
+        raise KeyError(f"unknown operator {name!r}")
+
+    def names(self) -> list[str]:
+        return sorted(self._ops)
+
+
+DEFAULT_REGISTRY = OperatorRegistry()

@@ -1,0 +1,297 @@
+"""Aggregation operator surface (SURVEY.md §2.D aggregations).
+
+Grounded in the reference's unrestricted SQL entry
+(``src/sparkSQL/SparkSQLOperator.java:18-19``); ``agg_groupby`` is the
+TPC-H-Q1 shape the survey fixes as the canonical grouped aggregate.
+
+Scale notes: every groupBy here is a hash aggregate with map-side
+partial aggregation, so the shuffle carries one row per (partition,
+group), not per input row. Exact distinct counts shuffle the distinct
+values; the HLL variant (``agg_approx_distinct``) is the 100 TB path
+when exactness isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import dsum, osum, query
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {osum("l_quantity")} AS sum_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           {osum("l_extendedprice")} / COUNT(*) AS avg_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped count/sum/min/max/avg over the fact table."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum("l_quantity")} AS sum_qty,
+           {osum("l_extendedprice")} AS sum_base_price,
+           {osum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+           {osum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+           {osum("l_quantity")} / COUNT(*) AS avg_qty,
+           {osum("l_extendedprice")} / COUNT(*) AS avg_price,
+           {osum("l_discount")} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2 grouping keys, 8 aggregates, date filter."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (dsum("l_quantity") / n).alias("avg_qty"),
+            (dsum("l_extendedprice") / n).alias("avg_price"),
+            (dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {osum("o_totalprice")} AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct via HyperLogLog++ — the 100 TB path for
+    cardinality (fixed sketch size instead of shuffling every value)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance on small-magnitude columns, rounded on both sides
+    (float-stability rule: statistical aggs accumulate in double, so
+    round to a precision far above both engines' error)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+    )
+
+
+@query("agg_percentile")  # rows-only: approx quantile algos differ by engine
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("iqr_price"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished,
+           {osum("CASE WHEN o_totalprice > 150000.0 THEN o_totalprice ELSE 0 END")}
+             AS big_spend
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-if / sum-case conditional aggregation."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+        dsum(
+            F.when(F.col("o_totalprice") > 150000.0, F.col("o_totalprice")).otherwise(
+                0.0
+            )
+        ).alias("big_spend"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT r.r_name, LIST(n.n_name ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted list (deterministic: sort_array fixes the
+    nondeterministic collect_list order)."""
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    joined = t["nation"].join(
+        F.broadcast(t["region"]),
+        t["nation"].n_regionkey == t["region"].r_regionkey,
+    )
+    return joined.groupBy("r_name").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {osum("l_quantity")} AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {osum("l_quantity")} AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           {osum("l_extendedprice")} AS price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with grouping() indicator columns."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               {osum("l_extendedprice")} AS price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {osum("CASE WHEN event_type = 'click' THEN value END", 4)} AS click,
+           {osum("CASE WHEN event_type = 'purchase' THEN value END", 4)} AS purchase,
+           {osum("CASE WHEN event_type = 'view' THEN value END", 4)} AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type values into columns (explicit value list — at
+    scale an unbounded pivot needs a distinct-values pass first; always
+    pass the list)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(dsum("value", 4))
+    )
+
+
+@query(
+    "dedup_distinct",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.select("c_mktsegment", "c_nationkey").distinct()

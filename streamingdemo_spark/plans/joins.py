@@ -1,0 +1,340 @@
+"""Join operator surface (SURVEY.md §2.D joins; reference C3).
+
+The reference's one concrete query is an inner equi-join written in
+theta form — ``select * from a d join b x where x.xid = d.id``
+(``src/sparkSQL/SparkSQLOperator.java:18``); ``join_inner`` and
+``join_where_theta_equi`` reproduce that shape, the rest widen to the
+full join matrix its SQL entry point implies.
+
+Scale notes per key are in the docstrings; the common rules: dimension
+sides are broadcast (no shuffle of the fact table), non-equi joins keep
+the small side broadcast so BNLJ never materializes a cartesian of two
+big relations, and equi-joins rely on AQE for skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import dsum, osum, query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 shape as an explicit inner equi-join (orders ⋈ customer)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    c = t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    return t["orders"].join(c, t["orders"].o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_where_theta_equi",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey
+    FROM orders o, customer c
+    WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 9000.0
+    """,
+)
+def join_where_theta_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal reference form: comma-join + equality in WHERE
+    (``SparkSQLOperator.java:18``). Catalyst lifts the cross+filter to
+    an equi-join (verify with ``.explain`` — no CartesianProduct)."""
+    from streamingdemo_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, c.c_custkey
+        FROM orders o, customer c
+        WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 9000.0
+        """
+    )
+
+
+def _cust_orders(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    # Restrict one side so outer joins actually produce null rows.
+    orders = t["orders"].filter(F.col("o_totalprice") > 200000.0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = t["customer"].select("c_custkey", "c_name")
+    return cust, orders
+
+
+_OUTER_ORACLE = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c {how} JOIN
+         (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 200000.0) o
+      ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("join_left", oracle=_OUTER_ORACLE.format(how="LEFT"))
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _cust_orders(spark, sf_dir)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query("join_right", oracle=_OUTER_ORACLE.format(how="RIGHT"))
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _cust_orders(spark, sf_dir)
+    return orders.join(cust, cust.c_custkey == orders.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query("join_full", oracle=_OUTER_ORACLE.format(how="FULL"))
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-outer: big orders on the left vs an (unfiltered) customer dim
+    # gives null order-side rows; customers all match, so also demo a
+    # filtered dim to produce null customer-side rows.
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"].select("c_custkey", "c_name")
+    orders = t["orders"].filter(F.col("o_totalprice") > 200000.0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one pending order (LEFT SEMI)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    pending = t["orders"].filter(F.col("o_orderstatus") == "P")
+    return (
+        t["customer"]
+        .join(pending, t["customer"].c_custkey == pending.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no pending order (LEFT ANTI)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    pending = t["orders"].filter(F.col("o_orderstatus") == "P")
+    return (
+        t["customer"]
+        .join(pending, t["customer"].c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian of the two tiny dims. Scale note: cross joins
+    are only ever admitted between broadcast-sized relations."""
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@query(
+    "join_multikey",
+    oracle=f"""
+    WITH q AS (SELECT l_returnflag, l_linestatus,
+                      {osum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY l_returnflag, l_linestatus),
+         p AS (SELECT l_returnflag, l_linestatus,
+                      {osum("l_extendedprice")} AS sum_price
+               FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    SELECT q.l_returnflag, q.l_linestatus, q.sum_qty, p.sum_price
+    FROM q JOIN p ON q.l_returnflag = p.l_returnflag
+               AND q.l_linestatus = p.l_linestatus
+    """,
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi-join of two aggregates on (returnflag, linestatus)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    q = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty")
+    )
+    p = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("sum_price")
+    )
+    return q.join(p, on=["l_returnflag", "l_linestatus"], how="inner")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    WITH buckets AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m_start,
+             CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS TIMESTAMP)
+               AS m_end
+      FROM orders
+    )
+    SELECT b.m_start, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS month_price
+    FROM lineitem l JOIN buckets b
+      ON l.l_shipdate >= b.m_start AND l.l_shipdate < b.m_end
+    GROUP BY b.m_start
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: assign each lineitem to a month bucket via a
+    pure range predicate.
+
+    Scale note: the bucket side is tiny and broadcast, so the physical
+    plan is BroadcastNestedLoopJoin — the only safe shape for a non-equi
+    join at 100 TB (never cartesian two large relations; if both sides
+    were big, pre-bucket both on a coarse key to make it equi+residual).
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    buckets = (
+        t["orders"]
+        .select(F.date_trunc("month", "o_orderdate").alias("m_start"))
+        .distinct()
+        .withColumn("m_end", F.col("m_start") + F.expr("INTERVAL 1 MONTH"))
+    )
+    li = t["lineitem"]
+    cond = (li.l_shipdate >= buckets.m_start) & (li.l_shipdate < buckets.m_end)
+    return (
+        li.join(F.broadcast(buckets), cond)
+        .groupBy("m_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("month_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           {osum("c.c_acctbal")} AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hinted dim join: ship the 25-row nation table to every
+    executor instead of shuffling the customer table."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    return (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            t["customer"].c_nationkey == t["nation"].n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_star3",
+    oracle=f"""
+    SELECT n.n_name, r.r_name,
+           {osum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_star3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem through orders→customer→nation→region.
+
+    Scale note: Catalyst broadcasts every dim under the threshold, so
+    the fact table is never shuffled until the final small groupBy; AQE
+    re-plans if a dim is unexpectedly large.
+    """
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it by
+    the same user. Emulated the scalable way — union the two event sets
+    and carry the last non-null click timestamp forward with a window,
+    one shuffle on (user_id), no range join.
+
+    At 100 TB this is the canonical pattern: sort-within-partition by
+    time after hash-partitioning on the key; state is one value per row.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "click_ts", F.col("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "click_ts", F.lit(None).cast("timestamp")
+    )
+    from pyspark.sql.window import Window
+
+    # Order clicks before purchases at identical ts: 'click' < 'purchase'
+    # lexically, so <= (at-or-before) semantics hold on ties.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "last_click_ts")
+    )

@@ -1,0 +1,316 @@
+"""Scalar-function surface (SURVEY.md §2.D scalar functions).
+
+All JVM-side builtins (``pyspark.sql.functions``) — zero Python in the
+row path, so every key stays inside whole-stage codegen.
+
+Float-stability: transcendental results (ln/log10/pow) are rounded on
+both sides — libm implementations differ in the last ulp across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           CONCAT(UPPER(c_mktsegment), '-', LOWER(c_name)) AS tag,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(TRIM(c_name)) AS name_len,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           REPLACE(c_name, '#', '_') AS name_clean
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.select(
+        "c_custkey",
+        F.concat(F.upper("c_mktsegment"), F.lit("-"), F.lower("c_name")).alias("tag"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length(F.trim(F.col("c_name"))).cast("bigint").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("_")).alias("name_clean"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           regexp_replace(p_type, '[AEIOU]', '*', 'g') AS type_masked,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[AEIOU]", "*").alias("type_masked"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap"),
+    )
+
+
+@query(
+    "fn_split_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(string_split(SUBSTRING(text, 1, 40), ' ')) AS first_tokens_sorted
+    FROM documents
+    """,
+)
+def fn_split_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(F.split(F.substring("text", 1, 40), " ")).alias(
+            "first_tokens_sorted"
+        ),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array → rows. Scale note: explode multiplies row count; always
+    project to the minimal column set first so the blow-up carries no
+    dead columns."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+
+
+@query("fn_posexplode")  # rows-only: ordinality syntax is engine-specific
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (pos, value) rows."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+    )
+
+
+@query("fn_map")  # rows-only: map value ordering is engine-specific
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction / key access (str_to_map, map_keys, element_at)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    kv = F.concat(
+        F.lit("lang:"), F.col("lang"), F.lit(",source:"), F.col("source")
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("keys"),
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id", k.alias("k_str"), k.cast("bigint").alias("k_num")
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS days_since_epoch_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.date_trunc("month", d).alias("order_month"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "fn_timestamp",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_sec,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(minute(ts) AS BIGINT) AS min,
+           date_trunc('second', ts) AS ts_sec,
+           TIMESTAMP '2024-01-15 12:00:00' AS fixed_ts
+    FROM events
+    """,
+)
+def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_sec"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.minute("ts").cast("bigint").alias("min"),
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        F.to_timestamp(F.lit("2024-01-15 12:00:00")).alias("fixed_ts"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / 1000, 2) AS price_k,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor,
+           ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+           ROUND(LN(l_extendedprice), 6) AS ln_price,
+           ROUND(LOG10(l_extendedprice), 6) AS log10_price,
+           CAST(l_linenumber % 3 AS BIGINT) AS line_mod,
+           CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    q, p, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p / 1000, 2).alias("price_k"),
+        F.abs(disc - 0.05).alias("disc_dev"),
+        F.ceil(q / 7).cast("bigint").alias("qty_ceil"),
+        F.floor(q / 7).cast("bigint").alias("qty_floor"),
+        F.round(F.pow(q, 2), 4).alias("qty_sq"),
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.log10(p), 6).alias("log10_price"),
+        (F.col("l_linenumber") % 3).cast("bigint").alias("line_mod"),
+        F.signum(disc - 0.05).cast("bigint").alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS bal_class,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+           GREATEST(c_acctbal, 0.0) AS bal_pos,
+           LEAST(c_acctbal, 5000.0) AS bal_capped
+    FROM customer
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("rich").alias(
+            "bal_class"
+        ),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT"))
+        .alias("seg_or_default"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+        F.least(bal, F.lit(5000.0)).alias("bal_capped"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST('1996-03-05' AS DATE) AS fixed_date,
+           CAST(o_orderstatus = 'O' AS VARCHAR) AS open_str
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.lit("1996-03-05").cast("date").alias("fixed_date"),
+        (F.col("o_orderstatus") == "O").cast("string").alias("open_str"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT s_suppkey, s_name AS nested_name, s_acctbal AS nested_bal,
+           (s_acctbal > 0) AS nested_flag
+    FROM supplier
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a nested struct column, then access/flatten its fields —
+    output is flat so the value-hash is engine-neutral."""
+    s = load_tables(spark, sf_dir, ("supplier",))["supplier"]
+    nested = s.select(
+        "s_suppkey",
+        F.struct(
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("bal"),
+            (F.col("s_acctbal") > 0).alias("flag"),
+        ).alias("info"),
+    )
+    return nested.select(
+        "s_suppkey",
+        F.col("info.name").alias("nested_name"),
+        F.col("info.bal").alias("nested_bal"),
+        F.col("info.flag").alias("nested_flag"),
+    )

@@ -1,0 +1,82 @@
+"""Sources / sinks (SURVEY.md §2.D scans; reference C2/C6).
+
+``src_*`` keys prove the scan paths (direct parquet, catalog/temp-view
+SQL — the reference's Hive-table reads, ``SparkSQLOperator.java:18``);
+``snk_*`` keys prove write-then-requery (the reference's CTAS,
+``SparkSQLOperator.java:23``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.io import load_tables, register_views, table_path
+from streamingdemo_spark.registry import dsum, osum, query
+
+
+@query(
+    "src_parquet_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           {osum("l_extendedprice")} AS price_sum
+    FROM lineitem
+    """,
+)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct parquet scan + full-table checksum aggregate."""
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_checksum"),
+        dsum("l_extendedprice").alias("price_sum"),
+    )
+
+
+@query(
+    "src_view_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def src_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan via a registered temp view, addressed from SQL text (C1+C2)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+
+
+@query("snk_parquet_write")  # rows-only: exercises a side-effecting write
+def snk_parquet_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate result as parquet, read it back (C6 analogue).
+
+    100 TB note: the write stays distributed (one file per partition);
+    nothing is collected.
+    """
+    nat = spark.read.parquet(table_path(sf_dir, "nation"))
+    out = os.path.join(tempfile.mkdtemp(prefix="snk_parquet_"), "nations_by_region")
+    nat.groupBy("n_regionkey").count().write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("n_regionkey")
+
+
+@query("snk_ctas")  # rows-only: catalog mutation + requery
+def snk_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS into a temp view and re-query it — the reference's
+    ``create table dy.nice as select ...`` (``SparkSQLOperator.java:23``)
+    without requiring a persistent metastore."""
+    register_views(spark, sf_dir, ("region", "nation"))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW nice AS
+        SELECT r.r_name, COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+    return spark.sql("SELECT * FROM nice ORDER BY r_name")

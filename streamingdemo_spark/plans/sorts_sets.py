@@ -1,0 +1,117 @@
+"""Sorts, limits, set operations (SURVEY.md §2.D).
+
+Order-insensitive value-hash can't see row order, so the sort keys
+attach an explicit ``pos`` (ROW_NUMBER over the same total order) —
+the ordering itself becomes part of the checked values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import query
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, bal_bucket,
+           ROW_NUMBER() OVER (ORDER BY c_mktsegment ASC,
+                              bal_bucket DESC NULLS FIRST,
+                              c_custkey ASC) AS pos
+    FROM (SELECT c_custkey, c_mktsegment,
+                 CASE WHEN c_acctbal < 0 THEN NULL
+                      ELSE CAST(FLOOR(c_acctbal / 1000) AS BIGINT) END AS bal_bucket
+          FROM customer)
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key asc/desc sort with explicit NULLS FIRST placement.
+
+    Scale note: a global total order is a single-reducer range sort —
+    Spark's ``orderBy`` does a distributed range partition + local sort,
+    acceptable for final presentation output only; inside pipelines use
+    partitioned windows instead (``win_*`` keys).
+    """
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    bucket = F.when(F.col("c_acctbal") < 0, None).otherwise(
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    w = Window.orderBy(
+        F.asc("c_mktsegment"), F.desc_nulls_first("bal_bucket"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("bal_bucket", bucket)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "bal_bucket",
+            F.row_number().over(w).alias("pos"),
+        )
+        .orderBy("pos")
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge at the driver, no full sort
+    or shuffle of the table. The scale-correct global top-k."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+def _halves(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two overlapping projections of customer for set-op keys."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    a = c.filter(F.col("c_acctbal") >= 2000.0).select("c_nationkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") <= 6000.0).select("c_nationkey", "c_mktsegment")
+    return a, b
+
+
+_A = "SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal >= 2000.0"
+_B = "SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal <= 6000.0"
+
+
+@query("set_union_all", oracle=f"{_A} UNION ALL {_B}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _halves(spark, sf_dir)
+    return a.unionAll(b)
+
+
+@query("set_union_distinct", oracle=f"{_A} UNION {_B}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _halves(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_A} INTERSECT {_B}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _halves(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_A} EXCEPT {_B}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _halves(spark, sf_dir)
+    return a.subtract(b)
+
+
+@query("set_except_all", oracle=f"{_A} EXCEPT ALL {_B}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity-preserving EXCEPT ALL)."""
+    a, b = _halves(spark, sf_dir)
+    return a.exceptAll(b)

@@ -1,0 +1,102 @@
+"""Subquery / CTE surface (SURVEY.md §2.D subqueries).
+
+Runs as SQL text through the C1 entry point
+(``SparkSQLOperator.java:18-19`` → ``spark.sql``); Catalyst
+decorrelates EXISTS/IN into semi-joins — inspect with ``.explain`` to
+confirm no per-row subquery execution survives at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streamingdemo_spark.io import register_views
+from streamingdemo_spark.registry import query
+
+# Decimal-exact global average: both engines compute the identical
+# double, so the filter boundary cannot flip rows (see registry note).
+_AVG_PRICE = (
+    "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) "
+    "FROM orders)"
+)
+
+
+@query(
+    "subq_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN
+      (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 2))
+    """,
+)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN
+          (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 2))
+        """
+    )
+
+
+@query(
+    "subq_exists_corr",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
+    """,
+)
+def subq_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated to a left-semi join by Catalyst."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
+        """
+    )
+
+
+@query(
+    "subq_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * {_AVG_PRICE}
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in WHERE: price above 1.5× the global average."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.5 * {_AVG_PRICE}
+        """
+    )
+
+
+_CTE_SQL = """
+    WITH nation_rev AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ), ranked AS (
+      SELECT n.n_name, r.revenue,
+             CAST(SUM(CAST(r.revenue AS DECIMAL(38,2))) OVER () AS DOUBLE)
+               AS total_rev
+      FROM nation_rev r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    )
+    SELECT n_name, revenue, ROUND(100 * revenue / total_rev, 4) AS rev_pct
+    FROM ranked
+"""
+
+
+@query("cte_with", oracle=_CTE_SQL)
+def cte_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained WITH clauses: per-nation revenue and its share of total."""
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_CTE_SQL)

@@ -1,0 +1,225 @@
+"""Window-function surface (SURVEY.md §2.D windows).
+
+Scale notes: every window here partitions by a key (customer, user,
+group), so work distributes across the shuffle — never a global
+``Window.orderBy`` without partitioning, which would serialize onto one
+task at 100 TB. (The one global ordering in the engine lives in
+``sorts_sets.sort_multi`` and is documented there.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import query
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("orders",))["orders"]
+
+
+# Deterministic intra-partition order: (o_orderdate, o_orderkey) is
+# unique per customer, so ranks/frames are reproducible on both engines.
+_BY_CUST = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+
+def _w_by_cust() -> Window:
+    return Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+@query(
+    "win_row_number",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER ({_BY_CUST}) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(_w_by_cust()).alias("rn"),
+    )
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)
+             AS drnk,
+           NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    by_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    by_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(by_prio).alias("rnk"),
+        F.dense_rank().over(by_prio).alias("drnk"),
+        F.ntile(4).over(by_price).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate) OVER ({_BY_CUST}) AS prev_date,
+           LEAD(o_orderdate) OVER ({_BY_CUST}) AS next_date,
+           date_diff('day', LAG(o_orderdate) OVER ({_BY_CUST}), o_orderdate)
+             AS days_since_prev
+    FROM orders
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    w = _w_by_cust()
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@query(
+    "win_running",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                OVER ({_BY_CUST} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum, unbounded-preceding row frame (decimal-accumulated
+    so the prefix sums hash-match exactly)."""
+    o = _orders(spark, sf_dir)
+    w = _w_by_cust().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                OVER ({_BY_CUST} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS DOUBLE)
+           / COUNT(*) OVER ({_BY_CUST} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg_3
+    FROM orders
+    """,
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a bounded 3-row frame."""
+    o = _orders(spark, sf_dir)
+    w = _w_by_cust().rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT p_partkey, p_size,
+           COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+             AS n_similar_size
+    FROM part
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: peers within 5 size units below."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return p.select(
+        "p_partkey", "p_size", F.count(F.lit(1)).over(w).alias("n_similar_size")
+    )
+
+
+@query(
+    "win_first_last",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER ({_BY_CUST}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_order,
+           LAST_VALUE(o_orderkey) OVER ({_BY_CUST}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    w = _w_by_cust().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "win_topk_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the distributed top-k idiom (rank within
+    partition, filter), never a global sort."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )

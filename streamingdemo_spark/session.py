@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Replaces the reference's hand-built contexts
+(``JavaStreamingContext`` at ``OpContainer.java:47-49``,
+``JavaSparkContext`` at ``OpContainerTest.java:53-54``,
+``HiveContext`` at ``SparkSQLOperator.java:16``) with one unified
+SparkSession — Structured Streaming shares it, so batch vs stream is
+decided per-source, not per-context.
+
+Scale notes (100 TB design): every knob here is also correct on a real
+cluster — AQE re-plans joins/skew at runtime, shuffle partitions are
+sized by AQE coalescing from an upper bound, Arrow is on so any
+pandas-UDF path is vectorized. Only ``master`` is local-specific and is
+overridable via env/args.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "streamingdemo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession with engine defaults.
+
+    Defaults follow SURVEY.md §4: AQE on (runtime join re-selection,
+    partition coalescing, skew-join splitting), Arrow on for all
+    pandas-UDF/toPandas paths, UTC session time zone so timestamp
+    semantics match the ANSI-SQL oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read as long and convert in io.load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Streaming: allow many concurrent short-lived queries in tests.
+        .config("spark.sql.streaming.schemaInference", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,105 @@
+"""Deterministic replayable stream sources over the events fixture.
+
+The events table is replayed as a chronologically-chunked parquet file
+stream (FIXTURES.md usage note): files are written in ts order with
+increasing mod-times, so ``maxFilesPerTrigger=1`` yields a
+deterministic sequence of micro-batches and deterministic watermark
+advancement. Variants inject late rows / duplicate rows (again
+deterministically) to exercise watermark drops and stateful dedup.
+
+At 100 TB the file stream is replaced by Kafka partitions; everything
+downstream (watermarks, windows, state) is source-agnostic — that is
+the point of Structured Streaming's unbounded-relation model.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_CACHE_ROOT = os.environ.get(
+    "STREAMINGDEMO_STREAM_CACHE", "/tmp/streamingdemo_stream_src"
+)
+
+
+def _events_sorted(sf_dir: str) -> pa.Table:
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    # Spark's TimestampType is microseconds; truncate ns up front so the
+    # streaming schema is plain `timestamp`.
+    ts_us = pc.cast(t["ts"], pa.timestamp("us"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    return t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+
+
+def _write_chunks(table: pa.Table, out_dir: str, n_chunks: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    n = table.num_rows
+    per = (n + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, os.path.join(out_dir, f"part-{i:04d}.parquet"))
+        # Distinct mod-times keep the file-source processing order
+        # deterministic.
+        time.sleep(0.01)
+
+
+def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(_CACHE_ROOT, tag, f"{variant}-{n_chunks}")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t = _events_sorted(sf_dir)
+    if variant == "ordered":
+        _write_chunks(t, out_dir, n_chunks)
+    elif variant == "late":
+        # Rows with event_id % 50 == 0 are held back and appended as the
+        # final file — they arrive "late" relative to the watermark the
+        # earlier chunks advanced.
+        hold = pc.equal(pc.modulo(t["event_id"], 50), 0)
+        main, held = t.filter(pc.invert(hold)), t.filter(hold)
+        _write_chunks(main, out_dir, n_chunks - 1)
+        pq.write_table(held, os.path.join(out_dir, f"part-{n_chunks - 1:04d}.parquet"))
+    elif variant == "dups":
+        # Every 10th event is re-appended as a duplicate in a final
+        # chunk: exactly-once consumers must drop them by event_id.
+        dup = t.filter(pc.equal(pc.modulo(t["event_id"], 10), 0))
+        _write_chunks(t, out_dir, n_chunks - 1)
+        pq.write_table(dup, os.path.join(out_dir, f"part-{n_chunks - 1:04d}.parquet"))
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    return out_dir
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "ordered",
+    n_chunks: int = 8,
+    files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """A streaming DataFrame replaying the events fixture.
+
+    variant: 'ordered' (chronological), 'late' (held-back old rows in
+    the final batch), 'dups' (duplicate event_ids in the final batch).
+    ``files_per_trigger=None`` processes everything in one micro-batch.
+    """
+    src = _build(sf_dir, variant, n_chunks)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    return reader.parquet(src)

@@ -1,0 +1,168 @@
+"""Layer-A container tests (SURVEY §5.4): graph validation + toposort
+are pure Python; the pipeline-vs-direct equivalence test proves the
+container composes to the same result as the flagship DataFrame query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamingdemo_spark.operators import (
+    CycleError,
+    PipelineGraph,
+    SpecError,
+    run_pipeline,
+)
+from streamingdemo_spark.operators.container import OperatorError
+from streamingdemo_spark.registry import QUERIES
+
+
+def _spec(*ops):
+    return {"operators": list(ops)}
+
+
+class TestGraph:
+    def test_topo_order_linear(self):
+        g = PipelineGraph(
+            _spec(
+                {"name": "c", "op": "x", "inputs": {"in": "b.out"}},
+                {"name": "a", "op": "x"},
+                {"name": "b", "op": "x", "inputs": {"in": "a.out"}},
+            )
+        )
+        assert g.order == ["a", "b", "c"]
+
+    def test_topo_order_diamond(self):
+        g = PipelineGraph(
+            _spec(
+                {"name": "src", "op": "x"},
+                {"name": "l", "op": "x", "inputs": {"in": "src.out"}},
+                {"name": "r", "op": "x", "inputs": {"in": "src.out"}},
+                {"name": "sink", "op": "x", "inputs": {"a": "l.out", "b": "r.out"}},
+            )
+        )
+        assert g.order[0] == "src" and g.order[-1] == "sink"
+
+    def test_cycle_raises(self):
+        # The reference would print and run the acyclic prefix
+        # (OpContainer.java:207-210); we raise instead.
+        with pytest.raises(CycleError):
+            PipelineGraph(
+                _spec(
+                    {"name": "a", "op": "x", "inputs": {"in": "b.out"}},
+                    {"name": "b", "op": "x", "inputs": {"in": "a.out"}},
+                )
+            )
+
+    def test_self_loop_raises(self):
+        with pytest.raises(CycleError):
+            PipelineGraph(_spec({"name": "a", "op": "x", "inputs": {"in": "a.out"}}))
+
+    def test_unknown_upstream_raises(self):
+        with pytest.raises(SpecError):
+            PipelineGraph(_spec({"name": "a", "op": "x", "inputs": {"in": "ghost.out"}}))
+
+    def test_duplicate_name_raises(self):
+        with pytest.raises(SpecError):
+            PipelineGraph(_spec({"name": "a", "op": "x"}, {"name": "a", "op": "x"}))
+
+    def test_bad_port_address_raises(self):
+        with pytest.raises(SpecError):
+            PipelineGraph(_spec({"name": "a", "op": "x", "inputs": {"in": "noport"}}))
+
+    def test_empty_spec_raises(self):
+        with pytest.raises(SpecError):
+            PipelineGraph({"operators": []})
+
+
+def flagship_pipeline_spec(sf_dir: str) -> dict:
+    """The flagship Q3 query as a container pipeline — source ops swapped
+    in for KafkaInput exactly as SURVEY §7.3 prescribes."""
+    cutoff = "TIMESTAMP '1998-06-01 00:00:00'"
+    return _spec(
+        {"name": "cust", "op": "parquet_source",
+         "params": {"path": f"{sf_dir}/customer.parquet"}},
+        {"name": "ord", "op": "parquet_source",
+         "params": {"path": f"{sf_dir}/orders.parquet"}},
+        {"name": "li", "op": "parquet_source",
+         "params": {"path": f"{sf_dir}/lineitem.parquet"}},
+        {"name": "cust_f", "op": "filter",
+         "params": {"condition": "c_mktsegment = 'BUILDING'"},
+         "inputs": {"in": "cust.out"}},
+        {"name": "ord_f", "op": "filter",
+         "params": {"condition": f"o_orderdate < {cutoff}"},
+         "inputs": {"in": "ord.out"}},
+        {"name": "li_f", "op": "filter",
+         "params": {"condition": f"l_shipdate > {cutoff}"},
+         "inputs": {"in": "li.out"}},
+        {"name": "j1", "op": "join",
+         "params": {"on": "l_orderkey = o_orderkey"},
+         "inputs": {"left": "li_f.out", "right": "ord_f.out"}},
+        {"name": "j2", "op": "join",
+         "params": {"on": "o_custkey = c_custkey", "broadcast_right": True},
+         "inputs": {"left": "j1.out", "right": "cust_f.out"}},
+        {"name": "rev", "op": "aggregate",
+         "params": {
+             "group_by": ["l_orderkey", "o_orderdate", "o_orderpriority"],
+             "aggs": [
+                 "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                 "AS DECIMAL(38,4))) AS DOUBLE) AS revenue"
+             ],
+         },
+         "inputs": {"in": "j2.out"}},
+        {"name": "top", "op": "sql",
+         "params": {"query": "SELECT l_orderkey AS o_orderkey, revenue, "
+                             "o_orderdate, o_orderpriority FROM res "
+                             "ORDER BY revenue DESC, o_orderkey LIMIT 10"},
+         "inputs": {"res": "rev.out"}},
+    )
+
+
+class TestContainer:
+    def test_pipeline_equals_direct_query(self, spark, sf_dir):
+        """A-layer composition reproduces the C-layer flagship result."""
+        ports = run_pipeline(spark, flagship_pipeline_spec(sf_dir))
+        via_pipeline = ports["top.out"]
+        direct = QUERIES["flagship_q3"](spark, sf_dir)
+        got = [tuple(r) for r in via_pipeline.collect()]
+        want = [tuple(r) for r in direct.collect()]
+        assert got == want and len(got) > 0
+
+    def test_run_log_records_success(self, spark, sf_dir, tmp_path):
+        import json
+
+        log_file = tmp_path / "runlog.jsonl"
+        run_pipeline(
+            spark,
+            flagship_pipeline_spec(sf_dir),
+            job_id="flagship",
+            log_path=str(log_file),
+        )
+        entries = [json.loads(l) for l in log_file.read_text().splitlines()]
+        assert len(entries) == 10
+        assert all(e["status"] == "success" for e in entries)
+
+    def test_failing_operator_raises_with_log(self, spark, sf_dir):
+        spec = _spec(
+            {"name": "src", "op": "parquet_source",
+             "params": {"path": f"{sf_dir}/region.parquet"}},
+            {"name": "bad", "op": "filter",
+             "params": {"condition": "no_such_column = 1"},
+             "inputs": {"in": "src.out"}},
+        )
+        with pytest.raises(OperatorError) as exc_info:
+            run_pipeline(spark, spec)
+        assert exc_info.value.op_name == "bad"
+        statuses = {e["operator"]: e["status"] for e in exc_info.value.log.entries}
+        assert statuses == {"src": "success", "bad": "failed"}
+
+    def test_plugin_resolution_by_dotted_path(self, spark, sf_dir):
+        """importlib plugin loading — the engine's Class.forName
+        (OpContainer.java:109-130)."""
+        spec = _spec(
+            {"name": "src",
+             "op": "streamingdemo_spark.operators.builtin:parquet_source",
+             "params": {"path": f"{sf_dir}/region.parquet"}},
+        )
+        ports = run_pipeline(spark, spec)
+        assert ports["src.out"].count() == 5

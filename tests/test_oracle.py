@@ -1,0 +1,39 @@
+"""Oracle-differential tests: every oracle=Y key vs DuckDB (SURVEY §5.1),
+plus rows-only smoke for keys without an oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from streamingdemo_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_compare import assert_matches_oracle
+
+ORACLE_KEYS = sorted(ORACLES)
+ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_matches_oracle(key, spark, duck, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    assert_matches_oracle(df, duck, ORACLES[key], key)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_smoke(key, spark, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.schema is not None
+    assert df.count() >= 0
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_entry_exports_cover_registry():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 50
