@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], times each end-to-end (plan + execute +
+drain), prints::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Headline set: one representative per operator family, weighted toward
+the scale-critical paths (fact-table agg, star join, window, dedup,
+similarity, streaming replay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "flagship_q3",        # 3-way join + agg + top-k
+    "agg_groupby",        # TPC-H Q1 fact-table aggregate
+    "join_star3",         # 5-table star join
+    "join_asof",          # as-of window emulation
+    "win_topk_group",     # partitioned window top-k
+    "agg_count_distinct", # distinct shuffle
+    "sort_limit_topk",    # global top-k
+    "subq_exists_corr",   # decorrelated semi-join
+    "win_time_tumbling",  # time windows (batch)
+    "stream_tumbling",    # real micro-batched stream
+    "ext_dedup_exact",    # hash dedup
+    "ext_dedup_minhash",  # MinHash LSH
+    "ext_sim_cosine_topk",# brute-force ANN baseline
+    "ext_text_tfidf",     # token explode + joins
+    "udf_pandas_scalar",  # Arrow UDF path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    import __spark_entry__ as entry_mod
+    from streamingdemo_spark.session import get_spark
+
+    spark = get_spark(app_name="streamingdemo-bench")
+    queries = entry_mod.queries()
+
+    # Warm the JVM/codegen once so per-query numbers measure the
+    # engine, not first-touch initialization.
+    queries["src_parquet_scan"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        df = queries[key](spark, sf_dir)
+        n = df.count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+        print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -182,7 +182,9 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = F.lit(0).cast("long")
     for b in range(64):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") << b).otherwise(0)
+        sig = sig + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(0)
     sigs = votes.select("doc_id", sig.alias("sig"))
     chunks = sigs.select(
         "doc_id",
@@ -291,7 +293,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(dot >= 0, F.lit(1) << p).otherwise(0)
+        return F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
 
     sketch = sum([plane_bit(p) for p in range(8)], F.lit(0))
     sk = allv.withColumn("bucket", sketch)

@@ -85,7 +85,7 @@ def _sign_sketch(emb_col: str, table: int, n_planes: int = 6) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(dot >= 0, F.lit(1) << p).otherwise(0))
+        bits.append(F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(0))
     return sum(bits[1:], bits[0])
 
 

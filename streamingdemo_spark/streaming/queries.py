@@ -83,12 +83,15 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_session")  # rows-only: session merge is stateful/streaming
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows with a 30-minute gap per user (update mode).
+    """Session windows with a 30-minute gap per user (append mode —
+    the only output mode Spark supports for streaming session aggs).
 
     Watermark bounds session state; a session closes when no event for
-    its user arrives within 30 minutes.
+    its user arrives within 30 minutes, and append emits it once the
+    watermark passes its end (sessions still open at end-of-replay stay
+    unemitted — correct append semantics).
     """
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=None)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
     agg = (
         stream.withWatermark("ts", "1 minute")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -101,7 +104,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_sum",
         )
     )
-    return run_to_memory(agg, output_mode="update")
+    return run_to_memory(agg, output_mode="append")
 
 
 @query("stream_watermark_late")  # rows-only: watermark drop semantics

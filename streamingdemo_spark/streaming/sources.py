@@ -38,7 +38,14 @@ def _events_sorted(sf_dir: str) -> pa.Table:
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     # Spark's TimestampType is microseconds; truncate ns up front so the
     # streaming schema is plain `timestamp`.
-    ts_us = pc.cast(t["ts"], pa.timestamp("us"))
+    # The fixture carries sub-microsecond precision; truncate exactly as
+    # the batch path (`ts DIV 1000`) and DuckDB's parquet reader do.
+    ts_us = pc.cast(
+        t["ts"],
+        options=pc.CastOptions(
+            target_type=pa.timestamp("us"), allow_time_truncate=True
+        ),
+    )
     t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
     return t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
 
@@ -70,14 +77,15 @@ def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
         # Rows with event_id % 50 == 0 are held back and appended as the
         # final file — they arrive "late" relative to the watermark the
         # earlier chunks advanced.
-        hold = pc.equal(pc.modulo(t["event_id"], 50), 0)
+        ids = t["event_id"].to_numpy()
+        hold = pa.array(ids % 50 == 0)
         main, held = t.filter(pc.invert(hold)), t.filter(hold)
         _write_chunks(main, out_dir, n_chunks - 1)
         pq.write_table(held, os.path.join(out_dir, f"part-{n_chunks - 1:04d}.parquet"))
     elif variant == "dups":
         # Every 10th event is re-appended as a duplicate in a final
         # chunk: exactly-once consumers must drop them by event_id.
-        dup = t.filter(pc.equal(pc.modulo(t["event_id"], 10), 0))
+        dup = t.filter(pa.array(t["event_id"].to_numpy() % 10 == 0))
         _write_chunks(t, out_dir, n_chunks - 1)
         pq.write_table(dup, os.path.join(out_dir, f"part-{n_chunks - 1:04d}.parquet"))
     else:

@@ -111,8 +111,8 @@ def flagship_pipeline_spec(sf_dir: str) -> dict:
          },
          "inputs": {"in": "j2.out"}},
         {"name": "top", "op": "sql",
-         "params": {"query": "SELECT l_orderkey AS o_orderkey, revenue, "
-                             "o_orderdate, o_orderpriority FROM res "
+         "params": {"query": "SELECT l_orderkey AS o_orderkey, o_orderdate, "
+                             "o_orderpriority, revenue FROM res "
                              "ORDER BY revenue DESC, o_orderkey LIMIT 10"},
          "inputs": {"res": "rev.out"}},
     )
