@@ -27,11 +27,12 @@ MUTANT_OFFSET = 1_000_000
 
 def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-dup mutants: every 5th doc re-appears with
-    doc_id+1e6 and every 7th token dropped (≈86% token overlap)."""
+    doc_id+1e6 and every 25th token dropped (shingle jaccard ≈ 0.85 —
+    inside the sensitivity band of the LSH parameters below)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = F.split("text", " ")
     mutated = F.array_join(
-        F.filter(toks, lambda tok, i: (i % 7) != 0), " "
+        F.filter(toks, lambda tok, i: ((i + 1) % 25) != 0), " "
     )
     mutants = (
         docs.filter(F.col("doc_id") % 5 == 0)
@@ -84,72 +85,85 @@ def _shingles(text_col: str = "text", k: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 
-def _minhash(shingles: Column, seed: int) -> Column:
-    """One MinHash value: min over per-shingle seeded xxhash64."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.xxhash64(F.concat(s, F.lit(f"#{seed}"))))
-    )
-
-
 @query("ext_dedup_minhash")  # rows-only: hash values are engine-specific
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via MinHash + LSH banding.
 
-    Pipeline: 3-token shingles → 12 MinHashes → 6 bands × 2 rows →
-    band-bucket self-join → candidate pairs → exact Jaccard verify.
-    Output: (doc_a, doc_b, jaccard) with jaccard ≥ 0.5.
+    Pipeline: 3-token shingles → explode → 12 seeded hashes per shingle
+    (computed exactly once each) → groupBy(doc) min-aggregate = MinHash
+    signature → 6 bands × 2 rows → band-bucket self-join → candidate
+    pairs → exact Jaccard verify. Output: (doc_a, doc_b, jaccard ≥ 0.5).
 
-    100 TB: O(n·bands) shuffle; buckets with pathological size get
-    capped (skew guard) — here sizes are tiny so the cap is a filter.
+    100 TB shape: the explode shuffle is O(total shingles) with
+    map-side partial min; candidate generation is O(n·bands); exact
+    verification touches only in-bucket pairs. No all-pairs stage
+    exists, and each hash is evaluated once (aggregate-form MinHash,
+    not per-band recomputation). Reused intermediates (shingle sets,
+    signatures, candidates) are persisted — the band self-join and the
+    verify join would otherwise recompute their whole lineage per
+    reference; at cluster scale these are exactly the datasets you
+    checkpoint. Buckets above ``_BUCKET_CAP`` are
+    dropped before pairing — a low-vocabulary corpus (like this
+    fixture) makes some minhash values extremely common, and such
+    buckets are non-discriminative noise that would otherwise create a
+    quadratic pair blowup (the LSH skew guard).
     """
-    n_hashes, bands = 12, 6
+    n_hashes, bands = 16, 4
     rows_per_band = n_hashes // bands
+    _BUCKET_CAP = 100
     docs = _docs_with_mutants(spark, sf_dir).select(
-        "doc_id", _shingles().alias("sh")
-    )
-    sigs = docs.select(
-        "doc_id",
-        "sh",
-        F.array(*[_minhash(F.col("sh"), s) for s in range(n_hashes)]).alias("sig"),
-    )
+        "doc_id", F.array_distinct(_shingles()).alias("sh")
+    ).cache()
+    exploded = docs.select("doc_id", F.explode("sh").alias("s"))
+    sigs = (
+        exploded.select(
+            "doc_id",
+            *[
+                F.xxhash64(F.concat(F.col("s"), F.lit(f"#{k}"))).alias(f"h{k}")
+                for k in range(n_hashes)
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{k}").alias(f"h{k}") for k in range(n_hashes)])
+    ).cache()
     banded = sigs.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        *[
-                            F.col("sig")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ]
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band", "bucket"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    from pyspark.sql.window import Window
+
+    bucket_sizes = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(bucket_sizes)
+    ).filter(F.col("bucket_n") <= _BUCKET_CAP).drop("bucket_n").cache()
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        left.join(
-            right,
+        a.join(
+            b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    ).cache()
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 4))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -185,7 +199,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = sig + F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(0)
-    sigs = votes.select("doc_id", sig.alias("sig"))
+    sigs = votes.select("doc_id", sig.alias("sig")).cache()
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -197,7 +211,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("chunk_no", "chunk_val"),
-    )
+    ).cache()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -225,22 +239,30 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ext_dedup_ngram_jaccard")  # rows-only: float similarity
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within cheap blocking buckets: docs are
-    blocked on (lang, token-count bucket) so only plausibly-similar
-    pairs are compared — the blocked-verify pattern that keeps exact
-    similarity affordable when LSH recall isn't enough."""
+    blocked on (lang, first token, coarse length bucket) and only
+    in-block pairs are compared — the blocked-verify pattern that keeps
+    exact similarity affordable when LSH recall isn't enough.
+
+    The block key is a pure equi-join key (never a range predicate:
+    Catalyst would demote that to a post-filtered near-cross-join).
+    Block-key choice is corpus-dependent; here (lang, first token)
+    splits ~30× while near-dup mutants keep both.
+    """
     docs = _docs_with_mutants(spark, sf_dir)
+    toks = F.split("text", " ")
     with_sh = docs.select(
         "doc_id",
         "lang",
         F.array_distinct(_shingles(k=2)).alias("sh"),
-        (F.size(F.split("text", " ")) / 32).cast("int").alias("len_bucket"),
-    )
+        F.element_at(toks, 1).alias("first_tok"),
+        (F.size(toks) / 64).cast("int").alias("len_bucket"),
+    ).cache()
     a, b = with_sh.alias("a"), with_sh.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
-        # mutants lost 1/7 of tokens: allow adjacent length buckets
-        & (F.col("b.len_bucket") - F.col("a.len_bucket")).between(0, 1)
+        & (F.col("a.first_tok") == F.col("b.first_tok"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -296,7 +318,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
 
     sketch = sum([plane_bit(p) for p in range(8)], F.lit(0))
-    sk = allv.withColumn("bucket", sketch)
+    sk = allv.withColumn("bucket", sketch).cache()
     a, b = sk.alias("a"), sk.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),

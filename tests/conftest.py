@@ -11,6 +11,8 @@ import os
 import duckdb
 import pytest
 
+import __spark_entry__  # noqa: F401  (populates the query registry)
+
 from streamingdemo_spark.io import TABLES
 from streamingdemo_spark.session import get_spark
 

@@ -1,0 +1,134 @@
+"""Extension-layer quality assertions (SURVEY §2.F): the planted
+near-duplicates must actually be recovered, ANN recall must be
+reasonable against the exact top-k, text metrics must satisfy their
+invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from streamingdemo_spark.extensions.dedup import MUTANT_OFFSET
+from streamingdemo_spark.registry import QUERIES
+
+
+def _planted_recall(df, id_a: str, id_b: str) -> tuple[int, int]:
+    rows = df.collect()
+    planted = [r for r in rows if r[id_b] - r[id_a] == MUTANT_OFFSET]
+    return len(planted), len(rows)
+
+
+class TestDedup:
+    def test_exact_dedup_finds_duplicated_round(self, spark, sf_dir):
+        out = QUERIES["ext_dedup_exact"](spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        n_dup_round = docs.filter(F.col("doc_id") % 5 == 0).count()
+        assert out.count() == n_docs  # one group per distinct text
+        assert out.filter(F.col("n_copies") == 2).count() == n_dup_round
+
+    def test_minhash_recovers_planted_mutants(self, spark, sf_dir):
+        planted, total = _planted_recall(
+            QUERIES["ext_dedup_minhash"](spark, sf_dir), "doc_a", "doc_b"
+        )
+        n_mutants = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 5 == 0)
+            .count()
+        )
+        assert planted / n_mutants > 0.6  # LSH recall × jaccard cutoff
+
+    def test_simhash_recovers_planted_mutants(self, spark, sf_dir):
+        planted, _ = _planted_recall(
+            QUERIES["ext_dedup_simhash"](spark, sf_dir), "doc_a", "doc_b"
+        )
+        assert planted > 0
+
+    def test_ngram_jaccard_recovers_planted_mutants(self, spark, sf_dir):
+        planted, _ = _planted_recall(
+            QUERIES["ext_dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b"
+        )
+        n_mutants = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 5 == 0)
+            .count()
+        )
+        assert planted / n_mutants > 0.6
+
+    def test_embedding_dedup_finds_nudged_vectors(self, spark, sf_dir):
+        out = QUERIES["ext_dedup_embedding"](spark, sf_dir)
+        planted, total = _planted_recall(out, "vec_a", "vec_b")
+        n_mutants = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") % 4 == 0)
+            .count()
+        )
+        assert planted / n_mutants > 0.5  # 8-bit sign-LSH recall
+        # near-dup cosine of the nudge is ~0.999: verify scores are high
+        assert out.agg(F.min("cosine")).collect()[0][0] >= 0.99
+
+
+class TestSimilarity:
+    def test_ann_recall_against_exact(self, spark, sf_dir):
+        exact = QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect()
+        approx = QUERIES["ext_sim_ann_lsh"](spark, sf_dir).collect()
+        exact_pairs = {(r["q_id"], r["vec_id"]) for r in exact}
+        approx_pairs = {(r["q_id"], r["vec_id"]) for r in approx}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        # random embeddings have no strong neighbors, so sign-LSH recall
+        # is modest by construction; it must still beat random chance
+        # (top-5 of N corpus vectors ~ 5/N < 1%)
+        assert recall > 0.05
+        # every approx result must carry a correct exact cosine score
+        exact_scores = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact}
+        for r in approx:
+            k = (r["q_id"], r["vec_id"])
+            if k in exact_scores:
+                assert abs(exact_scores[k] - r["cosine"]) < 1e-6
+
+    def test_exact_topk_shape(self, spark, sf_dir):
+        out = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
+        per_q = out.groupBy("q_id").count().collect()
+        assert all(r["count"] == 5 for r in per_q)
+        assert out.filter(F.abs(F.col("cosine")) > 1.0001).count() == 0
+
+
+class TestText:
+    def test_langid_predicts_every_heldout_doc(self, spark, sf_dir):
+        out = QUERIES["ext_text_langid"](spark, sf_dir)
+        assert out.filter(F.col("pred_lang").isNull()).count() == 0
+
+    def test_tfidf_top_terms_positive(self, spark, sf_dir):
+        out = QUERIES["ext_text_tfidf"](spark, sf_dir)
+        assert out.filter(F.col("tfidf") <= 0).count() == 0
+        per_doc = out.groupBy("doc_id").count().collect()
+        assert all(r["count"] <= 3 for r in per_doc)
+
+    def test_fingerprint_is_stable(self, spark, sf_dir):
+        a = {
+            (r["doc_id"], r["fingerprint"])
+            for r in QUERIES["ext_text_fingerprint"](spark, sf_dir).collect()
+        }
+        b = {
+            (r["doc_id"], r["fingerprint"])
+            for r in QUERIES["ext_text_fingerprint"](spark, sf_dir).collect()
+        }
+        assert a == b
+
+
+class TestMultimodal:
+    def test_decode_roundtrips_payload_metadata(self, spark, sf_dir):
+        out = QUERIES["ext_multimodal_decode"](spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        joined = out.join(docs, "doc_id")
+        # payload body is the utf-8 text: decoded byte length must match
+        mismatch = joined.filter(
+            F.col("n_bytes") != F.length(F.col("text"))
+        ).count()
+        assert mismatch == 0
+        assert out.filter((F.col("width") < 1) | (F.col("height") < 1)).count() == 0
+
+    def test_framesample_covers_every_doc(self, spark, sf_dir):
+        out = QUERIES["ext_multimodal_framesample"](spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert out.select("doc_id").distinct().count() == docs.count()
+        assert out.filter(F.col("frame_no") % 4 != 0).count() == 0

@@ -1,0 +1,60 @@
+"""Streaming-layer assertions beyond rows-only (SURVEY §5.2):
+stream results equal batch results on the same data; dedup removes the
+injected duplicates; watermark drops the held-back late rows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from streamingdemo_spark.registry import QUERIES
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestStreamBatchEquivalence:
+    def test_stream_tumbling_equals_batch(self, spark, sf_dir):
+        stream = QUERIES["stream_tumbling"](spark, sf_dir)
+        batch = QUERIES["win_time_tumbling"](spark, sf_dir)
+        s = _rows(stream, "ws", "n", "val_sum")
+        b = _rows(batch.drop("we"), "ws", "n", "val_sum")
+        assert s == b and len(s) > 0
+
+    def test_stream_static_join_preserves_rows(self, spark, sf_dir):
+        joined = QUERIES["stream_static_join"](spark, sf_dir)
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert joined.count() == n_events
+        assert joined.filter(F.col("cohort").isNull()).count() == 0
+
+
+class TestStatefulStreams:
+    def test_stream_dedup_removes_duplicates(self, spark, sf_dir):
+        out = QUERIES["stream_dedup"](spark, sf_dir)
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert out.count() == n_events  # 10% re-delivered, all dropped
+        assert out.select("event_id").distinct().count() == n_events
+
+    def test_stream_watermark_drops_late_rows(self, spark, sf_dir):
+        out = QUERIES["stream_watermark_late"](spark, sf_dir)
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        kept = out.agg(F.sum("n")).collect()[0][0]
+        # the ~2% held-back rows are late beyond the watermark: most are
+        # dropped, so kept < total but the vast majority survives
+        assert kept < n_events
+        assert kept > n_events * 0.9
+
+    def test_stream_stateful_totals_match_batch(self, spark, sf_dir):
+        out = QUERIES["stream_stateful_custom"](spark, sf_dir)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        got = _rows(out, "user_id", "n_events")
+        want = _rows(batch, "user_id", "n_events")
+        assert got == want
+
+    def test_stream_session_windows_have_gap_property(self, spark, sf_dir):
+        out = QUERIES["stream_session"](spark, sf_dir)
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["session_end"] > r["session_start"]
