@@ -49,9 +49,10 @@ def main() -> None:
     spark = get_spark(app_name="streamingdemo-bench")
     queries = entry_mod.queries()
 
-    # Warm the JVM/codegen once so per-query numbers measure the
-    # engine, not first-touch initialization.
+    # Warm the JVM/codegen/broadcast machinery once so per-query numbers
+    # measure the engine, not first-touch initialization.
     queries["src_parquet_scan"](spark, sf_dir).collect()
+    queries["join_broadcast"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

@@ -115,11 +115,15 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(_shingles()).alias("sh")
     ).cache()
     exploded = docs.select("doc_id", F.explode("sh").alias("s"))
+    # Hash each shingle string once; the k seeded variants re-hash the
+    # resulting long with the seed — integer mixing, no per-seed string
+    # concatenation.
+    based = exploded.select("doc_id", F.xxhash64("s").alias("hs"))
     sigs = (
-        exploded.select(
+        based.select(
             "doc_id",
             *[
-                F.xxhash64(F.concat(F.col("s"), F.lit(f"#{k}"))).alias(f"h{k}")
+                F.xxhash64(F.col("hs"), F.lit(k)).alias(f"h{k}")
                 for k in range(n_hashes)
             ],
         )

@@ -39,6 +39,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events fixture stores TIMESTAMP(NANOS), which Spark's
+        # reader rejects outright; force the legacy long read on
+        # whatever session we were handed (the driver builds its own,
+        # without our session.py defaults).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as raw int64 (see session.py); convert

@@ -15,6 +15,7 @@ from streamingdemo_spark.plans import (  # noqa: F401
     windows,
     sorts_sets,
     scalar_functions,
+    storage,
     subqueries,
     udfs,
 )

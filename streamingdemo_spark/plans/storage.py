@@ -1,0 +1,106 @@
+"""Storage-layout operators — the 100 TB data-layout surface.
+
+The reference writes unpartitioned Hive tables (CTAS,
+``SparkSQLOperator.java:23``); at scale the layout *is* the query
+plan: date-partitioned parquet enables partition pruning, bucketed
+tables enable shuffle-free joins. These keys demonstrate both with
+verifiable results.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import dsum, osum, query
+
+
+@query(
+    "snk_partitioned_write",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n, {osum("o_totalprice")} AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1
+    """,
+)
+def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet write + partition-pruned read-back.
+
+    Writes orders partitioned by order_year, then re-reads only two
+    partitions — the read plan's PartitionFilters prune all other
+    years at file-listing time (zero I/O for them). This layout is the
+    precondition for every time-ranged query at 100 TB.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = os.path.join(tempfile.mkdtemp(prefix="part_write_"), "orders_by_year")
+    (
+        o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("order_year").isin(1996, 1997))
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_custkey, COUNT(*) AS n_items, {osum("l.l_quantity")} AS qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both tables bucketed 8 ways on the
+    join key at write time, so the join needs NO shuffle of either
+    side (SortMergeJoin reads bucket i against bucket i directly).
+
+    At 100 TB, bucketing the fact and its biggest dimension on the join
+    key converts every subsequent join from a full shuffle to a local
+    merge — the single highest-leverage layout decision for repeated
+    workloads. (The verifying aggregate afterwards is on a different
+    key, so it still shuffles — that part is the query, not the join.)
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    warehouse = tempfile.mkdtemp(prefix="bucketed_wh_")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(warehouse, "b_orders"))
+        .saveAsTable("b_orders")
+    )
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(warehouse, "b_lineitem"))
+        .saveAsTable("b_lineitem")
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # hint("merge"): at fixture scale Catalyst would broadcast the small
+    # side (also correct); the SMJ hint exposes what bucketing buys at
+    # real scale — bucket-i-vs-bucket-i merge with zero Exchange.
+    return (
+        bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("qty"))
+    )

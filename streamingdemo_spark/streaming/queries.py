@@ -139,7 +139,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, output_mode="append")
 
 
-@query("stream_static_join")  # rows-only: stream enriched by static dim
+@query("stream_stream_static_join")  # rows-only: stream enriched by static dim
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (B1 + C3 composition): enrich the event stream
     with a static user-cohort dimension. The static side is broadcast

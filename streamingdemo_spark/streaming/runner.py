@@ -19,22 +19,36 @@ def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into an
-    in-memory table; returns the table as a batch DataFrame."""
+    in-memory table; returns the table as a batch DataFrame.
+
+    ``state_partitions`` overrides shuffle partitions for the stream's
+    lifetime: stateful-operator parallelism is fixed at first
+    checkpoint, and at replay volumes 32 state-store partitions per
+    micro-batch are pure task overhead. On a cluster, size this to the
+    stream's key cardinality instead.
+    """
     spark: SparkSession = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query.awaitTermination(timeout_sec)
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_sec)
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

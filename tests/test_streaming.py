@@ -22,7 +22,7 @@ class TestStreamBatchEquivalence:
         assert s == b and len(s) > 0
 
     def test_stream_static_join_preserves_rows(self, spark, sf_dir):
-        joined = QUERIES["stream_static_join"](spark, sf_dir)
+        joined = QUERIES["stream_stream_static_join"](spark, sf_dir)
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         assert joined.count() == n_events
         assert joined.filter(F.col("cohort").isNull()).count() == 0
