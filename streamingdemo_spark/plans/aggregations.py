@@ -295,3 +295,30 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+    WITH pivoted AS (
+      SELECT user_id,
+             {osum("CASE WHEN event_type = 'click' THEN value END", 4)} AS click,
+             {osum("CASE WHEN event_type = 'view' THEN value END", 4)} AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, val FROM pivoted
+    UNPIVOT INCLUDE NULLS (val FOR kind IN (click, view))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-type sums back to long form via
+    ``stack`` — the inverse of ``agg_pivot``."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(dsum("value", 4))
+    )
+    return wide.selectExpr(
+        "user_id", "stack(2, 'click', click, 'view', view) AS (kind, val)"
+    )

@@ -80,6 +80,16 @@ _OUTER_ORACLE = """
       ON o.o_custkey = c.c_custkey
 """
 
+# RIGHT JOIN keeps the right side's unmatched rows, so the oracle puts
+# the filtered orders on the LEFT and customer on the RIGHT — matching
+# the Spark query, which keeps every customer.
+_RIGHT_ORACLE = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 200000.0) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
 
 @query("join_left", oracle=_OUTER_ORACLE.format(how="LEFT"))
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +99,7 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("join_right", oracle=_OUTER_ORACLE.format(how="RIGHT"))
+@query("join_right", oracle=_RIGHT_ORACLE)
 def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders = _cust_orders(spark, sf_dir)
     return orders.join(cust, cust.c_custkey == orders.o_custkey, "right").select(

@@ -206,7 +206,7 @@ def fn_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice / 1000, 2) AS price_k,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
            ABS(l_discount - 0.05) AS disc_dev,
            CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil,
            CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor,
@@ -224,7 +224,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(p / 1000, 2).alias("price_k"),
+        # floor, not round: round(x/1000, 2) lands on .xx5 boundaries
+        # where Spark (decimal-string HALF_UP) and C-family engines
+        # (binary-value rounding) legitimately disagree
+        F.floor(p / 1000).cast("bigint").alias("price_k"),
         F.abs(disc - 0.05).alias("disc_dev"),
         F.ceil(q / 7).cast("bigint").alias("qty_ceil"),
         F.floor(q / 7).cast("bigint").alias("qty_floor"),

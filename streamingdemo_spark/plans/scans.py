@@ -80,3 +80,48 @@ def snk_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM nice ORDER BY r_name")
+
+
+def _csv_json_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("supplier",))["supplier"]
+
+
+@query(
+    "src_csv_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: write the supplier dim as CSV, read it back with an
+    explicit schema (never inferSchema in production — it double-scans
+    and guesses types). Round-trip must equal the parquet original."""
+    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "supplier_csv")
+    base = _csv_json_base(spark, sf_dir)
+    base.write.mode("overwrite").option("header", True).csv(out)
+    schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(out)
+        .withColumn("s_acctbal", F.round("s_acctbal", 2))
+    )
+
+
+@query(
+    "src_json_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema, same round-trip check."""
+    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "supplier_json")
+    base = _csv_json_base(spark, sf_dir)
+    base.write.mode("overwrite").json(out)
+    schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    return spark.read.schema(schema).json(out)

@@ -223,3 +223,55 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         ).filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id
+    (the window-function form of session_window, exact and
+    oracle-checkable; the streaming form is ``stream_session``)."""
+    from streamingdemo_spark.io import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("is_start", is_start)
+        .withColumn("session_id", F.sum("is_start").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

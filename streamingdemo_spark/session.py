@@ -57,6 +57,7 @@ def get_spark(
         # Streaming: allow many concurrent short-lived queries in tests.
         .config("spark.sql.streaming.schemaInference", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.debug.maxToStringFields", "200")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():

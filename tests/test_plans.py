@@ -1,0 +1,63 @@
+"""Physical-plan shape assertions (the 100 TB regressions that row
+counts can't catch): pushdown must reach the scan, dims must
+broadcast, theta-form joins must not become cartesians, top-k must not
+become a full sort, bucketed joins must not shuffle."""
+
+from __future__ import annotations
+
+from streamingdemo_spark.registry import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = _plan(QUERIES["proj_select"](spark, sf_dir))
+    assert "ReadSchema" in plan
+    assert "c_acctbal" not in plan  # unprojected column never read
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = _plan(QUERIES["flt_compare"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # plan strings elide long filter lists; the prefix is stable
+    assert "GreaterThanOrEqual(o_" in plan
+
+
+def test_theta_equi_join_is_not_cartesian(spark, sf_dir):
+    """The reference's own query shape (cross + WHERE equality,
+    SparkSQLOperator.java:18) must be lifted to an equi-join."""
+    plan = _plan(QUERIES["join_where_theta_equi"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_broadcasts_small_side(spark, sf_dir):
+    """Non-equi joins are only safe with a broadcast side."""
+    plan = _plan(QUERIES["join_theta_range"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_flagship_is_all_broadcast_joins(spark, sf_dir):
+    plan = _plan(QUERIES["flagship_q3"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = _plan(QUERIES["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["join_bucketed"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    join_subtree = plan.split("HashAggregate")[-1]
+    assert "Exchange" not in join_subtree
+    assert plan.count("Bucketed: true") == 2
