@@ -249,3 +249,37 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.concat_ws(",", F.transform(smallest, lambda h: h.cast("string"))))
         .alias("fingerprint"),
     )
+
+
+@query(
+    "ext_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+             AS n_norm_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup/tokenization: lowercase, strip
+    non-alphanumerics, collapse whitespace — the canonicalization pass
+    that precedes every exact/near dedup in a data pipeline."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            norm.alias("norm_text"),
+            F.size(F.split(norm, " ")).cast("bigint").alias("n_norm_tokens"),
+        )
+    )

@@ -322,3 +322,42 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         "user_id", "stack(2, 'click', click, 'view', view) AS (kind, val)"
     )
+
+
+@query(
+    "agg_skew_salted",
+    oracle=f"""
+    SELECT CASE WHEN l_partkey % 4 = 0 THEN -1 ELSE l_partkey END AS part_group,
+           COUNT(*) AS n, {osum("l_extendedprice")} AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation over a deliberately skewed key:
+    ~25% of rows collapse into one group (part_group = -1), the shape
+    that stalls a naive groupBy at 100 TB on a single reducer.
+
+    Phase 1 groups by (key, salt) — the hot key spreads over 16
+    reducers; phase 2 merges the 16 partials. Same result as a direct
+    groupBy (the oracle), ~16× less data per reducer on the hot key.
+    (AQE's skew handling covers joins; salting is the aggregation-side
+    counterpart and works on any Spark version.)
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    key = F.when(F.col("l_partkey") % 4 == 0, F.lit(-1)).otherwise(
+        F.col("l_partkey")
+    )
+    salted = li.select(
+        key.alias("part_group"),
+        (F.col("l_orderkey") % 16).alias("salt"),
+        "l_extendedprice",
+    )
+    phase1 = salted.groupBy("part_group", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("psum"),
+    )
+    return phase1.groupBy("part_group").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("revenue"),
+    )

@@ -229,3 +229,48 @@ def stream_kafka_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return run_to_memory(ports["addField.out"], output_mode="append")
+
+
+@query("stream_foreach_batch")  # rows-only: side-effecting sink
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch appends to a parquet target
+    tagged with its epoch; the read-back dedups on event_id, showing
+    the idempotent-merge pattern for exactly-once semantics on
+    re-delivery (the 'dups' source re-sends 10% of events).
+
+    This is the production escape hatch when a sink has no native
+    transactional support — MERGE/upsert per epoch keyed on a stable
+    id. State lives in the target table, not the stream.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="feb_sink_") + "/events_merged"
+    stream = events_stream(spark, sf_dir, "dups", n_chunks=9, files_per_trigger=3)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    import tempfile as _tf
+    import uuid as _uuid
+
+    ckpt = _tf.mkdtemp(prefix=f"ckpt_feb_{_uuid.uuid4().hex[:8]}_")
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+    return (
+        spark.read.parquet(out)
+        .orderBy("epoch")
+        .dropDuplicates(["event_id"])
+        .drop("epoch")
+    )

@@ -166,3 +166,25 @@ class TestContainer:
         )
         ports = run_pipeline(spark, spec)
         assert ports["src.out"].count() == 5
+
+
+class TestSpecIO:
+    def test_json_spec_roundtrip_and_run(self, spark, sf_dir, tmp_path):
+        """A1: pipeline spec loaded from a file drives the container."""
+        from streamingdemo_spark.operators.spec_io import dump_spec, load_spec
+
+        spec_file = str(tmp_path / "flagship.json")
+        dump_spec(flagship_pipeline_spec(sf_dir), spec_file)
+        loaded = load_spec(spec_file)
+        ports = run_pipeline(spark, loaded)
+        assert ports["top.out"].count() == 10
+
+    def test_unsupported_format_raises(self, tmp_path):
+        from streamingdemo_spark.operators.spec_io import load_spec
+
+        bad = tmp_path / "spec.xml"
+        bad.write_text("<operators/>")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            load_spec(str(bad))
