@@ -32,6 +32,9 @@ EVENTS_SCHEMA = (
 _CACHE_ROOT = os.environ.get(
     "STREAMINGDEMO_STREAM_CACHE", "/tmp/streamingdemo_stream_src"
 )
+# Bump when chunking/variant semantics change: the version participates
+# in the cache path, so stale replay directories are never reused.
+_CACHE_VERSION = 2
 
 
 def _events_sorted(sf_dir: str) -> pa.Table:
@@ -66,7 +69,9 @@ def _write_chunks(table: pa.Table, out_dir: str, n_chunks: int) -> None:
 
 def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(_CACHE_ROOT, tag, f"{variant}-{n_chunks}")
+    out_dir = os.path.join(
+        _CACHE_ROOT, f"v{_CACHE_VERSION}", tag, f"{variant}-{n_chunks}"
+    )
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
