@@ -350,3 +350,65 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.99)
     )
+
+
+@query("ext_dedup_cluster")  # rows-only: iterative fixpoint, hash-dependent
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash
+    candidate-pair graph, so each duplicate *group* (not just pair)
+    elects one canonical doc (the min doc_id in its component).
+
+    Algorithm: iterative min-label propagation — every doc starts
+    labeled with itself; each round, labels flow across pair edges and
+    each doc keeps the minimum seen; converged when no label changes.
+    Pair graphs from dedup are shallow (components of size 2-10), so
+    this fixpoints in 2-4 rounds. Each round is two shuffles — the
+    standard large-scale connected-components shape (label propagation
+    over an edge list, no driver-side graph).
+
+    Output: (doc_id, canonical_id, cluster_size) for docs in
+    components of size >= 2.
+    """
+    pairs = ext_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # undirected edge list
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(6):  # components here are tiny; bound the fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).cache()
+        changed = (
+            labels.join(new_labels.withColumnRenamed("label", "nl"), "doc_id")
+            .filter(F.col("label") != F.col("nl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "doc_id",
+            F.col("label").alias("canonical_id"),
+            "cluster_size",
+        )
+    )

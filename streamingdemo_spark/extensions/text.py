@@ -283,3 +283,33 @@ def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(norm, " ")).cast("bigint").alias("n_norm_tokens"),
         )
     )
+
+
+@query("ext_sample_stratified")  # rows-only: sampling is engine-specific
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling per language (sampleBy): downsample
+    over-represented strata toward a target training mix. Seeded, so
+    reproducible within the engine; proportions asserted in tests."""
+    d = _docs(spark, sf_dir)
+    fractions = {"en": 1.0, "es": 0.5, "zh": 0.5, "de": 0.25, "fr": 0.25}
+    sample = d.sampleBy("lang", fractions, seed=42)
+    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query("ext_train_mix")  # rows-only: hash partitioning is engine-specific
+def ext_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split via stable hashing:
+    bucket = xxhash64(doc_id) mod 100 → 90/5/5 split. Unlike seeded
+    sampling, the assignment is a pure function of the key — stable
+    across runs, engines restarts, and incremental reprocessing, which
+    is what a 100 TB pipeline needs (resumable, append-safe splits)."""
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

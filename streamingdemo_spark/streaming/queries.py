@@ -274,3 +274,41 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .drop("epoch")
     )
+
+
+@query("stream_rate_smoke")  # rows-only: wall-clock-driven source
+def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 processing-time trigger on a true unbounded source: the rate
+    source emits rows on a wall-clock schedule; the query runs two
+    1-second micro-batches (the engine form of the reference's fixed
+    10 s batch interval, OpContainer.java:47-49) and stops. Asserts
+    only liveness — wall-clock sources are inherently nondeterministic.
+    """
+    import tempfile
+    import uuid
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+        .withColumn("bucket", F.col("value") % 10)
+    )
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if query.lastProgress and query.lastProgress["batchId"] >= 2:
+                break
+            _time.sleep(0.5)
+    finally:
+        query.stop()
+    return spark.table(name)

@@ -132,3 +132,36 @@ class TestMultimodal:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         assert out.select("doc_id").distinct().count() == docs.count()
         assert out.filter(F.col("frame_no") % 4 != 0).count() == 0
+
+
+class TestPipelineOps:
+    def test_dedup_cluster_elects_source_as_canonical(self, spark, sf_dir):
+        out = QUERIES["ext_dedup_cluster"](spark, sf_dir).collect()
+        assert len(out) > 0
+        mutants = [r for r in out if r["doc_id"] >= MUTANT_OFFSET]
+        assert mutants, "no mutant rows clustered"
+        good = sum(
+            1 for r in mutants if r["canonical_id"] == r["doc_id"] - MUTANT_OFFSET
+        )
+        assert good / len(mutants) > 0.9
+        # canonical must be the component minimum: never larger than member
+        assert all(r["canonical_id"] <= r["doc_id"] for r in out)
+
+    def test_stratified_sample_respects_fractions(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        totals = {r["lang"]: r["n"] for r in
+                  docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        out = {r["lang"]: r["n_sampled"] for r in
+               QUERIES["ext_sample_stratified"](spark, sf_dir).collect()}
+        assert out.get("en") == totals["en"]  # fraction 1.0 keeps all
+        for lang, frac in [("es", 0.5), ("zh", 0.5), ("de", 0.25), ("fr", 0.25)]:
+            if lang in out:
+                ratio = out[lang] / totals[lang]
+                assert abs(ratio - frac) < 0.2, (lang, ratio)
+
+    def test_train_mix_is_deterministic_and_partitions(self, spark, sf_dir):
+        a = sorted(map(tuple, QUERIES["ext_train_mix"](spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES["ext_train_mix"](spark, sf_dir).collect()))
+        assert a == b  # pure function of the key: identical across runs
+        n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(r[2] for r in a) == n_total  # partition, not sample
