@@ -254,10 +254,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    import tempfile as _tf
-    import uuid as _uuid
-
-    ckpt = _tf.mkdtemp(prefix=f"ckpt_feb_{_uuid.uuid4().hex[:8]}_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
     query = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
