@@ -93,7 +93,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: 3-token shingles → explode → 12 seeded hashes per shingle
     (computed exactly once each) → groupBy(doc) min-aggregate = MinHash
-    signature → 6 bands × 2 rows → band-bucket self-join → candidate
+    signature → 4 bands × 3 rows → band-bucket self-join → candidate
     pairs → exact Jaccard verify. Output: (doc_a, doc_b, jaccard ≥ 0.5).
 
     100 TB shape: the explode shuffle is O(total shingles) with
@@ -110,7 +110,10 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets are non-discriminative noise that would otherwise create a
     quadratic pair blowup (the LSH skew guard).
     """
-    n_hashes, bands = 16, 4
+    # 4 bands x 3 rows: P(candidate) at jaccard .85 = 1-(1-.85^3)^4 ≈ .98,
+    # at jaccard .3 ≈ .10 — a sharper sensitivity curve than 4x4 with 25%
+    # fewer hash evaluations.
+    n_hashes, bands = 12, 4
     rows_per_band = n_hashes // bands
     _BUCKET_CAP = 100
     docs = _docs_with_mutants(spark, sf_dir).select(
