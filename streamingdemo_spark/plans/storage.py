@@ -104,3 +104,51 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("qty"))
     )
+
+
+@query(
+    "join_dpp",
+    oracle=f"""
+    WITH years AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr
+                   FROM orders WHERE o_orderpriority = '1-URGENT'
+                     AND year(o_orderdate) <= 1996),
+    part_orders AS (SELECT *, CAST(year(o_orderdate) AS BIGINT) AS order_year
+                    FROM orders)
+    SELECT p.order_year, COUNT(*) AS n, {osum("p.o_totalprice")} AS total
+    FROM part_orders p JOIN years y ON p.order_year = y.yr
+    GROUP BY p.order_year
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is year-partitioned
+    parquet; the dim side (qualifying years) is only known at runtime,
+    and Spark injects its values as a partition filter into the fact
+    scan — unselected year directories are never read.
+
+    At 100 TB this is THE mechanism that makes dim-filtered fact
+    queries cheap without hand-written partition predicates: verify
+    ``dynamicpruningexpression`` in the scan's PartitionFilters
+    (asserted in tests/test_plans.py).
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_by_year")
+    (
+        o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    years = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") <= 1996)
+        )
+        .select(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(years, fact.order_year == years.yr)
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )

@@ -61,3 +61,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     join_subtree = plan.split("HashAggregate")[-1]
     assert "Exchange" not in join_subtree
     assert plan.count("Bucketed: true") == 2
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The year-partitioned fact scan must carry a runtime pruning
+    subquery from the dim side, not read all partitions."""
+    plan = _plan(QUERIES["join_dpp"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
