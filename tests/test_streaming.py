@@ -58,3 +58,35 @@ class TestStatefulStreams:
         assert len(rows) > 0
         for r in rows:
             assert r["session_end"] > r["session_start"]
+
+
+class TestRunLogListener:
+    def test_listener_records_stream_lifecycle(self, spark, sf_dir):
+        """A8 streaming run-log: started -> progress(batches) ->
+        terminated(success) captured for a real micro-batched query."""
+        import json
+
+        from streamingdemo_spark.streaming.listener import (
+            attach_run_log,
+            detach_run_log,
+        )
+
+        listener = attach_run_log(spark)
+        try:
+            QUERIES["stream_tumbling"](spark, sf_dir).count()
+            import time
+
+            for _ in range(20):  # listener bus is async; wait for drain
+                kinds = {e["event"] for e in listener.entries}
+                if {"started", "progress", "terminated"} <= kinds:
+                    break
+                time.sleep(0.5)
+        finally:
+            detach_run_log(spark, listener)
+        kinds = [e["event"] for e in listener.entries]
+        assert "started" in kinds and "terminated" in kinds
+        assert any(e["event"] == "progress" and e["num_input_rows"] > 0
+                   for e in listener.entries)
+        terminated = [e for e in listener.entries if e["event"] == "terminated"]
+        assert all(e["status"] == "success" for e in terminated)
+        json.loads("[" + ",".join(listener.to_json_lines().splitlines()) + "]")
