@@ -129,3 +129,56 @@ def ext_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query("ext_sim_ivf_topk")  # rows-only: approximate retrieval
+def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer (Spark ML,
+    JVM-side) partitions the corpus into cells; each query probes only
+    its ``nprobe`` nearest cells and exact-cosine re-ranks inside them.
+
+    The 100 TB architecture: centroids are a driver-side constant
+    (k × dim floats), cell assignment is one ML transform over the
+    corpus (ideally persisted as a partition column — then probing IS
+    partition pruning), and per-query work is corpus_size × nprobe / k
+    instead of corpus_size. Recall is tunable via nprobe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k_cells, nprobe = 16, 4
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    with_vec = corpus.withColumn("features", array_to_vector("embedding")).cache()
+    model = KMeans(k=k_cells, seed=42, featuresCol="features").fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    ).cache()
+
+    # 16 centroids fit on the driver; per-query probe cells are a tiny
+    # literal table (n_queries × nprobe rows), broadcast into the join.
+    import numpy as np
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = queries.collect()  # N_QUERIES rows — driver edge, by design
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r["q_emb"])
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_pairs.append((r["q_id"], int(cell)))
+    probes = spark.createDataFrame(probe_pairs, "q_id long, cell int")
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(queries), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    cosine = F.round(
+        _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 4
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

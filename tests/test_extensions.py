@@ -165,3 +165,19 @@ class TestPipelineOps:
         assert a == b  # pure function of the key: identical across runs
         n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         assert sum(r[2] for r in a) == n_total  # partition, not sample
+
+
+class TestIVF:
+    def test_ivf_recall_and_scores(self, spark, sf_dir):
+        exact = QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect()
+        ivf = QUERIES["ext_sim_ivf_topk"](spark, sf_dir).collect()
+        exact_pairs = {(r["q_id"], r["vec_id"]) for r in exact}
+        ivf_pairs = {(r["q_id"], r["vec_id"]) for r in ivf}
+        recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+        # nprobe=4 of 16 cells scans ~25% of the corpus; on random
+        # embeddings (no cluster structure) recall ≈ probe fraction
+        assert recall > 0.15
+        per_q = {}
+        for r in ivf:
+            per_q.setdefault(r["q_id"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
