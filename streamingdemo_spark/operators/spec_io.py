@@ -34,3 +34,40 @@ def dump_spec(spec: dict, path: str) -> None:
     """Write a pipeline spec as JSON (round-trips with load_spec)."""
     with open(path, "w") as fh:
         json.dump(spec, fh, indent=2)
+
+
+def load_reference_xml(path: str, op_attr: str = "class") -> dict:
+    """Parse the reference's procedure-definition XML shape into a
+    pipeline spec: ``<operator name=.. class=..>`` nodes
+    (``OpContainer.java:333-345``) and ``<connect from="op.port"
+    to="op.port"/>`` edges (``OpContainer.java:288-293,356-364``).
+
+    The ``to`` port becomes the consumer's input-port name; per-operator
+    ``<param name=.. value=..>`` children become ``params``. This gives
+    drop-in parity for pipelines authored in the reference's format —
+    only the operator class names must map to registry keys (or
+    dotted-path plugins, the engine's Class.forName).
+    """
+    import xml.etree.ElementTree as ET
+
+    from streamingdemo_spark.operators.graph import SpecError
+
+    root = ET.parse(path).getroot()
+    ops: dict[str, dict] = {}
+    for op in root.iter("operator"):
+        name = op.attrib["name"]
+        ops[name] = {
+            "name": name,
+            "op": op.attrib.get(op_attr) or op.attrib.get("mainClass", ""),
+            "params": {
+                p.attrib["name"]: p.attrib["value"] for p in op.findall("param")
+            },
+            "inputs": {},
+        }
+    for edge in root.iter("connect"):
+        src = edge.attrib["from"]
+        dst_op, dst_port = edge.attrib["to"].split(".", 1)
+        if dst_op not in ops:
+            raise SpecError(f"<connect> references unknown operator {dst_op!r}")
+        ops[dst_op]["inputs"][dst_port] = src
+    return {"operators": list(ops.values())}

@@ -188,3 +188,30 @@ class TestSpecIO:
 
         with _pytest.raises(ValueError):
             load_spec(str(bad))
+
+
+class TestReferenceXML:
+    def test_reference_shaped_xml_drives_container(self, spark, sf_dir, tmp_path):
+        """A1 parity: the reference's own XML shape (operator nodes +
+        connect edges, OpContainer.java:288-345) compiles and runs."""
+        from streamingdemo_spark.operators.spec_io import load_reference_xml
+
+        xml = f"""<?xml version="1.0"?>
+        <procedure jobinstanceid="job-1">
+          <operator name="kafkaInput" class="parquet_source">
+            <param name="path" value="{sf_dir}/events.parquet"/>
+          </operator>
+          <operator name="addField" class="add_field">
+            <param name="name" value="value_bucket"/>
+            <param name="expr" value="CAST(FLOOR(value / 100) AS BIGINT)"/>
+          </operator>
+          <connect from="kafkaInput.out" to="addField.in"/>
+        </procedure>
+        """
+        path = tmp_path / "procedure.xml"
+        path.write_text(xml)
+        spec = load_reference_xml(str(path))
+        ports = run_pipeline(spark, spec)
+        out = ports["addField.out"]
+        assert "value_bucket" in out.columns
+        assert out.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
