@@ -361,3 +361,28 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (max_by/min_by): the key of the
+    extreme row, not the extreme value — one pass, no self-join.
+    (o_totalprice is unique per priority group in the fixture, so the
+    argmax is well-defined on both engines.)"""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -317,3 +317,52 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.bal").alias("nested_bal"),
         F.col("info.flag").alias("nested_flag"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS lo_byte,
+           CAST(l_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS key_xor,
+           CAST(l_linenumber << 4 AS BIGINT) AS shifted,
+           CAST(l_orderkey >> 2 AS BIGINT) AS quartered
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (and/or/xor/shifts) — the substrate of
+    the hash/sketch operators, exposed as scalar keys."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    ok = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ok.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        ok.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        ok.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft(F.col("l_linenumber").cast("bigint"), 4).alias("shifted"),
+        F.shiftright(ok, 2).alias("quartered"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest functions: md5 / sha-256 hex — stable
+    cross-engine content keys (unlike xxhash64, which is engine-local
+    and used only inside LSH internals)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )

@@ -125,3 +125,19 @@ def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.write.mode("overwrite").json(out)
     schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
     return spark.read.schema(schema).json(out)
+
+
+@query(
+    "src_orc_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (columnar alternative to parquet; same
+    pushdown/pruning machinery in Spark's reader)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "supplier_orc")
+    _csv_json_base(spark, sf_dir).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

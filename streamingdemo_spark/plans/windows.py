@@ -275,3 +275,27 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@query(
+    "win_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS bal_cume
+    FROM customer
+    """,
+)
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist per
+    segment (rounded — both are ratios of row positions)."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+    )
