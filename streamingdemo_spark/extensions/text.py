@@ -313,3 +313,94 @@ def ext_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "ext_pii_redact",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey,
+             concat('contact ', lower(replace(c_name, '#', '')),
+                    '@example.com or call 555-01', CAST(c_custkey AS VARCHAR),
+                    ' ref ', c_mktsegment) AS payload
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(payload,
+               '[a-z0-9#]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\\d{3}-\\d{2,}', '<PHONE>', 'g') AS redacted,
+           regexp_matches(payload, '@') AS had_email
+    FROM synth
+    """,
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of email/phone-shaped spans
+    (synthesized deterministically from the fixture — the corpus has no
+    real PII). One JVM-side projection; at 100 TB this runs inside the
+    same scan pass as quality filtering — no extra materialization."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    payload = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com or call 555-01"),
+        F.col("c_custkey").cast("string"),
+        F.lit(" ref "),
+        F.col("c_mktsegment"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(payload, r"[a-z0-9#]+@[a-z0-9.]+", "<EMAIL>"),
+        r"\d{3}-\d{2,}",
+        "<PHONE>",
+    )
+    return c.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        payload.contains("@").alias("had_email"),
+    )
+
+
+@query(
+    "ext_seq_pack",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / 2048) AS BIGINT) AS pack_id
+      FROM sized
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget context
+    windows (2048 tokens) by running token count, packing within each
+    source shard. The shard partitioning is what makes this distributed
+    at 100 TB — a global pack order would serialize on one reducer;
+    per-shard packs are independent and deterministic (ordered by
+    doc_id)."""
+    toks = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = _docs(spark, sf_dir).select(
+        "source", "doc_id", toks.alias("n_tokens")
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
