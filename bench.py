@@ -23,9 +23,11 @@ import time
 HEADLINE = [
     "flagship_q3",        # 3-way join + agg + top-k
     "agg_groupby",        # TPC-H Q1 fact-table aggregate
+    "agg_skew_salted",    # two-phase salted aggregation
     "join_star3",         # 5-table star join
     "join_asof",          # as-of window emulation
     "win_topk_group",     # partitioned window top-k
+    "win_sessionize",     # lag-gap batch sessionization
     "agg_count_distinct", # distinct shuffle
     "sort_limit_topk",    # global top-k
     "subq_exists_corr",   # decorrelated semi-join
@@ -35,6 +37,8 @@ HEADLINE = [
     "ext_dedup_minhash",  # MinHash LSH
     "ext_sim_cosine_topk",# brute-force ANN baseline
     "ext_text_tfidf",     # token explode + joins
+    "ext_text_quality",   # scan-pass quality metrics
+    "ext_seq_pack",       # context-window packing
     "udf_pandas_scalar",  # Arrow UDF path
 ]
 
