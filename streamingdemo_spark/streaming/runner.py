@@ -9,10 +9,19 @@ is identical.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Checkpoints for replay/test runs: prefer tmpfs — state-store fsyncs
+# on a disk-backed dir dominate micro-batch latency at tiny data sizes.
+# Production streams point this at durable storage (HDFS/S3) instead.
+CHECKPOINT_ROOT = os.environ.get(
+    "STREAMINGDEMO_CKPT_ROOT",
+    "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir(),
+)
 
 
 def run_to_memory(
@@ -32,7 +41,7 @@ def run_to_memory(
     """
     spark: SparkSession = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=CHECKPOINT_ROOT)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
