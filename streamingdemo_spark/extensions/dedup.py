@@ -116,14 +116,25 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hashes, bands = 12, 4
     rows_per_band = n_hashes // bands
     _BUCKET_CAP = 100
+    # Integer shingles: hash each token once, then a shingle hash is the
+    # hash of 3 adjacent token-hash longs — no shingle strings are ever
+    # built, and every downstream stage (signatures, verify sets) moves
+    # 8-byte longs instead of ~20-byte strings.
+    toks = F.split("text", " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.xxhash64(
+            F.element_at(th, i),
+            F.element_at(th, i + 1),
+            F.element_at(th, i + F.lit(2)),
+        ),
+    )
     docs = _docs_with_mutants(spark, sf_dir).select(
-        "doc_id", F.array_distinct(_shingles()).alias("sh")
+        "doc_id", F.array_distinct(shingle_hashes).alias("sh")
     ).cache()
-    exploded = docs.select("doc_id", F.explode("sh").alias("s"))
-    # Hash each shingle string once; the k seeded variants re-hash the
-    # resulting long with the seed — integer mixing, no per-seed string
-    # concatenation.
-    based = exploded.select("doc_id", F.xxhash64("s").alias("hs"))
+    based = docs.select("doc_id", F.explode("sh").alias("hs"))
     sigs = (
         based.select(
             "doc_id",
