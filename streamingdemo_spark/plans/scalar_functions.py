@@ -366,3 +366,44 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.sha2(F.col("c_name"), 256).alias("name_sha256"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/',
+                    CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (parse_url) over deterministic synthesized URLs —
+    protocol/host/path/query-param extraction, the normalization front
+    door of web-corpus pipelines. The oracle re-derives each part with
+    regexes, so the check is engine-neutral."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

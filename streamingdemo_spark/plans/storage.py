@@ -152,3 +152,71 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_year")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
     )
+
+
+@query(
+    "snk_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name,
+             CAST(CAST(c_acctbal + 1000.0 AS DECIMAL(18,2)) AS DOUBLE)
+               AS c_acctbal,
+             'UPDATED' AS row_status
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, concat('new-', c_name),
+             CAST(0.0 AS DOUBLE), 'INSERTED'
+      FROM customer WHERE c_custkey % 97 = 0
+    ), base AS (
+      SELECT c_custkey, c_name, c_acctbal, 'KEPT' AS row_status FROM customer
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+           COALESCE(u.row_status, b.row_status) AS row_status
+    FROM base b FULL JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (CDC upsert without a table format that
+    supports it natively): base FULL OUTER JOIN updates, update rows
+    win by COALESCE precedence, unmatched updates insert, unmatched
+    base rows persist.
+
+    At 100 TB: partition both sides on the merge key (or bucket the
+    base table) so the outer join co-locates; with Delta/Iceberg on the
+    classpath the same logic is ``MERGE INTO`` DML — this key proves
+    the semantics on plain parquet relations.
+    """
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    base = c.select(
+        "c_custkey", "c_name", "c_acctbal", F.lit("KEPT").alias("row_status")
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + 1000.0)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("c_acctbal"),
+            F.lit("UPDATED").alias("row_status"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("INSERTED").alias("row_status"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full")
+    return merged.select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
+        F.coalesce(F.col("u.row_status"), F.col("b.row_status")).alias("row_status"),
+    )
