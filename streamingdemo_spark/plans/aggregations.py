@@ -386,3 +386,33 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — single-pass distribution
+    profiling (the fixed-bucket shape that aggregates map-side and
+    never shuffles raw values)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.withColumn(
+            "bucket",
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(600000), F.lit(12))
+            .cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -407,3 +407,42 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+             AS BIGINT) AS total_chars,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'max')
+             AS BIGINT) AS longest,
+           len(list_filter(toks, x -> x = 'spark')) > 0 AS mentions_spark
+    FROM t
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    exists) — per-row collection processing without explode, entirely
+    inside codegen. The building blocks of the LSH/shingle operators,
+    exposed as a first-class key."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    tok_lens = F.transform(toks, lambda x: F.length(x).cast("bigint"))
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: F.length(x) > 4))
+            .cast("bigint")
+            .alias("n_long_tokens"),
+            F.aggregate(tok_lens, F.lit(0).cast("bigint"), lambda a, x: a + x)
+            .alias("total_chars"),
+            F.array_max(tok_lens).alias("longest"),
+            F.exists(toks, lambda x: x == "spark").alias("mentions_spark"),
+        )
+    )
