@@ -60,10 +60,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
-        t0 = time.perf_counter()
-        df = queries[key](spark, sf_dir)
-        n = df.count()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        # best-of-2: micro-batch scheduling and first-touch codegen add
+        # seconds of run-to-run noise at this scale; the minimum is the
+        # reproducible engine cost.
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = queries[key](spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
         print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
