@@ -243,11 +243,14 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 4))),
     )
     smallest = F.slice(F.sort_array(shingle_hashes), 1, 4)
+    smallest_csv = F.concat_ws(
+        ",", F.transform(smallest, lambda h: h.cast("string"))
+    )
     return _docs(spark, sf_dir).select(
         "doc_id",
-        smallest.alias("min_hashes"),
-        F.xxhash64(F.concat_ws(",", F.transform(smallest, lambda h: h.cast("string"))))
-        .alias("fingerprint"),
+        # CSV string, not array<bigint>: the driver canon hashes scalars only
+        smallest_csv.alias("min_hashes"),
+        F.xxhash64(smallest_csv).alias("fingerprint"),
     )
 
 

@@ -153,10 +153,14 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_percentile")  # rows-only: approx quantile algos differ by engine
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + quartiles as three scalar columns (the quartile pair is
+    deliberately NOT an array column: the driver's canonicalization
+    hashes scalar cells only)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.median("l_extendedprice").alias("median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("iqr_price"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25_price"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75_price"),
     )
 
 
@@ -191,21 +195,23 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     oracle="""
-    SELECT r.r_name, LIST(n.n_name ORDER BY n.n_name) AS nations
+    SELECT r.r_name, STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sorted list (deterministic: sort_array fixes the
-    nondeterministic collect_list order)."""
+    nondeterministic collect_list order), flattened to one CSV string
+    per group so the output is scalar-typed (array cells are unhashable
+    in the driver's canonicalization)."""
     t = load_tables(spark, sf_dir, ("region", "nation"))
     joined = t["nation"].join(
         F.broadcast(t["region"]),
         t["nation"].n_regionkey == t["region"].r_regionkey,
     )
     return joined.groupBy("r_name").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
     )
 
 

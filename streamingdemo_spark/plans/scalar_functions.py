@@ -67,20 +67,24 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_sort(string_split(SUBSTRING(text, 1, 40), ' ')) AS first_tokens_sorted
+           array_to_string(list_sort(string_split(SUBSTRING(text, 1, 40), ' ')), ',')
+             AS first_tokens_sorted
     FROM documents
     """,
 )
 def fn_split_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/size/array_contains/sort_array; the sorted-token column is
+    flattened to a CSV string (scalar output only — the driver's
+    canonicalization can't hash array cells)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.sort_array(F.split(F.substring("text", 1, 40), " ")).alias(
-            "first_tokens_sorted"
-        ),
+        F.array_join(
+            F.sort_array(F.split(F.substring("text", 1, 40), " ")), ","
+        ).alias("first_tokens_sorted"),
     )
 
 
@@ -122,7 +126,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.str_to_map(kv, F.lit(","), F.lit(":"))
     return d.select(
         "doc_id",
-        F.map_keys(m).alias("keys"),
+        # flattened: array cells are unhashable in the driver's canon
+        F.array_join(F.map_keys(m), ",").alias("keys"),
         F.element_at(m, "lang").alias("lang_val"),
         F.element_at(m, "source").alias("source_val"),
     )

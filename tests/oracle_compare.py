@@ -76,6 +76,21 @@ def duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
     return [names[i] for i in order], sorted(rows, key=_sort_key)
 
 
+def assert_scalar_schema(df: DataFrame, key: str = "?") -> None:
+    """Every registered query must output only scalar-typed columns:
+    the driver canonicalizes results through pandas ``sort_values`` /
+    hashing, which raises ``unhashable type: 'list'`` on array/map
+    cells (CORRECTNESS_r01: agg_percentile, agg_collect_sorted)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{key}: non-scalar output columns {bad}"
+
+
 def assert_matches_oracle(df: DataFrame, con, sql: str, key: str = "?") -> None:
     s_cols, s_rows = spark_rows(df)
     d_cols, d_rows = duck_rows(con, sql)

@@ -8,7 +8,7 @@ import pytest
 import __spark_entry__ as entrymod
 from streamingdemo_spark.registry import ORACLES, QUERIES
 
-from tests.oracle_compare import assert_matches_oracle
+from tests.oracle_compare import assert_matches_oracle, assert_scalar_schema
 
 ORACLE_KEYS = sorted(ORACLES)
 ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLES))
@@ -17,13 +17,14 @@ ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLES))
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_matches_oracle(key, spark, duck, sf_dir):
     df = QUERIES[key](spark, sf_dir)
+    assert_scalar_schema(df, key)
     assert_matches_oracle(df, duck, ORACLES[key], key)
 
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_smoke(key, spark, sf_dir):
     df = QUERIES[key](spark, sf_dir)
-    assert df.schema is not None
+    assert_scalar_schema(df, key)
     assert df.count() >= 0
 
 
