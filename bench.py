@@ -20,6 +20,27 @@ import os
 import sys
 import time
 
+def _drain(df) -> int:
+    """Materialize every output column and return the row count.
+
+    A bare ``df.count()`` lets Catalyst prune columns the count doesn't
+    reference, so projection/UDF-shaped keys (udf_pandas_scalar,
+    ext_text_quality, ext_seq_pack) would under-measure: hashing all
+    columns per row before aggregating forces full execution while
+    keeping the driver transfer to a single row.
+    """
+    from pyspark.sql import functions as F
+
+    row = (
+        df.select(F.xxhash64(*df.columns).alias("h"))
+        # bit_xor, not sum: summing 64-bit hashes overflows long under
+        # ANSI mode; xor is order-insensitive and cannot overflow
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("s"))
+        .collect()[0]
+    )
+    return row["n"]
+
+
 HEADLINE = [
     "flagship_q3",        # 3-way join + agg + top-k
     "agg_groupby",        # TPC-H Q1 fact-table aggregate
@@ -69,7 +90,7 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = queries[key](spark, sf_dir)
-            n = df.count()
+            n = _drain(df)
             best = min(best, time.perf_counter() - t0)
         timings[key] = round(best, 3)
         print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)

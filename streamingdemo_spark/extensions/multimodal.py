@@ -30,8 +30,8 @@ _MAGIC = b"FAKEIMG1"
     oracle="""
     SELECT d.doc_id, d.lang AS meta_lang, d.n_chars AS meta_chars,
            e.label AS media_label,
-           ROUND(CAST(e.embedding[1] AS DOUBLE), 3) AS feat_0,
-           ROUND(CAST(e.embedding[2] AS DOUBLE), 3) AS feat_1
+           ROUND(CAST(e.embedding[1] AS DOUBLE), 3) + 0.0 AS feat_0,
+           ROUND(CAST(e.embedding[2] AS DOUBLE), 3) + 0.0 AS feat_1
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
 )
@@ -58,8 +58,11 @@ def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.lang").alias("meta_lang"),
         F.col("meta.chars").alias("meta_chars"),
         F.col("media.label").alias("media_label"),
-        F.round(F.element_at("media.emb", 1).cast("double"), 3).alias("feat_0"),
-        F.round(F.element_at("media.emb", 2).cast("double"), 3).alias("feat_1"),
+        # + 0.0 normalizes IEEE negative zero: ROUND(-0.0004, 3) gives
+        # -0.0 in one engine and 0.0 in the other — equal as values but
+        # not as canonicalized strings
+        (F.round(F.element_at("media.emb", 1).cast("double"), 3) + 0.0).alias("feat_0"),
+        (F.round(F.element_at("media.emb", 2).cast("double"), 3) + 0.0).alias("feat_1"),
     )
 
 

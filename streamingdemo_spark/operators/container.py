@@ -80,7 +80,11 @@ def run_pipeline(
     try:
         for op_name in graph.order:
             node = graph.nodes[op_name]
-            fn = registry.resolve(node.op)
+            try:
+                fn = registry.resolve(node.op)
+            except Exception as exc:
+                log.record(op_name, "failed", 0.0, str(exc))
+                raise OperatorError(op_name, exc, log) from exc
             # Bind input ports from the global registry
             # (``OpContainer.java:100-105``).
             inputs = {}

@@ -40,8 +40,23 @@ class Operator(Protocol):
 
 
 class OperatorRegistry:
-    def __init__(self) -> None:
+    # Dotted-path plugin imports are gated behind a module-prefix
+    # allowlist: pipeline specs can be parsed from external JSON/YAML/XML
+    # files (spec_io.py), and an ungated importlib fallback would let an
+    # untrusted spec trigger arbitrary import-time code execution — the
+    # Python equivalent of the reference's unrestricted Class.forName.
+    DEFAULT_PLUGIN_PREFIXES = ("streamingdemo_spark.",)
+
+    def __init__(
+        self, plugin_prefixes: tuple[str, ...] = DEFAULT_PLUGIN_PREFIXES
+    ) -> None:
         self._ops: dict[str, OperatorFn] = {}
+        self._plugin_prefixes = tuple(plugin_prefixes)
+
+    def allow_plugin_prefix(self, prefix: str) -> None:
+        """Opt a module prefix into dotted-path resolution (deployment
+        code only — never call this with data from a loaded spec)."""
+        self._plugin_prefixes += (prefix,)
 
     def register(self, name: str) -> Callable[[OperatorFn], OperatorFn]:
         def deco(fn: OperatorFn) -> OperatorFn:
@@ -59,6 +74,15 @@ class OperatorRegistry:
             return self._ops[name]
         if ":" in name:
             mod_name, fn_name = name.split(":", 1)
+            if not any(
+                mod_name == p.rstrip(".") or mod_name.startswith(p)
+                for p in self._plugin_prefixes
+            ):
+                raise PermissionError(
+                    f"plugin module {mod_name!r} is not in the allowlist "
+                    f"{self._plugin_prefixes}; call allow_plugin_prefix() "
+                    "from deployment code to opt it in"
+                )
             fn = getattr(importlib.import_module(mod_name), fn_name)
             return fn
         raise KeyError(f"unknown operator {name!r}")

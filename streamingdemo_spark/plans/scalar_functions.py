@@ -277,7 +277,7 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
            CAST('1996-03-05' AS DATE) AS fixed_date,
            CAST(o_orderstatus = 'O' AS VARCHAR) AS open_str
@@ -289,7 +289,10 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        # cast back to double for output: a DECIMAL output column
+        # renders with trailing zeros in pandas (Decimal('149041.30')
+        # vs float 149041.3) and breaks the engine-neutral value hash
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
         F.lit("1996-03-05").cast("date").alias("fixed_date"),
         (F.col("o_orderstatus") == "O").cast("string").alias("open_str"),

@@ -189,9 +189,21 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     mem = run_to_memory(updates, output_mode="update")
-    # Totals are monotone, so the final emission per user is the max.
-    return mem.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"), F.max("val_sum").alias("val_sum")
+    # Reduce the update-mode emission log to the final emission per user
+    # ATOMICALLY: max over a (n_events, val_sum) struct orders by
+    # n_events (strictly monotone — every micro-batch adds rows) and
+    # carries the matching val_sum from that same emission. Independent
+    # per-column maxes would pair fields from different emissions
+    # whenever val_sum is non-monotone (negative values).
+    last = F.max(F.struct("n_events", "val_sum")).alias("s")
+    return (
+        mem.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.val_sum").alias("val_sum"),
+        )
     )
 
 

@@ -55,7 +55,14 @@ def run_to_memory(
             .start()
         )
         try:
-            query.awaitTermination(timeout_sec)
+            # awaitTermination returns False on timeout: the replay is
+            # incomplete, and returning the partial memory table would
+            # silently corrupt downstream equality assertions.
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"streaming replay exceeded {timeout_sec}s "
+                    f"(query {name} stopped with partial results)"
+                )
         finally:
             query.stop()
     finally:

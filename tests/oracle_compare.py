@@ -80,15 +80,21 @@ def assert_scalar_schema(df: DataFrame, key: str = "?") -> None:
     """Every registered query must output only scalar-typed columns:
     the driver canonicalizes results through pandas ``sort_values`` /
     hashing, which raises ``unhashable type: 'list'`` on array/map
-    cells (CORRECTNESS_r01: agg_percentile, agg_collect_sorted)."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    cells (CORRECTNESS_r01: agg_percentile, agg_collect_sorted).
+
+    DECIMAL outputs are banned too: Spark hands pandas ``Decimal``
+    objects that stringify with trailing zeros ('149041.30') while
+    DuckDB hands float64 ('149041.3') — value-equal, hash-different
+    (fn_cast at sf0.01). Cast money outputs to double (the repo's
+    dsum/osum convention keeps them bitwise-equal)."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     bad = [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in df.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType))
     ]
-    assert not bad, f"{key}: non-scalar output columns {bad}"
+    assert not bad, f"{key}: non-hash-safe output columns {bad}"
 
 
 def assert_matches_oracle(df: DataFrame, con, sql: str, key: str = "?") -> None:

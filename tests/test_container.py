@@ -167,6 +167,26 @@ class TestContainer:
         ports = run_pipeline(spark, spec)
         assert ports["src.out"].count() == 5
 
+    def test_plugin_outside_allowlist_is_refused(self, spark, sf_dir):
+        """Dotted paths outside the allowlist must not import: a spec
+        parsed from an untrusted file would otherwise get arbitrary
+        import-time code execution (unrestricted Class.forName)."""
+        spec = _spec(
+            {"name": "evil", "op": "os:system", "params": {}},
+        )
+        with pytest.raises(OperatorError) as exc_info:
+            run_pipeline(spark, spec)
+        assert isinstance(exc_info.value.__cause__, PermissionError)
+
+    def test_allow_plugin_prefix_opt_in(self):
+        from streamingdemo_spark.operators.registry import OperatorRegistry
+
+        reg = OperatorRegistry()
+        with pytest.raises(PermissionError):
+            reg.resolve("json:loads")
+        reg.allow_plugin_prefix("json")
+        assert reg.resolve("json:loads") is __import__("json").loads
+
 
 class TestSpecIO:
     def test_json_spec_roundtrip_and_run(self, spark, sf_dir, tmp_path):

@@ -38,3 +38,15 @@ def test_entry_exports_cover_registry():
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 50
+
+
+def test_driver_order_in_sync_with_registry():
+    """DRIVER_ORDER must name every registered key exactly once, and the
+    priority keys (round-1 FAILs + latent array-output keys) lead."""
+    assert sorted(entrymod.DRIVER_ORDER) == sorted(QUERIES)
+    assert len(set(entrymod.DRIVER_ORDER)) == len(entrymod.DRIVER_ORDER)
+    assert entrymod.DRIVER_ORDER[:5] == [
+        "agg_percentile", "agg_collect_sorted", "fn_split_array",
+        "fn_map", "ext_text_fingerprint",
+    ]
+    assert list(entrymod.queries()) == entrymod.DRIVER_ORDER

