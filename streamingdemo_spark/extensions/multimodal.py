@@ -86,35 +86,68 @@ def _encode_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode (no codec libraries in this environment).
+def _pil_available() -> bool:
+    """Capability check: PIL is not in this container image, but the
+    decode path must use it when a deployment installs it."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    Parses the deterministic fake header and "extracts features" as
-    simple byte statistics. A real implementation would replace the
-    body of this function with e.g. PIL/ffmpeg calls — the signature,
-    schema, and Arrow batch flow are exactly what production uses.
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_one(raw: bytes) -> dict:
+    """Decode one payload to (width, height, n_bytes, mean_byte).
+
+    Dispatch order: the deterministic fake header decodes everywhere
+    (it's the fixture format); real image bytes decode via PIL when the
+    library is installed; otherwise the honest stub raises — no silent
+    wrong answers for real media in a codec-less environment.
+    """
+    if raw.startswith(_MAGIC):
+        width = int(raw[8:14])
+        height = int(raw[14:20])
+        body = raw[20:]
+        return {
+            "width": width,
+            "height": height,
+            "n_bytes": len(body),
+            "mean_byte": round(sum(body) / max(len(body), 1), 4),
+        }
+    if _pil_available():
+        import io as _io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(_io.BytesIO(raw))
+        arr = np.asarray(img.convert("L"))
+        return {
+            "width": img.width,
+            "height": img.height,
+            "n_bytes": len(raw),
+            "mean_byte": round(float(arr.mean()), 4),
+        }
+    raise NotImplementedError(
+        "real media decode needs PIL, which is not installed"
+    )
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode stage: fake-header payloads always decode;
+    real images decode when PIL is installed (capability-gated). The
+    signature, schema, and batch flow are exactly what production uses.
     """
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            raw = bytes(payload)
-            if not raw.startswith(_MAGIC):
-                raise NotImplementedError(
-                    "real media decode not available in this environment"
-                )
-            width = int(raw[8:14])
-            height = int(raw[14:20])
-            body = raw[20:]
-            out.append(
-                {
-                    "doc_id": int(doc_id),
-                    "width": width,
-                    "height": height,
-                    "n_bytes": len(body),
-                    "mean_byte": round(sum(body) / max(len(body), 1), 4),
-                }
-            )
-        yield pd.DataFrame(out)
+            rec = _decode_one(bytes(payload))
+            rec["doc_id"] = int(doc_id)
+            out.append(rec)
+        yield pd.DataFrame(out)[
+            ["doc_id", "width", "height", "n_bytes", "mean_byte"]
+        ]
 
 
 @query("ext_multimodal_decode")  # rows-only: stubbed decode

@@ -90,8 +90,12 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     its user arrives within 30 minutes, and append emits it once the
     watermark passes its end (sessions still open at end-of-replay stay
     unemitted — correct append semantics).
+
+    files_per_trigger=4 → 2 micro-batches: session-merge semantics are
+    event-time-driven and chunk-independent; two batches exercise the
+    cross-batch state merge at half the per-batch fixed cost.
     """
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     agg = (
         stream.withWatermark("ts", "1 minute")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -112,8 +116,13 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling: the 'late' source holds back old rows until
     the final micro-batch, by which time the 10-minute watermark has
     passed them — they are dropped, and append mode emits only
-    finalized windows. State is GC'd as the watermark advances."""
-    stream = events_stream(spark, sf_dir, "late", n_chunks=9, files_per_trigger=1)
+    finalized windows. State is GC'd as the watermark advances.
+
+    5 chunks / 1 per trigger: the 4 ordered batches advance the
+    watermark past most held-back rows before the late batch delivers
+    them — the same drop demonstration 9 batches gave at ~half the
+    micro-batch fixed cost."""
+    stream = events_stream(spark, sf_dir, "late", n_chunks=5, files_per_trigger=1)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -134,7 +143,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicates`` with ``withWatermark`` sized to the maximum
     redelivery lag so state stays bounded.
     """
-    stream = events_stream(spark, sf_dir, "dups", n_chunks=9, files_per_trigger=3)
+    stream = events_stream(spark, sf_dir, "dups", n_chunks=4, files_per_trigger=2)
     deduped = stream.dropDuplicates(["event_id"])
     return run_to_memory(deduped, output_mode="append")
 
@@ -149,7 +158,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id").distinct()
         .withColumn("cohort", F.concat(F.lit("c"), (F.col("user_id") % 5)))
     )
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=3)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     joined = stream.join(F.broadcast(cohorts), "user_id").select(
         "event_id", "user_id", "cohort", "event_type", "value"
     )
@@ -167,7 +176,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=3)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
 
     def track(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -257,7 +266,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     out = tempfile.mkdtemp(prefix="feb_sink_") + "/events_merged"
-    stream = events_stream(spark, sf_dir, "dups", n_chunks=9, files_per_trigger=3)
+    stream = events_stream(spark, sf_dir, "dups", n_chunks=4, files_per_trigger=2)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         (

@@ -188,6 +188,59 @@ class TestContainer:
         assert reg.resolve("json:loads") is __import__("json").loads
 
 
+class TestDBRegistry:
+    """A6: operator registry loaded from a database table over real
+    JDBC (reference: DBHelper.java:8-35, OpContainerTest.java:124-145).
+    Uses the Derby embedded driver from Spark's own classpath; the
+    reader call is identical for MySQL/Postgres."""
+
+    DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def test_pipeline_resolves_operator_from_jdbc_table(
+        self, spark, sf_dir, tmp_path
+    ):
+        from streamingdemo_spark.operators.db_registry import (
+            REGISTRY_SCHEMA,
+            register_from_table,
+            registry_table_from_jdbc,
+        )
+        from streamingdemo_spark.operators.registry import OperatorRegistry
+
+        url = f"jdbc:derby:{tmp_path}/regdb;create=true"
+        rows = [
+            ("db_parquet_source",
+             "streamingdemo_spark.operators.builtin:parquet_source"),
+            ("db_evil", "os:system"),
+        ]
+        (
+            spark.createDataFrame(rows, REGISTRY_SCHEMA)
+            .write.format("jdbc")
+            .option("url", url).option("dbtable", "op_registry")
+            .option("driver", self.DERBY).mode("overwrite").save()
+        )
+
+        table = registry_table_from_jdbc(
+            spark, url, "op_registry", driver=self.DERBY
+        )
+        reg = OperatorRegistry()
+        names = register_from_table(reg, table)
+        assert sorted(names) == ["db_evil", "db_parquet_source"]
+
+        spec = _spec(
+            {"name": "src", "op": "db_parquet_source",
+             "params": {"path": f"{sf_dir}/region.parquet"}},
+        )
+        ports = run_pipeline(spark, spec, registry=reg)
+        assert ports["src.out"].count() == 5
+
+        # a table row pointing outside the allowlist must still be
+        # refused at dispatch — DB write access is not code execution
+        bad = _spec({"name": "evil", "op": "db_evil", "params": {}})
+        with pytest.raises(OperatorError) as exc_info:
+            run_pipeline(spark, bad, registry=reg)
+        assert isinstance(exc_info.value.__cause__, PermissionError)
+
+
 class TestSpecIO:
     def test_json_spec_roundtrip_and_run(self, spark, sf_dir, tmp_path):
         """A1: pipeline spec loaded from a file drives the container."""

@@ -127,6 +127,36 @@ class TestMultimodal:
         assert mismatch == 0
         assert out.filter((F.col("width") < 1) | (F.col("height") < 1)).count() == 0
 
+    def test_decode_capability_dispatch(self):
+        """Decode must take the real-codec path when PIL is installed
+        and fail honestly (not silently) when it isn't — the fake
+        fixture header decodes in both environments."""
+        from streamingdemo_spark.extensions.multimodal import (
+            _MAGIC,
+            _decode_one,
+            _pil_available,
+        )
+
+        fake = _MAGIC + b"000004" + b"000002" + b"bytes!"
+        rec = _decode_one(fake)
+        assert (rec["width"], rec["height"], rec["n_bytes"]) == (4, 2, 6)
+
+        if _pil_available():
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("RGB", (7, 5), color=(10, 20, 30)).save(buf, "PNG")
+            rec = _decode_one(buf.getvalue())
+            assert (rec["width"], rec["height"]) == (7, 5)
+            assert rec["n_bytes"] == len(buf.getvalue())
+        else:
+            import pytest as _pytest
+
+            with _pytest.raises(NotImplementedError):
+                _decode_one(b"\x89PNG\r\n\x1a\nnot-really-a-png")
+
     def test_framesample_covers_every_doc(self, spark, sf_dir):
         out = QUERIES["ext_multimodal_framesample"](spark, sf_dir)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -59,6 +59,27 @@ class TestStatefulStreams:
         for r in rows:
             assert r["session_end"] > r["session_start"]
 
+    def test_stream_session_equals_batch_sessionize(self, spark, sf_dir):
+        """Stream ≍ batch equivalence: every session append-mode emits
+        must be one of the lag-gap batch sessions, with the same event
+        count and the session_window end = last event + 30 min gap.
+        Append only emits sessions the final watermark closed, so the
+        streamed set is a non-empty subset of the batch set."""
+        import datetime as dt
+
+        streamed = QUERIES["stream_session"](spark, sf_dir).collect()
+        batch = {
+            (r["user_id"], r["session_start"]): r
+            for r in QUERIES["win_sessionize"](spark, sf_dir).collect()
+        }
+        assert 0 < len(streamed) <= len(batch)
+        gap = dt.timedelta(minutes=30)
+        for s in streamed:
+            b = batch.get((s["user_id"], s["session_start"]))
+            assert b is not None, f"streamed session not in batch: {s}"
+            assert s["n_events"] == b["n_events"], (s, b)
+            assert s["session_end"] == b["session_end"] + gap, (s, b)
+
 
 class TestRunLogListener:
     def test_listener_records_stream_lifecycle(self, spark, sf_dir):
