@@ -67,26 +67,38 @@ def ext_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sign_sketch(emb_col: str, table: int, n_planes: int = 6) -> Column:
-    """Deterministic random-hyperplane sketch (plane weights =
-    sin(dim + offset), fixed per table) — n_planes sign bits packed into
-    an int bucket id."""
-    bits = []
-    for p in range(n_planes):
-        offset = (table * n_planes + p) * 64
-        dot = F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)), lambda i: F.sin(i + F.lit(offset))
-                ),
-                lambda v, w: v * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(0))
-    return sum(bits[1:], bits[0])
+def _bucket_udf(n_tables: int, n_planes: int):
+    """All-tables random-hyperplane sketch as ONE Arrow-batched matrix
+    multiply: returns array<int> of bucket ids, one per table.
+
+    Plane weights are deterministic (weight[d] = sin(d + offset),
+    offset = (table*n_planes + plane)*64 — the same formula the
+    original per-plane Catalyst expression used). The expression form
+    (aggregate over zip_with per plane) is interpreted per row —
+    higher-order functions don't enter whole-stage codegen — so sketch
+    cost grew as planes × dims × rows and dominated the corpus scan at
+    scale (SCALE.md: 2-4× slower than brute force on 200k vectors).
+    One numpy matmul per Arrow batch computes every plane of every
+    table at once.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint parser rejects the strings; the decorator
+    # argument alone fixes the eval type (scalar pandas UDF)
+    @pandas_udf("array<int>")
+    def buckets(emb):
+        e = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dims)
+        dims = e.shape[1]
+        offsets = (np.arange(n_tables * n_planes) * 64)[:, None]  # (T*P, 1)
+        w = np.sin(np.arange(dims)[None, :] + offsets)  # (T*P, dims)
+        signs = (e @ w.T >= 0).reshape(len(e), n_tables, n_planes)
+        ids = (signs * (1 << np.arange(n_planes))).sum(axis=2)  # (batch, T)
+        return pd.Series([row.astype("int32").tolist() for row in ids])
+
+    return buckets
 
 
 @query("ext_sim_ann_lsh")  # rows-only: approximate retrieval
@@ -97,22 +109,31 @@ def ext_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: corpus sketches are computed once per table and shuffled on
     (table, bucket) — candidate generation never touches raw pairs.
+
+    The sketch width SCALES WITH THE CORPUS: n_planes bits give
+    2^n_planes buckets per table, and per-query candidate volume is
+    ~n_tables * corpus_size / 2^n_planes — with a fixed width, buckets
+    grow linearly with the corpus and LSH degrades to worse-than-exact
+    (measured: 6 planes = 64 buckets was 2x SLOWER than brute force on
+    a 200k-vector corpus, SCALE.md). Width is chosen from the parquet
+    row count (a metadata-only read) targeting ~64 vectors per bucket.
     """
+    import math
+
     n_tables = 4
     corpus, queries = _corpus_and_queries(spark, sf_dir)
+    n_corpus = corpus.count()  # parquet metadata count — no data scan
+    n_planes = max(6, math.ceil(math.log2(max(n_corpus, 1) / 64 + 1)))
+    sketch = _bucket_udf(n_tables, n_planes)
     c_buckets = corpus.select(
         "vec_id",
         "embedding",
-        F.posexplode(
-            F.array(*[_sign_sketch("embedding", t) for t in range(n_tables)])
-        ).alias("tbl", "bucket"),
+        F.posexplode(sketch("embedding")).alias("tbl", "bucket"),
     )
     q_buckets = queries.select(
         "q_id",
         "q_emb",
-        F.posexplode(
-            F.array(*[_sign_sketch("q_emb", t) for t in range(n_tables)])
-        ).alias("tbl", "bucket"),
+        F.posexplode(sketch("q_emb")).alias("tbl", "bucket"),
     )
     cand = (
         c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
@@ -147,15 +168,24 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     k_cells, nprobe = 16, 4
+    fit_cap = 20_000
     corpus, queries = _corpus_and_queries(spark, sf_dir)
     with_vec = corpus.withColumn("features", array_to_vector("embedding")).cache()
     # A coarse quantizer doesn't need a converged clustering: random
     # init + few iterations gives the same recall behavior (cells just
-    # partition space) at a fraction of the fit cost. At 100 TB, fit on
-    # a sample — the centroids are the only thing the corpus pass needs.
+    # partition space) at a fraction of the fit cost. The fit runs on a
+    # deterministic hash-sample capped at fit_cap rows — KMeans is
+    # iterative over its input, so fitting on the full corpus made the
+    # fit, not the probe, the scale bottleneck (SCALE.md x100 probe);
+    # centroid quality needs a representative sample, not every row.
+    n_corpus = with_vec.count()
+    fit_df = with_vec
+    if n_corpus > fit_cap:
+        stride = n_corpus // fit_cap + 1
+        fit_df = with_vec.where(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
     model = KMeans(
         k=k_cells, seed=42, featuresCol="features", initMode="random", maxIter=5
-    ).fit(with_vec)
+    ).fit(fit_df)
     assigned = model.transform(with_vec).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
     ).cache()
