@@ -40,14 +40,38 @@ def _corpus_and_queries(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    corpus = emb.select("vec_id", "embedding")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # cast float32 -> double BEFORE any math: per-element float products
+    # round differently than DuckDB's double products, which flips
+    # ROUND(cosine, 4) on boundary values; in double, both engines'
+    # residuals are ~1 ulp and the rounded scores agree
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return corpus, queries
 
 
-@query("ext_sim_cosine_topk")  # rows-only: float scores
+@query(
+    "ext_sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.q_emb), 4) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def ext_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus,
     compute cosine JVM-side, keep k best per query with a partitioned

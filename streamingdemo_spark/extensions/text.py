@@ -148,7 +148,48 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_text_langid")  # rows-only: model scores are float/heuristic
+@query(
+    "ext_text_langid",
+    # output columns are ids/strings (no float leaves the query), so the
+    # whole train/score/argmax pipeline is exactly checkable; the only
+    # float is the internal score, and an argmax flip would need two
+    # languages within ~1 ulp on a held-out doc
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, lang, substr(text, CAST(g.i AS INT), 3) AS gram
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - 2, 1))) AS g(i)
+    ),
+    counts AS (
+      SELECT lang, gram, COUNT(*) AS c
+      FROM grams WHERE doc_id % 10 < 8 GROUP BY 1, 2
+    ),
+    profile AS (
+      SELECT lang AS p_lang, gram, LN(1 + c) AS w,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY c DESC, gram ASC) AS rn
+      FROM counts
+    ),
+    scores AS (
+      SELECT t.doc_id, p.p_lang, SUM(p.w) AS score
+      FROM (SELECT * FROM grams WHERE doc_id % 10 >= 8) t
+      JOIN (SELECT p_lang, gram, w FROM profile WHERE rn <= 200) p
+        USING (gram)
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, p_lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, p_lang ASC) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id, d.lang AS true_lang, p.pred_lang
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, pred_lang FROM pred WHERE rn = 1) p
+      USING (doc_id)
+    WHERE d.doc_id % 10 >= 8
+    """,
+)
 def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by character-trigram profiles, trained on the corpus
     itself: docs with doc_id % 10 < 8 build per-lang trigram weights
@@ -202,7 +243,30 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_text_tfidf")  # rows-only: float scores
+@query(
+    "ext_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 4)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS INT) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
 def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, top-3 terms per document: tf and df from two aggregates,
     idf = ln((N+1)/(df+1)) + 1 (smoothed), joined back per (doc, term).

@@ -106,9 +106,18 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_posexplode")  # rows-only: ordinality syntax is engine-specific
+@query(
+    "fn_posexplode",
+    oracle="""
+    SELECT doc_id, g.i - 1 AS pos, parts[CAST(g.i AS INT)] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          FROM documents WHERE doc_id < 20),
+         UNNEST(generate_series(1, len(parts))) AS g(i)
+    """,
+)
 def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posexplode: array → (pos, value) rows."""
+    """posexplode: array → (pos, value) rows. (DuckDB lacks WITH
+    ORDINALITY; the oracle indexes a lateral generate_series.)"""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return (
         d.filter(F.col("doc_id") < 20)
@@ -116,7 +125,17 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_map")  # rows-only: map value ordering is engine-specific
+@query(
+    "fn_map",
+    # str_to_map preserves insertion order, so the flattened key list is
+    # the literal 'lang,source' and the values round-trip unchanged —
+    # the oracle states that expected output directly
+    oracle="""
+    SELECT doc_id, 'lang,source' AS keys,
+           lang AS lang_val, source AS source_val
+    FROM documents
+    """,
+)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction / key access (str_to_map, map_keys, element_at)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]

@@ -52,7 +52,14 @@ def src_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("snk_parquet_write")  # rows-only: exercises a side-effecting write
+@query(
+    "snk_parquet_write",
+    # the written-then-read-back aggregate must equal the aggregate
+    # itself — this checks the parquet roundtrip, not just row count
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS "count" FROM nation GROUP BY n_regionkey
+    """,
+)
 def snk_parquet_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an aggregate result as parquet, read it back (C6 analogue).
 
@@ -65,7 +72,14 @@ def snk_parquet_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("n_regionkey")
 
 
-@query("snk_ctas")  # rows-only: catalog mutation + requery
+@query(
+    "snk_ctas",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
 def snk_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTAS into a temp view and re-query it — the reference's
     ``create table dy.nice as select ...`` (``SparkSQLOperator.java:23``)

@@ -105,19 +105,32 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udtf_apply_in_pandas")  # rows-only: float normalize per group
+@query(
+    "udtf_apply_in_pandas",
+    # the z-score happens to be window-expressible, which makes the
+    # grouped-map mechanics oracle-checkable: pandas std(ddof=1) is
+    # STDDEV_SAMP; both sides round to 6dp to absorb summation-order ulps
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment),
+                 6) AS bal_z
+    FROM customer
+    """,
+)
 def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDF (applyInPandas): z-score normalize account balance
     within each market segment. The whole group arrives as one pandas
     DataFrame per Arrow batch — the pattern for per-group logic that
-    SQL can't express."""
+    generally can't be expressed relationally (this particular function
+    can be, which is what lets an oracle check the mechanics)."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         bal = pdf["c_acctbal"]
         sd = bal.std()
         pdf = pdf[["c_custkey", "c_mktsegment"]].copy()
-        pdf["bal_z"] = (bal - bal.mean()) / (sd if sd else 1.0)
+        pdf["bal_z"] = ((bal - bal.mean()) / (sd if sd else 1.0)).round(6)
         return pdf
 
     return c.groupBy("c_mktsegment").applyInPandas(
