@@ -37,7 +37,8 @@ from streamingdemo_spark.registry import ORACLES, QUERIES
 # covers new ground before re-proving old ground.
 DRIVER_ORDER = [
     "agg_percentile", "agg_collect_sorted", "fn_split_array",
-    "fn_map", "ext_text_fingerprint", "sort_limit_topk",
+    "fn_map", "ext_text_fingerprint", "ext_contamination_check",
+    "sort_limit_topk",
     "fn_hash", "ext_pii_redact", "ext_text_normalize",
     "set_union_all", "fn_explode", "fn_posexplode",
     "fn_struct", "fn_timestamp", "fn_url",

@@ -471,3 +471,61 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+@query(
+    "ext_contamination_check",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(parts[CAST(g.i AS INT):CAST(g.i + 7 AS INT)],
+                             ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+           UNNEST(generate_series(1, greatest(len(parts) - 7, 1))) AS g(i)
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_hits,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY 1
+    """,
+)
+def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: flag training docs that share any
+    8-token shingle with the held-out benchmark set (here: docs with
+    doc_id % 97 == 0 stand in for an eval benchmark). Output per
+    contaminated doc: how many distinct shingles leaked (n_hits) and
+    how many benchmark docs they touch (n_bench_docs).
+
+    100 TB shape: the benchmark side is small by definition — its
+    distinct shingle set is BROADCAST, so the corpus-side explode joins
+    against it map-side and only matching rows ever shuffle (for the
+    final per-doc aggregate). At real scale, hash the shingles to
+    8-byte longs and/or distribute the benchmark set as a bloom filter
+    first, then exact-verify the survivors; string shingles are kept
+    here so the result is engine-neutral and oracle-checkable.
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        )
+    )
+    ex = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    bench = ex.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = ex.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_hits"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -177,6 +177,16 @@ class TestPipelineOps:
         # canonical must be the component minimum: never larger than member
         assert all(r["canonical_id"] <= r["doc_id"] for r in out)
 
+    def test_contamination_flags_only_corpus_docs(self, spark, sf_dir):
+        """Contaminated rows must be non-benchmark docs with >= 1 leaked
+        shingle, and a doc sharing a full 8-token run with a benchmark
+        doc must be flagged (the low-vocab fixture guarantees hits)."""
+        out = QUERIES["ext_contamination_check"](spark, sf_dir).collect()
+        assert len(out) > 0
+        for r in out:
+            assert r["doc_id"] % 97 != 0
+            assert r["n_hits"] >= 1 and r["n_bench_docs"] >= 1
+
     def test_stratified_sample_respects_fractions(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         totals = {r["lang"]: r["n"] for r in
