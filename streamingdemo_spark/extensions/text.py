@@ -529,3 +529,81 @@ def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+@query(
+    "ext_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    ),
+    topt AS (
+      SELECT doc_id, MAX(c) AS top_c FROM (
+        SELECT doc_id, token, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(parts) AS token FROM toks
+        ) GROUP BY doc_id, token
+      ) GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id, COUNT(*) AS n_tri,
+             COUNT(DISTINCT array_to_string(
+               parts[CAST(g.i AS INT):CAST(g.i + 2 AS INT)], ' ')) AS n_tri_d
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(parts) - 2, 1))) AS g(i)
+      GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           CAST(len(k.parts) AS BIGINT) AS n_tokens,
+           ROUND(CAST(topt.top_c AS DOUBLE) / len(k.parts), 4)
+             AS top_token_ratio,
+           ROUND(1.0 - CAST(tri.n_tri_d AS DOUBLE) / tri.n_tri, 4)
+             AS dup_trigram_ratio,
+           (CAST(topt.top_c AS DOUBLE) / len(k.parts) > 0.2
+            OR 1.0 - CAST(tri.n_tri_d AS DOUBLE) / tri.n_tri > 0.5)
+             AS is_repetitive
+    FROM toks k JOIN topt USING (doc_id) JOIN tri USING (doc_id)
+    """,
+)
+def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate filter: per-doc top-token concentration
+    and duplicate-trigram ratio, with a combined flag — the standard
+    cheap spam/boilerplate screen of an LLM data pipeline.
+
+    The top-token count goes explode → two-level aggregate (map-side
+    partial agg, shuffle bounded by per-doc vocabulary); the trigram
+    ratio stays array-side per row (distinct count over a ~doc-length
+    array — no shuffle at all). Thresholds compare the UNROUNDED
+    ratios, identically on both engines (same integer operands, same
+    IEEE division), so the boolean is engine-neutral.
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    tok = d.select("doc_id", n.alias("n_tokens"), F.explode(toks).alias("token"))
+    topt = (
+        tok.groupBy("doc_id", "n_tokens", "token")
+        .count()
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("count").alias("top_c"))
+    )
+    tris = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    tri = d.select(
+        "doc_id",
+        F.size(tris).alias("n_tri"),
+        F.size(F.array_distinct(tris)).alias("n_tri_d"),
+    )
+    top_ratio = F.col("top_c").cast("double") / F.col("n_tokens")
+    dup_ratio = F.lit(1.0) - F.col("n_tri_d").cast("double") / F.col("n_tri")
+    return (
+        topt.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(top_ratio, 4).alias("top_token_ratio"),
+            F.round(dup_ratio, 4).alias("dup_trigram_ratio"),
+            ((top_ratio > 0.2) | (dup_ratio > 0.5)).alias("is_repetitive"),
+        )
+    )

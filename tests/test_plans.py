@@ -68,3 +68,20 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     subquery from the dim side, not read all partitions."""
     plan = _plan(QUERIES["join_dpp"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark side is small by definition; the corpus explode
+    must join it broadcast so only matching rows shuffle."""
+    plan = _plan(QUERIES["ext_contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """Exact cosine scans the corpus once against broadcast queries —
+    never a shuffled or cartesian corpus-side join."""
+    plan = _plan(QUERIES["ext_sim_cosine_topk"](spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
