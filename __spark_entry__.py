@@ -38,7 +38,7 @@ from streamingdemo_spark.registry import ORACLES, QUERIES
 DRIVER_ORDER = [
     "agg_percentile", "agg_collect_sorted", "fn_split_array",
     "fn_map", "ext_text_fingerprint", "ext_contamination_check",
-    "ext_repetition_filter", "sort_limit_topk",
+    "ext_repetition_filter", "ext_embedding_quantize", "sort_limit_topk",
     "fn_hash", "ext_pii_redact", "ext_text_normalize",
     "set_union_all", "fn_explode", "fn_posexplode",
     "fn_struct", "fn_timestamp", "fn_url",

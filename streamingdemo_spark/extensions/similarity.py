@@ -242,3 +242,61 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "ext_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    stats AS (
+      SELECT vec_id, e,
+             list_aggregate(e, 'min') AS vmin,
+             list_aggregate(e, 'max') AS vmax
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, e, vmin, vmax, (vmax - vmin) / 255.0 AS scale
+      FROM stats
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS n_dims,
+           ROUND(vmin, 6) AS vmin,
+           ROUND(vmax, 6) AS vmax,
+           ROUND(list_aggregate(list_transform(e,
+                   x -> abs(x - (vmin + round((x - vmin) / scale, 0) * scale))),
+                 'sum') / len(e), 6) AS mae
+    FROM q
+    """,
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings: per-vector (min, max)
+    range, codes = round((x - min) / scale) with scale = range/255, and
+    the mean absolute reconstruction error — the 4x storage compression
+    a 100 TB vector store applies before indexing.
+
+    All array-side JVM math, one pass, no shuffle at all: quantization
+    is embarrassingly parallel and must never move data. The codes
+    themselves stay internal (an array output would break the
+    harness's scalar canonicalization); the (min, max, mae) triple is
+    what a pipeline monitors.
+    """
+    corpus, _ = _corpus_and_queries(spark, sf_dir)
+    e = F.col("embedding")
+    vmin, vmax = F.array_min(e), F.array_max(e)
+    scale = (vmax - vmin) / F.lit(255.0)
+    recon_err = F.aggregate(
+        F.transform(
+            e, lambda x: F.abs(x - (vmin + F.round((x - vmin) / scale, 0) * scale))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(e)
+    return corpus.select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        F.round(vmin, 6).alias("vmin"),
+        F.round(vmax, 6).alias("vmax"),
+        F.round(recon_err, 6).alias("mae"),
+    )

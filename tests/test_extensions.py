@@ -177,6 +177,16 @@ class TestPipelineOps:
         # canonical must be the component minimum: never larger than member
         assert all(r["canonical_id"] <= r["doc_id"] for r in out)
 
+    def test_quantize_error_bounded_by_half_step(self, spark, sf_dir):
+        """Int8 quantization MAE can't exceed half a quantization step
+        ((vmax - vmin)/255/2) per vector, and the range must be sane."""
+        out = QUERIES["ext_embedding_quantize"](spark, sf_dir).collect()
+        assert len(out) > 0
+        for r in out:
+            assert r["vmax"] > r["vmin"]
+            half_step = (r["vmax"] - r["vmin"]) / 255.0 / 2.0
+            assert 0 <= r["mae"] <= half_step + 1e-9, r
+
     def test_contamination_flags_only_corpus_docs(self, spark, sf_dir):
         """Contaminated rows must be non-benchmark docs with >= 1 leaked
         shingle, and a doc sharing a full 8-token run with a benchmark
