@@ -476,15 +476,25 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_contamination_check",
     oracle="""
-    WITH sh AS (
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_filter(string_split(text, ' '),
+                             (t, i) -> i % 25 <> 0), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    sh AS (
       SELECT DISTINCT doc_id,
              array_to_string(parts[CAST(g.i AS INT):CAST(g.i + 7 AS INT)],
                              ' ') AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM all_docs),
            UNNEST(generate_series(1, greatest(len(parts) - 7, 1))) AS g(i)
     ),
-    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
-    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+              WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+    corpus AS (SELECT * FROM sh
+               WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000))
     SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_hits,
            COUNT(DISTINCT b.bench_id) AS n_bench_docs
     FROM corpus c JOIN bench b USING (shingle)
@@ -494,7 +504,11 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination check: flag training docs that share any
     8-token shingle with the held-out benchmark set (here: docs with
-    doc_id % 97 == 0 stand in for an eval benchmark). Output per
+    doc_id % 97 == 0 stand in for an eval benchmark). The training side
+    is the mutant-augmented corpus (``_docs_with_mutants`` — the dedup
+    fixture's near-dup copies), which is the realistic case: leaked
+    benchmark text rarely reappears verbatim, it reappears lightly
+    edited, and shingle overlap still catches it. Output per
     contaminated doc: how many distinct shingles leaked (n_hits) and
     how many benchmark docs they touch (n_bench_docs).
 
@@ -514,13 +528,17 @@ def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
         )
     )
-    ex = _docs(spark, sf_dir).select(
+    from streamingdemo_spark.extensions.dedup import (
+        MUTANT_OFFSET,
+        _docs_with_mutants,
+    )
+
+    ex = _docs_with_mutants(spark, sf_dir).select(
         "doc_id", F.explode(shingles).alias("shingle")
     )
-    bench = ex.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
-    )
-    corpus = ex.filter(F.col("doc_id") % 97 != 0)
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < MUTANT_OFFSET)
+    bench = ex.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "shingle")
+    corpus = ex.filter(~is_bench)
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
