@@ -36,6 +36,7 @@ from streamingdemo_spark.registry import ORACLES, QUERIES
 # sf0.01), and the 48 already-proven keys last. Whatever budget exists
 # covers new ground before re-proving old ground.
 DRIVER_ORDER = [
+    "stream_stream_join",
     "agg_percentile", "agg_collect_sorted", "fn_split_array",
     "fn_map", "ext_text_fingerprint", "ext_contamination_check",
     "ext_repetition_filter", "ext_embedding_quantize", "sort_limit_topk",

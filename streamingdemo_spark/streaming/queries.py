@@ -68,10 +68,22 @@ def win_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_tumbling")  # rows-only: real micro-batched execution
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS ws,
+           COUNT(*) AS n, {osum("value", 4)} AS val_sum
+    FROM events GROUP BY 1
+    """,
+)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tumbling aggregate executed as a real stream (complete mode);
-    pytest asserts it equals the batch-mode result on the same data."""
+    """The tumbling aggregate executed as a real stream (complete mode).
+
+    Oracle-checked: complete mode re-emits the full window table each
+    micro-batch, so after an ``availableNow`` replay of the whole
+    fixture the final memory table equals the batch aggregate — the
+    stream/batch unification guarantee, checked value-for-value against
+    DuckDB rather than merely rows-counted."""
     stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
@@ -81,10 +93,44 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete")
 
 
-@query("stream_session")  # rows-only: session merge is stateful/streaming
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, {osum("value", 4)} AS val_sum
+    FROM sess GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE
+           <= (SELECT MAX(ts) - INTERVAL 1 MINUTE FROM events)
+    """,
+)
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute gap per user (append mode —
     the only output mode Spark supports for streaming session aggs).
+
+    Oracle-checked despite being a stateful streaming query: the replay
+    is deterministic, so the emitted set is exactly the batch
+    gaps-and-islands sessionization (new session when the gap to the
+    previous event is >= 30 min; session_end = last event + 30 min)
+    restricted to sessions the final watermark closed
+    (session_end <= max(ts) - 1 min). Sessions still open at
+    end-of-replay stay unemitted — correct append semantics, and the
+    oracle's HAVING clause models precisely that.
 
     Watermark bounds session state; a session closes when no event for
     its user arrives within 30 minutes, and append emits it once the
@@ -111,12 +157,45 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="append")
 
 
-@query("stream_watermark_late")  # rows-only: watermark drop semantics
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH main AS (SELECT ts, event_id FROM events WHERE event_id % 50 <> 0),
+    cut AS (SELECT CAST(CEIL(COUNT(*) / 4.0) * 3 AS BIGINT) AS k FROM main),
+    wm4 AS (SELECT ts - INTERVAL 10 MINUTE AS w
+            FROM (SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn
+                  FROM main)
+            WHERE rn = (SELECT k FROM cut)),
+    wmf AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    kept AS (
+      SELECT ts FROM events WHERE event_id % 50 <> 0
+      UNION ALL
+      SELECT ts FROM events WHERE event_id % 50 = 0
+        AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm4)
+    )
+    SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+    FROM kept GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling: the 'late' source holds back old rows until
     the final micro-batch, by which time the 10-minute watermark has
     passed them — they are dropped, and append mode emits only
     finalized windows. State is GC'd as the watermark advances.
+
+    Oracle-checked: the replay is deterministic, so the drop set is a
+    pure function of the chunking. Two distinct watermarks matter
+    (Spark >= 3.4 splits them): late-row *filtering* in batch N uses the
+    watermark committed at batch N's start — computed from data through
+    batch N-2 — so the held rows (arriving in batch 4 of 5) are dropped
+    against max(ts of the first 3 of 4 on-time chunks) - 10 min, kept
+    only if their hour-window end still exceeds it; window *emission*
+    uses the final watermark max(all ts) - 10 min (dropped rows still
+    advance the watermark — the EventTimeWatermark node sees them before
+    the state operator filters them). The oracle's main/cut/wm4/wmf CTEs
+    model exactly that, reconstructing the chunk-2/3 boundary via
+    row_number over the (ts, event_id) replay order.
 
     5 chunks / 1 per trigger: the 4 ordered batches advance the
     watermark past most held-back rows before the late batch delivers
@@ -132,11 +211,20 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="append")
 
 
-@query("stream_dedup")  # rows-only: stateful dedup
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful exactly-once dedup on event_id: the 'dups' source
     re-delivers every 10th event in a later batch; dropDuplicates keeps
     first occurrences only.
+
+    Oracle-checked: event_ids are unique in the fixture and re-delivered
+    rows are byte-identical, so the deduped replay must equal the events
+    table exactly.
 
     No watermark here deliberately: duplicates arrive arbitrarily late,
     so the dedup state must span the replay. In production, pair
@@ -148,11 +236,23 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, output_mode="append")
 
 
-@query("stream_stream_static_join")  # rows-only: stream enriched by static dim
+@query(
+    "stream_stream_static_join",
+    oracle="""
+    SELECT event_id, user_id,
+           'c' || CAST(user_id % 5 AS VARCHAR) AS cohort,
+           event_type, value
+    FROM events
+    """,
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (B1 + C3 composition): enrich the event stream
     with a static user-cohort dimension. The static side is broadcast
-    per micro-batch — no stream state at all."""
+    per micro-batch — no stream state at all.
+
+    Oracle-checked: stateless stream-static enrichment over a full
+    replay equals the same join run in batch; the cohort dim is a pure
+    function of user_id, so the oracle inlines it."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     cohorts = (
         ev.select("user_id").distinct()
@@ -165,11 +265,88 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append")
 
 
-@query("stream_stateful_custom")  # rows-only: arbitrary per-key state
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: views joined to purchases
+    by the same user within the following 60 minutes — the funnel query
+    of clickstream pipelines, run as two real streams.
+
+    Both sides carry a 1-minute watermark and the join condition bounds
+    event time on both ends, so Spark can GC join state: a buffered view
+    is dropped once the watermark passes view_ts + 60 min (state is
+    bounded by rate × window, not by stream length — the 100 TB
+    requirement for any stream-stream join).
+
+    Oracle-checked: the replay is in event-time order, so no match ever
+    arrives after its partner's state was evicted (a purchase at ts P
+    joins views in [P - 60 min, P]; eviction has only reached
+    watermark - 60 min ≈ P - 61 min) — the appended matches equal the
+    batch theta-join exactly.
+    """
+    views = (
+        events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 60 MINUTES"
+        ),
+    ).select(
+        "view_id", "purchase_id", "user_id",
+        "view_ts", "purchase_ts", "purchase_value",
+    )
+    # Stream-stream joins open 4 state stores per shuffle partition
+    # (left/right × key-index layouts), so partition count is 4× as
+    # expensive as for an aggregate — keep the replay harness lean; on a
+    # cluster size this to join-key cardinality instead.
+    return run_to_memory(joined, output_mode="append", state_partitions=4)
+
+
+@query(
+    "stream_stateful_custom",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {osum("value", 4)} AS val_sum
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary per-key state via applyInPandasWithState: running event
     count + value sum per user, updated each micro-batch. Returns the
     final totals per user (the last update emitted).
+
+    Oracle-checked: the final emission per user carries the complete
+    replay's totals, and the scaled-int accumulator (value is exactly
+    4-decimal) makes val_sum bitwise-equal to the oracle's decimal sum.
 
     State is one small struct per user — bounded by key cardinality; at
     100 TB add a state timeout for inactive keys.
@@ -216,14 +393,24 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_kafka_smoke")  # rows-only: B1/B2 wiring through the container
+@query(
+    "stream_kafka_smoke",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CAST(FLOOR(value / 100) AS BIGINT) AS value_bucket
+    FROM events
+    """,
+)
 def stream_kafka_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source→transform→sink wiring behind the operator registry (the
     KafkaInput → AddField → KafkaOutput pipeline of the reference,
     ``OpContainer`` + stubs). No broker in this environment, so the
     registered ``kafka_source``/``kafka_sink`` operators are swapped for
     the file-stream source and memory sink — the swap is pure config,
-    which is exactly the reference's operator-container contract."""
+    which is exactly the reference's operator-container contract.
+
+    Oracle-checked: the stateless source→add-field pipeline over a full
+    replay equals the batch projection of the same expression."""
     from streamingdemo_spark.operators import run_pipeline
     from streamingdemo_spark.streaming.sources import EVENTS_SCHEMA, _build
 
@@ -252,12 +439,20 @@ def stream_kafka_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(ports["addField.out"], output_mode="append")
 
 
-@query("stream_foreach_batch")  # rows-only: side-effecting sink
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: each micro-batch appends to a parquet target
     tagged with its epoch; the read-back dedups on event_id, showing
     the idempotent-merge pattern for exactly-once semantics on
     re-delivery (the 'dups' source re-sends 10% of events).
+
+    Oracle-checked: after the idempotent merge the target must equal the
+    events table exactly (unique event_ids, byte-identical re-sends).
 
     This is the production escape hatch when a sink has no native
     transactional support — MERGE/upsert per epoch keyed on a stable

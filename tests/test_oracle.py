@@ -45,7 +45,8 @@ def test_driver_order_in_sync_with_registry():
     priority keys (round-1 FAILs + latent array-output keys) lead."""
     assert sorted(entrymod.DRIVER_ORDER) == sorted(QUERIES)
     assert len(set(entrymod.DRIVER_ORDER)) == len(entrymod.DRIVER_ORDER)
-    assert entrymod.DRIVER_ORDER[:5] == [
+    assert entrymod.DRIVER_ORDER[:6] == [
+        "stream_stream_join",
         "agg_percentile", "agg_collect_sorted", "fn_split_array",
         "fn_map", "ext_text_fingerprint",
     ]
