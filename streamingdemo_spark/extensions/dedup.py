@@ -256,12 +256,48 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_ngram_jaccard")  # rows-only: float similarity
+@query(
+    "ext_dedup_ngram_jaccard",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang,
+             array_to_string(list_filter(string_split(text, ' '),
+                                         (t, i) -> i % 25 <> 0), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    feat AS (
+      SELECT doc_id, lang, sh, toks[1] AS first_tok,
+             CAST(FLOOR(len(toks) / 64.0) AS INT) AS len_bucket
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                     i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+                     AS sh
+            FROM corpus)
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                   4) AS jaccard
+      FROM feat a JOIN feat b
+        ON a.lang = b.lang AND a.first_tok = b.first_tok
+       AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.4
+    """,
+)
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within cheap blocking buckets: docs are
     blocked on (lang, first token, coarse length bucket) and only
     in-block pairs are compared — the blocked-verify pattern that keeps
     exact similarity affordable when LSH recall isn't enough.
+
+    Oracle-checked (unlike the MinHash/SimHash keys): string shingles +
+    equi-join blocking involve no engine-specific hash, so DuckDB can
+    replay the pipeline exactly — mutants, 2-gram shingling (1-based
+    slice semantics match Spark's), blocking, and the Jaccard ratio.
 
     The block key is a pure equi-join key (never a range predicate:
     Catalyst would demote that to a post-filtered near-cross-join).

@@ -363,15 +363,33 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
-@query("ext_train_mix")  # rows-only: hash partitioning is engine-specific
+@query(
+    "ext_train_mix",
+    oracle="""
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM (SELECT lang, (doc_id * 2654435761) % 4294967296 % 100 AS b
+          FROM documents) t
+    GROUP BY 1, 2
+    """,
+)
 def ext_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/validation/test split via stable hashing:
-    bucket = xxhash64(doc_id) mod 100 → 90/5/5 split. Unlike seeded
+    bucket = knuth_hash(doc_id) mod 100 → 90/5/5 split. Unlike seeded
     sampling, the assignment is a pure function of the key — stable
-    across runs, engines restarts, and incremental reprocessing, which
-    is what a 100 TB pipeline needs (resumable, append-safe splits)."""
+    across runs, engine restarts, and incremental reprocessing, which
+    is what a 100 TB pipeline needs (resumable, append-safe splits).
+
+    The hash is Knuth's multiplicative scheme ((id * 2654435761) mod
+    2^32), pure int64 arithmetic — engine-portable (the DuckDB oracle
+    computes the identical buckets; xxhash64 would be engine-specific),
+    well-mixed for sequential ids, and overflow-safe below ~3.4e9 ids;
+    beyond that, widen to decimal(38) or use xxhash64 if cross-engine
+    stability is not required."""
     d = _docs(spark, sf_dir)
-    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(100))
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
     )
