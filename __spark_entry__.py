@@ -38,7 +38,9 @@ from streamingdemo_spark.registry import ORACLES, QUERIES
 DRIVER_ORDER = [
     "stream_stream_join",
     "agg_percentile", "agg_collect_sorted", "fn_split_array",
-    "fn_map", "ext_text_fingerprint", "ext_contamination_check",
+    "fn_map", "ext_text_fingerprint",
+    "ext_curation_pipeline", "ext_sim_knn_join",
+    "ext_contamination_check",
     "ext_repetition_filter", "ext_embedding_quantize", "sort_limit_topk",
     "fn_hash", "ext_pii_redact", "ext_text_normalize",
     "set_union_all", "fn_explode", "fn_posexplode",

@@ -300,3 +300,93 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vmax, 6).alias("vmax"),
         F.round(recon_err, 6).alias("mae"),
     )
+
+
+KNN_K = 3
+_KNN_BUF = 32  # raw-order buffer; rounding to 4dp can only reorder ties
+
+
+@query(
+    "ext_sim_knn_join",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+      FROM c a JOIN c b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY cosine DESC, nbr_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT vec_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def ext_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-join: the top-3 cosine neighbors of EVERY vector
+    (the kNN-graph construction step of near-dup clustering and
+    embedding-based curation), as a blocked matrix product.
+
+    Shape: the probe side streams through ``mapInPandas`` in Arrow
+    batches; the build side is one broadcast tile (ids + row-normalized
+    matrix). Each batch does a single dense GEMM against the tile and
+    keeps a top-``_KNN_BUF`` buffer per row — candidate volume is
+    O(n · buf), never the n² score matrix. This is the same
+    materialize-one-side contract as a broadcast hash join; at 100 TB
+    the build side becomes a grid of tiles (loop: join probe × tile_i,
+    union, re-window), each tile still GEMM-sized, or the ANN keys
+    (``ext_sim_ann_lsh`` / ``ext_sim_ivf_topk``) replace the exact
+    product. Final scores re-rank Spark-side on ROUND(cosine, 4) with
+    id tiebreak, so ordering is engine-portable; the buffer (32 ≫ k=3)
+    absorbs any raw-vs-rounded reorder at the cut line.
+    """
+    import numpy as np
+
+    corpus, _ = _corpus_and_queries(spark, sf_dir)
+    tile_pdf = corpus.toPandas()  # build-side tile, same as broadcast join
+    tids = tile_pdf["vec_id"].to_numpy()
+    tmat = np.vstack(tile_pdf["embedding"].to_numpy()).astype(np.float64)
+    tnorm = np.sqrt((tmat * tmat).sum(axis=1))
+    b_tile = spark.sparkContext.broadcast((tids, tmat, tnorm))
+
+    def knn(batches):
+        import pandas as pd
+
+        ids_t, mat_t, norm_t = b_tile.value
+        for pdf in batches:
+            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qnorm = np.sqrt((q * q).sum(axis=1))
+            qids = pdf["vec_id"].to_numpy()
+            # dot / (|a|·|b|): same algebra as the oracle (never
+            # pre-normalize the rows — that changes the float path)
+            s = (q @ mat_t.T) / (qnorm[:, None] * norm_t[None, :])
+            buf = min(_KNN_BUF, s.shape[1] - 1)
+            out_q, out_n, out_c = [], [], []
+            for i in range(len(qids)):
+                row = np.where(ids_t == qids[i], -np.inf, s[i])
+                top = np.argpartition(-row, buf)[: buf + 1]
+                top = top[row[top] > -np.inf]
+                out_q.append(np.full(len(top), qids[i]))
+                out_n.append(ids_t[top])
+                out_c.append(row[top])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_q),
+                    "nbr_id": np.concatenate(out_n),
+                    "cosine_raw": np.concatenate(out_c),
+                }
+            )
+
+    cand = corpus.mapInPandas(
+        knn, "vec_id long, nbr_id long, cosine_raw double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cand.select(
+            "vec_id", "nbr_id", F.round("cosine_raw", 4).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )

