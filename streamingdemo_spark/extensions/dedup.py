@@ -9,7 +9,10 @@ measurable (tests assert the planted pairs are recovered).
 Scale design (the actual point of these operators at 100 TB):
 - everything is hash → band → shuffle-on-bucket → verify-within-bucket;
   no all-pairs comparison ever materializes.
-- hashes are Spark-native ``xxhash64`` (JVM codegen, no Python).
+- hashes are either Spark-native ``xxhash64`` (JVM codegen, no
+  Python) or the engine-portable polynomial convention
+  (``registry.poly_hash``) where a DuckDB oracle must replay them;
+  both are JVM-side expressions with identical plan shapes.
 - candidate verification joins only within buckets, so the shuffle
   volume is O(n · bands), not O(n²).
 """
@@ -20,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import query
+from streamingdemo_spark.registry import POLY_MOD, poly_hash, query
 
 MUTANT_OFFSET = 1_000_000
 
@@ -87,14 +90,108 @@ def _shingles(text_col: str = "text", k: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 
-@query("ext_dedup_minhash")  # rows-only: hash values are engine-specific
+# MinHash permutation constants: h_k(x) = (A[k]·x + B[k]) mod POLY_MOD.
+# Fixed literals (powers of the Lehmer multiplier 48271) so the DuckDB
+# oracle embeds the identical values — any fixed full-rank constants do.
+_MH_N, _MH_BANDS = 12, 4
+_MH_A = [pow(48271, k + 1, POLY_MOD) for k in range(_MH_N)]
+_MH_B = [(16807 * (k + 1)) % POLY_MOD for k in range(_MH_N)]
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash pipeline: mutants, token/
+    shingle poly-hashes, 12 affine min-hashes, 4x3 banding, the
+    bucket-cap skew guard, in-bucket exact-Jaccard verify."""
+    m = 1_000_000_007
+    rows = _MH_N // _MH_BANDS
+    mins = ",\n             ".join(
+        f"MIN(({_MH_A[k]} * hs + {_MH_B[k]}) % {m}) AS h{k}"
+        for k in range(_MH_N)
+    )
+    def fold(cols: list[str]) -> str:
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = f"(({acc}) * 131 + {c}) % {m}"
+        return acc
+    bands_sql = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{fold([f'h{b * rows + r}' for r in range(rows)])} AS bucket FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_filter(string_split(text, ' '),
+                                         (t, i) -> i % 25 <> 0), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    tokh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(t, ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % {m})) AS th
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(th) - 2, 1) + 1),
+               i -> ((th[i] * 131 + th[i+1]) % {m} * 131 + th[i+2]) % {m}))
+               AS sh
+      FROM tokh
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS hs FROM sh),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    banded AS (
+      {bands_sql}
+    ),
+    capped AS (
+      SELECT doc_id, band, bucket FROM
+        (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+         FROM banded)
+      WHERE bn <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                JOIN sh sb ON sb.doc_id = cand.doc_b)
+    WHERE jaccard >= 0.5
+    """
+
+
+@query("ext_dedup_minhash", oracle=_minhash_oracle())
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via MinHash + LSH banding.
 
-    Pipeline: 3-token shingles → explode → 12 seeded hashes per shingle
+    Pipeline: 3-token shingles → explode → 12 affine hashes per shingle
     (computed exactly once each) → groupBy(doc) min-aggregate = MinHash
     signature → 4 bands × 3 rows → band-bucket self-join → candidate
     pairs → exact Jaccard verify. Output: (doc_a, doc_b, jaccard ≥ 0.5).
+
+    Every hash is the engine-portable convention (``poly_hash`` token
+    fold, 131-combines, affine permutations mod 1e9+7), so the DuckDB
+    oracle replays the ENTIRE pipeline — banding, skew guard and all —
+    and the driver hash-checks it; swap the token fold for
+    ``F.xxhash64`` (and widen the modulus to a 61-bit Mersenne prime)
+    when cross-engine verification isn't needed — one helper, same
+    plan shape either way.
 
     100 TB shape: the explode shuffle is O(total shingles) with
     map-side partial min; candidate generation is O(n·bands); exact
@@ -113,25 +210,34 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 bands x 3 rows: P(candidate) at jaccard .85 = 1-(1-.85^3)^4 ≈ .98,
     # at jaccard .3 ≈ .10 — a sharper sensitivity curve than 4x4 with 25%
     # fewer hash evaluations.
-    n_hashes, bands = 12, 4
+    n_hashes, bands = _MH_N, _MH_BANDS
     rows_per_band = n_hashes // bands
     _BUCKET_CAP = 100
+    mod = F.lit(POLY_MOD)
     # Integer shingles: hash each token once, then a shingle hash is the
-    # hash of 3 adjacent token-hash longs — no shingle strings are ever
-    # built, and every downstream stage (signatures, verify sets) moves
-    # 8-byte longs instead of ~20-byte strings.
+    # 131-combine of 3 adjacent token-hash longs — no shingle strings
+    # are ever built, and every downstream stage (signatures, verify
+    # sets) moves 8-byte longs instead of ~20-byte strings.
     toks = F.split("text", " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # Materialize token hashes in their own projection BEFORE the
+    # shingle transform references them: the shingle lambda reads the
+    # array 3x via element_at, and inlining the char-fold expression
+    # there re-evaluates every token's fold once per shingle —
+    # O(tokens²·chars) per doc, measured 74x slower at sf0.1.
+    with_th = _docs_with_mutants(spark, sf_dir).select(
+        "doc_id", F.transform(toks, poly_hash).alias("th")
+    )
+    th = F.col("th")
     n = F.size(th)
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.xxhash64(
-            F.element_at(th, i),
-            F.element_at(th, i + 1),
-            F.element_at(th, i + F.lit(2)),
-        ),
+        lambda i: (
+            (F.element_at(th, i) * 131 + F.element_at(th, i + 1)) % mod * 131
+            + F.element_at(th, i + F.lit(2))
+        )
+        % mod,
     )
-    docs = _docs_with_mutants(spark, sf_dir).select(
+    docs = with_th.select(
         "doc_id", F.array_distinct(shingle_hashes).alias("sh")
     ).cache()
     based = docs.select("doc_id", F.explode("sh").alias("hs"))
@@ -139,24 +245,26 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         based.select(
             "doc_id",
             *[
-                F.xxhash64(F.col("hs"), F.lit(k)).alias(f"h{k}")
+                ((F.lit(_MH_A[k]) * F.col("hs") + F.lit(_MH_B[k])) % mod).alias(
+                    f"h{k}"
+                )
                 for k in range(n_hashes)
             ],
         )
         .groupBy("doc_id")
         .agg(*[F.min(f"h{k}").alias(f"h{k}") for k in range(n_hashes)])
     ).cache()
+
+    def _band_bucket(b: int) -> Column:
+        acc: Column = F.col(f"h{b * rows_per_band}")
+        for r in range(1, rows_per_band):
+            acc = (acc * 131 + F.col(f"h{b * rows_per_band + r}")) % mod
+        return acc
+
     banded = sigs.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[_band_bucket(b) for b in range(bands)])
         ).alias("band", "bucket"),
     )
     from pyspark.sql.window import Window

@@ -8,12 +8,12 @@ hot path (per-token work over the whole corpus) never enters Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import query
+from streamingdemo_spark.registry import poly_hash, query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 
@@ -294,22 +294,7 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POLY_MOD = 1_000_000_007
-
-
-def _poly_hash(s: Column) -> Column:
-    """Engine-portable string hash: the classic base-31 polynomial fold
-    over character codes, mod 1e9+7 — pure int64 arithmetic (acc < 1e9,
-    acc*31 + 255 << 2^63) that DuckDB's ``list_reduce`` replays bit-for-
-    bit. xxhash64 would be one JVM intrinsic instead of a per-char fold,
-    but its value is engine-private; a fingerprint that a second system
-    can recompute is worth the fold (and fingerprinting is char-bound
-    anyway — the fold reads each char once, same as any hash must)."""
-    return F.aggregate(
-        F.split(s, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % _POLY_MOD,
-    )
+_poly_hash = poly_hash  # shared portable-hash convention (registry.py)
 
 
 @query(

@@ -39,6 +39,34 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+POLY_MOD = 1_000_000_007
+
+
+def poly_hash(s: Column) -> Column:
+    """Engine-portable string hash: base-31 polynomial fold over
+    character codes, mod 1e9+7 — pure int64 arithmetic (acc < 1e9,
+    acc*31 + 255 << 2^63) that DuckDB's ``list_reduce`` replays
+    bit-for-bit. The portable convention for every hash that an oracle
+    must recompute; production pipelines that don't need cross-engine
+    verification swap in ``F.xxhash64`` (one JVM intrinsic instead of a
+    per-char fold) without changing any downstream shape."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % POLY_MOD,
+    )
+
+
+def opoly(expr: str) -> str:
+    """Oracle-SQL fragment matching :func:`poly_hash` (DuckDB lambda)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % 1000000007)"
+    )
+
+
 def dsum(col: Column | str, scale: int = 2, precision: int = 38) -> Column:
     """Exact decimal sum of a fixed-point double column, as double.
 
