@@ -297,33 +297,102 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_simhash")  # rows-only: hash values are engine-specific
+# SimHash geometry: poly_hash is uniform below 2^30, so the signature
+# is 30 bits, bucketed as 3 chunks x 10 bits (hamming <= 3 means at
+# least one chunk is untouched only for <= 2 flips; 3 flips can hit all
+# 3 chunks — same recall geometry as the classic 64/4x16 at 6 flips,
+# scaled to the narrower signature).
+_SH_BITS, _SH_CHUNKS = 30, 3
+_SH_CHUNK_BITS = _SH_BITS // _SH_CHUNKS
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replay of the SimHash pipeline: mutants, poly token
+    hashes, 30 bit-votes, signature assembly, 10-bit chunk buckets,
+    hamming-by-popcount filter."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS)
+    )
+    chunk_mask = (1 << _SH_CHUNK_BITS) - 1
+    chunks_sql = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS chunk_no, "
+        f"(sig >> {_SH_CHUNK_BITS * c}) & {chunk_mask} AS chunk_val FROM sigs"
+        for c in range(_SH_CHUNKS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_filter(string_split(text, ' '),
+                                         (t, i) -> i % 25 <> 0), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t.tok, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM corpus, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM tok GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS sig FROM votes),
+    chunks AS (
+      {chunks_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_no = b.chunk_no AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+
+
+@query("ext_dedup_simhash", oracle=_simhash_oracle())
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature from per-token hash bit votes;
-    candidates pair up when any of the 4 16-bit chunks match (hamming
-    ≤ 3 verified exactly via popcount of XOR).
+    """SimHash near-dup: 30-bit signature from per-token hash bit votes
+    (``poly_hash`` values are uniform below 2^30); candidates pair up
+    when any of the 3 10-bit chunks match (hamming ≤ 3 verified exactly
+    via popcount of XOR).
 
     All bit arithmetic is JVM-side integer ops — one explode + one
-    groupBy for signatures, chunk-bucket join for candidates.
+    groupBy for signatures, chunk-bucket join for candidates. Portable
+    hashing makes the whole pipeline — votes, signature assembly,
+    chunk buckets, hamming filter — replayable by the DuckDB oracle;
+    for a 64-bit signature without the cross-engine contract, swap the
+    token fold for ``F.xxhash64`` and widen the chunk loop.
     """
     docs = _docs_with_mutants(spark, sf_dir)
-    tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", poly_hash(F.col("tok")).alias("h"))
     # Bit votes: sum(+1/-1) per bit position, then reassemble the sign
-    # bits into a 64-bit signature.
+    # bits into the signature.
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(_SH_BITS)
         ]
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(_SH_BITS):
         sig = sig + F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(0)
@@ -334,8 +403,10 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftright(F.col("sig"), _SH_CHUNK_BITS * c).bitwiseAND(
+                        F.lit((1 << _SH_CHUNK_BITS) - 1)
+                    )
+                    for c in range(_SH_CHUNKS)
                 ]
             )
         ).alias("chunk_no", "chunk_val"),
