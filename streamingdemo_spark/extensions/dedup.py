@@ -512,7 +512,44 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_embedding")  # rows-only: float cosine
+def _embedding_oracle() -> str:
+    """DuckDB replay of the sign-LSH embedding dedup: mutants, 8
+    arithmetic hyperplane sign bits, bucket equi-join, exact cosine
+    verify. Bitwise-replayable because the plane weights are pure int
+    arithmetic + exact power-of-two division — no libm (JVM Math.sin
+    and DuckDB's sin disagree in the last ulp for some args, e.g.
+    sin(487), which could flip a sign bit)."""
+    def dot(p: int) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, 65), "
+            f"k -> emb[CAST(k AS INT)] * "
+            f"((((k - 1 + {p * 64}) * 2654435761) % 4294967296) "
+            f"/ 4294967296.0 - 0.5)), 'sum')"
+        )
+    bucket = " + ".join(
+        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p} ELSE 0 END" for p in range(8)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            (v, i) -> CASE WHEN i = 1 THEN v + 0.05
+                                           ELSE v END)
+      FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    sk AS (SELECT vec_id, emb, {bucket} AS bucket FROM corpus)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+      FROM sk a JOIN sk b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.99
+    """
+
+
+@query("ext_dedup_embedding", oracle=_embedding_oracle())
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane (sign) LSH:
     8-bit sign sketch per vector → bucket join → exact cosine verify
@@ -520,6 +557,14 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Planted near-dups: every 4th vector re-appears (vec_id+1e6) with one
     component nudged, cosine ≈ 0.999.
+
+    Hyperplane weights are an arithmetic PRNG (Knuth multiplicative
+    hash of the flat plane-dim index, scaled to [-0.5, 0.5)) rather
+    than libm ``sin``: integer ops and a power-of-two division are
+    bitwise-identical across engines, so the DuckDB oracle replays the
+    sketch exactly — JVM and libm transcendentals disagree in the last
+    ulp for some arguments, which could flip a sign at a bucket
+    boundary.
     """
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     mutants = (
@@ -536,14 +581,20 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = emb.unionByName(mutants).select("vec_id", "embedding")
 
     # Deterministic pseudo-random hyperplanes: plane p weight for dim i
-    # = sin(p*64+i) — fixed, engine-side, no RNG state.
+    # = knuth(p*64+i)/2^32 - 0.5 — fixed, pure arithmetic, no RNG state.
     def plane_bit(p: int) -> Column:
         dot = F.aggregate(
             F.zip_with(
                 "embedding",
                 F.transform(
                     F.sequence(F.lit(0), F.lit(63)),
-                    lambda i: F.sin(i + F.lit(p * 64)),
+                    lambda i: (
+                        (i.cast("long") + F.lit(p * 64))
+                        * F.lit(2654435761)
+                        % F.lit(4294967296)
+                    ).cast("double")
+                    / F.lit(4294967296.0)
+                    - 0.5,
                 ),
                 lambda v, w: v * w,
             ),
@@ -583,7 +634,36 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_cluster")  # rows-only: iterative fixpoint, hash-dependent
+def _cluster_oracle() -> str:
+    """DuckDB replay of the near-dup clustering: the MinHash oracle
+    (now fully portable) feeds a recursive-CTE transitive closure whose
+    per-node minimum reachable id IS the converged min-label — it
+    equals Spark's fixed-2-round pointer-doubling result whenever the
+    pair graph's components are within the rounds' reach (diameter ≤ 6;
+    dedup graphs are star-shaped, diameter ~2)."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+    edges AS (SELECT doc_a, doc_b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk AS (
+      SELECT doc_a AS doc_id, doc_b AS reach FROM edges
+      UNION
+      SELECT w.doc_id, e.doc_b FROM walk w JOIN edges e ON w.reach = e.doc_a
+    ),
+    comp AS (
+      SELECT doc_id, least(doc_id, MIN(reach)) AS canonical_id
+      FROM walk GROUP BY doc_id
+    ),
+    sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (canonical_id)
+    WHERE s.cluster_size >= 2
+    """
+
+
+@query("ext_dedup_cluster", oracle=_cluster_oracle())
 def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash
     candidate-pair graph, so each duplicate *group* (not just pair)
