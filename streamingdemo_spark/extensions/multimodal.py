@@ -113,7 +113,10 @@ def _decode_one(raw: bytes) -> dict:
             "width": width,
             "height": height,
             "n_bytes": len(body),
-            "mean_byte": round(sum(body) / max(len(body), 1), 4),
+            # raw mean — rounding happens Spark-side (F.round), which is
+            # the engine-portable convention; Python's round() is
+            # half-even and diverges from SQL ROUND on dyadic ties
+            "mean_byte": sum(body) / max(len(body), 1),
         }
     if _pil_available():
         import io as _io
@@ -127,7 +130,7 @@ def _decode_one(raw: bytes) -> dict:
             "width": img.width,
             "height": img.height,
             "n_bytes": len(raw),
-            "mean_byte": round(float(arr.mean()), 4),
+            "mean_byte": float(arr.mean()),
         }
     raise NotImplementedError(
         "real media decode needs PIL, which is not installed"
@@ -150,23 +153,57 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ]
 
 
-@query("ext_multimodal_decode")  # rows-only: stubbed decode
+@query(
+    "ext_multimodal_decode",
+    # the corpus is ASCII (asserted by the oracle diff itself: byte
+    # length == char length), so byte sums are ascii() sums
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars % 64 + 1 AS INT) AS width,
+           CAST(n_chars % 48 + 1 AS INT) AS height,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           ROUND(CAST(list_aggregate(list_transform(string_split(text, ''),
+                        c -> ascii(c)), 'sum') AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS mean_byte
+    FROM documents
+    """,
+)
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media pipeline: encode (JVM) → decode/feature-extract via
     ``mapInPandas`` (Arrow-batched binary columns) → typed metadata.
+
+    The decode itself is the capability-gated stub (no codecs in this
+    image), but its output is a pure function of the payload bytes, so
+    the DuckDB oracle replays it from the source text — the Arrow
+    plumbing gets a hash-match signal, not just a row count.
 
     100 TB notes: payloads stream through Python in Arrow batches (no
     per-row pickling); repartition before the decode stage to spread
     large blobs evenly; never collect payloads.
     """
     payloads = _encode_payload(spark, sf_dir).repartition(8, "doc_id")
-    return payloads.mapInPandas(
+    decoded = payloads.mapInPandas(
         _fake_decode,
         schema="doc_id long, width int, height int, n_bytes long, mean_byte double",
     )
+    return decoded.withColumn("mean_byte", F.round("mean_byte", 4))
 
 
-@query("ext_multimodal_framesample")  # rows-only: stubbed frame sampling
+@query(
+    "ext_multimodal_framesample",
+    oracle="""
+    SELECT doc_id,
+           CAST(f.frame_no AS INT) AS frame_no,
+           CAST(least(256, length(text) - f.frame_no * 256) AS INT)
+             AS frame_bytes,
+           CAST(list_aggregate(list_transform(
+                  string_split(substr(text, f.frame_no * 256 + 1, 256), ''),
+                  c -> ascii(c)), 'sum') % 65536 AS INT) AS checksum
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT), 4))
+           AS f(frame_no)
+    """,
+)
 def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: each payload
     expands to ceil(n_bytes/256)-frame metadata rows, sampled every 4th
