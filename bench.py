@@ -56,7 +56,9 @@ HEADLINE = [
     "stream_tumbling",    # real micro-batched stream
     "ext_dedup_exact",    # hash dedup
     "ext_dedup_minhash",  # MinHash LSH
+    "ext_curation_pipeline", # composed curation job
     "ext_sim_cosine_topk",# brute-force ANN baseline
+    "ext_sim_knn_join",   # blocked-GEMM kNN graph
     "ext_text_tfidf",     # token explode + joins
     "ext_text_quality",   # scan-pass quality metrics
     "ext_seq_pack",       # context-window packing
