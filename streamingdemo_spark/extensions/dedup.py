@@ -82,9 +82,14 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(text_col: str = "text", k: int = 3) -> Column:
-    """k-token shingles as strings (word n-grams)."""
-    toks = F.split(text_col, " ")
+def _shingles(toks: Column, k: int = 3) -> Column:
+    """k-token shingles as strings (word n-grams).
+
+    ``toks`` must be a MATERIALIZED array column (a plain column
+    reference), never an inlined ``F.split(...)`` expression: the
+    shingle lambda slices it once per shingle, and an inlined split
+    would be re-evaluated per slice — O(tokens·chars) extra per doc
+    (6× wall on the 8-gram shape at sf0.1, see SCALE.md)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
@@ -483,12 +488,14 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Block-key choice is corpus-dependent; here (lang, first token)
     splits ~30× while near-dup mutants keep both.
     """
-    docs = _docs_with_mutants(spark, sf_dir)
-    toks = F.split("text", " ")
+    docs = _docs_with_mutants(spark, sf_dir).select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     with_sh = docs.select(
         "doc_id",
         "lang",
-        F.array_distinct(_shingles(k=2)).alias("sh"),
+        F.array_distinct(_shingles(toks, k=2)).alias("sh"),
         F.element_at(toks, 1).alias("first_tok"),
         (F.size(toks) / 64).cast("int").alias("len_bucket"),
     ).cache()

@@ -334,7 +334,12 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole pipeline — shingling, winnowing, final fingerprint — is
     replayed exactly by the DuckDB oracle. Each char lands in ≤4
     shingles, so cost stays linear in text length."""
-    toks = F.split("text", " ")
+    # toks materialized first: the shingle lambda slices it per
+    # shingle, and an inlined split would re-evaluate per slice
+    with_toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1))),
@@ -344,11 +349,14 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest_csv = F.concat_ws(
         ",", F.transform(smallest, lambda h: h.cast("string"))
     )
-    return _docs(spark, sf_dir).select(
+    # smallest_csv feeds both output columns — materialize it once too
+    return with_toks.select(
+        "doc_id", smallest_csv.alias("min_hashes")
+    ).select(
         "doc_id",
         # CSV string, not array<bigint>: the driver canon hashes scalars only
-        smallest_csv.alias("min_hashes"),
-        _poly_hash(smallest_csv).alias("fingerprint"),
+        "min_hashes",
+        _poly_hash(F.col("min_hashes")).alias("fingerprint"),
     )
 
 
@@ -600,7 +608,7 @@ def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, then exact-verify the survivors; string shingles are kept
     here so the result is engine-neutral and oracle-checkable.
     """
-    toks = F.split("text", " ")
+    toks = F.col("toks")
     n = F.size(toks)
     shingles = F.array_distinct(
         F.transform(
@@ -613,8 +621,11 @@ def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_mutants,
     )
 
-    ex = _docs_with_mutants(spark, sf_dir).select(
-        "doc_id", F.explode(shingles).alias("shingle")
+    ex = (
+        _docs_with_mutants(spark, sf_dir)
+        # toks materialized before the shingle lambda slices it
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
     )
     is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < MUTANT_OFFSET)
     bench = ex.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "shingle")
@@ -674,8 +685,10 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, identically on both engines (same integer operands, same
     IEEE division), so the boolean is engine-neutral.
     """
-    d = _docs(spark, sf_dir)
-    toks = F.split("text", " ")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     tok = d.select("doc_id", n.alias("n_tokens"), F.explode(toks).alias("token"))
     topt = (
@@ -688,10 +701,11 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
     )
-    tri = d.select(
+    # tris feeds two aggregates — materialize it once, then size it
+    tri = d.select("doc_id", tris.alias("tris")).select(
         "doc_id",
-        F.size(tris).alias("n_tri"),
-        F.size(F.array_distinct(tris)).alias("n_tri_d"),
+        F.size("tris").alias("n_tri"),
+        F.size(F.array_distinct("tris")).alias("n_tri_d"),
     )
     top_ratio = F.col("top_c").cast("double") / F.col("n_tokens")
     dup_ratio = F.lit(1.0) - F.col("n_tri_d").cast("double") / F.col("n_tri")
