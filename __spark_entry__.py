@@ -40,6 +40,7 @@ DRIVER_ORDER = [
     "agg_percentile", "agg_collect_sorted", "fn_split_array",
     "fn_map", "ext_text_fingerprint",
     "ext_curation_pipeline", "ext_sim_knn_join",
+    "ext_doc_chunking", "ext_vocab_coverage",
     "ext_contamination_check",
     "ext_repetition_filter", "ext_embedding_quantize", "sort_limit_topk",
     "fn_hash", "ext_pii_redact", "ext_text_normalize",

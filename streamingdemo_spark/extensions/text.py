@@ -810,3 +810,115 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "ext_doc_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n FROM documents)
+    SELECT doc_id, CAST(k AS INT) AS chunk_no,
+           CAST(least(32, n - k * 24) AS BIGINT) AS n_chunk_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(
+               array_to_string(toks[k*24+1:k*24+32], ' '), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS chunk_hash
+    FROM t, UNNEST(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS u(k)
+    WHERE k * 24 < n
+    """,
+)
+def ext_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 32-token
+    chunks on a 24-token stride (8-token overlap so no boundary
+    context is lost) — the doc→training-sample expansion step that
+    precedes sequence packing. Output per chunk: ordinal, token
+    count, and a portable content hash (what a manifest stores; the
+    chunk text itself would just be re-sliced from the source at
+    materialization time).
+
+    One narrow projection + one explode — embarrassingly parallel, no
+    shuffle at all; chunk rows inherit the document's partitioning."""
+    chunk, stride = 32, 24
+    with_toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    ks = F.sequence(
+        F.lit(0), F.greatest(F.ceil(n / stride).cast("int") - 1, F.lit(0))
+    )
+    start = F.col("chunk_no") * stride
+    return (
+        with_toks.select("doc_id", "toks", F.explode(ks).alias("chunk_no"))
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.least(F.lit(chunk), F.size(toks) - start)
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            poly_hash(F.concat_ws(" ", F.slice(toks, start + 1, chunk))).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+@query(
+    "ext_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+    ranked AS (SELECT token, n,
+                      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT)
+                        AS rank,
+                      CAST(SUM(n) OVER () AS DOUBLE) AS total
+               FROM counts)
+    SELECT rank, token, n,
+           ROUND(CAST(SUM(n) OVER (ORDER BY rank) AS DOUBLE) / total, 4)
+             AS cum_coverage
+    FROM ranked WHERE rank <= 256
+    """,
+)
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with coverage accounting: top-256 tokens
+    by corpus frequency plus the cumulative fraction of all token
+    occurrences they cover — the budget curve a tokenizer build reads
+    ("how big must the vocab be for 99% coverage?").
+
+    explode → map-side-combined count (shuffle bounded by vocabulary,
+    not token count) → single-partition window over the vocab only.
+    The global rank/cumsum window is the unavoidable serial step of any
+    top-K-by-frequency; it runs over the aggregated vocabulary (corpus-
+    bounded, ~1e5-1e7 rows at 100 TB), never over the token stream."""
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w_rank).alias("rank"),
+        F.sum("n").over(w_all).cast("double").alias("total"),
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.filter(F.col("rank") <= 256)
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.round(
+                F.sum("n").over(w_cum).cast("double") / F.col("total"), 4
+            ).alias("cum_coverage"),
+        )
+    )

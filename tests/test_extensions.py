@@ -244,6 +244,46 @@ class TestPipelineOps:
                 ratio = out[lang] / totals[lang]
                 assert abs(ratio - frac) < 0.2, (lang, ratio)
 
+    def test_chunking_covers_every_token_with_overlap(self, spark, sf_dir):
+        """Chunks on a 24-stride with 32-token windows: per doc, chunk
+        token counts must sum to n_tokens + 8·(n_chunks − 1) (every
+        non-final chunk re-covers 8 tokens), and chunk_no must be a
+        dense 0..n_chunks−1 sequence."""
+        out = QUERIES["ext_doc_chunking"](spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        per_doc = (
+            out.groupBy("doc_id")
+            .agg(
+                F.sum("n_chunk_tokens").alias("tok_sum"),
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.max("chunk_no").alias("max_no"),
+            )
+            .join(docs, "doc_id")
+        )
+        bad = per_doc.filter(
+            # full coverage: overlapped token total is >= n_tok, and the
+            # overlap is at most 8 per non-final chunk (the final chunk
+            # may be short and overlap less)
+            (F.col("tok_sum") < F.col("n_tok"))
+            | (F.col("tok_sum") > F.col("n_tok") + 8 * (F.col("n_chunks") - 1))
+            | (F.col("max_no") != F.col("n_chunks") - 1)
+            | (F.col("n_chunks") != F.ceil(F.col("n_tok") / 24))
+        ).count()
+        assert bad == 0
+
+    def test_vocab_coverage_is_monotone_to_one(self, spark, sf_dir):
+        rows = sorted(
+            QUERIES["ext_vocab_coverage"](spark, sf_dir).collect(),
+            key=lambda r: r["rank"],
+        )
+        cov = [r["cum_coverage"] for r in rows]
+        assert all(a <= b for a, b in zip(cov, cov[1:]))  # monotone
+        assert cov[-1] <= 1.0 + 1e-9
+        ns = [r["n"] for r in rows]
+        assert all(a >= b for a, b in zip(ns, ns[1:]))  # freq-sorted
+
     def test_curation_pipeline_dedups_and_partitions(self, spark, sf_dir):
         """The composed pipeline must (a) assign every survivor to
         exactly one split, and (b) emit fewer docs than the
