@@ -741,3 +741,66 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@query(
+    "ext_dedup_cross_source",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, lower(trim(text)) AS norm FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'mirror', lower(trim(text))
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, norm,
+             CASE WHEN source = 'mirror' THEN 1 ELSE 0 END AS prio
+      FROM corpus
+    )
+    SELECT arg_min(doc_id, prio * 10000000 + doc_id) AS keep_id,
+           arg_min(source, prio * 10000000 + doc_id) AS keep_source,
+           COUNT(*) AS n_copies,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM ranked GROUP BY norm
+    """,
+)
+def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dedup with source-priority survivor election: when
+    the same content arrives from multiple feeds (here: a planted
+    'mirror' copy of every 6th doc), keep the copy from the most
+    trusted source, breaking ties by doc_id — the curated-over-crawl
+    rule every multi-source corpus applies.
+
+    Survivor election is one groupBy(norm) with min(struct(priority,
+    doc_id, source)): struct ordering compares priority first, so the
+    aggregate IS the election — no window, no second join, map-side
+    partial agg does the heavy lifting. At 100 TB, group by
+    xxhash64(norm) exactly as ext_dedup_exact does."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    mirror = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(mirror)
+    prio = F.when(F.col("source") == "mirror", 1).otherwise(0)
+    return (
+        corpus.select(
+            F.lower(F.trim(F.col("text"))).alias("norm"),
+            prio.alias("prio"),
+            "doc_id",
+            "source",
+        )
+        .groupBy("norm")
+        .agg(
+            F.min(F.struct("prio", "doc_id", "source")).alias("w"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            F.col("w.doc_id").alias("keep_id"),
+            F.col("w.source").alias("keep_source"),
+            "n_copies",
+            "n_sources",
+        )
+    )

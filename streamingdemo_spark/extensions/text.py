@@ -922,3 +922,59 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+@query(
+    "ext_quality_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['{_STOP_SQL}'], t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents)
+    SELECT doc_id, lang,
+           ROUND(2.0 * ttr - stop_ratio + least(n_tok, 100) / 100.0, 4)
+             AS quality_score,
+           (2.0 * ttr - stop_ratio + least(n_tok, 100) / 100.0) >= 1.5
+             AS keep
+    FROM f
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with a fixed linear model:
+    score = 2·TTR − stop_ratio + min(n_tokens, 100)/100, keep at
+    score ≥ 1.5 (~30% of this corpus). The shape of every learned
+    quality classifier in a curation pipeline — featurize (one JVM
+    projection), score (dot product with a broadcast-size weight
+    vector), threshold — with deterministic weights standing in for
+    the trained ones, so the whole filter is engine-portable and
+    oracle-checked. Swapping in real coefficients (or a pandas-UDF
+    ONNX scorer for nonlinear models) changes only the score
+    expression; the keep/drop contract is identical.
+
+    The threshold compares the UNROUNDED score (identical doubles on
+    both engines — same integer-derived operands, same IEEE op order);
+    only the reported score column is rounded."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    score = (
+        F.lit(2.0) * ttr - stop_ratio + F.least(n_tok, F.lit(100)) / F.lit(100.0)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.round(score, 4).alias("quality_score"),
+        (score >= 1.5).alias("keep"),
+    )

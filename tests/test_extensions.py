@@ -244,6 +244,30 @@ class TestPipelineOps:
                 ratio = out[lang] / totals[lang]
                 assert abs(ratio - frac) < 0.2, (lang, ratio)
 
+    def test_cross_source_dedup_prefers_original_over_mirror(self, spark, sf_dir):
+        """Every planted mirror copy must lose the election to its
+        original (prio 0 beats prio 1), so no survivor is ever from
+        the mirror source and every doc with a mirror shows 2 copies
+        from 2 sources."""
+        out = QUERIES["ext_dedup_cross_source"](spark, sf_dir)
+        assert out.filter(F.col("keep_source") == "mirror").count() == 0
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_mirrored = docs.filter(F.col("doc_id") % 6 == 0).count()
+        assert (
+            out.filter((F.col("n_copies") == 2) & (F.col("n_sources") == 2)).count()
+            == n_mirrored
+        )
+
+    def test_quality_score_threshold_consistent(self, spark, sf_dir):
+        rows = QUERIES["ext_quality_score"](spark, sf_dir).collect()
+        # rounded score and keep flag must agree up to rounding width
+        for r in rows:
+            if r["keep"]:
+                assert r["quality_score"] >= 1.5 - 5e-5
+            else:
+                assert r["quality_score"] < 1.5 + 5e-5
+        assert 0 < sum(r["keep"] for r in rows) < len(rows)
+
     def test_chunking_covers_every_token_with_overlap(self, spark, sf_dir):
         """Chunks on a 24-stride with 32-token windows: per doc, chunk
         token counts must sum to n_tokens + 8·(n_chunks − 1) (every
