@@ -85,3 +85,39 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_join_has_single_exchange(spark, sf_dir):
+    """The blocked-GEMM kNN join must shuffle exactly once (the
+    per-vector top-k window) — the score computation itself is
+    mapInPandas over the probe scan, never a join or cartesian."""
+    plan = _plan(QUERIES["ext_sim_knn_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curation_pipeline_shuffles_only_twice(spark, sf_dir):
+    """normalize/filter/split are narrow; only the dedup groupBy and
+    the final (split, lang) aggregate may shuffle."""
+    plan = _plan(QUERIES["ext_curation_pipeline"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_cross_source_election_is_one_aggregate(spark, sf_dir):
+    """Survivor election must be a single groupBy (min-struct), not a
+    window + self-join. Two exchanges, not one: COUNT(DISTINCT source)
+    alongside other aggregates expands to Spark's two-phase distinct
+    plan ((norm, source) partial, then norm) — the correct distributed
+    shape for mixed distinct aggregation."""
+    plan = _plan(QUERIES["ext_dedup_cross_source"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_quality_score_is_scan_projection_only(spark, sf_dir):
+    """Featurize+score+threshold is one narrow projection: no
+    exchange, no join, no aggregate."""
+    plan = _plan(QUERIES["ext_quality_score"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
