@@ -1,0 +1,42 @@
+"""The engine-portability contract of registry.poly_hash/opoly: Spark
+and DuckDB must produce bitwise-identical hashes for arbitrary ASCII
+content — every oracle-checked dedup/fingerprint key rests on this.
+
+One batched differential (seeded corpus, single Spark job + single
+DuckDB query), not per-example round trips."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.registry import opoly, poly_hash
+
+
+def _corpus() -> list[str]:
+    rng = random.Random(20260813)
+    alphabet = string.ascii_letters + string.digits + " .,!?-_'"
+    docs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 300)))
+        for _ in range(200)
+    ]
+    # adversarial edges: empty, single char, spaces only, repeats
+    docs += ["", "a", "   ", "z" * 500, "ab " * 100]
+    return docs
+
+
+def test_poly_hash_matches_duckdb_bitwise(spark):
+    docs = _corpus()
+    sdf = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, s string")
+    got = {
+        r["i"]: r["h"]
+        for r in sdf.select("i", poly_hash(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    want = dict(con.execute(f"SELECT i, {opoly('s')} FROM t").fetchall())
+    assert got == want
