@@ -42,6 +42,7 @@ DRIVER_ORDER = [
     "ext_curation_pipeline", "ext_sim_knn_join",
     "ext_doc_chunking", "ext_vocab_coverage",
     "ext_quality_score", "ext_dedup_cross_source",
+    "win_ntile",
     "ext_contamination_check",
     "ext_repetition_filter", "ext_embedding_quantize", "sort_limit_topk",
     "fn_hash", "ext_pii_redact", "ext_text_normalize",

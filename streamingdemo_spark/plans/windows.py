@@ -299,3 +299,28 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: account-balance quartiles per market segment —
+    the percentile-bucket assignment (cohorting, tier pricing) the
+    distribution functions (win_dist) don't directly give. Integer
+    output, so exactly comparable across engines."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
