@@ -162,3 +162,30 @@ def kafka_sink(
     )
     query.awaitTermination(params.get("timeout_sec", 0))
     return {}
+
+
+@register("query")
+def query_op(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Registry-query operator: runs any registered query key as a DAG
+    node, making the whole declared surface (relational, streaming,
+    LLM-pipeline extensions) available to pipeline specs — the
+    container's equivalent of the reference dispatching a mainClass by
+    name from its registry (``OpContainerTest.java:124-145``), but
+    against the in-process query registry instead of Class.forName.
+    params: key (registry query key), sf_dir (fixture directory).
+
+    Takes no inputs by design: registry queries load their own tables
+    (that is their driver contract); compose them with downstream
+    filter/sql/sink operators via the returned port.
+    """
+    from streamingdemo_spark.registry import QUERIES
+
+    key = params["key"]
+    if key not in QUERIES:
+        raise KeyError(
+            f"unknown query key {key!r}; known keys come from "
+            "streamingdemo_spark.registry.QUERIES"
+        )
+    return {"out": QUERIES[key](spark, params["sf_dir"])}

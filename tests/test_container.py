@@ -128,6 +128,41 @@ class TestContainer:
         want = [tuple(r) for r in direct.collect()]
         assert got == want and len(got) > 0
 
+    def test_query_operator_exposes_registry_keys(self, spark, sf_dir):
+        """Any registered query key runs as a DAG node, composable with
+        downstream operators (here: filter on the dedup output)."""
+        spec = _spec(
+            {
+                "name": "dedup",
+                "op": "query",
+                "params": {"key": "ext_dedup_exact", "sf_dir": sf_dir},
+            },
+            {
+                "name": "dups",
+                "op": "filter",
+                "params": {"condition": "n_copies >= 2"},
+                "inputs": {"in": "dedup.out"},
+            },
+        )
+        ports = run_pipeline(spark, spec)
+        direct = QUERIES["ext_dedup_exact"](spark, sf_dir).filter(
+            "n_copies >= 2"
+        )
+        assert ports["dups.out"].count() == direct.count() > 0
+
+    def test_query_operator_unknown_key_raises(self, spark, sf_dir):
+        import pytest as _pytest
+
+        spec = _spec(
+            {
+                "name": "bad",
+                "op": "query",
+                "params": {"key": "no_such_key", "sf_dir": sf_dir},
+            }
+        )
+        with _pytest.raises(Exception, match="no_such_key"):
+            run_pipeline(spark, spec)
+
     def test_run_log_records_success(self, spark, sf_dir, tmp_path):
         import json
 
