@@ -49,7 +49,15 @@ def poly_hash(s: Column) -> Column:
     bit-for-bit. The portable convention for every hash that an oracle
     must recompute; production pipelines that don't need cross-engine
     verification swap in ``F.xxhash64`` (one JVM intrinsic instead of a
-    per-char fold) without changing any downstream shape."""
+    per-char fold) without changing any downstream shape.
+
+    Character model: both engines fold per codepoint (Spark ``ascii``
+    and DuckDB ``ascii`` return the codepoint of the char), so the
+    contract holds for all of the Basic Multilingual Plane. Astral
+    codepoints (emoji, U+10000+) are the boundary: Spark's UTF-16
+    ``split('')`` yields surrogate halves where DuckDB yields one
+    codepoint — normalize or strip astral chars before hashing if a
+    corpus contains them (the fixture corpus is ASCII)."""
     return F.aggregate(
         F.split(s, ""),
         F.lit(0).cast("long"),

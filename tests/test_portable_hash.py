@@ -25,6 +25,9 @@ def _corpus() -> list[str]:
     ]
     # adversarial edges: empty, single char, spaces only, repeats
     docs += ["", "a", "   ", "z" * 500, "ab " * 100]
+    # BMP unicode: both engines fold per codepoint (poly_hash docstring
+    # contract) — astral codepoints are excluded by design
+    docs += ["héllo wörld", "日本語のテキスト", "aéb ü ß", "кириллица"]
     return docs
 
 
