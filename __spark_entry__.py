@@ -39,6 +39,10 @@ DRIVER_ORDER = [
     "stream_stream_join",
     "agg_percentile", "agg_collect_sorted", "fn_split_array",
     "fn_map", "ext_text_fingerprint",
+    # round-2 additions, never driver-checked — run before proven keys
+    "ext_ngram_stats", "ext_length_bucket", "ext_chunk_dedup",
+    "ext_doc_shuffle", "agg_median_mode", "subq_lateral",
+    "set_intersect_all",
     "ext_curation_pipeline", "ext_sim_knn_join",
     "ext_doc_chunking", "ext_vocab_coverage",
     "ext_quality_score", "ext_dedup_cross_source",

@@ -5,6 +5,7 @@ documents/embeddings fixtures.
 """
 
 from streamingdemo_spark.extensions import (  # noqa: F401
+    corpus,
     dedup,
     similarity,
     text,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
 from streamingdemo_spark.registry import dsum, osum, query
@@ -421,4 +422,54 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
         )
+    )
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment,
+             ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+      FROM customer GROUP BY c_mktsegment
+    ), cnt AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), md AS (
+      SELECT c_mktsegment, c_nationkey AS mode_nation FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY n DESC, c_nationkey) AS rn
+         FROM cnt)
+      WHERE rn = 1
+    )
+    SELECT med.c_mktsegment, median_bal, mode_nation
+    FROM med JOIN md ON med.c_mktsegment = md.c_mktsegment
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + mode per group. Median is the exact interpolated
+    percentile (both engines average the two middle values — same IEEE
+    double, rounded 6dp per the transcendental convention). Mode is
+    computed explicitly as highest-count-then-smallest-value instead
+    of the built-in ``mode()``, whose tie-breaking is unspecified on
+    both engines — at scale this is the same two-level count+window
+    shape as ``ext_text_tokens``, bounded by group×value cardinality.
+    """
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    med = c.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 6).alias("median_bal")
+    )
+    cnt = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("c_nationkey")
+    )
+    md = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nation"))
+    )
+    return med.join(md, "c_mktsegment").select(
+        "c_mktsegment", "median_bal", "mode_nation"
     )

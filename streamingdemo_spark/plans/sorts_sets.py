@@ -115,3 +115,13 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag difference (multiplicity-preserving EXCEPT ALL)."""
     a, b = _halves(spark, sf_dir)
     return a.exceptAll(b)
+
+
+@query("set_intersect_all", oracle=f"{_A} INTERSECT ALL {_B}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (multiplicity-preserving INTERSECT ALL) —
+    min-of-multiplicities semantics; Spark plans it as a single
+    aggregate + join on the grouping key, same shuffle shape as
+    ``set_intersect``."""
+    a, b = _halves(spark, sf_dir)
+    return a.intersectAll(b)

@@ -100,3 +100,24 @@ def cte_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained WITH clauses: per-nation revenue and its share of total."""
     register_views(spark, sf_dir, ("orders", "customer", "nation"))
     return spark.sql(_CTE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+"""
+
+
+@query("subq_lateral", oracle=_LATERAL_SQL)
+def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation. Catalyst rewrites the lateral limit into a partitioned
+    window (rank ≤ 2 over a single customer shuffle by nationkey) —
+    not a per-nation re-scan — so the plan scales with one shuffle of
+    the probe side regardless of how many nations drive the lateral.
+    """
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
