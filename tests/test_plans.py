@@ -121,3 +121,35 @@ def test_quality_score_is_scan_projection_only(spark, sf_dir):
     plan = _plan(QUERIES["ext_quality_score"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL-with-LIMIT must become a partitioned
+    window with rank pushdown, never a per-outer-row nested loop."""
+    plan = _plan(QUERIES["subq_lateral"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_stats_stays_jvm_side(spark, sf_dir):
+    """Bigram formation is a JVM higher-order function over a
+    materialized token array — no Python eval on the token path."""
+    plan = _plan(QUERIES["ext_ngram_stats"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_chunk_dedup_aggregates_map_side(spark, sf_dir):
+    """Both the chunk-frequency count and the per-doc rollup must get
+    partial (map-side) aggregation before their shuffles."""
+    plan = _plan(QUERIES["ext_chunk_dedup"](spark, sf_dir))
+    assert plan.count("partial_count") >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_length_bucket_is_single_aggregate(spark, sf_dir):
+    """One scan, one integer-keyed aggregate: exactly one shuffle."""
+    plan = _plan(QUERIES["ext_length_bucket"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+    assert "Join" not in plan
