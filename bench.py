@@ -56,6 +56,7 @@ HEADLINE = [
     "stream_tumbling",    # real micro-batched stream
     "ext_dedup_exact",    # hash dedup
     "ext_dedup_minhash",  # MinHash LSH
+    "ext_chunk_dedup",    # sub-document chunk dedup
     "ext_curation_pipeline", # composed curation job
     "ext_sim_cosine_topk",# brute-force ANN baseline
     "ext_sim_knn_join",   # blocked-GEMM kNN graph
