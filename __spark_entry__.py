@@ -42,7 +42,8 @@ DRIVER_ORDER = [
     # round-2 additions, never driver-checked — run before proven keys
     "ext_ngram_stats", "ext_length_bucket", "ext_chunk_dedup",
     "ext_doc_shuffle", "agg_median_mode", "subq_lateral",
-    "set_intersect_all",
+    "set_intersect_all", "ext_embedding_health", "ext_label_balance",
+    "stream_sliding",
     "ext_curation_pipeline", "ext_sim_knn_join",
     "ext_doc_chunking", "ext_vocab_coverage",
     "ext_quality_score", "ext_dedup_cross_source",

@@ -390,3 +390,106 @@ def ext_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
     )
+
+
+_NORM_SQL = """list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      (a, b) -> a + b)"""
+
+
+@query(
+    "ext_embedding_health",
+    oracle=f"""
+    WITH n AS (
+      SELECT label, sqrt({_NORM_SQL}) AS nrm,
+             len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x)))
+               AS bad_elems
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_vecs,
+           CAST(SUM(CASE WHEN bad_elems > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonfinite_vecs,
+           ROUND(AVG(nrm), 4) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def ext_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health check: per-label vector counts, zero
+    vectors, vectors containing NaN/Inf elements, and norm statistics
+    — the screening pass a pipeline runs before trusting an embedding
+    column for dedup/ANN (a zero or non-finite vector silently
+    poisons every cosine it touches).
+
+    Per-row norms are bitwise cross-engine (cast-to-double left fold,
+    same order both engines, IEEE sqrt is correctly rounded); the
+    cross-row AVG is rounded 4dp per the float-stability convention
+    (parallel summation order differs). Single scan + label-sized
+    aggregate: nothing here shuffles vectors, only 8-byte norms.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # NaN ∪ ±Inf — same element set as the oracle's isnan OR NOT isfinite
+    bad = F.size(
+        F.filter(
+            F.col("embedding"),
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+    per_row = emb.select(
+        "label",
+        nrm.alias("nrm"),
+        bad.alias("bad_elems"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("zero_vecs"),
+        F.sum(F.when(F.col("bad_elems") > 0, 1).otherwise(0)).alias(
+            "nonfinite_vecs"
+        ),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@query(
+    "ext_label_balance",
+    oracle="""
+    WITH c AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    )
+    SELECT label, n,
+           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS frac,
+           ROUND(CAST(MAX(n) OVER () AS DOUBLE) / n, 6) AS resample_weight
+    FROM c
+    """,
+)
+def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit + resampling weights: per-label share of
+    the corpus and the upsampling factor that would equalize classes
+    (max-count / count). The planning query behind balanced training
+    mixes; integer counts make every ratio a single exact IEEE
+    division. The global window runs over label-cardinality rows
+    (tiny), not the corpus — scale cost is one label-keyed aggregate.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return c.select(
+        "label",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias(
+            "frac"
+        ),
+        F.round(F.max("n").over(w).cast("double") / F.col("n"), 6).alias(
+            "resample_weight"
+        ),
+    )

@@ -94,6 +94,30 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+           COUNT(*) AS n, {osum("value", 4)} AS val_sum
+    FROM events, generate_series(CAST(0 AS BIGINT), CAST(3 AS BIGINT)) AS g(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1 h / 15 min windows as a real stream (complete mode):
+    every event updates 4 overlapping window states per micro-batch.
+    Same stream/batch unification check as ``stream_tumbling`` — after
+    the deterministic replay the memory table must equal the batch
+    sliding aggregate (``win_time_sliding``'s oracle, verbatim)."""
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("val_sum"))
+        .select(F.col("w.start").alias("ws"), "n", "val_sum")
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@query(
     "stream_session",
     oracle=f"""
     WITH gaps AS (
