@@ -323,3 +323,47 @@ class TestReferenceXML:
         out = ports["addField.out"]
         assert "value_bucket" in out.columns
         assert out.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+class TestExampleSpecs:
+    """The shipped example specs must stay runnable and correct."""
+
+    def _run_example(self, spark, sf_dir, fname):
+        import os
+
+        from streamingdemo_spark.operators.spec_io import (
+            load_reference_xml,
+            load_spec,
+        )
+
+        path = os.path.join(os.path.dirname(__file__), "..", "examples", fname)
+        spec = (
+            load_reference_xml(path)
+            if fname.endswith(".xml")
+            else load_spec(path)
+        )
+
+        def sub(node):
+            if isinstance(node, str):
+                return node.replace("{sf_dir}", sf_dir)
+            if isinstance(node, dict):
+                return {k: sub(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [sub(v) for v in node]
+            return node
+
+        return run_pipeline(spark, sub(spec))
+
+    def test_xml_example_equals_flagship(self, spark, sf_dir):
+        """A pipeline authored in the reference's XML format reproduces
+        the flagship query — drop-in parity for reference users."""
+        ports = self._run_example(spark, sf_dir, "flagship_q3.xml")
+        got = [tuple(r) for r in ports["top.out"].collect()]
+        want = [tuple(r) for r in QUERIES["flagship_q3"](spark, sf_dir).collect()]
+        assert got == want and len(got) == 10
+
+    def test_yaml_example_runs(self, spark, sf_dir):
+        ports = self._run_example(spark, sf_dir, "curation_pipeline.yaml")
+        rows = ports["report.out"].collect()
+        assert len(rows) > 0
+        assert {"source", "n_docs", "total_tokens"} == set(rows[0].asDict())
