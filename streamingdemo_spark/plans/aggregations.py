@@ -473,3 +473,58 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(md, "c_mktsegment").select(
         "c_mktsegment", "median_bal", "mode_nation"
     )
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_linestatus,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {osum("l_quantity", 0)} AS sx,
+             {osum("l_extendedprice", 2)} AS sy,
+             {osum("l_quantity * l_quantity", 0)} AS sxx,
+             {osum("l_extendedprice * l_extendedprice", 4)} AS syy,
+             {osum("l_quantity * l_extendedprice", 2)} AS sxy
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus,
+           ROUND((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price
+    FROM s
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + sample covariance of quantity vs price per line
+    status, computed from decimal-exact component sums (Σx, Σy, Σx²,
+    Σy², Σxy — all fixed-point, so decimal addition is associative and
+    shuffle-order-independent) with the closing formula evaluated in
+    the same double expression order on both engines. The built-in
+    ``F.corr``/``F.covar_samp`` are one-liners but accumulate in
+    floating point, so their last ulp depends on partitioning — this
+    shape is the value-hashable (and at 100 TB, deterministic-rerun)
+    variant, still a single map-side-combined aggregate pass.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, 0).alias("sx"),
+        dsum(y, 2).alias("sy"),
+        dsum(x * x, 0).alias("sxx"),
+        dsum(y * y, 4).alias("syy"),
+        dsum(x * y, 2).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_linestatus",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
+    )
