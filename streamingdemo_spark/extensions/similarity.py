@@ -95,15 +95,24 @@ def _bucket_udf(n_tables: int, n_planes: int):
     """All-tables random-hyperplane sketch as ONE Arrow-batched matrix
     multiply: returns array<int> of bucket ids, one per table.
 
-    Plane weights are deterministic (weight[d] = sin(d + offset),
-    offset = (table*n_planes + plane)*64 — the same formula the
-    original per-plane Catalyst expression used). The expression form
-    (aggregate over zip_with per plane) is interpreted per row —
-    higher-order functions don't enter whole-stage codegen — so sketch
-    cost grew as planes × dims × rows and dominated the corpus scan at
-    scale (SCALE.md: 2-4× slower than brute force on 200k vectors).
-    One numpy matmul per Arrow batch computes every plane of every
-    table at once.
+    The sketch is integer-exact end-to-end so a DuckDB oracle can
+    replay it bit-for-bit: vectors are quantized to int64 milli-units
+    (``floor(x*1000 + 0.5)`` on the double value — identical in
+    both engines), plane weights are an arithmetic PRNG (Knuth
+    multiplicative hash of the flat plane·dim index mapped to
+    [-1000, 1000]), and the projection is an int64 dot product —
+    integer addition is associative, so the sign cannot flip with
+    summation order the way a float matmul's last ulp can. (The
+    earlier float sketch used libm ``sin`` weights: fast, but JVM and
+    libm transcendentals disagree in the last ulp for some arguments,
+    which makes the bucket assignment engine-specific.)
+
+    The expression form (aggregate over zip_with per plane) is
+    interpreted per row — higher-order functions don't enter
+    whole-stage codegen — so sketch cost grew as planes × dims × rows
+    and dominated the corpus scan at scale (SCALE.md: 2-4× slower
+    than brute force on 200k vectors). One numpy matmul per Arrow
+    batch computes every plane of every table at once.
     """
     import numpy as np
     import pandas as pd
@@ -116,20 +125,69 @@ def _bucket_udf(n_tables: int, n_planes: int):
     def buckets(emb):
         e = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dims)
         dims = e.shape[1]
-        offsets = (np.arange(n_tables * n_planes) * 64)[:, None]  # (T*P, 1)
-        w = np.sin(np.arange(dims)[None, :] + offsets)  # (T*P, dims)
-        signs = (e @ w.T >= 0).reshape(len(e), n_tables, n_planes)
+        q = np.floor(e * 1000.0 + 0.5).astype(np.int64)  # milli-quantized
+        k = (
+            np.arange(n_tables * n_planes, dtype=np.int64)[:, None] * dims
+            + np.arange(dims, dtype=np.int64)[None, :]
+        )  # flat plane·dim index, (T*P, dims)
+        w = ((k + 1) * 2654435761) % 4294967296 % 2001 - 1000
+        signs = (q @ w.T >= 0).reshape(len(q), n_tables, n_planes)
         ids = (signs * (1 << np.arange(n_planes))).sum(axis=2)  # (batch, T)
         return pd.Series([row.astype("int32").tolist() for row in ids])
 
     return buckets
 
 
-@query("ext_sim_ann_lsh")  # rows-only: approximate retrieval
+_ANN_LSH_ORACLE = """
+    WITH params AS (
+      SELECT GREATEST(6, length(bin(COUNT(*) // 64 + 1))) AS np
+      FROM embeddings
+    ), vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), sk AS (
+      SELECT vec_id, emb, t.tbl,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, params.np), p ->
+            CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, len(qv) + 1), i ->
+                  qv[i] * ((((t.tbl * params.np + p) * 64 + i)
+                            * 2654435761) % 4294967296 % 2001 - 1000))),
+              (a, b) -> a + b) >= 0
+            THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+          (a, b) -> a + b) AS bucket
+      FROM vecs, (SELECT unnest(range(0, 4)) AS tbl) t, params
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id,
+             q.emb AS q_emb, c.emb AS emb
+      FROM sk q JOIN sk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT q_id, vec_id,
+             ROUND(list_cosine_similarity(emb, q_emb), 4) AS cosine
+      FROM cand
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ext_sim_ann_lsh", oracle=_ANN_LSH_ORACLE)
 def ext_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: L sign-LSH tables generate candidates (bucket equality in
     any table), exact cosine re-ranks them. Recall < 1 by construction;
-    the test measures recall against the exact top-k.
+    the test measures recall against the exact top-k — AND the whole
+    pipeline is oracle-checked: the integer-exact sketch
+    (:func:`_bucket_udf`) means DuckDB replays sketching, bucket
+    candidate generation, and re-ranking value-for-value, so "the
+    approximation itself" is deterministic and engine-portable, not
+    just statistically characterized.
 
     100 TB: corpus sketches are computed once per table and shuffled on
     (table, bucket) — candidate generation never touches raw pairs.
@@ -142,12 +200,13 @@ def ext_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 200k-vector corpus, SCALE.md). Width is chosen from the parquet
     row count (a metadata-only read) targeting ~64 vectors per bucket.
     """
-    import math
-
     n_tables = 4
     corpus, queries = _corpus_and_queries(spark, sf_dir)
     n_corpus = corpus.count()  # parquet metadata count — no data scan
-    n_planes = max(6, math.ceil(math.log2(max(n_corpus, 1) / 64 + 1)))
+    # bit-length, not ceil(log2(..)): pure integer arithmetic that the
+    # oracle reproduces as length(bin(n // 64 + 1)) — no libm log whose
+    # last ulp could flip the width at exact powers of two
+    n_planes = max(6, (n_corpus // 64 + 1).bit_length())
     sketch = _bucket_udf(n_tables, n_planes)
     c_buckets = corpus.select(
         "vec_id",
