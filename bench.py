@@ -59,6 +59,7 @@ HEADLINE = [
     "ext_chunk_dedup",    # sub-document chunk dedup
     "ext_curation_pipeline", # composed curation job
     "ext_sim_cosine_topk",# brute-force ANN baseline
+    "ext_sim_ann_lsh",    # bucketed ANN scale path (oracle-checked)
     "ext_sim_knn_join",   # blocked-GEMM kNN graph
     "ext_text_tfidf",     # token explode + joins
     "ext_text_quality",   # scan-pass quality metrics
