@@ -233,3 +233,188 @@ def ext_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("shuffle_key") % 8).alias("shard"),
         F.row_number().over(w).alias("pos"),
     )
+
+
+_MUTANT_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_filter(string_split(text, ' '),
+                             (t, i) -> i % 25 <> 0), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@query(
+    "ext_dedup_containment",
+    oracle=f"""
+    WITH all_docs AS ({_MUTANT_DOCS_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(parts[CAST(g.i AS INT):CAST(g.i + 7 AS INT)],
+                             ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM all_docs),
+           UNNEST(generate_series(1, greatest(len(parts) - 7, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_inter,
+           ROUND(greatest(n_inter / CAST(sa.n_sh AS DOUBLE),
+                          n_inter / CAST(sb.n_sh AS DOUBLE)), 4)
+             AS containment
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(n_inter / CAST(sa.n_sh AS DOUBLE),
+                   n_inter / CAST(sb.n_sh AS DOUBLE)) >= 0.5
+    """,
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where one document's
+    8-token shingle set is mostly inside the other's
+    (max-directional containment ≥ 0.5) — the subset/quote-heavy case
+    that symmetric Jaccard under-scores (a short doc fully contained
+    in a long one has low Jaccard but containment ≈ 1). Runs over the
+    mutant-augmented corpus shared with the other dedup keys.
+
+    Scale shape: candidate pairs come from a self-join on shared
+    shingles with a document-frequency cap (shingles in > 20 docs are
+    boilerplate, non-discriminative, and the quadratic danger — same
+    skew-guard role as the MinHash bucket cap). Intersection counts
+    are computed on the capped shingles only, so the containment is a
+    lower bound — exactly reproduced by the oracle, and the standard
+    trade in blocked containment scans. At 100 TB, shingle strings
+    become 8-byte hashes (``ext_dedup_exact``'s convention).
+    """
+    from streamingdemo_spark.extensions.dedup import _docs_with_mutants
+
+    toks = F.col("toks")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        )
+    )
+    sh = (
+        _docs_with_mutants(spark, sf_dir)
+        # toks materialized before the shingle lambda slices it
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    ).cache()  # feeds sizes, the df-cap, and both join sides
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 20)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle")
+    pairs = (
+        capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    containment = F.greatest(
+        F.col("n_inter") / F.col("n_a").cast("double"),
+        F.col("n_inter") / F.col("n_b").cast("double"),
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # threshold on the UNROUNDED value: exact integer-derived
+        # division, identical doubles on both engines
+        .filter(containment >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(containment, 4).alias("containment"),
+        )
+    )
+
+
+@query(
+    "ext_quality_prune",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             2.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+             - (CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to',
+                                        'in','is','on','for','it'], t)))
+                     AS DOUBLE)
+                / len(string_split(text, ' ')))
+             + least(len(string_split(text, ' ')), 100) / 100.0 AS score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, score,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id ASC) AS pr
+      FROM f
+    )
+    SELECT doc_id, source, ROUND(score, 4) AS quality_score,
+           ROUND(pr, 6) AS pctl
+    FROM ranked WHERE pr <= 0.5
+    """,
+)
+def ext_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile pruning: keep each source's top
+    half by quality score (the ``ext_quality_score`` linear model —
+    same weights, cross-referenced there). Percentile quotas per
+    domain are how curation pipelines prune without letting one huge
+    low-quality source swamp a global threshold, and the complement
+    of ``ext_train_mix``'s fixed-ratio sampling.
+
+    ``percent_rank`` over (score DESC, doc_id ASC) is tie-free, so
+    pr = k/(n-1) is an exact integer-derived double on both engines —
+    the 50% cut compares unrounded values safely. One shuffle by
+    source; at scale each source partition sorts independently
+    (and a skewed mega-source salts exactly like ``agg_skew_salted``).
+    """
+    from streamingdemo_spark.extensions.text import STOPWORDS
+
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    score = (
+        F.lit(2.0) * ttr - stop_ratio + F.least(n_tok, F.lit(100)) / F.lit(100.0)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", score.alias("score"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select(
+            "doc_id",
+            "source",
+            F.round("score", 4).alias("quality_score"),
+            F.round("pr", 6).alias("pctl"),
+        )
+    )
