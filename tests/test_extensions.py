@@ -43,6 +43,21 @@ class TestDedup:
         )
         assert planted > 0
 
+    def test_containment_recovers_planted_mutants(self, spark, sf_dir):
+        """A mutant keeps ~24/25 of its source's shingles, so the
+        planted (doc, doc+offset) pairs must clear the 0.5 containment
+        cut for most eligible docs (the df-cap can drop a few whose
+        shingles are all common)."""
+        planted, _ = _planted_recall(
+            QUERIES["ext_dedup_containment"](spark, sf_dir), "doc_a", "doc_b"
+        )
+        n_mutants = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 5 == 0)
+            .count()
+        )
+        assert planted / n_mutants > 0.6
+
     def test_ngram_jaccard_recovers_planted_mutants(self, spark, sf_dir):
         planted, _ = _planted_recall(
             QUERIES["ext_dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b"
