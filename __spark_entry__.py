@@ -44,7 +44,7 @@ DRIVER_ORDER = [
     "ext_doc_shuffle", "agg_median_mode", "subq_lateral",
     "set_intersect_all", "ext_embedding_health", "ext_label_balance",
     "stream_sliding", "agg_corr", "ext_dedup_containment",
-    "ext_quality_prune",
+    "ext_quality_prune", "join_fuzzy",
     "ext_curation_pipeline", "ext_sim_knn_join",
     "ext_doc_chunking", "ext_vocab_coverage",
     "ext_quality_score", "ext_dedup_cross_source",

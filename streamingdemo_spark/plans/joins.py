@@ -348,3 +348,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "ts", "user_id", "last_click_ts")
     )
+
+
+@query(
+    "join_fuzzy",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+           levenshtein(a.p_brand, c.p_brand) AS dist
+    FROM b a, b c
+    WHERE a.p_brand < c.p_brand
+      AND levenshtein(a.p_brand, c.p_brand) <= 1
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) join: brand labels within Levenshtein
+    distance 1 of each other — the catalog-reconciliation /
+    entity-matching shape ("Brand#1" vs "Brand#13"). Levenshtein is
+    the classic integer DP, identical on both engines, so the fuzzy
+    predicate itself is oracle-exact.
+
+    The deduplicated label set is tiny relative to the fact table —
+    the correct shape is distinct-then-broadcast-cross over labels,
+    never a fuzzy predicate on the raw table join. At 100 TB label
+    sets that outgrow a broadcast get blocked first (length bucket +
+    first-q-gram equi-keys) so the quadratic term is per-block, same
+    skew discipline as the LSH bucket cap.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    b = p.select("p_brand").distinct()
+    a = b.select(F.col("p_brand").alias("brand_a"))
+    c = b.select(F.col("p_brand").alias("brand_b"))
+    dist = F.levenshtein("brand_a", "brand_b")
+    return (
+        a.crossJoin(F.broadcast(c))
+        .filter((F.col("brand_a") < F.col("brand_b")) & (dist <= 1))
+        .select("brand_a", "brand_b", dist.alias("dist"))
+    )
