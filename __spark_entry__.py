@@ -11,6 +11,8 @@ plans/streaming/extensions packages populates it.
 
 from __future__ import annotations
 
+import json
+import pathlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,18 +30,58 @@ except ImportError:
 
 from streamingdemo_spark.registry import ORACLES, QUERIES
 
-# Driver check order. The round-1 verify budget ran out after 50 keys
-# (registration order), leaving 77 keys without a hard-signal row, so
-# the dict is returned in an explicit priority order instead: the two
-# round-1 FAILs first (now fixed), then the three latent same-bug keys,
-# then every not-yet-checked key cheapest-first (measured wall at
-# sf0.01), and the 48 already-proven keys last. Whatever budget exists
-# covers new ground before re-proving old ground.
-DRIVER_ORDER = [
-    "stream_stream_join",
-    "agg_percentile", "agg_collect_sorted", "fn_split_array",
-    "fn_map", "ext_text_fingerprint",
-    # round-2 additions, never driver-checked — run before proven keys
+# Driver check order. The driver's verify budget (~50 keys/round) runs
+# keys in the order queries() yields them, so the order decides which
+# keys earn a hard CORRECTNESS row. Rounds 1-2 used a hand-maintained
+# list that went stale the moment a round completed (its front 50 were
+# then all proven). DRIVER_ORDER is now DERIVED at import time:
+# _PRIORITY fixes the relative importance of every key, and the
+# CORRECTNESS_r*.json artifacts next to this file partition it into
+# [never-proven keys, in priority order] + [proven keys] — so each
+# round's budget always covers new ground first, automatically.
+#
+# A key counts as proven only from a green row: hash_match true, or a
+# clean rows-only run for keys whose SURVEY contract has no oracle
+# (err == "no_oracle"). FAILed/errored rows leave the key unproven so
+# the fixed version re-runs at the front of the next round.
+_REPO = pathlib.Path(__file__).resolve().parent
+
+# Relative priority, most-important first. Front block: the SURVEY §2
+# keys without a driver row after round 2 (batch window/sort/set/fn/
+# subq/cte, the udf quartet, the LLM-pipeline SURVEY keys, then the
+# E-layer stream block — the reference's core identity), then the
+# remaining never-checked extras, rows-only smokes last (weakest
+# signal). Back block: everything proven in r1/r2, cheapest-first.
+_PRIORITY = [
+    # -- SURVEY §2 batch keys, never driver-checked after r2
+    "win_moving", "win_range_frame", "win_first_last", "win_topk_group",
+    "sort_multi", "set_union_distinct", "set_intersect", "set_except",
+    "fn_string", "fn_math", "subq_in", "subq_exists_corr", "cte_with",
+    # -- udf surface (SURVEY §2 D-layer)
+    "udf_scalar_py", "udf_pandas_scalar", "udaf_pandas_agg",
+    "udtf_apply_in_pandas",
+    # -- LLM-pipeline SURVEY keys
+    "ext_dedup_exact", "ext_dedup_minhash", "ext_sim_cosine_topk",
+    "ext_text_tokens", "ext_text_stats", "ext_text_tfidf",
+    "ext_multimodal_struct",
+    # -- E-layer stream block (OpContainer's identity)
+    "win_time_tumbling", "win_time_sliding", "stream_tumbling",
+    "stream_session", "stream_watermark_late", "stream_dedup",
+    "stream_stream_static_join", "stream_stateful_custom",
+    "stream_foreach_batch",
+    # -- remaining never-checked extras
+    "win_dist", "win_sessionize", "set_except_all", "fn_array_hof",
+    "snk_merge_upsert", "snk_partitioned_write", "join_dpp",
+    "join_bucketed", "ext_seq_pack", "ext_sample_stratified",
+    "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
+    "ext_dedup_embedding", "ext_dedup_cluster", "ext_sim_ann_lsh",
+    "ext_text_langid", "ext_multimodal_decode",
+    "ext_multimodal_framesample",
+    # -- rows-only smokes (no oracle possible; weakest driver signal)
+    "ext_sim_ivf_topk", "stream_kafka_smoke", "stream_rate_smoke",
+    # -- proven in r1/r2 (green rows), cheapest-first
+    "stream_stream_join", "agg_percentile", "agg_collect_sorted",
+    "fn_split_array", "fn_map", "ext_text_fingerprint",
     "ext_ngram_stats", "ext_length_bucket", "ext_chunk_dedup",
     "ext_doc_shuffle", "agg_median_mode", "subq_lateral",
     "set_intersect_all", "ext_embedding_health", "ext_label_balance",
@@ -48,8 +90,7 @@ DRIVER_ORDER = [
     "ext_curation_pipeline", "ext_sim_knn_join",
     "ext_doc_chunking", "ext_vocab_coverage",
     "ext_quality_score", "ext_dedup_cross_source",
-    "win_ntile",
-    "ext_contamination_check",
+    "win_ntile", "ext_contamination_check",
     "ext_repetition_filter", "ext_embedding_quantize", "sort_limit_topk",
     "fn_hash", "ext_pii_redact", "ext_text_normalize",
     "set_union_all", "fn_explode", "fn_posexplode",
@@ -57,25 +98,7 @@ DRIVER_ORDER = [
     "ext_token_count", "ext_train_mix", "fn_date",
     "fn_cast", "fn_bitwise", "subq_scalar",
     "fn_regex", "fn_cond", "fn_json",
-    "ext_text_quality", "win_first_last", "ext_seq_pack",
-    "sort_multi", "subq_exists_corr", "win_time_tumbling",
-    "win_dist", "subq_in", "set_except",
-    "fn_array_hof", "fn_math", "ext_text_tokens",
-    "win_topk_group", "ext_text_stats", "udtf_apply_in_pandas",
-    "snk_merge_upsert", "udaf_pandas_agg", "set_intersect",
-    "ext_dedup_exact", "ext_multimodal_struct", "win_moving",
-    "win_range_frame", "set_except_all", "ext_sim_cosine_topk",
-    "win_time_sliding", "ext_sample_stratified", "stream_kafka_smoke",
-    "win_sessionize", "set_union_distinct", "udf_pandas_scalar",
-    "ext_multimodal_framesample", "cte_with", "ext_dedup_ngram_jaccard",
-    "ext_text_tfidf", "ext_multimodal_decode", "ext_text_langid",
-    "join_dpp", "udf_scalar_py", "snk_partitioned_write",
-    "ext_dedup_embedding", "fn_string", "join_bucketed",
-    "stream_stream_static_join", "stream_foreach_batch", "ext_dedup_minhash",
-    "stream_dedup", "ext_sim_ann_lsh", "ext_dedup_simhash",
-    "stream_rate_smoke", "stream_stateful_custom", "stream_tumbling",
-    "stream_session", "ext_sim_ivf_topk", "stream_watermark_late",
-    "ext_dedup_cluster", "proj_select", "proj_rename_drop",
+    "ext_text_quality", "proj_select", "proj_rename_drop",
     "flt_in_between_like", "flt_compare", "flt_null",
     "dedup_distinct", "agg_histogram", "join_cross",
     "agg_having", "agg_conditional", "join_anti",
@@ -93,6 +116,41 @@ DRIVER_ORDER = [
     "snk_ctas", "join_theta_range", "snk_parquet_write",
     "flagship_q3",
 ]
+
+
+def driver_proven() -> frozenset[str]:
+    """Keys with a green hard-signal row in any CORRECTNESS_r*.json.
+
+    Green = hash_match is true, or the row ran clean under the
+    rows-only contract (err == "no_oracle"). A FAIL/error row does NOT
+    prove a key — the (presumably fixed) key re-runs next round.
+    """
+    proven: set[str] = set()
+    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                proven.add(key)
+    return frozenset(proven)
+
+
+def _derive_order() -> list[str]:
+    proven = driver_proven()
+    fresh = [k for k in _PRIORITY if k not in proven]
+    old = [k for k in _PRIORITY if k in proven]
+    # Registry keys missing from _PRIORITY (just-added ops) are by
+    # definition never-checked: they run right after the known fresh
+    # block, before anything proven.
+    extra = [k for k in QUERIES if k not in set(_PRIORITY)]
+    return fresh + extra + old
+
+
+DRIVER_ORDER = _derive_order()
 
 
 def _ordered(mapping: dict) -> dict:

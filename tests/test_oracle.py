@@ -41,13 +41,15 @@ def test_entry_exports_cover_registry():
 
 
 def test_driver_order_in_sync_with_registry():
-    """DRIVER_ORDER must name every registered key exactly once, and the
-    priority keys (round-1 FAILs + latent array-output keys) lead."""
+    """DRIVER_ORDER must name every registered key exactly once, and
+    every never-driver-proven key must come before every proven key
+    (derived from the CORRECTNESS_r*.json artifacts, so the order can
+    never go stale after a driver round)."""
     assert sorted(entrymod.DRIVER_ORDER) == sorted(QUERIES)
     assert len(set(entrymod.DRIVER_ORDER)) == len(entrymod.DRIVER_ORDER)
-    assert entrymod.DRIVER_ORDER[:6] == [
-        "stream_stream_join",
-        "agg_percentile", "agg_collect_sorted", "fn_split_array",
-        "fn_map", "ext_text_fingerprint",
-    ]
+    proven = entrymod.driver_proven()
+    flags = [k in proven for k in entrymod.DRIVER_ORDER]
+    n_fresh = flags.count(False)
+    assert not any(flags[:n_fresh]), "a proven key precedes a fresh key"
+    assert all(flags[n_fresh:]), "a fresh key trails a proven key"
     assert list(entrymod.queries()) == entrymod.DRIVER_ORDER
