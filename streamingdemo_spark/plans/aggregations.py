@@ -362,11 +362,15 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     phase1 = salted.groupBy("part_group", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("psum"),
+        # partials in integer cents: associative, so the two-phase
+        # merge is exact and shuffle-order-independent (see dsum)
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias(
+            "pcents"
+        ),
     )
     return phase1.groupBy("part_group").agg(
         F.sum("pn").alias("n"),
-        F.sum("psum").cast("double").alias("revenue"),
+        (F.sum("pcents").cast("double") / F.lit(100.0)).alias("revenue"),
     )
 
 
