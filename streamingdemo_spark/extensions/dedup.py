@@ -644,10 +644,9 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_oracle() -> str:
     """DuckDB replay of the near-dup clustering: the MinHash oracle
     (now fully portable) feeds a recursive-CTE transitive closure whose
-    per-node minimum reachable id IS the converged min-label — it
-    equals Spark's fixed-2-round pointer-doubling result whenever the
-    pair graph's components are within the rounds' reach (diameter ≤ 6;
-    dedup graphs are star-shaped, diameter ~2)."""
+    per-node minimum reachable id IS the converged min-label — Spark's
+    pointer-doubling loop now runs to a probed fixpoint, so the two
+    always agree regardless of component diameter."""
     return f"""
     WITH RECURSIVE
     pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
@@ -670,42 +669,44 @@ def _cluster_oracle() -> str:
     """
 
 
-@query("ext_dedup_cluster", oracle=_cluster_oracle())
-def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over the MinHash
-    candidate-pair graph, so each duplicate *group* (not just pair)
-    elects one canonical doc (the min doc_id in its component).
+def min_label_components(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Connected components of an undirected edge list
+    ``(doc_a, doc_b)`` via min-label propagation with pointer doubling:
+    each round (a) labels flow one hop across edges and every node
+    keeps the minimum label seen, then (b) a pointer jump replaces each
+    label with its label's label, doubling the effective hop distance —
+    reach grows ~2× per round, so ``max_rounds`` rounds cover
+    components of diameter ~2^max_rounds.
 
-    Algorithm: min-label propagation with pointer doubling — every doc
-    starts labeled with itself; each round (a) labels flow one hop
-    across pair edges and each doc keeps the minimum seen, then (b) a
-    pointer jump replaces each label with its label's label, doubling
-    the effective hop distance. Two rounds cover components of
-    diameter 6 (hops reach 1→2, 3→6) — dedup pair graphs are
-    star-shaped (every near-dup pairs with its source, diameter ~2),
-    so the round count is FIXED and there is no per-round convergence
-    probe. Each round ends in an
-    eager ``localCheckpoint``: iterative self-referencing plans double
-    in size per round without lineage truncation (the no-checkpoint
-    variant planned 2^rounds copies of the MinHash subtree and ran
-    ~60× slower), and a checkpoint per round keeps every round a
-    constant number of shuffles on the edge list — the standard
-    large-scale connected-components shape, no driver-side graph. On a
-    cluster use ``checkpoint()`` to HDFS for fault tolerance instead.
+    The loop runs UNTIL A FIXPOINT: after each round a changed-label
+    probe (anti-equality join against the previous round's labels,
+    ``limit(1)``) decides whether another round is needed. Fixed round
+    counts silently under-merge chain-shaped components (A≈B≈C≈…
+    trains, common in crawl near-dup graphs) the moment the diameter
+    exceeds their reach; probing costs one cheap job per round on the
+    already-checkpointed label table and converts that silent
+    mislabeling into either a correct result or a loud error. If the
+    probe still sees changes after ``max_rounds`` (diameter beyond
+    ~2^max_rounds — structurally implausible for a dedup graph), raises
+    RuntimeError rather than returning under-merged components.
 
-    Output: (doc_id, canonical_id, cluster_size) for docs in
-    components of size >= 2.
+    Each round ends in an eager ``localCheckpoint``: iterative
+    self-referencing plans double in size per round without lineage
+    truncation (the no-checkpoint variant planned 2^rounds copies of
+    the upstream subtree and ran ~60× slower), and a checkpoint per
+    round keeps every round a constant number of shuffles on the edge
+    list — the standard large-scale connected-components shape, no
+    driver-side graph. On a cluster use ``checkpoint()`` to HDFS for
+    fault tolerance instead.
+
+    Returns (doc_id, label) with label = component minimum.
     """
-    pairs = ext_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").cache()
-    # undirected edge list
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).cache()
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id"))
-    for _ in range(2):
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        prev = labels
         # (a) one-hop neighbor minimum
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -731,6 +732,44 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.least("label", "j_label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        changed = (
+            labels.alias("cur")
+            .join(prev.alias("prv"), "doc_id")
+            .filter(F.col("cur.label") != F.col("prv.label"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min_label_components did not converge in {max_rounds} rounds "
+        f"(component diameter beyond ~2^{max_rounds}); raise max_rounds"
+    )
+
+
+@query("ext_dedup_cluster", oracle=_cluster_oracle())
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash
+    candidate-pair graph, so each duplicate *group* (not just pair)
+    elects one canonical doc (the min doc_id in its component).
+
+    Components come from :func:`min_label_components` — min-label
+    propagation with pointer doubling, looped to a probed fixpoint
+    (dedup graphs are usually star-shaped and converge in 2 rounds;
+    chain-shaped trains now converge too instead of silently
+    splitting).
+
+    Output: (doc_id, canonical_id, cluster_size) for docs in
+    components of size >= 2.
+    """
+    pairs = ext_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # undirected edge list
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = min_label_components(edges)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")

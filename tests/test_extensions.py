@@ -216,6 +216,34 @@ class TestPipelineOps:
         # canonical must be the component minimum: never larger than member
         assert all(r["canonical_id"] <= r["doc_id"] for r in out)
 
+    def test_cluster_merges_chain_beyond_fixed_rounds(self, spark, sf_dir):
+        """A 10-node chain (0-1, 1-2, …, 8-9; diameter 9) exceeds the
+        reach of the old fixed 2-round pointer-doubling (diameter ≤ 6),
+        which silently split it; the probed-fixpoint loop must merge it
+        into one component labeled by the minimum node."""
+        from streamingdemo_spark.extensions.dedup import min_label_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)] + [(i + 1, i) for i in range(9)],
+            "doc_a long, doc_b long",
+        )
+        labels = {r["doc_id"]: r["label"] for r in min_label_components(chain).collect()}
+        assert labels == {i: 0 for i in range(10)}
+
+    def test_cluster_raises_when_rounds_exhausted(self, spark, sf_dir):
+        """With max_rounds too low for the diameter, the loop must fail
+        loudly instead of returning under-merged components."""
+        import pytest as _pytest
+
+        from streamingdemo_spark.extensions.dedup import min_label_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)] + [(i + 1, i) for i in range(9)],
+            "doc_a long, doc_b long",
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            min_label_components(chain, max_rounds=1)
+
     def test_quantize_error_bounded_by_half_step(self, spark, sf_dir):
         """Int8 quantization MAE can't exceed half a quantization step
         ((vmax - vmin)/255/2) per vector, and the range must be sane."""
