@@ -77,6 +77,8 @@ _PRIORITY = [
     "ext_dedup_embedding", "ext_dedup_cluster", "ext_sim_ann_lsh",
     "ext_text_langid", "ext_multimodal_decode",
     "ext_multimodal_framesample",
+    # -- round-3 additions
+    "ext_doc_shuffle_sharded",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "stream_kafka_smoke", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first

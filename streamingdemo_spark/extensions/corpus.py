@@ -217,10 +217,9 @@ def ext_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     string re-shuffles without touching the data layout. The global
     ``pos`` here exists to make the full order — not just the row set
     — oracle-checkable; it is a single-reducer window like any total
-    order. At scale, drop ``pos`` and write ``repartitionByRange(
-    shuffle_key).sortWithinPartitions(shuffle_key)`` — readers consume
-    shards in filename order and positions stay implicit, so nothing
-    ever funnels through one task.
+    order, so this key is the VERIFICATION variant. The production
+    path is :func:`ext_doc_shuffle_sharded`, where positions are
+    shard-local and nothing funnels through one task.
     """
     d = _docs(spark, sf_dir).select("doc_id", "source")
     key = poly_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42")))
@@ -232,6 +231,68 @@ def ext_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_key",
         (F.col("shuffle_key") % 8).alias("shard"),
         F.row_number().over(w).alias("pos"),
+    )
+
+
+@query(
+    "ext_doc_shuffle_sharded",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   string_split(CAST(doc_id AS VARCHAR) || ':seed42', ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, source, shuffle_key,
+           shuffle_key % 8 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                              ORDER BY shuffle_key, doc_id) AS shard_pos
+    FROM keyed
+    """,
+)
+def ext_doc_shuffle_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production epoch shuffle: the scale-safe variant of
+    :func:`ext_doc_shuffle`.
+
+    Same seeded-hash order, but the total order is expressed as
+    (shard, shard-local position) instead of one global position:
+    ``repartitionByRange(shard)`` routes each shard's rows to its own
+    range partition, ``sortWithinPartitions(shuffle_key, doc_id)``
+    lays them out in epoch order with a partition-local sort (no
+    global exchange), and ``shard_pos`` is a window partitioned by
+    shard — N_SHARDS parallel reducers, never one. The within-
+    partition sort leads with ``shard`` so the range layout satisfies
+    the window's required clustering AND ordering exactly: Catalyst
+    inserts no further exchange and no further sort (pinned by a plan
+    test). A trainer consumes shards in shard order, rows in shard_pos
+    order, which replays the identical global order the verification
+    key enumerates. At 100 TB raise N_SHARDS so each shard fits an
+    executor (shards are hash-derived, so sizes stay balanced for any
+    count).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    key = poly_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42")))
+    # two projections on purpose: shard references the shuffle_key
+    # COLUMN, so the hash is evaluated once per row (inlining `key`
+    # twice would make the plan fold the string twice per row)
+    keyed = d.select("doc_id", "source", key.alias("shuffle_key")).withColumn(
+        "shard", F.col("shuffle_key") % 8
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.repartitionByRange(8, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "shuffle_key",
+            "shard",
+            F.row_number().over(w).alias("shard_pos"),
+        )
     )
 
 

@@ -153,3 +153,15 @@ def test_length_bucket_is_single_aggregate(spark, sf_dir):
     plan = _plan(QUERIES["ext_length_bucket"](spark, sf_dir))
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
     assert "Join" not in plan
+
+
+def test_sharded_shuffle_has_no_single_reducer(spark, sf_dir):
+    """The production epoch-shuffle path must never funnel the corpus
+    through one task: one range exchange on shard, a partition-local
+    sort, a shard-partitioned window — and the shuffle key hashed
+    exactly once per row (double projection guard)."""
+    plan = _plan(QUERIES["ext_doc_shuffle_sharded"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning(shard" in plan
+    assert plan.count("aggregate(split(concat") == 1
