@@ -362,7 +362,13 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 3
-_KNN_BUF = 32  # raw-order buffer; rounding to 4dp can only reorder ties
+# Candidate-cut margin: the final ranking is on ROUND(cosine, 4), and
+# rounding moves a value by at most 5e-5, so any candidate that could
+# round into a tie with the k-th best raw score lies within 1e-4 of it.
+# Emitting everything >= (k-th raw - margin) therefore keeps the FULL
+# rounded-tie set — the cut can never drop a row the oracle ranks
+# <= k, no matter how many candidates tie at 4dp.
+_KNN_TIE_MARGIN = 1.01e-4
 
 
 @query(
@@ -383,64 +389,89 @@ _KNN_BUF = 32  # raw-order buffer; rounding to 4dp can only reorder ties
     SELECT vec_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 3
     """,
 )
-def ext_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_sim_knn_join(
+    spark: SparkSession, sf_dir: str, tile_rows: int | None = None
+) -> DataFrame:
     """Exact k-NN self-join: the top-3 cosine neighbors of EVERY vector
     (the kNN-graph construction step of near-dup clustering and
     embedding-based curation), as a blocked matrix product.
 
     Shape: the probe side streams through ``mapInPandas`` in Arrow
-    batches; the build side is one broadcast tile (ids + row-normalized
-    matrix). Each batch does a single dense GEMM against the tile and
-    keeps a top-``_KNN_BUF`` buffer per row — candidate volume is
-    O(n · buf), never the n² score matrix. This is the same
-    materialize-one-side contract as a broadcast hash join; at 100 TB
-    the build side becomes a grid of tiles (loop: join probe × tile_i,
-    union, re-window), each tile still GEMM-sized, or the ANN keys
-    (``ext_sim_ann_lsh`` / ``ext_sim_ivf_topk``) replace the exact
-    product. Final scores re-rank Spark-side on ROUND(cosine, 4) with
-    id tiebreak, so ordering is engine-portable; the buffer (32 ≫ k=3)
-    absorbs any raw-vs-rounded reorder at the cut line.
+    batches; the build side is a grid of broadcast tiles of at most
+    ``tile_rows`` vectors (default: one tile — the plain broadcast-join
+    contract). Each probe batch does one dense GEMM per tile and emits,
+    per probe row, every candidate within ``_KNN_TIE_MARGIN`` of its
+    tile-local k-th best raw score — a safe superset of the global
+    top-k-with-rounded-ties (a candidate cut in one tile implies k
+    strictly better rounded scores exist globally). Candidate volume is
+    O(n · k · tiles), never the n² score matrix. Tiles bound
+    executor-side build memory: at 100 TB pick tile_rows so
+    (tile_rows × dims × 8 B) fits comfortably beside the probe batch,
+    or use the ANN keys (``ext_sim_ann_lsh`` / ``ext_sim_ivf_topk``)
+    instead of the exact product. Final scores re-rank Spark-side on
+    ROUND(cosine, 4) with id tiebreak, so ordering is engine-portable
+    and the margin guarantees the cut can never disagree with the
+    oracle's rounded ranking.
     """
     import numpy as np
 
     corpus, _ = _corpus_and_queries(spark, sf_dir)
-    tile_pdf = corpus.toPandas()  # build-side tile, same as broadcast join
-    tids = tile_pdf["vec_id"].to_numpy()
-    tmat = np.vstack(tile_pdf["embedding"].to_numpy()).astype(np.float64)
-    tnorm = np.sqrt((tmat * tmat).sum(axis=1))
-    b_tile = spark.sparkContext.broadcast((tids, tmat, tnorm))
+    build_pdf = corpus.toPandas()  # build side, same as broadcast join
+    ids_all = build_pdf["vec_id"].to_numpy()
+    mat_all = np.vstack(build_pdf["embedding"].to_numpy()).astype(np.float64)
+    norm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
+    step = tile_rows if tile_rows and tile_rows > 0 else len(ids_all)
+    step = max(step, 1)
+    tiles = [
+        spark.sparkContext.broadcast(
+            (ids_all[i : i + step], mat_all[i : i + step], norm_all[i : i + step])
+        )
+        for i in range(0, len(ids_all), step)
+    ]
 
-    def knn(batches):
-        import pandas as pd
+    def knn_against(b_tile):
+        def knn(batches):
+            import pandas as pd
 
-        ids_t, mat_t, norm_t = b_tile.value
-        for pdf in batches:
-            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            qnorm = np.sqrt((q * q).sum(axis=1))
-            qids = pdf["vec_id"].to_numpy()
-            # dot / (|a|·|b|): same algebra as the oracle (never
-            # pre-normalize the rows — that changes the float path)
-            s = (q @ mat_t.T) / (qnorm[:, None] * norm_t[None, :])
-            buf = min(_KNN_BUF, s.shape[1] - 1)
-            out_q, out_n, out_c = [], [], []
-            for i in range(len(qids)):
-                row = np.where(ids_t == qids[i], -np.inf, s[i])
-                top = np.argpartition(-row, buf)[: buf + 1]
-                top = top[row[top] > -np.inf]
-                out_q.append(np.full(len(top), qids[i]))
-                out_n.append(ids_t[top])
-                out_c.append(row[top])
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_q),
-                    "nbr_id": np.concatenate(out_n),
-                    "cosine_raw": np.concatenate(out_c),
-                }
-            )
+            ids_t, mat_t, norm_t = b_tile.value
+            for pdf in batches:
+                q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                qnorm = np.sqrt((q * q).sum(axis=1))
+                qids = pdf["vec_id"].to_numpy()
+                # dot / (|a|·|b|): same algebra as the oracle (never
+                # pre-normalize the rows — that changes the float path)
+                s = (q @ mat_t.T) / (qnorm[:, None] * norm_t[None, :])
+                out_q, out_n, out_c = [], [], []
+                for i in range(len(qids)):
+                    row = np.where(ids_t == qids[i], -np.inf, s[i])
+                    finite = row > -np.inf
+                    n_cand = int(finite.sum())
+                    if n_cand == 0:
+                        continue
+                    if n_cand > KNN_K:
+                        kth = np.partition(row, -KNN_K)[-KNN_K]
+                        keep = row >= kth - _KNN_TIE_MARGIN
+                    else:
+                        keep = finite
+                    out_q.append(np.full(int(keep.sum()), qids[i]))
+                    out_n.append(ids_t[keep])
+                    out_c.append(row[keep])
+                if not out_q:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_q),
+                        "nbr_id": np.concatenate(out_n),
+                        "cosine_raw": np.concatenate(out_c),
+                    }
+                )
 
-    cand = corpus.mapInPandas(
-        knn, "vec_id long, nbr_id long, cosine_raw double"
-    )
+        return knn
+
+    schema = "vec_id long, nbr_id long, cosine_raw double"
+    cand = corpus.mapInPandas(knn_against(tiles[0]), schema)
+    for tile in tiles[1:]:
+        cand = cand.unionByName(corpus.mapInPandas(knn_against(tile), schema))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         cand.select(

@@ -124,6 +124,24 @@ class TestSimilarity:
         assert out.count() == 3 * n
         assert out.filter(F.col("vec_id") == F.col("nbr_id")).count() == 0
 
+    def test_knn_join_tiled_equals_single_tile(self, spark, sf_dir):
+        """Splitting the build side into many broadcast tiles
+        (tile_rows=64 → ~8 tiles on the fixture) must reproduce the
+        single-tile result exactly — the per-tile margin cut keeps a
+        superset of the global top-k-with-ties, and the final window
+        re-ranks the union identically."""
+        from streamingdemo_spark.extensions.similarity import ext_sim_knn_join
+
+        single = {
+            (r["vec_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+            for r in ext_sim_knn_join(spark, sf_dir).collect()
+        }
+        tiled = {
+            (r["vec_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+            for r in ext_sim_knn_join(spark, sf_dir, tile_rows=64).collect()
+        }
+        assert tiled == single
+
     def test_exact_topk_shape(self, spark, sf_dir):
         out = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
         per_q = out.groupBy("q_id").count().collect()
