@@ -74,8 +74,13 @@ class OperatorRegistry:
             return self._ops[name]
         if ":" in name:
             mod_name, fn_name = name.split(":", 1)
+            # match on module boundaries: the prefix "json" admits
+            # "json" and "json.tool", never "jsonevil" (a bare
+            # startswith would let any module sharing the spelling
+            # through the safety gate)
             if not any(
-                mod_name == p.rstrip(".") or mod_name.startswith(p)
+                mod_name == p.rstrip(".")
+                or mod_name.startswith(p if p.endswith(".") else p + ".")
                 for p in self._plugin_prefixes
             ):
                 raise PermissionError(

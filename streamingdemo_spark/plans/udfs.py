@@ -109,12 +109,15 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_apply_in_pandas",
     # the z-score happens to be window-expressible, which makes the
     # grouped-map mechanics oracle-checkable: pandas std(ddof=1) is
-    # STDDEV_SAMP; both sides round to 6dp to absorb summation-order ulps
+    # STDDEV_SAMP; both sides round to 6dp to absorb summation-order
+    # ulps — Spark-side with F.round (HALF_UP, matching SQL ROUND),
+    # never inside pandas (Series.round is IEEE half-even and diverges
+    # on exact dyadic ties); + 0.0 normalizes IEEE negative zero
     oracle="""
     SELECT c_custkey, c_mktsegment,
            ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
                  / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment),
-                 6) AS bal_z
+                 6) + 0.0 AS bal_z
     FROM customer
     """,
 )
@@ -123,16 +126,18 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each market segment. The whole group arrives as one pandas
     DataFrame per Arrow batch — the pattern for per-group logic that
     generally can't be expressed relationally (this particular function
-    can be, which is what lets an oracle check the mechanics)."""
+    can be, which is what lets an oracle check the mechanics). The UDF
+    emits the raw z-score; rounding happens in the Spark plan so both
+    engines round the same way (repo convention)."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         bal = pdf["c_acctbal"]
         sd = bal.std()
         pdf = pdf[["c_custkey", "c_mktsegment"]].copy()
-        pdf["bal_z"] = ((bal - bal.mean()) / (sd if sd else 1.0)).round(6)
+        pdf["bal_z"] = (bal - bal.mean()) / (sd if sd else 1.0)
         return pdf
 
     return c.groupBy("c_mktsegment").applyInPandas(
         normalize, schema="c_custkey long, c_mktsegment string, bal_z double"
-    )
+    ).withColumn("bal_z", F.round("bal_z", 6) + 0.0)

@@ -222,6 +222,17 @@ class TestContainer:
         reg.allow_plugin_prefix("json")
         assert reg.resolve("json:loads") is __import__("json").loads
 
+    def test_plugin_prefix_respects_module_boundary(self):
+        """Allowing "json" must admit "json" and "json.*" only — a
+        module merely sharing the spelling ("jsonevil") stays blocked."""
+        from streamingdemo_spark.operators.registry import OperatorRegistry
+
+        reg = OperatorRegistry()
+        reg.allow_plugin_prefix("json")
+        assert reg.resolve("json.decoder:JSONDecoder") is not None
+        with pytest.raises(PermissionError):
+            reg.resolve("jsonevil:f")
+
 
 class TestDBRegistry:
     """A6: operator registry loaded from a database table over real
