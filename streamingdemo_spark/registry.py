@@ -52,12 +52,13 @@ def poly_hash(s: Column) -> Column:
     per-char fold) without changing any downstream shape.
 
     Character model: both engines fold per codepoint (Spark ``ascii``
-    and DuckDB ``ascii`` return the codepoint of the char), so the
-    contract holds for all of the Basic Multilingual Plane. Astral
-    codepoints (emoji, U+10000+) are the boundary: Spark's UTF-16
-    ``split('')`` yields surrogate halves where DuckDB yields one
-    codepoint — normalize or strip astral chars before hashing if a
-    corpus contains them (the fixture corpus is ASCII)."""
+    and DuckDB ``ascii`` return the codepoint of the char), and on
+    Spark 4 ``split('')`` segments per codepoint, not per UTF-16
+    unit — so the contract holds for ALL of Unicode including astral
+    codepoints (emoji, U+10000+), pinned by the differential test in
+    tests/test_portable_hash.py. Strings are compared as-is: combining
+    vs precomposed accents hash differently (both engines agree);
+    apply NFC normalization upstream if a corpus mixes forms."""
     return F.aggregate(
         F.split(s, ""),
         F.lit(0).cast("long"),

@@ -25,9 +25,18 @@ def _corpus() -> list[str]:
     ]
     # adversarial edges: empty, single char, spaces only, repeats
     docs += ["", "a", "   ", "z" * 500, "ab " * 100]
-    # BMP unicode: both engines fold per codepoint (poly_hash docstring
-    # contract) — astral codepoints are excluded by design
+    # BMP unicode: both engines fold per codepoint
     docs += ["héllo wörld", "日本語のテキスト", "aéb ü ß", "кириллица"]
+    # astral plane: Spark's split('')/ascii are codepoint-aware (not
+    # UTF-16-surrogate) on Spark 4, so emoji / U+10000+ fold the same
+    # as DuckDB — the full-Unicode contract poly_hash documents
+    docs += [
+        "a\U0001F600b",                  # emoji
+        "\U0001F1FA\U0001F1F8",          # regional-indicator pair
+        "x\U00010000y\U0010FFFFz",       # astral boundaries
+        "é vs é",             # combining vs precomposed
+        "\U0001F3F3️‍\U0001F308",  # ZWJ sequence
+    ]
     return docs
 
 
