@@ -479,3 +479,89 @@ def ext_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pr", 6).alias("pctl"),
         )
     )
+
+
+@query(
+    "ext_dedup_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+               CASE WHEN doc_id % 3 = 0 THEN 'WWW.Docs.Example.COM'
+                    ELSE 'docs.example.com' END,
+               '/articles/', CAST(doc_id // 7 AS VARCHAR),
+               CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END,
+               CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=rss'
+                    ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '^https?://', ''),
+                   '^www\\.', ''),
+                 '\\?(utm_[a-z]+|ref)=[^&]*(&(utm_[a-z]+|ref)=[^&]*)*$', ''),
+               '/$', '') AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def ext_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: the same page crawled under scheme /
+    case / www / tracking-parameter / trailing-slash variants collapses
+    to one canonical URL, keeping the lowest doc_id — the first dedup
+    pass of every web-corpus pipeline (exact-text dedup misses pages
+    whose body differs by ads; URL dedup catches the recrawl).
+
+    URLs are synthesized deterministically from doc_id (the fixture has
+    no url column) with all five noise dimensions; canonicalization is
+    a lower + regexp_replace chain (scheme strip, www strip, tracking
+    params utm_*/ref strip, trailing-slash strip) — pure string ops,
+    identical in both engines. The dedup itself is one hash groupBy on
+    the canonical string: linear, map-side partial, the exact-dedup
+    shape. At 100 TB group on xxhash64(canonical_url) and keep the
+    min-(hash,doc_id) survivor exactly as ext_dedup_exact does.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("WWW.Docs.Example.COM")
+        ).otherwise(F.lit("docs.example.com")),
+        F.lit("/articles/"),
+        F.floor(F.col("doc_id") / 7).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&ref=rss")
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""),
+                "^www\\.",
+                "",
+            ),
+            "\\?(utm_[a-z]+|ref)=[^&]*(&(utm_[a-z]+|ref)=[^&]*)*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

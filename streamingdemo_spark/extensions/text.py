@@ -978,3 +978,65 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 4).alias("quality_score"),
         (score >= 1.5).alias("keep"),
     )
+
+
+@query(
+    "ext_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t FROM toks),
+    scored AS (
+      SELECT doc_id,
+             CAST(FLOOR(-ln(CAST(c AS DOUBLE) / t) * 1000000 + 0.5)
+                  AS BIGINT) AS micro_nats
+      FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           (CAST(SUM(micro_nats) AS DOUBLE) / COUNT(*)) / 1000000.0
+             AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ext_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram surprisal score: the mean -ln p(token)
+    per document, with p() estimated from the corpus itself — the
+    cheap language-model quality signal LLM pipelines use to rank
+    documents (high surprisal ≈ rare/garbled vocabulary, low ≈
+    boilerplate) before any neural scoring.
+
+    Shape: one explode + token-count aggregate (map-side partial),
+    one global count (scalar), a shuffle join of tokens to counts, and
+    a per-doc aggregate — all linear in token volume. The count join
+    key is the token itself; at 100 TB join on xxhash64(token) and
+    broadcast the vocabulary if it fits (vocabularies grow
+    sub-linearly in corpus size).
+
+    Portability: each token's surprisal is quantized to integer
+    micro-nats (floor(x*1e6 + 0.5)) BEFORE summing, so the per-doc sum
+    is an exact integer — order-insensitive and bitwise-reproducible —
+    and the 1e-6 grid absorbs the cross-engine ulp differences of
+    ln(). Same integer-sketch discipline as ext_sim_ann_lsh.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # corpus token count as a broadcast 1-row relation — stays inside
+    # the job (no driver-side count() action / second scan trigger)
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    micro = F.floor(
+        -F.log(F.col("c").cast("double") / F.col("t")) * 1000000 + F.lit(0.5)
+    ).alias("micro_nats")
+    scored = (
+        toks.join(cnt, "tok").crossJoin(F.broadcast(tot)).select("doc_id", micro)
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        ((F.sum("micro_nats").cast("double") / n) / F.lit(1000000.0)).alias(
+            "mean_surprisal"
+        ),
+    )

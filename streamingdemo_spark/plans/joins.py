@@ -385,3 +385,133 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("brand_a") < F.col("brand_b")) & (dist <= 1))
         .select("brand_a", "brand_b", dist.alias("dist"))
     )
+
+
+@query(
+    "join_range_banded",
+    oracle=f"""
+    SELECT o.o_orderkey, COUNT(*) AS n_items,
+           {osum("l.l_extendedprice")} AS week_price
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join via banding: every lineitem shipped within 7
+    days of each order's date, as an EQUI-join on a coarse time band
+    plus a residual range filter — the scale shape for interval joins
+    where NEITHER side fits a broadcast (join_theta_range covers the
+    broadcast-dim case; this one covers two fact tables).
+
+    Banding: day index → band = floor(day / 7). A 7-day interval
+    overlaps at most two consecutive bands, so the interval side emits
+    (band, band+1) — array_distinct keeps intervals aligned on a band
+    boundary from emitting twice — while the point side emits its one
+    band. The join is then a plain shuffle hash/merge join on the band
+    key (partition-able, AQE-skew-splittable, never a nested loop);
+    the exact range predicate runs as a residual filter on the ~2×
+    inflated candidate stream. Candidate volume is output + one extra
+    band per interval — linear, not quadratic. Plan test pins: no
+    BroadcastNestedLoopJoin, no CartesianProduct.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    epoch = F.lit("1990-01-01")
+    li = t["lineitem"].select(
+        "l_extendedprice",
+        "l_shipdate",
+        F.floor(F.datediff(F.col("l_shipdate"), epoch) / 7).alias("band"),
+    )
+    day = F.datediff(F.col("o_orderdate"), epoch)
+    o = (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.explode(
+                F.array_distinct(
+                    F.array(F.floor(day / 7), F.floor(day / 7) + 1)
+                )
+            ).alias("band"),
+        )
+    )
+    return (
+        li.join(o, "band")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+            )
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("week_price"),
+        )
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    WITH dim AS (
+      SELECT CASE WHEN p_partkey % 4 = 0 THEN -1 ELSE p_partkey END
+               AS part_group,
+             MIN(p_brand) AS brand
+      FROM part GROUP BY 1
+    ),
+    fact AS (
+      SELECT CASE WHEN l_partkey % 4 = 0 THEN -1 ELSE l_partkey END
+               AS part_group,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT d.brand, COUNT(*) AS n, {osum("f.l_extendedprice")} AS revenue
+    FROM fact f JOIN dim d USING (part_group)
+    GROUP BY d.brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join over a deliberately skewed key: ~25% of fact
+    rows collapse into part_group -1, the single-reducer stall of a
+    plain shuffle join at 100 TB. The join-side counterpart of
+    agg_skew_salted.
+
+    Salting: the fact side gets salt = l_orderkey % 16, the dim side
+    is replicated once per salt value (16× a SMALL relation), and the
+    join key becomes (part_group, salt) — the hot key's rows spread
+    over 16 reducers. A shuffle-hash hint keeps the demonstration
+    honest at fixture scale (Catalyst would otherwise broadcast the
+    tiny dim and hide the salt's effect; at real scale the dim exceeds
+    the broadcast threshold and this salted shuffle IS the plan —
+    or AQE's skew-join split handles it without the rewrite, which the
+    docstring of agg_skew_salted covers).
+    """
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    group_of = lambda c: F.when(F.col(c) % 4 == 0, F.lit(-1)).otherwise(  # noqa: E731
+        F.col(c)
+    )
+    dim = (
+        t["part"]
+        .groupBy(group_of("p_partkey").cast("long").alias("part_group"))
+        .agg(F.min("p_brand").alias("brand"))
+    )
+    n_salts = 16
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact = t["lineitem"].select(
+        group_of("l_partkey").cast("long").alias("part_group"),
+        (F.col("l_orderkey") % n_salts).alias("salt"),
+        "l_extendedprice",
+    )
+    return (
+        fact.join(dim_salted.hint("shuffle_hash"), ["part_group", "salt"])
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

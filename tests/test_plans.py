@@ -165,3 +165,19 @@ def test_sharded_shuffle_has_no_single_reducer(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "rangepartitioning(shard" in plan
     assert plan.count("aggregate(split(concat") == 1
+
+
+def test_banded_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The big-big interval join must run as an equi-join on the band
+    key with a residual filter — never a nested loop or cartesian."""
+    plan = _plan(QUERIES["join_range_banded"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_shuffles_on_compound_key(spark, sf_dir):
+    """The salted skew join must not collapse to a broadcast (which
+    would hide the salt): both sides shuffle on (part_group, salt)."""
+    plan = _plan(QUERIES["join_skew_salted"](spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan
