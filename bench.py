@@ -65,6 +65,12 @@ HEADLINE = [
     "ext_text_quality",   # scan-pass quality metrics
     "ext_seq_pack",       # context-window packing
     "udf_pandas_scalar",  # Arrow UDF path
+    # round-3 additions
+    "join_range_banded",  # big-big interval join via banding
+    "join_skew_salted",   # salted shuffle join over a hot key
+    "ext_unigram_surprisal",  # corpus-LM quality signal
+    "ext_doc_shuffle_sharded",  # production epoch shuffle
+    "ext_dedup_url",      # URL-canonicalization dedup
 ]
 
 
