@@ -248,6 +248,54 @@ class TestPipelineOps:
         labels = {r["doc_id"]: r["label"] for r in min_label_components(chain).collect()}
         assert labels == {i: 0 for i in range(10)}
 
+    def test_cluster_matches_union_find_on_random_graphs(self, spark, sf_dir):
+        """min_label_components must equal a driver-side union-find on
+        seeded random graphs covering rings, stars, chains and forests
+        — shapes with diameters the fixpoint loop must actually probe."""
+        import random
+
+        from streamingdemo_spark.extensions.dedup import min_label_components
+
+        def expected(n_nodes, edges):
+            parent = list(range(n_nodes))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                parent[find(a)] = find(b)
+            comp = {}
+            for v in range(n_nodes):
+                comp.setdefault(find(v), []).append(v)
+            out = {}
+            for members in comp.values():
+                m = min(members)
+                for v in members:
+                    out[v] = m
+            return out
+
+        rng = random.Random(20260813)
+        graphs = [
+            [(i, (i + 1) % 12) for i in range(12)],          # ring, diam 6
+            [(0, i) for i in range(1, 9)],                    # star
+            [(i, i + 1) for i in range(15)],                  # chain, diam 15
+            [(rng.randrange(40), rng.randrange(40)) for _ in range(30)],
+        ]
+        for edges in graphs:
+            edges = [(a, b) for a, b in edges if a != b]
+            undirected = edges + [(b, a) for a, b in edges]
+            df = spark.createDataFrame(undirected, "doc_a long, doc_b long")
+            got = {
+                r["doc_id"]: r["label"]
+                for r in min_label_components(df).collect()
+            }
+            nodes = {v for e in edges for v in e}
+            want = expected(max(nodes) + 1, edges)
+            assert got == {v: want[v] for v in nodes}, f"edges={edges}"
+
     def test_cluster_raises_when_rounds_exhausted(self, spark, sf_dir):
         """With max_rounds too low for the diameter, the loop must fail
         loudly instead of returning under-merged components."""
