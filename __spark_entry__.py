@@ -79,7 +79,8 @@ _PRIORITY = [
     "ext_multimodal_framesample",
     # -- round-3 additions
     "ext_doc_shuffle_sharded", "join_range_banded", "join_skew_salted",
-    "ext_unigram_surprisal", "ext_dedup_url",
+    "ext_unigram_surprisal", "ext_dedup_url", "snk_scd2_history",
+    "snk_cdc_apply", "agg_dq_audit",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "stream_kafka_smoke", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first

@@ -532,3 +532,87 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
     )
+
+
+@query(
+    "agg_dq_audit",
+    oracle="""
+    SELECT 'orders_rows' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_nonpositive_price', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_bad_discount_range', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    """,
+)
+def agg_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: the constraint screen a pipeline runs before
+    trusting a feed — row counts, null keys, primary-key duplicates,
+    referential orphans (anti-join counts), and domain-rule violations
+    (non-positive prices, receipt before ship), emitted as one
+    (metric, value) row each.
+
+    Shape: per-table metrics are single-scan aggregates (count +
+    conditional counts share one pass); the two referential checks are
+    anti-joins that broadcast the key side when it fits and
+    shuffle-hash otherwise — never a per-row lookup. At 100 TB this is
+    the cheapest query in the pipeline and the first to run.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    o, li, c = t["orders"], t["lineitem"], t["customer"]
+
+    def one(name: str, value) -> DataFrame:
+        return value.select(
+            F.lit(name).alias("metric"), F.col("v").cast("long").alias("value")
+        )
+
+    o_scan = o.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_ck"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_ok"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+    )
+    orphans_o = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    orphans_li = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    bad_disc = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return (
+        one("orders_rows", o_scan.select(F.col("rows").alias("v")))
+        .unionByName(
+            one("orders_null_custkey", o_scan.select(F.col("null_ck").alias("v")))
+        )
+        .unionByName(
+            one("orders_dup_orderkey", o_scan.select(F.col("dup_ok").alias("v")))
+        )
+        .unionByName(one("orders_orphan_custkey", orphans_o))
+        .unionByName(
+            one(
+                "orders_nonpositive_price",
+                o_scan.select(F.col("bad_price").alias("v")),
+            )
+        )
+        .unionByName(one("lineitem_orphan_orderkey", orphans_li))
+        .unionByName(one("lineitem_bad_discount_range", bad_disc))
+    )

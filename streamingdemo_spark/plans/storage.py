@@ -220,3 +220,129 @@ def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("u.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
         F.coalesce(F.col("u.row_status"), F.col("b.row_status")).alias("row_status"),
     )
+
+
+@query(
+    "snk_scd2_history",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             LAG(o_orderpriority) OVER w AS prev_prio,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate FROM h
+      WHERE rn = 1 OR o_orderpriority <> prev_prio
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate) AS valid_to,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def snk_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 versioning: compress a change
+    stream (each customer's order-priority history, ordered by date)
+    into validity intervals — one row per distinct consecutive value
+    with [valid_from, valid_to) and an is_current flag. The warehouse
+    pattern for tracking dimension history without overwriting it.
+
+    Shape: two partitioned windows (lag to detect changes, lead to
+    close intervals) over the key — shuffles once on the key, no
+    self-join, no driver loop; at 100 TB the key partitioning is the
+    only data movement. Ties inside a partition are broken by
+    (o_orderdate, o_orderkey), so the interval boundaries are
+    deterministic on both engines.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = h.filter(
+        (F.col("rn") == 1) | (F.col("o_orderpriority") != F.col("prev_prio"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    valid_to = F.lead("o_orderdate").over(w2)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "snk_cdc_apply",
+    oracle="""
+    WITH cdc AS (
+      SELECT event_id, user_id AS key, ts, value,
+             CASE WHEN event_id % 10 = 0 THEN 'D'
+                  WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM cdc
+    )
+    SELECT key, op AS last_op,
+           ROUND(value, 4) + 0.0 AS value,
+           event_id AS last_event_id
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: fold an insert/update/delete op log
+    (synthesized deterministically from the events table) into the
+    final snapshot — per key, the latest op wins and a terminal delete
+    removes the row. The log-to-table compaction every CDC-fed lake
+    house runs.
+
+    Shape: one partitioned window (latest op per key by event time with
+    id tiebreak) + filter — the standard "deduplicate to latest"
+    compaction; shuffles once on the key, map-side nothing to combine
+    (row_number needs the full group, but groups are per-key small).
+    At 100 TB this is exactly Delta/Iceberg MERGE's shuffle shape;
+    pair with snk_merge_upsert for the keyed-overwrite variant.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from pyspark.sql.window import Window
+
+    cdc = ev.select(
+        "event_id",
+        F.col("user_id").alias("key"),
+        "ts",
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .when(F.col("event_id") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("op").alias("last_op"),
+            (F.round("value", 4) + 0.0).alias("value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
