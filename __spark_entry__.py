@@ -80,7 +80,8 @@ _PRIORITY = [
     # -- round-3 additions
     "ext_doc_shuffle_sharded", "join_range_banded", "join_skew_salted",
     "ext_unigram_surprisal", "ext_dedup_url", "snk_scd2_history",
-    "snk_cdc_apply", "agg_dq_audit",
+    "snk_cdc_apply", "agg_dq_audit", "ext_funnel_analysis",
+    "agg_retention_cohort", "win_gap_islands",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "stream_kafka_smoke", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first

@@ -18,4 +18,5 @@ from streamingdemo_spark.plans import (  # noqa: F401
     storage,
     subqueries,
     udfs,
+    behavior,
 )
