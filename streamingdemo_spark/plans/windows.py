@@ -259,7 +259,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(order)
     is_start = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTE")),
         1,
     ).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
