@@ -7,6 +7,7 @@ documents/embeddings fixtures.
 from streamingdemo_spark.extensions import (  # noqa: F401
     corpus,
     dedup,
+    graph,
     similarity,
     text,
     multimodal,

@@ -583,3 +583,60 @@ def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resample_weight"
         ),
     )
+
+
+@query(
+    "ext_embedding_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n_vec,
+           ROUND(CAST(SUM(CAST(FLOOR(
+                   CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) + 0.0 AS centroid
+    FROM ex
+    GROUP BY label, pos
+    """,
+)
+def ext_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the class-mean vectors behind
+    IVF coarse quantizers, k-NN classifiers, and embedding-drift
+    monitoring), computed as one element-wise distributed aggregate.
+
+    Shape: ``posexplode`` the vector column (rows × dim tuples — the
+    only full-data pass), then a single groupBy on (label, position)
+    with map-side partial combine: the shuffle is bounded by
+    labels × dim, not corpus size, and nothing ever materializes a
+    per-label matrix on the driver. The element sums use the integer
+    micro-unit convention (floor(x*1e6 + 0.5) summed as long), so the
+    reduction is exact and shuffle-order-independent, and the final
+    mean is one double division + 1e-6 round on both engines —
+    float32 inputs promote to double bit-identically everywhere.
+
+    At 100 TB: dim-major explode multiplies row count by dim (64 here)
+    but each tuple is 20 bytes and combines map-side into at most
+    labels × dim accumulators per task; for very wide vectors swap the
+    explode for a vectorized ``F.aggregate`` over a zipped
+    struct — same integer-unit discipline, one row per vector.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    n = F.count(F.lit(1))
+    return ex.groupBy("label", "pos").agg(
+        n.alias("n_vec"),
+        (
+            F.round(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000.0 + F.lit(0.5))
+                ).cast("double")
+                / n
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("centroid"),
+    )

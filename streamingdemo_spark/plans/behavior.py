@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import query
+from streamingdemo_spark.registry import dsum, query
 
 _EPOCH = "2024-01-01"
 
@@ -175,4 +175,101 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").alias("n_active_days"),
         F.max("len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@query(
+    "ext_ts_resample",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket FROM bounds) g
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket,
+             COALESCE(a.n_events, 0) AS n_events,
+             COALESCE(a.sum_value, 0.0) AS sum_value,
+             CASE WHEN a.n_events > 0
+                  THEN a.sum_value / a.n_events END AS avg0
+      FROM spine s LEFT JOIN agg a
+        ON s.event_type = a.event_type AND s.bucket = a.bucket
+    )
+    SELECT event_type, bucket, n_events, sum_value,
+           ROUND(LAST_VALUE(avg0 IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) + 0.0 AS ffill_avg
+    FROM j
+    """,
+)
+def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill and forward fill — the
+    hypertable-rollup / ``time_bucket_gapfill`` shape: bucket events to
+    a fixed hourly grid, emit EVERY bucket in the observed range per
+    series (zero-filled counts/sums), and carry the last observed
+    per-bucket average forward across gaps.
+
+    Shape: one fact-table aggregate (map-side partial combine, shuffle
+    bounded by series × buckets), a generated time spine (sequence +
+    explode over a broadcast 1-row min/max relation — never a driver
+    collect), a spine←rollup left join on (series, bucket), and one
+    per-series ordered window for the forward fill. At 100 TB the only
+    full-data pass is the first aggregate; everything downstream is
+    rollup-sized (series × buckets), and the fill window partitions by
+    series so no single reducer sees more than one series' grid.
+
+    Portability: sums go through the integer-unit convention
+    (events.value is exactly 4-decimal), the forward-filled average is
+    rounded to 1e-6 on both engines, and leading buckets before the
+    first observation stay NULL (nothing to carry) on both engines.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    agg = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 4).alias("sum_value"),
+    )
+    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    j = spine.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.when(F.col("n_events") > 0, F.col("sum_value") / F.col("n_events")).alias(
+            "avg0"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "sum_value",
+        (F.round(F.last("avg0", ignorenulls=True).over(w), 6) + F.lit(0.0)).alias(
+            "ffill_avg"
+        ),
     )

@@ -155,3 +155,48 @@ def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "supplier_orc")
     _csv_json_base(spark, sf_dir).write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "src_jdbc_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def src_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source: load the supplier dim into an embedded Derby
+    database over Spark's JDBC sink, read it back through the JDBC
+    source, and prove the round trip equals the parquet original —
+    the same database-table read path as the A6 operator registry
+    (``DBHelper.java:8-35`` shape), but as a data source.
+
+    The reader call is identical for MySQL/Postgres (swap url/driver);
+    production reads add ``partitionColumn/lowerBound/upperBound/
+    numPartitions`` so the scan parallelizes into range-bounded
+    executor queries instead of one driver-side cursor — a dimension
+    table this size reads in one partition and then broadcasts.
+    """
+    url = (
+        "jdbc:derby:"
+        + os.path.join(tempfile.mkdtemp(prefix="src_jdbc_"), "suppdb")
+        + ";create=true"
+    )
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    base = _csv_json_base(spark, sf_dir)
+    (
+        base.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "supplier_src")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "supplier_src")
+        .option("driver", driver)
+        .load()
+    )

@@ -181,3 +181,29 @@ def test_salted_join_shuffles_on_compound_key(spark, sf_dir):
     plan = _plan(QUERIES["join_skew_salted"](spark, sf_dir))
     assert "BroadcastHashJoin" not in plan
     assert "salt" in plan
+
+
+def test_ts_resample_fill_window_partitions_by_series(spark, sf_dir):
+    """The forward-fill window must partition by series — a global
+    (unpartitioned) fill window is the one-reducer trap the sharded
+    shuffle test also guards against. (The 1-row min/max bounds
+    aggregate is allowed its scalar SinglePartition exchange.)"""
+    plan = _plan(QUERIES["ext_ts_resample"](spark, sf_dir))
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_embedding_centroid_is_single_aggregate(spark, sf_dir):
+    """posexplode + one (label, pos) aggregate: the shuffle is bounded
+    by labels x dim (partial->final agg exchange only), never a join
+    or a second full-data pass."""
+    plan = _plan(QUERIES["ext_embedding_centroid"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial->final agg (+AQE read)
+    assert "Join" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_jdbc_scan_reads_from_jdbc_relation(spark, sf_dir):
+    """src_jdbc_scan must actually scan the JDBC relation it wrote,
+    not silently fall back to the parquet fixture."""
+    plan = _plan(QUERIES["src_jdbc_scan"](spark, sf_dir))
+    assert "JDBCRelation" in plan
