@@ -640,3 +640,110 @@ def ext_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("centroid"),
     )
+
+
+@query(
+    "ext_sim_ivf_assign",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    cmeans AS (
+      SELECT label AS cl, pos,
+             ROUND(CAST(SUM(CAST(FLOOR(
+                     CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1000000.0, 6) + 0.0 AS c
+      FROM ex GROUP BY label, pos
+    ),
+    cent AS (SELECT cl, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY cl),
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, v.label, cent.cl,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(generate_series(1, len(e)),
+                                i -> (e[i] - cvec[i]) * (e[i] - cvec[i]))),
+               (a, b) -> a + b) AS d
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT vec_id, label, cl, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+      FROM scored
+    )
+    SELECT vec_id, label, cl AS cell,
+           ROUND(d, 6) + 0.0 AS dist2,
+           (label = cl) AS is_home
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell assignment, oracle-exact: assign every
+    vector to its nearest class-mean centroid by squared L2 — the
+    deterministic half of an IVF index build (the engine-specific
+    KMeans *fit* stays rows-only in ``ext_sim_ivf_topk``; given fixed
+    centroids, assignment is pure math both engines replay exactly).
+
+    Exactness chain: centroids come from the integer micro-unit means
+    (``ext_embedding_centroid``), whose 1e-6-rounded doubles are
+    bit-identical across engines; each squared-difference term and the
+    left-fold sum then follow the module's fold convention
+    (F.aggregate ≍ list_reduce, same seed, same order), so distances
+    are bitwise equal and the argmin (tie-broken by cell id) picks the
+    same cell everywhere.
+
+    Scale shape: centroids are a k-row broadcast (the groupBy that
+    builds them shuffles labels × dim, nothing more); assignment is a
+    map-side cross join — n × k distance evaluations with NO shuffle of
+    the vector side — and the per-vector argmin is a k-row window.
+    This is exactly how a 100 TB corpus gets sharded onto IVF cells:
+    broadcast the codebook, one pass over the vectors, write
+    partitioned by cell.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cmeans = ex.groupBy(F.col("label").alias("cl"), F.col("pos")).agg(
+        (
+            F.round(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000.0 + F.lit(0.5))
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("c")
+    )
+    cent = cmeans.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    d = F.aggregate(
+        F.zip_with("e", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "cl", d.alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cl")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cl").alias("cell"),
+            (F.round("d", 6) + F.lit(0.0)).alias("dist2"),
+            (F.col("label") == F.col("cl")).alias("is_home"),
+        )
+    )

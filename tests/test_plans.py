@@ -207,3 +207,12 @@ def test_jdbc_scan_reads_from_jdbc_relation(spark, sf_dir):
     not silently fall back to the parquet fixture."""
     plan = _plan(QUERIES["src_jdbc_scan"](spark, sf_dir))
     assert "JDBCRelation" in plan
+
+
+def test_ivf_assign_broadcasts_codebook(spark, sf_dir):
+    """Cell assignment must broadcast the k-row codebook and stream
+    the vector side through it — the corpus is never shuffled or
+    sort-merge-joined for a distance evaluation."""
+    plan = _plan(QUERIES["ext_sim_ivf_assign"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
