@@ -83,7 +83,8 @@ _PRIORITY = [
     "snk_cdc_apply", "agg_dq_audit", "ext_funnel_analysis",
     "agg_retention_cohort", "win_gap_islands",
     "ext_graph_pagerank", "ext_ts_resample", "ext_embedding_centroid",
-    "src_jdbc_scan", "ext_sim_ivf_assign",
+    "src_jdbc_scan", "ext_sim_ivf_assign", "ext_event_pattern",
+    "ext_bpe_pair_stats", "agg_heavy_hitters",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "stream_kafka_smoke", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first

@@ -71,6 +71,9 @@ HEADLINE = [
     "ext_unigram_surprisal",  # corpus-LM quality signal
     "ext_doc_shuffle_sharded",  # production epoch shuffle
     "ext_dedup_url",      # URL-canonicalization dedup
+    "ext_graph_pagerank", # iterative join+agg loop (checkpointed)
+    "ext_ts_resample",    # time spine + gap fill + forward fill
+    "ext_sim_ivf_assign", # broadcast-codebook cell assignment
 ]
 
 

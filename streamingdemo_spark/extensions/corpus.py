@@ -565,3 +565,56 @@ def ext_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@query(
+    "ext_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    chars AS (
+      SELECT string_split(w, '') AS ch FROM words WHERE length(w) >= 2
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(ch) - 1),
+                                   i -> ch[i] || ch[i + 1])) AS pair
+      FROM chars
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def ext_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge statistics: the top adjacent
+    symbol-pair counts across the corpus — one iteration of BPE
+    tokenizer training (the candidate list the merge rule is picked
+    from), run at corpus scale.
+
+    Shape mirrors ``ext_ngram_stats`` one level down: tokenize, split
+    each word to codepoints ONCE (materialized array — the
+    re-evaluation gotcha), form adjacent pairs with a JVM higher-order
+    function, explode, and aggregate with map-side partial combine:
+    the shuffle is bounded by the pair vocabulary (≤ |alphabet|²),
+    not corpus size, and the global top-20 is a TakeOrdered, never a
+    full sort. Iterated BPE training replays this query k times with
+    the current merge table applied upstream — every iteration keeps
+    this bounded-shuffle shape.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    chars = words.select(F.split("w", "").alias("ch"))
+    pairs = chars.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ch) - 1), i -> ch[i-1] || ch[i])")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -616,3 +616,43 @@ def agg_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem_orphan_orderkey", orphans_li))
         .unionByName(one("lineitem_bad_discount_range", bad_disc))
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM events)
+    SELECT user_id, n_events,
+           CAST((n_events * 1000000) // tot.t AS BIGINT) AS share_ppm
+    FROM cnt, tot
+    WHERE n_events * 200 > tot.t
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys holding more than 0.5% of all events,
+    with their integer parts-per-million share — the frequent-item
+    query behind hot-key detection (and the ground truth a SpaceSaving
+    / count-min sketch approximates when key cardinality makes the
+    exact two-phase aggregate too wide; the filter and share math are
+    identical either way).
+
+    One groupBy with map-side partial combine, the global total rides
+    as a broadcast 1-row relation (no driver count()), and the
+    threshold compare is pure integer arithmetic — no float shares
+    anywhere, so both engines agree exactly on membership and ppm.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = ev.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_events") * 200 > F.col("t"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("n_events * 1000000 div t").alias("share_ppm"),
+        )
+    )

@@ -273,3 +273,57 @@ def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ffill_avg"
         ),
     )
+
+
+@query(
+    "ext_event_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             STRING_AGG(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+           CAST(length(regexp_extract_all(seq, 'v[ce]*p')) AS INT)
+             AS n_conversions
+    FROM seqs
+    """,
+)
+def ext_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE / CEP shape):
+    count, per user, the non-overlapping view→…→purchase runs where
+    only clicks/errors may sit between the view and its purchase —
+    ``v[ce]*p`` over the ordered event-initial string.
+
+    This is the complex-event-processing query a streaming analysis
+    container gets asked for (detect conversion episodes, alert on
+    N-step patterns); funnels (``ext_funnel_analysis``) answer "did
+    the user ever reach stage k", this answers "how many complete
+    episodes occurred and how long is the history". Regex matching is
+    leftmost non-overlapping in both engines, so counts agree exactly.
+
+    Scale shape: one groupBy(user) building the bounded per-user
+    sequence (same aggregate as the funnel — at 100 TB sessions are
+    bounded, not lifetime histories), then a narrow projection; the
+    regex runs once per user, not per event. No joins, no windows.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    item = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("e"),
+        F.substring("event_type", 1, 1).alias("i"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)), lambda x: x["i"]
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_count("seq", F.lit(r"v[ce]*p")).alias("n_conversions"),
+    )

@@ -216,3 +216,27 @@ def test_ivf_assign_broadcasts_codebook(spark, sf_dir):
     plan = _plan(QUERIES["ext_sim_ivf_assign"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_event_pattern_is_one_aggregate_no_join(spark, sf_dir):
+    """CEP pattern counting must be groupBy(user) + projection — the
+    naive per-stage self-join shape is the regression to catch."""
+    plan = _plan(QUERIES["ext_event_pattern"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_bpe_pairs_topk_avoids_full_sort(spark, sf_dir):
+    """The global top-20 merge candidates must TakeOrdered, not sort
+    the whole pair vocabulary, and pair formation stays JVM-side."""
+    plan = _plan(QUERIES["ext_bpe_pair_stats"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_total_rides_broadcast(spark, sf_dir):
+    """The corpus total must join as a broadcast 1-row relation, and
+    the key count must partially aggregate map-side."""
+    plan = _plan(QUERIES["agg_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
