@@ -84,9 +84,10 @@ _PRIORITY = [
     "agg_retention_cohort", "win_gap_islands",
     "ext_graph_pagerank", "ext_ts_resample", "ext_embedding_centroid",
     "src_jdbc_scan", "ext_sim_ivf_assign", "ext_event_pattern",
-    "ext_bpe_pair_stats", "agg_heavy_hitters",
+    "ext_bpe_pair_stats", "agg_heavy_hitters", "ext_ts_anomaly",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
-    "ext_sim_ivf_topk", "stream_kafka_smoke", "stream_rate_smoke",
+    "ext_sim_ivf_topk", "agg_hll_mergeable", "stream_kafka_smoke",
+    "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first
     "stream_stream_join", "agg_percentile", "agg_collect_sorted",
     "fn_split_array", "fn_map", "ext_text_fingerprint",

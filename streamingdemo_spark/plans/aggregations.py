@@ -656,3 +656,35 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_events * 1000000 div t").alias("share_ppm"),
         )
     )
+
+
+@query("agg_hll_mergeable")  # rows-only: Datasketches binary is engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: build one HLL sketch per
+    event_type, then MERGE the per-group sketches into a corpus-wide
+    estimate with ``hll_union_agg`` — the two-level rollup pattern
+    that lets a 100 TB pipeline keep per-segment sketches (bytes each)
+    and answer any coarser distinct-count by sketch union instead of
+    re-scanning (re-aggregation from raw data is the thing sketches
+    exist to avoid; plain ``approx_count_distinct`` can't roll up).
+
+    Rows-only by contract: the Datasketches binary layout is
+    engine-specific, so DuckDB can't replay it — the accuracy contract
+    (estimates within the configured lgK error of exact) is pinned by
+    ``tests/test_extensions.py::test_hll_mergeable_accuracy`` instead.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    merged = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_users"),
+    )
+    return typed.unionByName(merged)

@@ -327,3 +327,79 @@ def ext_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").alias("seq_len"),
         F.regexp_count("seq", F.lit(r"v[ce]*p")).alias("n_conversions"),
     )
+
+
+@query(
+    "ext_ts_anomaly",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    win AS (
+      SELECT event_id, event_type, x,
+             COUNT(x) OVER w AS n,
+             CAST(COALESCE(SUM(x) OVER w, 0) AS BIGINT) AS su,
+             CAST(COALESCE(SUM(x * x) OVER w, 0) AS BIGINT) AS sq
+      FROM u
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           CAST(x AS DOUBLE) / 10000.0 AS value,
+           CAST(n AS INT) AS n_window,
+           (n >= 12 AND
+            (x * n - su) * (x * n - su) > 9 * (n * sq - su * su))
+             AS is_anomaly
+    FROM win
+    """,
+)
+def ext_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag events whose value sits
+    more than 3 population standard deviations from the mean of the
+    previous 24 events in their series — the batch form of the
+    streaming outlier monitor.
+
+    The entire test runs in INTEGER arithmetic: values quantize to
+    1e-4 units (exact for the fixture's 4-decimal column), the window
+    keeps trailing count/sum/sum-of-squares, and the 3σ test
+    ``(x−mean)² > 9·var`` multiplies through by n² to
+    ``(x·n − su)² > 9·(n·sq − su²)`` — no division, no sqrt, no
+    floats, so the anomaly set is bitwise identical on both engines
+    (a float z-score would flip boundary rows on the last ulp).
+
+    Scale shape: one window partitioned by series with a bounded
+    ROWS frame — Spark keeps a 24-row ring buffer per partition, so
+    memory is O(frame), not O(series length), and the only shuffle is
+    the per-series clustering. The same three running sums are what
+    the streaming variant would keep in applyInPandasWithState.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-24, -1)
+    )
+    win = u.select(
+        "event_id",
+        "event_type",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.coalesce(F.sum("x").over(w), F.lit(0)).alias("su"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(w), F.lit(0)).alias("sq"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("su")
+    var_n2 = F.col("n") * F.col("sq") - F.col("su") * F.col("su")
+    return win.select(
+        "event_id",
+        "event_type",
+        (F.col("x").cast("double") / F.lit(10000.0)).alias("value"),
+        F.col("n").cast("int").alias("n_window"),
+        ((F.col("n") >= 12) & (dev * dev > 9 * var_n2)).alias("is_anomaly"),
+    )

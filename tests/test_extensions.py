@@ -454,3 +454,30 @@ class TestIVF:
         for r in ivf:
             per_q.setdefault(r["q_id"], []).append(r["rank"])
         assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_hll_mergeable_accuracy(spark, sf_dir):
+    """The sketch union's estimate must sit within HLL lgK=14 error
+    (<1% at this cardinality — use 5% slack) of the exact distinct
+    count, per group AND after the merge."""
+    from pyspark.sql import functions as F
+
+    from streamingdemo_spark.registry import QUERIES
+
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
+    }
+    from streamingdemo_spark.io import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    exact_all = ev.select("user_id").distinct().count()
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert abs(est["ALL"] - exact_all) <= max(1, 0.05 * exact_all)
+    for t, n in exact_per.items():
+        assert abs(est[t] - n) <= max(1, 0.05 * n), t
