@@ -68,7 +68,7 @@ _PRIORITY = [
     "win_time_tumbling", "win_time_sliding", "stream_tumbling",
     "stream_session", "stream_watermark_late", "stream_dedup",
     "stream_stream_static_join", "stream_stateful_custom",
-    "stream_foreach_batch",
+    "stream_foreach_batch", "stream_anomaly",
     # -- remaining never-checked extras
     "win_dist", "win_sessionize", "set_except_all", "fn_array_hof",
     "snk_merge_upsert", "snk_partitioned_write", "join_dpp",

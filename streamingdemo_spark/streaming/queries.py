@@ -549,3 +549,97 @@ def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_anomaly",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    win AS (
+      SELECT event_id, event_type, x,
+             COUNT(x) OVER w AS n,
+             CAST(COALESCE(SUM(x) OVER w, 0) AS BIGINT) AS su,
+             CAST(COALESCE(SUM(x * x) OVER w, 0) AS BIGINT) AS sq
+      FROM u
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           CAST(n AS INT) AS n_window,
+           (n >= 12 AND
+            (x * n - su) * (x * n - su) > 9 * (n * sq - su * su))
+             AS is_anomaly
+    FROM win
+    """,
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 3σ anomaly screen: the stateful twin of the batch
+    ``ext_ts_anomaly`` — per series, applyInPandasWithState keeps the
+    trailing-24 ring buffer of integer-quantized values; every arriving
+    event is flagged against the window of events BEFORE it, then
+    enters the buffer.
+
+    Oracle = the batch trailing-window SQL over the full fixture:
+    because the replay is ordered and the state hand-off is exact
+    integer arithmetic, the stream's per-event verdicts equal the
+    batch window's bit-for-bit — the strongest stream≍batch statement
+    in the suite (per-ROW stateful output, not an aggregate).
+
+    In-batch math is vectorized (prefix sums over buffer+batch, no
+    per-row Python); state per key is exactly 24 longs. Cumulative
+    prefix sums bound: |values| ≤ ~10^7 units ⇒ Σx² overflows int64
+    only beyond ~10^5 rows per key per micro-batch — size
+    micro-batches under that, or chunk the prefix sums.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
+
+    def screen(key, pdf_iter, state: GroupState):
+        (etype,) = key
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_id")
+            x = np.floor(pdf["value"].to_numpy() * 10000.0 + 0.5).astype(
+                np.int64
+            )
+            m = len(buf)
+            arr = np.concatenate([np.asarray(buf, dtype=np.int64), x])
+            c1 = np.concatenate([[0], np.cumsum(arr)])
+            c2 = np.concatenate([[0], np.cumsum(arr * arr)])
+            idx = np.arange(len(x)) + m
+            lo = np.maximum(0, idx - 24)
+            n = idx - lo
+            su = c1[idx] - c1[lo]
+            sq = c2[idx] - c2[lo]
+            dev = x * n - su
+            flag = (n >= 12) & (dev * dev > 9 * (n * sq - su * su))
+            buf = arr[-24:].tolist()
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "event_type": etype,
+                    "n_window": n.astype("int32"),
+                    "is_anomaly": flag,
+                }
+            )
+        state.update((buf,))
+
+    flags = stream.groupBy("event_type").applyInPandasWithState(
+        screen,
+        outputStructType=(
+            "event_id long, event_type string, n_window int, is_anomaly boolean"
+        ),
+        stateStructType="buf array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update mode, but each event_id is emitted exactly once (each row
+    # is screened in the micro-batch it arrives) — the memory table IS
+    # the per-event verdict set, no reduction needed.
+    return run_to_memory(flags, output_mode="update")
