@@ -68,7 +68,7 @@ _PRIORITY = [
     "win_time_tumbling", "win_time_sliding", "stream_tumbling",
     "stream_session", "stream_watermark_late", "stream_dedup",
     "stream_stream_static_join", "stream_stateful_custom",
-    "stream_foreach_batch", "stream_anomaly",
+    "stream_foreach_batch", "stream_anomaly", "snk_stream_parquet",
     # -- remaining never-checked extras
     "win_dist", "win_sessionize", "set_except_all", "fn_array_hof",
     "snk_merge_upsert", "snk_partitioned_write", "join_dpp",
@@ -85,6 +85,7 @@ _PRIORITY = [
     "ext_graph_pagerank", "ext_ts_resample", "ext_embedding_centroid",
     "src_jdbc_scan", "ext_sim_ivf_assign", "ext_event_pattern",
     "ext_bpe_pair_stats", "agg_heavy_hitters", "ext_ts_anomaly",
+    "join_asof_tolerance",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "stream_kafka_smoke",
     "stream_rate_smoke",

@@ -524,3 +524,57 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest click
+    at-or-before each purchase, but only if it happened within the
+    last hour — the attribution-window variant (a click from last week
+    should not claim this purchase). pandas ``merge_asof(tolerance=)``
+    semantics, distributed.
+
+    Same single-shuffle union+window shape as ``join_asof``; the
+    tolerance is one post-window NULL-out, so the scalable plan is
+    untouched — no range join appears at any tolerance value.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "click_ts", F.col("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "click_ts", F.lit(None).cast("timestamp")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last = F.last("click_ts", ignorenulls=True).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("raw_last", last)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.when(
+                F.col("raw_last") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("raw_last"),
+            ).alias("last_click_ts"),
+        )
+    )

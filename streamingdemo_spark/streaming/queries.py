@@ -643,3 +643,48 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is screened in the micro-batch it arrives) — the memory table IS
     # the per-event verdict set, no reduction needed.
     return run_to_memory(flags, output_mode="update")
+
+
+@query(
+    "snk_stream_parquet",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+    """,
+)
+def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet FILE sink with checkpointed exactly-once
+    semantics — the durable-output half the memory-sink keys don't
+    exercise: each micro-batch commits its files through the sink's
+    ``_spark_metadata`` transaction log, and a reader of the output
+    directory sees only committed files, so a crashed/restarted query
+    can never double-expose a batch (the reference's HDFS-output
+    analogue, done the Structured Streaming way).
+
+    Oracle-checked end-to-end: replay → stream projection → file sink
+    → batch read-back equals the batch SQL over the fixture. At scale,
+    partition the sink path (``partitionBy``) and size
+    ``files_per_trigger`` so each commit is a few well-sized files,
+    not thousands of small ones.
+    """
+    import tempfile
+
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
+    proj = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    out = tempfile.mkdtemp(prefix="snk_stream_parquet_")
+    (
+        proj.writeStream.format("parquet")
+        .option("path", out + "/data")
+        .option("checkpointLocation", out + "/chk")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(out + "/data")
