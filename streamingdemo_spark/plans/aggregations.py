@@ -688,3 +688,73 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_users"),
     )
     return typed.unionByName(merged)
+
+
+_PROFILE_COLS = (
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@query(
+    "ext_schema_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT o_orderpriority)
+    FROM orders
+    """,
+)
+def ext_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the Deequ-analyzer shape): per-column row
+    count, null count, and exact distinct cardinality, emitted one row
+    per column — the metadata screen a pipeline runs before trusting a
+    new data drop.
+
+    ONE pass over the table: all columns' aggregates compute in a
+    single multi-distinct aggregate (Catalyst plans it via Expand —
+    data inflates by the number of distinct aggregates, which is the
+    honest distributed cost of exact multi-column NDV), then the 1-row
+    result unpivots to per-column rows with stack(). At 100 TB swap
+    ``countDistinct`` for ``approx_count_distinct`` (or the mergeable
+    sketches of ``agg_hll_mergeable``) — the plan shape is unchanged
+    and the Expand disappears.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct")
