@@ -85,7 +85,7 @@ _PRIORITY = [
     "ext_graph_pagerank", "ext_ts_resample", "ext_embedding_centroid",
     "src_jdbc_scan", "ext_sim_ivf_assign", "ext_event_pattern",
     "ext_bpe_pair_stats", "agg_heavy_hitters", "ext_ts_anomaly",
-    "join_asof_tolerance", "ext_schema_profile",
+    "join_asof_tolerance", "ext_schema_profile", "ext_ccnet_bucket",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "stream_kafka_smoke",
     "stream_rate_smoke",

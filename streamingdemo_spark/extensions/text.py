@@ -1040,3 +1040,86 @@ def ext_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_surprisal"
         ),
     )
+
+
+@query(
+    "ext_ccnet_bucket",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t FROM toks),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(-ln(CAST(c AS DOUBLE) / t) * 1000000 + 0.5)
+                  AS BIGINT) AS micro_nats
+      FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    ),
+    docs AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             (CAST(SUM(micro_nats) AS DOUBLE) / COUNT(*)) / 1000000.0
+               AS mean_surprisal
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens, mean_surprisal,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY mean_surprisal, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM docs
+    """,
+)
+def ext_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per language, split documents
+    into head / middle / tail tertiles by corpus-LM surprisal (lowest
+    surprisal = most fluent = head) — the standard web-corpus quality
+    partition LLM pipelines feed into sampling weights (train mostly
+    on head+middle, downsample tail).
+
+    Surprisal is the same integer micro-nat pipeline as
+    ``ext_unigram_surprisal`` (order-insensitive exact sums, so the
+    per-doc scores are bitwise cross-engine); the tertile cut is
+    NTILE(3) over the total order (score, doc_id) — a rank cut, not a
+    float threshold, so bucket membership can't flip on a boundary
+    ulp. One explode, one vocabulary join, one per-doc aggregate, one
+    per-language window: every stage is linear or vocabulary-bounded,
+    and the window partitions by language (at 100 TB: sub-partition
+    the window by hash-range within language and cut by global rank
+    from a two-pass count, same discipline as ext_quality_prune's
+    per-source percentile).
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    micro = F.floor(
+        -F.log(F.col("c").cast("double") / F.col("t")) * 1000000 + F.lit(0.5)
+    ).alias("micro_nats")
+    scored = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", micro)
+    )
+    n = F.count(F.lit(1))
+    docs = scored.groupBy("doc_id", "lang").agg(
+        n.alias("n_tokens"),
+        ((F.sum("micro_nats").cast("double") / n) / F.lit(1000000.0)).alias(
+            "mean_surprisal"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("mean_surprisal", "doc_id")
+    t3 = F.ntile(3).over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_surprisal",
+        F.when(t3 == 1, F.lit("head"))
+        .when(t3 == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
