@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamingdemo_spark.io import load_tables, register_views, table_path
-from streamingdemo_spark.registry import dsum, osum, query
+from streamingdemo_spark.registry import dsum, opoly, osum, query
 
 
 @query(
@@ -199,4 +199,54 @@ def src_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("dbtable", "supplier_src")
         .option("driver", driver)
         .load()
+    )
+
+
+@query(
+    "src_binary_scan",
+    oracle=f"""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {opoly("text")} AS content_hash
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def src_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary file ingestion via Spark's ``binaryFile`` source —
+    the real entry path for image/audio/video corpora (one row per
+    file: path, length, raw content bytes), proven by a text
+    round trip: documents are written out as raw UTF-8 files, read
+    back as binary, and the decoded content must hash-equal the
+    originals.
+
+    The binaryFile source scales like any file scan (splittable
+    listing, per-file rows, predicate pushdown on path/length
+    metadata); pair it with the ``ext_multimodal_*`` mapInPandas
+    decode plumbing downstream. ``pathGlobFilter`` prunes at the
+    listing, and content bytes stay opaque until a decode op touches
+    them — exactly how a 100 TB image crawl is staged.
+    """
+    import tempfile
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 64
+    )
+    out = tempfile.mkdtemp(prefix="src_binary_")
+    # stage: one .txt file per doc, named by doc_id (driver-side write
+    # of a 64-row sample — staging fixture files, not a data path)
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(out, f"{r['doc_id']}.txt"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    from streamingdemo_spark.registry import poly_hash
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        poly_hash(F.col("content").cast("string")).alias("content_hash"),
     )
