@@ -324,3 +324,57 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.ntile(4).over(w).alias("bal_quartile"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
+      FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(CAST(SUM(x) OVER w AS BIGINT) AS DOUBLE) / 10000.0
+             AS val_last_hour
+    FROM u
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the rolling count and
+    value sum over the trailing hour of events — the "activity in the
+    last N minutes" window where ROWS frames (``win_moving``) are
+    wrong because event spacing is irregular.
+
+    The frame key is integer epoch seconds (identical truncation on
+    both engines) and the summed column rides in integer units, so
+    frame membership AND the rolling sums are exact everywhere. Spark
+    evaluates a RANGE frame with one ordered pass per partition —
+    state is the in-frame window, which a time bound keeps naturally
+    bounded (events older than an hour leave the frame); the shuffle
+    is only the per-user clustering.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return u.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum("x").over(w).cast("double") / F.lit(10000.0)).alias(
+            "val_last_hour"
+        ),
+    )
