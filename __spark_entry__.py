@@ -86,7 +86,7 @@ _PRIORITY = [
     "src_jdbc_scan", "ext_sim_ivf_assign", "ext_event_pattern",
     "ext_bpe_pair_stats", "agg_heavy_hitters", "ext_ts_anomaly",
     "join_asof_tolerance", "ext_schema_profile", "ext_ccnet_bucket",
-    "src_binary_scan", "win_time_range",
+    "src_binary_scan", "win_time_range", "ext_skew_profile",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "stream_kafka_smoke",
     "stream_rate_smoke",

@@ -758,3 +758,48 @@ def ext_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+@query(
+    "ext_skew_profile",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(SUM(n) // COUNT(*) AS BIGINT) AS avg_key_rows,
+           CAST((MAX(n) * 1000000) // (SUM(n) // COUNT(*)) AS BIGINT)
+             AS skew_ratio_ppm,
+           CAST((MAX(n) * 1000000) // SUM(n) AS BIGINT) AS max_share_ppm
+    FROM cnt
+    """,
+)
+def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: the one-row profile
+    (hottest key's row count vs the average, integer-ppm ratios) that
+    decides whether a key needs the salting treatment
+    (``agg_skew_salted`` / ``join_skew_salted``) or can shuffle
+    as-is — measured, not guessed, which is the whole discipline.
+
+    Two-level aggregate: per-key counts with map-side partial combine
+    (shuffle bounded by key cardinality), then a single-row rollup of
+    the count distribution. All ratios are integer divisions, so the
+    profile is engine-exact. Run it on a sample at 100 TB — skew
+    ratios converge long before exact counts do.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cnt = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("sum(n) div count(1)").alias("avg_key_rows"),
+        F.expr("(max(n) * 1000000) div (sum(n) div count(1))").alias(
+            "skew_ratio_ppm"
+        ),
+        F.expr("(max(n) * 1000000) div sum(n)").alias("max_share_ppm"),
+    )
