@@ -473,3 +473,34 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exists(toks, lambda x: x == "spark").alias("mentions_spark"),
         )
     )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, regexp_extract_all(o_orderpriority, '[A-Z]{6,}') AS ws
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           unnest(CASE WHEN len(ws) = 0
+                       THEN [CAST(NULL AS VARCHAR)] ELSE ws END) AS word
+    FROM a
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: array → rows, KEEPING rows whose array is empty
+    (as a NULL row) — the left-join-shaped explode. Plain explode
+    silently drops empty-array rows, which corrupts per-parent counts
+    downstream (a join back to parents "loses" parents); outer is the
+    safe default whenever the exploded side is optional.
+
+    Oracle emulates outer semantics by substituting [NULL] for empty
+    lists before unnesting — same rowset, exactly.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.expr("regexp_extract_all(o_orderpriority, '[A-Z]{6,}', 0)").alias("ws"),
+    )
+    return a.select("o_orderkey", F.explode_outer("ws").alias("word"))

@@ -141,3 +141,51 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").applyInPandas(
         normalize, schema="c_custkey long, c_mktsegment string, bal_z double"
     ).withColumn("bal_z", F.round("bal_z", 6) + 0.0)
+
+
+@query(
+    "udtf_python_lateral",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '.') AS ps
+      FROM documents WHERE doc_id < 32
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(ps) - 1)) AS i,
+             unnest(ps) AS sentence
+      FROM parts
+    )
+    SELECT doc_id, CAST(i AS INT) AS sent_idx, sentence FROM ex
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 4 ``@udtf``) applied LATERAL-style:
+    one input row → many output rows, here a sentence splitter — the
+    row-expanding shape (parsers, taggers, chunkers) that scalar UDFs
+    can't express and applyInPandas only reaches via groupBy.
+
+    The UDTF runs Arrow-batched per partition — no shuffle is
+    introduced by the expansion itself; this splitter is SQL-emulable
+    (which is what buys the oracle), but the same harness runs any
+    opaque Python row-expander. At 100 TB the same cautions as
+    ``fn_explode`` apply: project to the minimal column set before
+    expanding.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, part in enumerate((text or "").split(".")):
+                yield i, part
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d.filter(F.col("doc_id") < 32).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )
