@@ -87,7 +87,7 @@ _PRIORITY = [
     "ext_bpe_pair_stats", "agg_heavy_hitters", "ext_ts_anomaly",
     "join_asof_tolerance", "ext_schema_profile", "ext_ccnet_bucket",
     "src_binary_scan", "win_time_range", "ext_skew_profile",
-    "fn_explode_outer", "udtf_python_lateral",
+    "fn_explode_outer", "udtf_python_lateral", "ext_ts_motif",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "stream_kafka_smoke",
     "stream_rate_smoke",

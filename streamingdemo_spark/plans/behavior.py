@@ -403,3 +403,188 @@ def ext_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("int").alias("n_window"),
         ((F.col("n") >= 12) & (dev * dev > 9 * var_n2)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ext_ts_motif",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket FROM bounds) g
+    ),
+    grid AS (
+      SELECT s.event_type, s.bucket, COALESCE(a.cnt, 0) AS cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                     ORDER BY s.bucket) AS INT) - 1 AS idx
+      FROM spine s LEFT JOIN agg a
+        ON s.event_type = a.event_type AND s.bucket = a.bucket
+    ),
+    wins AS (
+      SELECT event_type, idx,
+             list(cnt) OVER (PARTITION BY event_type ORDER BY idx
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+      FROM grid
+    ),
+    feat AS (
+      SELECT event_type, idx,
+             list_transform(w, x -> 8 * x - list_reduce(w, (a, b) -> a + b))
+               AS c
+      FROM wins WHERE len(w) = 8
+    ),
+    sk AS (
+      SELECT event_type, idx, c,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 8), i ->
+                 CASE WHEN c[i] >= 0
+                      THEN CAST(1 AS BIGINT) << (i - 1)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a + b) AS sig,
+             list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)
+               AS n2
+      FROM feat
+    ),
+    nz AS (SELECT * FROM sk WHERE n2 > 0),
+    cand AS (
+      SELECT a.event_type AS et_a, a.idx AS idx_a,
+             b.event_type AS et_b, b.idx AS idx_b,
+             ROUND(
+               CAST(list_reduce(
+                 list_transform(generate_series(1, 8),
+                                i -> a.c[i] * b.c[i]),
+                 (x, y) -> x + y) AS DOUBLE)
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
+               6) + 0.0 AS corr
+      FROM nz a JOIN nz b
+        ON a.sig = b.sig AND a.event_type < b.event_type
+    )
+    SELECT et_a, idx_a, et_b, idx_b, corr
+    FROM cand
+    ORDER BY corr DESC, et_a, idx_a, et_b, idx_b
+    LIMIT 5
+    """,
+)
+def ext_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series motif search (streaming time-series similarity
+    search, EDBT'19 shape): find the most-correlated pairs of 8-hour
+    windows BETWEEN different event series — shape-matching after
+    level/scale removal, the building block of "which metrics co-move"
+    and subsequence anomaly search.
+
+    Scale discipline mirrors ``ext_sim_ann_lsh``: windows are sketched
+    to an integer sign pattern of their mean-centered shape (c_i =
+    8·x_i − Σx — integer, no division), candidates come from a
+    bucket-equality self-join on the 8-bit sketch (identical sign
+    shape), and only within-bucket pairs get the exact correlation —
+    candidate volume is bucket-bounded, never all-windows². The final
+    correlation is an integer dot product over integer norms with one
+    sqrt+round at the end, so scores are engine-exact; the top-5 is a
+    TakeOrdered on the fully tie-broken (corr, keys) order.
+
+    Sliding windows come from ONE ordered pass per series (an 8-row
+    window frame over the gap-filled hourly grid — series × buckets
+    rows, rollup-sized); nothing rescans the raw events after the
+    first hourly aggregate.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    agg = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    grid = grid.withColumn(
+        "idx", (F.row_number().over(wo) - 1).cast("int")
+    )
+    wf = wo.rowsBetween(0, 7)
+    wins = grid.select(
+        "event_type", "idx", F.collect_list("cnt").over(wf).alias("w")
+    ).filter(F.size("w") == 8)
+    ssum = F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + x)
+    feat = wins.select(
+        "event_type",
+        "idx",
+        F.transform("w", lambda x: 8 * x - ssum).alias("c"),
+    )
+    sig = F.aggregate(
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "CASE WHEN c[i-1] >= 0 THEN shiftleft(CAST(1 AS BIGINT), i - 1) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n2 = F.aggregate(
+        F.transform("c", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    sk = feat.select(
+        "event_type", "idx", "c", sig.alias("sig"), n2.alias("n2")
+    ).filter(F.col("n2") > 0)
+    a = sk.select(
+        F.col("event_type").alias("et_a"),
+        F.col("idx").alias("idx_a"),
+        F.col("c").alias("c_a"),
+        F.col("sig").alias("sig"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("et_b"),
+        F.col("idx").alias("idx_b"),
+        F.col("c").alias("c_b"),
+        F.col("sig").alias("sig"),
+        F.col("n2").alias("n2_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("c_a", "c_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cand = (
+        a.join(b, "sig")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .select(
+            "et_a",
+            "idx_a",
+            "et_b",
+            "idx_b",
+            (
+                F.round(
+                    dot.cast("double")
+                    / F.sqrt(
+                        F.col("n2_a").cast("double") * F.col("n2_b").cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("corr"),
+        )
+    )
+    return cand.orderBy(
+        F.desc("corr"), "et_a", "idx_a", "et_b", "idx_b"
+    ).limit(5)

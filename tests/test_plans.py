@@ -240,3 +240,14 @@ def test_heavy_hitters_total_rides_broadcast(spark, sf_dir):
     plan = _plan(QUERIES["agg_heavy_hitters"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan
+
+
+def test_ts_motif_candidates_are_bucket_joined(spark, sf_dir):
+    """Window-pair candidates must come from the sign-sketch
+    equi-join — an all-windows cartesian is the regression this
+    sketch exists to prevent."""
+    plan = _plan(QUERIES["ext_ts_motif"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the pair join must hash on the sketch (tiny spine crosses with
+    # the 1-row bounds relation are fine)
+    assert "Join [sig" in plan or "HashJoin [sig" in plan
