@@ -89,8 +89,8 @@ _PRIORITY = [
     "src_binary_scan", "win_time_range", "ext_skew_profile",
     "fn_explode_outer", "udtf_python_lateral", "ext_ts_motif",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
-    "ext_sim_ivf_topk", "agg_hll_mergeable", "stream_kafka_smoke",
-    "stream_rate_smoke",
+    "ext_sim_ivf_topk", "agg_hll_mergeable", "ext_compression_ratio",
+    "stream_kafka_smoke", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first
     "stream_stream_join", "agg_percentile", "agg_collect_sorted",
     "fn_split_array", "fn_map", "ext_text_fingerprint",

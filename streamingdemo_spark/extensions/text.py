@@ -1123,3 +1123,45 @@ def ext_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@query("ext_compression_ratio")  # rows-only: zlib output is library-specific
+def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate each document and
+    report compressed/raw size in integer parts-per-thousand — the
+    cheap redundancy detector web-corpus filters use (boilerplate and
+    template spam compress far better than natural prose; extremely
+    high ratios flag random/binary junk).
+
+    Arrow-batched pandas UDF (zlib level 6, fixed, so results are
+    reproducible run-to-run); one scan, no shuffle — the screen
+    composes with ``ext_quality_prune``-style percentile cuts
+    downstream. Rows-only by contract: DEFLATE output is
+    library-specific, so there is no cross-engine oracle; the
+    monotonicity contract (repetitive ≪ prose < random) is pinned by
+    ``tests/test_extensions.py::test_compression_ratio_orders_texts``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def ratio_ppk(texts):
+        import zlib
+
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                out.append(1000)
+                continue
+            comp = zlib.compress(raw, 6)
+            out.append(int(len(comp) * 1000 // len(raw)))
+        return pd.Series(out, dtype="int32")
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("raw_chars"),
+        ratio_ppk("text").alias("compress_ppk"),
+    )

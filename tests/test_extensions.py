@@ -481,3 +481,54 @@ def test_hll_mergeable_accuracy(spark, sf_dir):
     assert abs(est["ALL"] - exact_all) <= max(1, 0.05 * exact_all)
     for t, n in exact_per.items():
         assert abs(est[t] - n) <= max(1, 0.05 * n), t
+
+
+def _lcg_noise(n: int) -> str:
+    """Deterministic high-entropy printable string (64-bit LCG)."""
+    x, chars = 1, []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        chars.append(chr(33 + (x >> 33) % 90))
+    return "".join(chars)
+
+
+def test_compression_ratio_orders_texts(spark, sf_dir):
+    """Repetitive text must compress far better than fixture prose;
+    the scores must be deterministic across two runs."""
+    from pyspark.sql import Row
+
+    from streamingdemo_spark.registry import QUERIES
+
+    df = QUERIES["ext_compression_ratio"](spark, sf_dir)
+    fixture_med = sorted(r["compress_ppk"] for r in df.collect())
+    assert fixture_med[0] > 0
+    again = sorted(
+        r["compress_ppk"]
+        for r in QUERIES["ext_compression_ratio"](spark, sf_dir).collect()
+    )
+    assert fixture_med == again  # deterministic
+    # planted extremes through the same UDF pipeline
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", n_chars=1000, text="spam " * 200),
+            Row(doc_id=2, lang="en", n_chars=1000, text=_lcg_noise(1000)),
+        ]
+    )
+    import streamingdemo_spark.extensions.text as text_mod
+
+    orig = text_mod._docs
+    text_mod._docs = lambda s, d: probe
+    try:
+        rows = {
+            r["doc_id"]: r["compress_ppk"]
+            for r in QUERIES["ext_compression_ratio"](spark, sf_dir).collect()
+        }
+    finally:
+        text_mod._docs = orig
+    assert rows[1] < 100          # boilerplate crushes
+    assert rows[2] > 700          # high-entropy barely compresses
+    # fixture prose sits between the planted extremes (median, not
+    # min/max: very short docs are header-overhead-dominated and can
+    # exceed 1000 ppk)
+    median = fixture_med[len(fixture_med) // 2]
+    assert rows[1] < median < rows[2]
