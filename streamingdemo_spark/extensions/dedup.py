@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import POLY_MOD, poly_hash, query
+from streamingdemo_spark.registry import POLY_MOD, opoly, poly_hash, query
 
 MUTANT_OFFSET = 1_000_000
 
@@ -843,3 +843,114 @@ def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sources",
         )
     )
+
+
+# Portable Bloom filter geometry: 8192 bits as 256 x 32-bit words (a
+# 32-bit word keeps every mask below the int64 sign bit, so shift
+# semantics can't diverge between engines), k=4 salted polynomial
+# hashes.
+_BLOOM_BITS = 8192
+_BLOOM_SALTS = ("s1", "s2", "s3", "s4")
+
+
+@query(
+    "ext_dedup_incremental_bloom",
+    oracle=f"""
+    WITH hist AS (
+      SELECT lower(trim(text)) AS norm FROM documents WHERE doc_id % 2 = 0
+    ),
+    hist_bits AS (
+      SELECT ({opoly("s.salt || norm")}) % {_BLOOM_BITS} AS p
+      FROM hist, (SELECT unnest(['s1','s2','s3','s4']) AS salt) s
+    ),
+    bloom AS (
+      SELECT CAST(p // 32 AS BIGINT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bf
+      FROM hist_bits GROUP BY 1
+    ),
+    incoming AS (
+      SELECT doc_id, lower(trim(text)) AS norm
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, lower(trim(text))
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    probe AS (
+      SELECT i.doc_id,
+             ({opoly("s.salt || i.norm")}) % {_BLOOM_BITS} AS p
+      FROM incoming i, (SELECT unnest(['s1','s2','s3','s4']) AS salt) s
+    )
+    SELECT pr.doc_id,
+           bool_and(COALESCE(
+             (b.bf & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT)))
+               = (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT)),
+             FALSE)) AS maybe_dup
+    FROM probe pr LEFT JOIN bloom b ON CAST(pr.p // 32 AS BIGINT) = b.w
+    GROUP BY pr.doc_id
+    """,
+)
+def ext_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup via a Bloom filter: screen a new batch
+    of documents against the historical corpus WITHOUT joining the
+    corpus — the pattern that keeps daily crawl ingestion from
+    re-shuffling 100 TB of history (build/maintain the filter once,
+    broadcast kilobytes-to-gigabytes instead).
+
+    The filter is hand-rolled portable integer math (k=4 salted
+    polynomial hashes onto 8192 bits stored as 256 32-bit words,
+    bit_or-aggregated), so the DuckDB oracle replays build AND probe
+    bit-for-bit — false positives included: the flag set matches
+    exactly, which is the honest contract of a Bloom screen (no false
+    negatives by construction; planted mirror copies of historical
+    docs must all flag). At production bit-widths use Spark's
+    DataFrameStatFunctions bloom or a sketch library — this operator
+    pins the semantics and the broadcast-not-join plan shape.
+
+    Plan shape: the filter build aggregates to ≤256 rows (bounded by
+    geometry, not corpus), the probe side explodes k rows per doc and
+    joins the tiny filter broadcast — the corpus never shuffles.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.trim(F.col("text")))
+    salts = F.array(*[F.lit(s) for s in _BLOOM_SALTS])
+    hist_bits = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(norm.alias("norm"))
+        .select(F.explode(salts).alias("salt"), "norm")
+        .select(
+            (poly_hash(F.concat("salt", "norm")) % _BLOOM_BITS).alias("p")
+        )
+    )
+    bloom = hist_bits.select(
+        F.expr("p div 32").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m"),
+    ).groupBy("w").agg(F.expr("bit_or(m)").alias("bf"))
+    incoming = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", norm.alias("norm"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                norm.alias("norm"),
+            )
+        )
+    )
+    probe = incoming.select(
+        "doc_id", F.explode(salts).alias("salt"), "norm"
+    ).select(
+        "doc_id",
+        (poly_hash(F.concat("salt", "norm")) % _BLOOM_BITS).alias("p"),
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+    checked = (
+        probe.withColumn("w", F.expr("p div 32"))
+        .withColumn("m", mask)
+        .join(F.broadcast(bloom), "w", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("bf").bitwiseAND(F.col("m")) == F.col("m"), F.lit(False)
+            ).alias("hit"),
+        )
+    )
+    return checked.groupBy("doc_id").agg(F.expr("bool_and(hit)").alias("maybe_dup"))

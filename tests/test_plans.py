@@ -251,3 +251,13 @@ def test_ts_motif_candidates_are_bucket_joined(spark, sf_dir):
     # the pair join must hash on the sketch (tiny spine crosses with
     # the 1-row bounds relation are fine)
     assert "Join [sig" in plan or "HashJoin [sig" in plan
+
+
+def test_bloom_dedup_broadcasts_filter_not_corpus(spark, sf_dir):
+    """The incremental screen must broadcast the (geometry-bounded)
+    filter relation and stream the incoming side — joining the
+    historical corpus itself is the anti-pattern this op exists to
+    avoid."""
+    plan = _plan(QUERIES["ext_dedup_incremental_bloom"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
