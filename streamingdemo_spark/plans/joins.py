@@ -578,3 +578,50 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_click_ts"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id,
+           (SELECT MIN(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts >= p.ts) AS next_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: the EARLIEST click at-or-after each
+    purchase (pandas ``merge_asof(direction='forward')``) — the
+    "what happened next" attribution the backward variant can't
+    answer. Same single-shuffle union+window plan as ``join_asof``,
+    with the ordering reversed: descending time, clicks after
+    purchases on ties ('purchase' < 'click' must hold, so the
+    tiebreak orders by the event-kind flag), carrying the last
+    non-null click timestamp backward.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "click_ts", F.col("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "click_ts", F.lit(None).cast("timestamp")
+    )
+    from pyspark.sql.window import Window
+
+    # Descending ts; at identical ts the click must be visible to the
+    # purchase (>= semantics), so clicks sort BEFORE purchases in the
+    # descending pass: is_click desc puts click first.
+    is_click = (F.col("event_type") == "click").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), is_click.desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("next_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "next_click_ts")
+    )
