@@ -43,6 +43,7 @@ def _drain(df) -> int:
 
 HEADLINE = [
     "flagship_q3",        # 3-way join + agg + top-k
+    "flagship_q5",        # 6-table region-filtered revenue
     "agg_groupby",        # TPC-H Q1 fact-table aggregate
     "agg_skew_salted",    # two-phase salted aggregation
     "join_star3",         # 5-table star join

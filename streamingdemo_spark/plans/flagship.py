@@ -57,3 +57,73 @@ def flagship_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "flagship_q5",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {osum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def flagship_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second flagship (TPC-H-Q5-shaped): local-supplier revenue by
+    nation — a 6-table join with the classic "customer and supplier
+    in the SAME nation" correlated equi-condition, a region filter
+    that prunes through two dimension hops, and a date-sliced fact
+    scan.
+
+    Scale shape: region→nation→customer is a chain of
+    broadcast-eligible dims (each filter shrinks the next hop);
+    supplier joins the fact on (suppkey) PLUS the nation-equality
+    residual, keeping it an equi-join — the naive form (join on
+    suppkey, filter nations later) carries the same plan here, but
+    expressing both equalities in the join lets Catalyst use them for
+    sizing. The only big shuffle is lineitem⋈orders; everything else
+    broadcasts, and the final aggregate is nation-cardinality-sized.
+    The date filters push into the orders parquet scan
+    (PushedFilters), so the fact join sees one year, not the table.
+    """
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("region", "nation", "customer", "orders", "lineitem", "supplier"),
+    )
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    joined = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )

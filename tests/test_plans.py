@@ -261,3 +261,13 @@ def test_bloom_dedup_broadcasts_filter_not_corpus(spark, sf_dir):
     plan = _plan(QUERIES["ext_dedup_incremental_bloom"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_flagship_q5_broadcasts_every_dim(spark, sf_dir):
+    """Q5's five dimension hops must all broadcast; only the
+    lineitem side may shuffle. No cartesian anywhere despite the
+    two-equality supplier condition."""
+    plan = _plan(QUERIES["flagship_q5"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1
