@@ -803,3 +803,45 @@ def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(max(n) * 1000000) div sum(n)").alias("max_share_ppm"),
     )
+
+
+@query(
+    "agg_continuous_rollup",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate chain (the hypertable / materialized-view
+    rollup pattern): DAILY totals computed by re-aggregating HOURLY
+    partials — never re-reading raw events — while the oracle computes
+    daily straight from raw. They hash-match exactly, which is the
+    point: integer-unit sums are associative, so partial aggregates
+    merge losslessly at any granularity (double sums would drift with
+    the regrouping and the match would be luck).
+
+    This is how a 100 TB metrics store works: materialize the hourly
+    rollup once (it's the expensive full-data pass), then derive
+    daily/weekly/monthly — and late-arriving partitions — by merging
+    partials that are each a tiny fraction of the raw volume.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))).alias("units"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", F.col("hour")).alias("day")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("units").cast("double") / F.lit(10000.0)).alias("sum_value"),
+        )
+    )
