@@ -346,3 +346,56 @@ def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
         )
     )
+
+
+@query(
+    "fn_zorder",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST(date_diff('day', TIMESTAMP '1997-01-01', o_orderdate) % 65536
+                  AS BIGINT) AS y
+      FROM orders
+    )
+    SELECT o_orderkey,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(0, 15), i ->
+               (((x >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+               + (((y >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT)))),
+             (a, b) -> a + b) AS zval
+    FROM base
+    """,
+)
+def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleaving of two layout dimensions —
+    the multi-dimensional clustering key behind Z-ORDER table layouts:
+    sorting by the interleaved code co-locates rows that are close in
+    BOTH customer and order-date, so scans filtered on either
+    dimension touch few files (a single-column sort only helps one).
+
+    Pure integer bit math (16 bits per dimension folded over a
+    sequence), identical on both engines. Usage downstream:
+    ``df.repartitionByRange(n, zval).sortWithinPartitions(zval)
+    .write...`` — same shape as ``ext_doc_shuffle_sharded``'s range
+    layout; this key pins the code computation itself.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1997-01-01")).cast("long")
+            % 65536
+        ).alias("y"),
+    )
+    z = F.aggregate(
+        F.expr(
+            "transform(sequence(0, 15), i -> "
+            "shiftleft((shiftright(x, i) & CAST(1 AS BIGINT)), 2 * i) + "
+            "shiftleft((shiftright(y, i) & CAST(1 AS BIGINT)), 2 * i + 1))"
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return base.select("o_orderkey", z.alias("zval"))
