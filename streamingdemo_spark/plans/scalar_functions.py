@@ -504,3 +504,39 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("regexp_extract_all(o_orderpriority, '[A-Z]{6,}', 0)").alias("ws"),
     )
     return a.select("o_orderkey", F.explode_outer("ws").alias("word"))
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 7, 0) AS price_per,
+           CASE WHEN o_custkey <= 9223372036854775807 - 1000000000000000000
+                THEN o_custkey + 1000000000000000000 END AS shifted,
+           TRY_CAST(o_orderpriority AS BIGINT) AS prio_num
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode: ``try_divide`` /
+    ``try_add`` / ``try_cast`` return NULL where strict ANSI
+    evaluation would THROW (division by zero, overflow, bad cast) —
+    the difference between a 100 TB job dying on one malformed row at
+    hour nine and a NULL you can quarantine downstream. Spark 4 runs
+    ANSI-on by default, so every pipeline needs a policy; these are
+    the per-expression escape hatches (the session-wide alternative —
+    disabling ANSI — trades away overflow detection everywhere).
+
+    The oracle expresses the same semantics with guards (NULLIF for
+    the zero divisor, a range check for the overflow, TRY_CAST which
+    DuckDB shares) — same NULL set, exactly.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7).alias(
+            "price_per"
+        ),
+        F.try_add(F.col("o_custkey"), F.lit(10**18)).alias("shifted"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("prio_num"),
+    )
