@@ -354,17 +354,23 @@ def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT o_orderkey,
              CAST(o_custkey % 65536 AS BIGINT) AS x,
-             CAST(date_diff('day', TIMESTAMP '1997-01-01', o_orderdate) % 65536
+             CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) % 65536
                   AS BIGINT) AS y
       FROM orders
-    )
-    SELECT o_orderkey,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(generate_series(0, 15), i ->
-               (((x >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
-               + (((y >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT)))),
-             (a, b) -> a + b) AS zval
-    FROM base
+    ),
+    s1 AS (SELECT o_orderkey,
+                  ((x | (x << 8)) & 16711935) AS xa,
+                  ((y | (y << 8)) & 16711935) AS ya FROM base),
+    s2 AS (SELECT o_orderkey,
+                  ((xa | (xa << 4)) & 252645135) AS xb,
+                  ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+    s3 AS (SELECT o_orderkey,
+                  ((xb | (xb << 2)) & 858993459) AS xc,
+                  ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+    s4 AS (SELECT o_orderkey,
+                  ((xc | (xc << 1)) & 1431655765) AS xd,
+                  ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+    SELECT o_orderkey, xd | (yd << 1) AS zval FROM s4
     """,
 )
 def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,8 +380,11 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH customer and order-date, so scans filtered on either
     dimension touch few files (a single-column sort only helps one).
 
-    Pure integer bit math (16 bits per dimension folded over a
-    sequence), identical on both engines. Usage downstream:
+    Pure integer bit math (4 shift/mask spread rounds per dimension —
+    the magic-number form stays in whole-stage codegen), identical on
+    both engines. Day index is epoch-anchored so it is always
+    non-negative (a signed index would interleave two's-complement
+    bits and scatter pre-anchor dates). Usage downstream:
     ``df.repartitionByRange(n, zval).sortWithinPartitions(zval)
     .write...`` — same shape as ``ext_doc_shuffle_sharded``'s range
     layout; this key pins the code computation itself.
@@ -385,17 +394,20 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_custkey") % 65536).alias("x"),
         (
-            F.datediff(F.col("o_orderdate"), F.lit("1997-01-01")).cast("long")
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
             % 65536
         ).alias("y"),
     )
-    z = F.aggregate(
-        F.expr(
-            "transform(sequence(0, 15), i -> "
-            "shiftleft((shiftright(x, i) & CAST(1 AS BIGINT)), 2 * i) + "
-            "shiftleft((shiftright(y, i) & CAST(1 AS BIGINT)), 2 * i + 1))"
-        ),
-        F.lit(0).cast("long"),
-        lambda a, b: a + b,
-    )
+
+    def spread(c: str) -> str:
+        # magic-number bit spread: 16 bits -> even positions of 32,
+        # 4 shift/mask rounds, all inside whole-stage codegen (the
+        # HOF-fold form was interpreted per row: 2.4x wall at 10x rows)
+        e = c
+        for shift, mask in ((8, 16711935), (4, 252645135),
+                            (2, 858993459), (1, 1431655765)):
+            e = f"(({e} | shiftleft({e}, {shift})) & CAST({mask} AS BIGINT))"
+        return e
+
+    z = F.expr(f"{spread('x')} | shiftleft({spread('y')}, 1)")
     return base.select("o_orderkey", z.alias("zval"))
