@@ -177,7 +177,9 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="sent_idx int, sentence string")
     class SentenceSplit:
         def eval(self, text: str):
-            for i, part in enumerate((text or "").split(".")):
+            if text is None:
+                return  # match SQL: string_split(NULL) expands to no rows
+            for i, part in enumerate(text.split(".")):
                 yield i, part
 
     spark.udtf.register("sentence_split", SentenceSplit)

@@ -603,11 +603,23 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     def screen(key, pdf_iter, state: GroupState):
         (etype,) = key
         buf = list(state.get[0]) if state.exists else []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("event_id")
-            x = np.floor(pdf["value"].to_numpy() * 10000.0 + 0.5).astype(
-                np.int64
-            )
+        # Concatenate ALL Arrow chunks before sorting: a group whose
+        # micro-batch exceeds arrow.maxRecordsPerBatch arrives as
+        # several chunks in arbitrary post-shuffle order, and a
+        # per-chunk sort would screen events against the wrong window
+        # and hand a wrong ring buffer to the next batch. Memory is
+        # bounded by the group's micro-batch size (the same bound the
+        # prefix sums already require).
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("event_id")
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            if np.isnan(vals).any():
+                # NaN would astype() into undefined int64 garbage and
+                # silently poison 24 subsequent verdicts — fail loudly;
+                # the batch-equivalence contract assumes non-null values.
+                raise ValueError("stream_anomaly: NULL/NaN value column")
+            x = np.floor(vals * 10000.0 + 0.5).astype(np.int64)
             m = len(buf)
             arr = np.concatenate([np.asarray(buf, dtype=np.int64), x])
             c1 = np.concatenate([[0], np.cumsum(arr)])
@@ -679,12 +691,20 @@ def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
     )
     out = tempfile.mkdtemp(prefix="snk_stream_parquet_")
-    (
+    query = (
         proj.writeStream.format("parquet")
         .option("path", out + "/data")
         .option("checkpointLocation", out + "/chk")
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(300)
     )
+    try:
+        # awaitTermination returns False on timeout (no exception):
+        # reading the sink then would see a partially-committed
+        # directory while the query keeps writing — same guard as
+        # run_to_memory.
+        if not query.awaitTermination(300):
+            raise TimeoutError("snk_stream_parquet replay exceeded 300s")
+    finally:
+        query.stop()
     return spark.read.parquet(out + "/data")

@@ -13,11 +13,25 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
     row = df.agg(
         F.sum("rank_nano").alias("mass"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
-    # Integer floors only ever DROP mass (≤1 nano-unit per directed
-    # edge per iteration + 2 per node): total stays at most a hair
-    # under the ideal 1e9, never above it.
+    # Integer floors only ever DROP mass: per iteration at most 1
+    # nano-unit per directed edge (contribution floor) + 2 per node
+    # (base + damp floors), plus the initial split's n units — so the
+    # bound is derived from the graph's actual size, not a constant
+    # (a constant slack fails spuriously on larger fixtures).
+    from streamingdemo_spark.io import load_tables
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    n_pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select((F.col("o_custkey") * 2), (F.col("l_suppkey") * 2 + 1))
+        .distinct()
+        .count()
+    )
+    n_edges = 2 * n_pairs
+    max_loss = 3 * (n_edges + 2 * row["n"]) + row["n"]
     assert row["mass"] <= 1_000_000_000
-    assert row["mass"] >= 999_000_000
+    assert row["mass"] >= 1_000_000_000 - max_loss
     # Suppliers are ~15x rarer than customers in the co-purchase
     # bipartite graph, so they concentrate rank: the top node by rank
     # must be a supplier hub, and every rank is positive.
