@@ -585,21 +585,55 @@ def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ext_embedding_centroid",
-    oracle="""
-    WITH ex AS (
+# Shared centroid pipeline: ``ext_embedding_centroid`` exposes these
+# means as its result and ``ext_sim_ivf_assign`` builds its codebook
+# from them. The assignment's exactness chain REQUIRES the two to be
+# bit-identical, so the math exists exactly once per engine — this
+# helper on the Spark side, ``_CENTROID_CTE`` on the oracle side.
+_CENTROID_CTE = """ex AS (
       SELECT label,
              unnest(generate_series(0, len(embedding) - 1)) AS pos,
              unnest(embedding) AS x
       FROM embeddings
+    ),
+    cmeans AS (
+      SELECT label, pos, COUNT(*) AS n_vec,
+             ROUND(CAST(SUM(CAST(FLOOR(
+                     CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1000000.0, 6) + 0.0 AS c
+      FROM ex GROUP BY label, pos
+    )"""
+
+
+def _centroid_means(e: DataFrame) -> DataFrame:
+    """(label, pos, n_vec, c): per-label per-position class means in
+    the integer micro-unit convention (floor(x*1e6+0.5) summed as
+    long, one double division, 1e-6 round) — exact and
+    shuffle-order-independent, so both engines agree bitwise."""
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    n = F.count(F.lit(1))
+    return ex.groupBy("label", "pos").agg(
+        n.alias("n_vec"),
+        (
+            F.round(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000.0 + F.lit(0.5))
+                ).cast("double")
+                / n
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("c"),
     )
-    SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n_vec,
-           ROUND(CAST(SUM(CAST(FLOOR(
-                   CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / COUNT(*) / 1000000.0, 6) + 0.0 AS centroid
-    FROM ex
-    GROUP BY label, pos
+
+
+@query(
+    "ext_embedding_centroid",
+    oracle=f"""
+    WITH {_CENTROID_CTE}
+    SELECT label, CAST(pos AS INT) AS pos, n_vec, c AS centroid
+    FROM cmeans
     """,
 )
 def ext_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,41 +658,17 @@ def ext_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct — same integer-unit discipline, one row per vector.
     """
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    n = F.count(F.lit(1))
-    return ex.groupBy("label", "pos").agg(
-        n.alias("n_vec"),
-        (
-            F.round(
-                F.sum(
-                    F.floor(F.col("x").cast("double") * 1000000.0 + F.lit(0.5))
-                ).cast("double")
-                / n
-                / F.lit(1000000.0),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("centroid"),
+    return _centroid_means(e).select(
+        "label", "pos", "n_vec", F.col("c").alias("centroid")
     )
 
 
 @query(
     "ext_sim_ivf_assign",
-    oracle="""
-    WITH ex AS (
-      SELECT label,
-             unnest(generate_series(0, len(embedding) - 1)) AS pos,
-             unnest(embedding) AS x
-      FROM embeddings
-    ),
-    cmeans AS (
-      SELECT label AS cl, pos,
-             ROUND(CAST(SUM(CAST(FLOOR(
-                     CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / COUNT(*) / 1000000.0, 6) + 0.0 AS c
-      FROM ex GROUP BY label, pos
-    ),
-    cent AS (SELECT cl, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY cl),
+    oracle=f"""
+    WITH {_CENTROID_CTE},
+    cent AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec
+             FROM cmeans GROUP BY label),
     v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
     scored AS (
@@ -705,19 +715,8 @@ def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cell.
     """
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    cmeans = ex.groupBy(F.col("label").alias("cl"), F.col("pos")).agg(
-        (
-            F.round(
-                F.sum(
-                    F.floor(F.col("x").cast("double") * 1000000.0 + F.lit(0.5))
-                ).cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1000000.0),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("c")
+    cmeans = _centroid_means(e).select(
+        F.col("label").alias("cl"), "pos", "c"
     )
     cent = cmeans.groupBy("cl").agg(
         F.transform(

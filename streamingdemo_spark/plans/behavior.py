@@ -178,6 +178,23 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_spine_join(ev, agg):
+    """Gap-filled hourly grid (shared by ext_ts_resample and
+    ext_ts_motif — the oracle SQL mirrors this spine in both keys):
+    generate every hour between the observed min/max bucket (broadcast
+    1-row bounds relation, never a driver collect), cross the distinct
+    series, and left-join the per-(series, bucket) aggregate so gap
+    buckets surface as NULL rows for the caller to fill."""
+    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    return hours.crossJoin(F.broadcast(types)).join(
+        agg, ["event_type", "bucket"], "left"
+    )
+
+
 @query(
     "ext_ts_resample",
     oracle="""
@@ -244,13 +261,7 @@ def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", 4).alias("sum_value"),
     )
-    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-    hours = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
-    )
-    types = ev.select("event_type").distinct()
-    spine = hours.crossJoin(F.broadcast(types))
-    j = spine.join(agg, ["event_type", "bucket"], "left").select(
+    j = _hourly_spine_join(ev, agg).select(
         "event_type",
         "bucket",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
@@ -503,19 +514,10 @@ def ext_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    bounds = ev.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-    hours = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
-    )
-    types = ev.select("event_type").distinct()
-    grid = (
-        hours.crossJoin(F.broadcast(types))
-        .join(agg, ["event_type", "bucket"], "left")
-        .select(
-            "event_type",
-            "bucket",
-            F.coalesce("cnt", F.lit(0)).alias("cnt"),
-        )
+    grid = _hourly_spine_join(ev, agg).select(
+        "event_type",
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
     )
     wo = Window.partitionBy("event_type").orderBy("bucket")
     grid = grid.withColumn(

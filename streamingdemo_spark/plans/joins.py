@@ -306,6 +306,22 @@ def join_star3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _click_purchase_union(spark, sf_dir):
+    """Shared as-of scaffold: clicks carry their own ts in click_ts,
+    purchases carry NULL — unioned so one ordered window pass per
+    user can carry the nearest click timestamp across to purchases
+    (backward, forward, and tolerance variants all ride this)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "click_ts", F.col("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "click_ts", F.lit(None).cast("timestamp")
+    )
+    return clicks.unionByName(purchases)
+
+
 @query(
     "join_asof",
     oracle="""
@@ -325,14 +341,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the canonical pattern: sort-within-partition by
     time after hash-partitioning on the key; state is one value per row.
     """
-    t = load_tables(spark, sf_dir, ("events",))
-    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
-    clicks = ev.filter(F.col("event_type") == "click").withColumn(
-        "click_ts", F.col("ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
-        "click_ts", F.lit(None).cast("timestamp")
-    )
     from pyspark.sql.window import Window
 
     # Order clicks before purchases at identical ts: 'click' < 'purchase'
@@ -343,7 +351,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        clicks.unionByName(purchases)
+        _click_purchase_union(spark, sf_dir)
         .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "ts", "user_id", "last_click_ts")
@@ -548,14 +556,6 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance is one post-window NULL-out, so the scalable plan is
     untouched — no range join appears at any tolerance value.
     """
-    t = load_tables(spark, sf_dir, ("events",))
-    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
-    clicks = ev.filter(F.col("event_type") == "click").withColumn(
-        "click_ts", F.col("ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
-        "click_ts", F.lit(None).cast("timestamp")
-    )
     from pyspark.sql.window import Window
 
     w = (
@@ -565,7 +565,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     last = F.last("click_ts", ignorenulls=True).over(w)
     return (
-        clicks.unionByName(purchases)
+        _click_purchase_union(spark, sf_dir)
         .withColumn("raw_last", last)
         .filter(F.col("event_type") == "purchase")
         .select(
@@ -600,14 +600,6 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak orders by the event-kind flag), carrying the last
     non-null click timestamp backward.
     """
-    t = load_tables(spark, sf_dir, ("events",))
-    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
-    clicks = ev.filter(F.col("event_type") == "click").withColumn(
-        "click_ts", F.col("ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").withColumn(
-        "click_ts", F.lit(None).cast("timestamp")
-    )
     from pyspark.sql.window import Window
 
     # Descending ts; at identical ts the click must be visible to the
@@ -620,7 +612,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        clicks.unionByName(purchases)
+        _click_purchase_union(spark, sf_dir)
         .withColumn("next_click_ts", F.last("click_ts", ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "ts", "user_id", "next_click_ts")
