@@ -845,3 +845,31 @@ def agg_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("units").cast("double") / F.lit(10000.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING / GROUPING_ID indicators over a CUBE: the bitmask
+    that tells a subtotal row apart from a data row whose key is
+    genuinely NULL — without it, cube/rollup output is ambiguous the
+    moment a grouping column is nullable, which is exactly when
+    downstream code mis-attributes subtotals to a "NULL segment".
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n")
