@@ -92,8 +92,8 @@ _PRIORITY = [
     "agg_continuous_rollup", "fn_zorder", "fn_try_arith",
     "agg_grouping_id",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
-    "ext_sim_ivf_topk", "agg_hll_mergeable", "ext_compression_ratio",
-    "stream_kafka_smoke", "stream_rate_smoke",
+    "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
+    "ext_compression_ratio", "stream_kafka_smoke", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first
     "stream_stream_join", "agg_percentile", "agg_collect_sorted",
     "fn_split_array", "fn_map", "ext_text_fingerprint",

@@ -873,3 +873,43 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n"),
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n")
+
+
+@query("agg_kll_quantile_merge")  # rows-only: Datasketches binary
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Datasketches KLL): one sketch of
+    the value distribution per event_type, then the per-group sketches
+    FOLD-MERGED into a corpus-wide sketch whose p50/p90/p99 come out
+    without touching raw data again — the percentile analogue of
+    ``agg_hll_mergeable``, and the only way percentiles scale at
+    100 TB (exact percentiles need a global sort; a KLL sketch is
+    kilobytes per segment and merges associatively, so any rollup —
+    region→global, day→month — is sketch-sized work).
+
+    Rows-only by contract (sketch bytes are engine-specific); the rank
+    accuracy of the merged estimates vs the exact distribution is
+    pinned by ``tests/test_extensions.py::test_kll_merge_rank_accuracy``.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    typed = per.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+    arr = per.agg(F.collect_list("sk").alias("a"))
+    msk = F.aggregate(
+        F.expr("slice(a, 2, size(a) - 1)"),
+        F.element_at("a", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = arr.select(
+        F.lit("ALL").alias("event_type"),
+        F.kll_sketch_get_quantile_double(msk, F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(msk, F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double(msk, F.lit(0.99)).alias("p99"),
+    )
+    return typed.unionByName(merged)

@@ -532,3 +532,24 @@ def test_compression_ratio_orders_texts(spark, sf_dir):
     # exceed 1000 ppk)
     median = fixture_med[len(fixture_med) // 2]
     assert rows[1] < median < rows[2]
+
+
+def test_kll_merge_rank_accuracy(spark, sf_dir):
+    """The merged sketch's quantile estimates must sit within KLL rank
+    error (default k: ~1.65%; assert 3%) of their targets against the
+    EXACT distribution."""
+    from pyspark.sql import functions as F
+
+    from streamingdemo_spark.io import load_tables
+    from streamingdemo_spark.registry import QUERIES
+
+    est = {
+        r["event_type"]: r
+        for r in QUERIES["agg_kll_quantile_merge"](spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    n = ev.count()
+    for target, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        qhat = est["ALL"][col]
+        rank = ev.filter(F.col("value") <= qhat).count() / n
+        assert abs(rank - target) <= 0.03, (col, qhat, rank)
