@@ -551,6 +551,70 @@ def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _anomaly_screen(key, pdf_iter, state):
+    """Per-series trailing-24 3σ screen (see ``stream_anomaly``).
+
+    Module-level so the checkpoint-resume test drives the IDENTICAL
+    state function the query key uses."""
+    import numpy as np
+
+    (etype,) = key
+    buf = list(state.get[0]) if state.exists else []
+    # Concatenate ALL Arrow chunks before sorting: a group whose
+    # micro-batch exceeds arrow.maxRecordsPerBatch arrives as several
+    # chunks in arbitrary post-shuffle order, and a per-chunk sort
+    # would screen events against the wrong window and hand a wrong
+    # ring buffer to the next batch. Memory is bounded by the group's
+    # micro-batch size (the same bound the prefix sums already
+    # require).
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("event_id")
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        if np.isnan(vals).any():
+            # NaN would astype() into undefined int64 garbage and
+            # silently poison 24 subsequent verdicts — fail loudly;
+            # the batch-equivalence contract assumes non-null values.
+            raise ValueError("stream_anomaly: NULL/NaN value column")
+        x = np.floor(vals * 10000.0 + 0.5).astype(np.int64)
+        m = len(buf)
+        arr = np.concatenate([np.asarray(buf, dtype=np.int64), x])
+        c1 = np.concatenate([[0], np.cumsum(arr)])
+        c2 = np.concatenate([[0], np.cumsum(arr * arr)])
+        idx = np.arange(len(x)) + m
+        lo = np.maximum(0, idx - 24)
+        n = idx - lo
+        su = c1[idx] - c1[lo]
+        sq = c2[idx] - c2[lo]
+        dev = x * n - su
+        flag = (n >= 12) & (dev * dev > 9 * (n * sq - su * su))
+        buf = arr[-24:].tolist()
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "event_type": etype,
+                "n_window": n.astype("int32"),
+                "is_anomaly": flag,
+            }
+        )
+    state.update((buf,))
+
+
+def apply_anomaly_screen(stream: DataFrame) -> DataFrame:
+    """Attach the stateful anomaly screen to any events-shaped stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _anomaly_screen,
+        outputStructType=(
+            "event_id long, event_type string, n_window int, is_anomaly boolean"
+        ),
+        stateStructType="buf array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @query(
     "stream_anomaly",
     oracle="""
@@ -595,62 +659,8 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     only beyond ~10^5 rows per key per micro-batch — size
     micro-batches under that, or chunk the prefix sums.
     """
-    import numpy as np
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
-
-    def screen(key, pdf_iter, state: GroupState):
-        (etype,) = key
-        buf = list(state.get[0]) if state.exists else []
-        # Concatenate ALL Arrow chunks before sorting: a group whose
-        # micro-batch exceeds arrow.maxRecordsPerBatch arrives as
-        # several chunks in arbitrary post-shuffle order, and a
-        # per-chunk sort would screen events against the wrong window
-        # and hand a wrong ring buffer to the next batch. Memory is
-        # bounded by the group's micro-batch size (the same bound the
-        # prefix sums already require).
-        chunks = list(pdf_iter)
-        if chunks:
-            pdf = pd.concat(chunks).sort_values("event_id")
-            vals = pdf["value"].to_numpy(dtype=np.float64)
-            if np.isnan(vals).any():
-                # NaN would astype() into undefined int64 garbage and
-                # silently poison 24 subsequent verdicts — fail loudly;
-                # the batch-equivalence contract assumes non-null values.
-                raise ValueError("stream_anomaly: NULL/NaN value column")
-            x = np.floor(vals * 10000.0 + 0.5).astype(np.int64)
-            m = len(buf)
-            arr = np.concatenate([np.asarray(buf, dtype=np.int64), x])
-            c1 = np.concatenate([[0], np.cumsum(arr)])
-            c2 = np.concatenate([[0], np.cumsum(arr * arr)])
-            idx = np.arange(len(x)) + m
-            lo = np.maximum(0, idx - 24)
-            n = idx - lo
-            su = c1[idx] - c1[lo]
-            sq = c2[idx] - c2[lo]
-            dev = x * n - su
-            flag = (n >= 12) & (dev * dev > 9 * (n * sq - su * su))
-            buf = arr[-24:].tolist()
-            yield pd.DataFrame(
-                {
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "event_type": etype,
-                    "n_window": n.astype("int32"),
-                    "is_anomaly": flag,
-                }
-            )
-        state.update((buf,))
-
-    flags = stream.groupBy("event_type").applyInPandasWithState(
-        screen,
-        outputStructType=(
-            "event_id long, event_type string, n_window int, is_anomaly boolean"
-        ),
-        stateStructType="buf array<long>",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    flags = apply_anomaly_screen(stream)
     # update mode, but each event_id is emitted exactly once (each row
     # is screened in the micro-batch it arrives) — the memory table IS
     # the per-event verdict set, no reduction needed.
