@@ -189,3 +189,18 @@ def query_op(
             "streamingdemo_spark.registry.QUERIES"
         )
     return {"out": QUERIES[key](spark, params["sf_dir"])}
+
+
+@register("anomaly_screen")
+def anomaly_screen(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Stateful trailing-window 3σ screen as a container operator: the
+    per-series ring-buffer monitor (``streaming/queries.py:
+    apply_anomaly_screen``) wired into the reference's operator-DAG
+    authoring model, so a spec can declare source → screen → sink the
+    way ``OpContainer`` pipelines do. Works on a streaming events port
+    (applyInPandasWithState keeps 24 longs per series)."""
+    from streamingdemo_spark.streaming.queries import apply_anomaly_screen
+
+    return {"out": apply_anomaly_screen(inputs["in"])}

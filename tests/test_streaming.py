@@ -225,3 +225,45 @@ def test_anomaly_state_survives_checkpoint_resume(spark, sf_dir, tmp_path):
     }
     assert 0 < n_phase1 < len(rows)
     assert got == expected
+
+
+def test_anomaly_screen_as_container_operator(spark, sf_dir):
+    """The registered anomaly_screen operator, driven through a
+    source→screen pipeline spec, must produce the exact batch verdict
+    set — the container integration of the stateful monitor."""
+    from streamingdemo_spark.operators import run_pipeline
+    from streamingdemo_spark.registry import QUERIES
+    from streamingdemo_spark.streaming.runner import run_to_memory
+    from streamingdemo_spark.streaming.sources import EVENTS_SCHEMA, _build
+
+    src_dir = _build(sf_dir, "ordered", 8)
+    ports = run_pipeline(
+        spark,
+        {
+            "operators": [
+                {
+                    "name": "events",
+                    "op": "stream_parquet_source",
+                    "params": {
+                        "path": src_dir,
+                        "schema": EVENTS_SCHEMA,
+                        "max_files_per_trigger": 4,
+                    },
+                },
+                {
+                    "name": "screen",
+                    "op": "anomaly_screen",
+                    "inputs": {"in": "events.out"},
+                },
+            ]
+        },
+    )
+    got = {
+        r["event_id"]: (r["n_window"], r["is_anomaly"])
+        for r in run_to_memory(ports["screen.out"], output_mode="update").collect()
+    }
+    expected = {
+        r["event_id"]: (r["n_window"], r["is_anomaly"])
+        for r in QUERIES["ext_ts_anomaly"](spark, sf_dir).collect()
+    }
+    assert got == expected
