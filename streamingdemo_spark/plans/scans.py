@@ -250,3 +250,47 @@ def src_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         poly_hash(F.col("content").cast("string")).alias("content_hash"),
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(NULL AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE)
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one table directory holding files
+    written under TWO schema versions (v1 without the balance column,
+    v2 with it), read back with ``mergeSchema`` into the unified
+    schema — v1 rows surface NULL for the late-added column instead
+    of failing the scan. This is the daily reality of a 100 TB lake
+    (partitions written across schema generations); without
+    mergeSchema the read planner takes one footer's schema and either
+    drops the new column or errors.
+
+    Production notes in-line: mergeSchema reads every file footer
+    (expensive at huge file counts — prefer a table format's tracked
+    schema or an explicit ``.schema(...)``), and only ADDITIVE
+    nullable evolution merges; type changes need an explicit cast
+    migration.
+    """
+    base = _csv_json_base(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="src_evo_")
+    v1 = base.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    v2 = base.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    v1.write.mode("append").parquet(out)
+    v2.write.mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(out)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
