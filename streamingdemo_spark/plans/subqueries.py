@@ -121,3 +121,41 @@ def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ("nation", "customer"))
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "subq_not_in_null",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_brand NOT IN
+      (SELECT CASE WHEN s_suppkey % 100 = 99 THEN NULL
+                   ELSE 'Brand#' || CAST(1 + s_suppkey % 5 AS VARCHAR)
+                        || CAST(1 + s_suppkey % 3 AS VARCHAR) END
+       FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 100 <> 99)
+    """,
+)
+def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a nullable subquery — ANSI three-valued logic's
+    classic trap: one NULL in the subquery makes EVERY ``x NOT IN``
+    comparison UNKNOWN and the whole result silently empty. Spark
+    compiles the null-aware case into a dedicated NullAwareAntiJoin
+    (a plain anti-join would return wrong rows), which is the
+    expensive shape — production code should write NOT EXISTS, which
+    stays a cheap anti-join with the intuitive semantics.
+
+    The key pins the semantics on a subquery that CAN produce NULL by
+    construction (Spark must plan null-aware) while the filter
+    removes the null-producing rows, so the result is non-empty and
+    comparable — the oracle applies identical ANSI rules.
+    """
+    register_views(spark, sf_dir, ("part", "supplier"))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_brand NOT IN
+          (SELECT CASE WHEN s_suppkey % 100 = 99 THEN NULL
+                       ELSE CONCAT('Brand#', CAST(1 + s_suppkey % 5 AS STRING),
+                                   CAST(1 + s_suppkey % 3 AS STRING)) END
+           FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 100 <> 99)
+        """
+    )

@@ -271,3 +271,12 @@ def test_flagship_q5_broadcasts_every_dim(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN over a nullable subquery must compile to the NULL-aware
+    anti join (the trailing `true` flag on the LeftAnti build) — a
+    plain anti join here returns wrong rows under ANSI three-valued
+    logic."""
+    plan = _plan(QUERIES["subq_not_in_null"](spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan
