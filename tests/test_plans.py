@@ -280,3 +280,39 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     logic."""
     plan = _plan(QUERIES["subq_not_in_null"](spark, sf_dir))
     assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_range_sorted_write_produces_prunable_files(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions + write must yield
+    files whose sort-key [min, max] ranges don't interleave — the
+    physical property that lets a filtered scan skip whole files via
+    parquet footer stats (the same layout discipline fn_zorder extends
+    to two dimensions)."""
+    import pyarrow.parquet as pq
+    import os
+
+    out = str(tmp_path / "orders_ranged")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        idx = names.index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, "file date ranges interleave"
