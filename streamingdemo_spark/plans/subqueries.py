@@ -159,3 +159,50 @@ def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 100 <> 99)
         """
     )
+
+
+@query(
+    "subq_corr_agg",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_small_orders,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS small_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity <
+      (SELECT 0.2 * (CAST(SUM(CAST(FLOOR(l2.l_quantity * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 100.0
+                     / COUNT(*))
+       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def subq_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (the TPC-H Q17 shape): lineitems
+    whose quantity is below 20% of their part's average — the query
+    that is catastrophic if executed as written (one aggregate scan
+    per outer row) and fine when the optimizer decorrelates it into
+    one per-part aggregate joined back. Catalyst does exactly that;
+    the plan-shape test pins it (aggregates + joins, no per-row
+    re-scan loop).
+
+    The per-part average uses the exact-sum convention on BOTH
+    engines (integer-unit sum / count), so the 0.2·avg threshold is
+    bitwise identical and boundary rows can't flip the comparison —
+    a naive AVG() would make the result depend on each engine's
+    float summation order.
+    """
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT p.p_brand, COUNT(*) AS n_small_orders,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS small_revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity <
+          (SELECT 0.2 * (CAST(SUM(CAST(FLOOR(l2.l_quantity * 100 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) / 100.0
+                         / COUNT(*))
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+        """
+    )

@@ -316,3 +316,14 @@ def test_range_sorted_write_produces_prunable_files(spark, sf_dir, tmp_path):
     assert len(spans) >= 2
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next, "file date ranges interleave"
+
+
+def test_corr_agg_subquery_decorrelates(spark, sf_dir):
+    """The Q17-shape correlated aggregate must decorrelate into one
+    per-part aggregate joined back — never a per-outer-row re-scan
+    (no nested loop, no scalar-subquery execution node left in the
+    executed plan)."""
+    plan = _plan(QUERIES["subq_corr_agg"](spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Subquery" not in plan  # fully rewritten to joins
