@@ -203,4 +203,5 @@ def anomaly_screen(
     (applyInPandasWithState keeps 24 longs per series)."""
     from streamingdemo_spark.streaming.queries import apply_anomaly_screen
 
-    return {"out": apply_anomaly_screen(inputs["in"])}
+    (df,) = inputs.values()  # any single input port, like sibling ops
+    return {"out": apply_anomaly_screen(df)}

@@ -879,7 +879,8 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Datasketches KLL): one sketch of
     the value distribution per event_type, then the per-group sketches
-    FOLD-MERGED into a corpus-wide sketch whose p50/p90/p99 come out
+    merged by the ``kll_merge_agg`` aggregate into a corpus-wide
+    sketch whose p50/p90/p99 come out
     without touching raw data again — the percentile analogue of
     ``agg_hll_mergeable``, and the only way percentiles scale at
     100 TB (exact percentiles need a global sort; a KLL sketch is
@@ -900,16 +901,11 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
     )
-    arr = per.agg(F.collect_list("sk").alias("a"))
-    msk = F.aggregate(
-        F.expr("slice(a, 2, size(a) - 1)"),
-        F.element_at("a", 1),
-        lambda acc, x: F.kll_sketch_merge_double(acc, x),
-    )
-    merged = arr.select(
+    merged_sk = per.agg(F.kll_merge_agg_double("sk").alias("msk"))
+    merged = merged_sk.select(
         F.lit("ALL").alias("event_type"),
-        F.kll_sketch_get_quantile_double(msk, F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double(msk, F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double(msk, F.lit(0.99)).alias("p99"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("p99"),
     )
     return typed.unionByName(merged)

@@ -128,10 +128,10 @@ def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_brand FROM part
     WHERE p_brand NOT IN
-      (SELECT CASE WHEN s_suppkey % 100 = 99 THEN NULL
+      (SELECT CASE WHEN s_suppkey % 100 = 96 THEN NULL
                    ELSE 'Brand#' || CAST(1 + s_suppkey % 5 AS VARCHAR)
                         || CAST(1 + s_suppkey % 3 AS VARCHAR) END
-       FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 100 <> 99)
+       FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 100 <> 96)
     """,
 )
 def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,10 +153,10 @@ def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_partkey, p_brand FROM part
         WHERE p_brand NOT IN
-          (SELECT CASE WHEN s_suppkey % 100 = 99 THEN NULL
+          (SELECT CASE WHEN s_suppkey % 100 = 96 THEN NULL
                        ELSE CONCAT('Brand#', CAST(1 + s_suppkey % 5 AS STRING),
                                    CAST(1 + s_suppkey % 3 AS STRING)) END
-           FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 100 <> 99)
+           FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 100 <> 96)
         """
     )
 
