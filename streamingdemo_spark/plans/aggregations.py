@@ -909,3 +909,69 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("p99"),
     )
     return typed.unionByName(merged)
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH bits AS (
+      SELECT event_type,
+             user_id // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bm
+      FROM events GROUP BY event_type, user_id // 32
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(SUM(bit_count(bm)) AS BIGINT) AS n_users,
+             COUNT(*) AS n_words
+      FROM bits GROUP BY event_type
+    ),
+    merged AS (
+      SELECT 'ALL' AS event_type,
+             CAST(SUM(bit_count(bm2)) AS BIGINT) AS n_users,
+             COUNT(*) AS n_words
+      FROM (SELECT word, bit_or(bm) AS bm2 FROM bits GROUP BY word)
+    )
+    SELECT * FROM per_type UNION ALL SELECT * FROM merged
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via integer bitmaps (the
+    roaring-bitmap / bitmap-index pattern): each (group, id-word)
+    holds a 32-bit membership mask built with ``bit_or`` (32-bit words
+    keep every mask below the int64 sign bit, same as the Bloom
+    filter's geometry); distinct =
+    Σ popcount, and — the property sketches can't give — bitmaps from
+    different groups OR together into EXACT coarser rollups (the
+    'ALL' row here merges the per-type bitmaps, not the raw events).
+
+    Where HLL (``agg_hll_mergeable``) trades exactness for constant
+    size, bitmaps stay exact at size O(id-domain/8 bytes) — the
+    standard choice when ids are dense integers (user ids, doc ids):
+    state per group is |domain|/32 words, the shuffle carries words
+    not events (map-side bit_or combine), and every rollup level is a
+    word-aligned OR. All-integer on both engines, so the key is fully
+    hash-checked — including the merged row.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bits = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("bm")
+    )
+    per_type = bits.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    merged = (
+        bits.groupBy("word")
+        .agg(F.expr("bit_or(bm)").alias("bm2"))
+        .agg(
+            F.lit("ALL").alias("event_type"),
+            F.sum(F.bit_count("bm2")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return per_type.unionByName(merged)
