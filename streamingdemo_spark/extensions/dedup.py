@@ -848,7 +848,11 @@ def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable Bloom filter geometry: 8192 bits as 256 x 32-bit words (a
 # 32-bit word keeps every mask below the int64 sign bit, so shift
 # semantics can't diverge between engines), k=4 salted polynomial
-# hashes.
+# hashes. The div/% word-bit split below is sign-safe because
+# poly_hash is non-negative by construction (the fold stays in
+# [0, POLY_MOD) — see registry.poly_hash), so Spark's truncating div
+# and DuckDB's flooring // agree; ids that CAN be negative must use
+# the pmod split (see agg_bitmap_distinct).
 _BLOOM_BITS = 8192
 _BLOOM_SALTS = ("s1", "s2", "s3", "s4")
 

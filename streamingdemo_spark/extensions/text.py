@@ -1020,6 +1020,12 @@ def ext_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact integer — order-insensitive and bitwise-reproducible —
     and the 1e-6 grid absorbs the cross-engine ulp differences of
     ln(). Same integer-sketch discipline as ext_sim_ann_lsh.
+
+    Ulp assumption (here and in ``ext_ccnet_bucket``): a 1-ulp
+    JVM-vs-libm ln() disagreement could flip the floor only if a
+    ratio lands within ~2e-9 of a boundary;
+    tests/test_portable_hash.py::test_micro_nat_floor_boundary_margin
+    proves every (c, t) the fixture produces keeps a ≥1e-6 margin.
     """
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))

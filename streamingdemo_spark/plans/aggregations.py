@@ -916,9 +916,11 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bits AS (
       SELECT event_type,
-             user_id // 32 AS word,
-             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bm
-      FROM events GROUP BY event_type, user_id // 32
+             (user_id - ((user_id % 32 + 32) % 32)) // 32 AS word,
+             bit_or(CAST(1 AS BIGINT)
+                    << CAST((user_id % 32 + 32) % 32 AS INT)) AS bm
+      FROM events
+      GROUP BY event_type, (user_id - ((user_id % 32 + 32) % 32)) // 32
     ),
     per_type AS (
       SELECT event_type,
@@ -954,11 +956,19 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked — including the merged row.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # pmod-based word/bit split so the parity is unconditional even for
+    # negative ids: Spark's `div`/`%` truncate toward zero while
+    # DuckDB's `//` floors, so raw user_id div 32 would diverge (and a
+    # negative `%` would be an invalid shift amount). pmod() is always
+    # in [0, 32), and (user_id - pmod) is an exact multiple of 32, so
+    # the remaining div is sign-safe on both engines.
     bits = ev.groupBy(
-        "event_type", F.expr("user_id div 32").alias("word")
+        "event_type",
+        F.expr("(user_id - pmod(user_id, 32)) div 32").alias("word"),
     ).agg(
         F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(pmod(user_id, 32) AS INT)))"
         ).alias("bm")
     )
     per_type = bits.groupBy("event_type").agg(

@@ -579,6 +579,19 @@ def _anomaly_screen(key, pdf_iter, state):
         x = np.floor(vals * 10000.0 + 0.5).astype(np.int64)
         m = len(buf)
         arr = np.concatenate([np.asarray(buf, dtype=np.int64), x])
+        # Overflow guard for the squared prefix sums: numpy int64
+        # wraps silently, so a huge micro-batch (or huge |value|)
+        # would poison verdicts without any error. The worst term is
+        # cumsum(arr*arr) <= len(arr)*max², plus the window algebra's
+        # 9*(n*sq) <= 5184*max² — fail loudly like the NaN guard
+        # (Python ints, so the check itself cannot wrap).
+        mx = int(np.abs(arr).max()) if arr.size else 0
+        if (len(arr) + 5184) * mx * mx >= 2**63:
+            raise ValueError(
+                "stream_anomaly: micro-batch exceeds int64 prefix-sum"
+                f" bound (n={len(arr)}, max|x|={mx}); shrink the"
+                " trigger interval or rescale value"
+            )
         c1 = np.concatenate([[0], np.cumsum(arr)])
         c2 = np.concatenate([[0], np.cumsum(arr * arr)])
         idx = np.arange(len(x)) + m

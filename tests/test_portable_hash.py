@@ -40,6 +40,36 @@ def _corpus() -> list[str]:
     return docs
 
 
+def test_micro_nat_floor_boundary_margin():
+    """The micro-nat quantization floor(-ln(c/t)*1e6 + 0.5) used by
+    ext_unigram_surprisal / ext_ccnet_bucket assumes JVM Math.log and
+    DuckDB's libm ln agree to within ~1 ulp (~2e-9 at this magnitude).
+    A 1-ulp difference only flips a bucket if the value sits within
+    that distance of a floor boundary — verify every (c, t) ratio the
+    fixture can produce keeps a margin ≥1e-6 (1000× the ulp bound), so
+    the hash parity of those keys is platform-safe, not lucky."""
+    import math
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM '{sf_dir}/documents.parquet'),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+        SELECT DISTINCT c, (SELECT COUNT(*) FROM toks) AS t FROM cnt
+        """
+    ).fetchall()
+    assert rows
+    for c, t in rows:
+        frac = (-math.log(c / t) * 1e6 + 0.5) % 1.0
+        margin = min(frac, 1.0 - frac)
+        assert margin >= 1e-6, (c, t, margin)
+
+
 def test_poly_hash_matches_duckdb_bitwise(spark):
     docs = _corpus()
     sdf = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, s string")
