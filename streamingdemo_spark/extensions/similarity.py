@@ -371,6 +371,37 @@ KNN_K = 3
 _KNN_TIE_MARGIN = 1.01e-4
 
 
+def _knn_load_tile(stage_dir: str, tile: int):
+    """Load one build tile (ids, matrix, norms) from the staged parquet
+    grid, inside the executor's Python worker. A one-entry cache keeps
+    the bound at one resident tile per worker while still skipping the
+    re-read when consecutive tasks in a reused worker hit the same
+    tile (the common case: one tile scans the whole probe side before
+    the next tile's branch starts)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cached = _KNN_TILE_CACHE.get("entry")
+    if cached is not None and cached[0] == (stage_dir, tile):
+        return cached[1]
+    files = sorted(glob.glob(f"{stage_dir}/tile={tile}/*.parquet"))
+    if not files:  # empty hash bucket (tiny corpus, many tiles)
+        out = None
+    else:
+        pdf = pq.read_table(files).to_pandas()
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        out = (ids, mat, np.sqrt((mat * mat).sum(axis=1)))
+    _KNN_TILE_CACHE["entry"] = ((stage_dir, tile), out)
+    return out
+
+
+_KNN_TILE_CACHE: dict = {}
+
+
+
 @query(
     "ext_sim_knn_join",
     oracle="""
@@ -397,43 +428,58 @@ def ext_sim_knn_join(
     embedding-based curation), as a blocked matrix product.
 
     Shape: the probe side streams through ``mapInPandas`` in Arrow
-    batches; the build side is a grid of broadcast tiles of at most
-    ``tile_rows`` vectors (default: one tile — the plain broadcast-join
-    contract). Each probe batch does one dense GEMM per tile and emits,
-    per probe row, every candidate within ``_KNN_TIE_MARGIN`` of its
-    tile-local k-th best raw score — a safe superset of the global
+    batches; the build side is staged DISTRIBUTIVELY as a grid of
+    hash-partitioned parquet tiles of ~``tile_rows`` vectors (default:
+    one tile — the plain broadcast-join contract). The executors write
+    the tiles (``partitionBy`` on a hash of vec_id) and each probe
+    task loads exactly one tile — at no point does any single process,
+    driver included, hold the full build matrix; driver RSS stays flat
+    as the corpus grows (probed by tools/knn_tile_probe.py --rss).
+    Each probe batch does one dense GEMM per tile and emits, per probe
+    row, every candidate within ``_KNN_TIE_MARGIN`` of its tile-local
+    k-th best raw score — a safe superset of the global
     top-k-with-rounded-ties (a candidate cut in one tile implies k
-    strictly better rounded scores exist globally). Candidate volume is
-    O(n · k · tiles), never the n² score matrix. Tiles bound
-    executor-side build memory: at 100 TB pick tile_rows so
-    (tile_rows × dims × 8 B) fits comfortably beside the probe batch,
-    or use the ANN keys (``ext_sim_ann_lsh`` / ``ext_sim_ivf_topk``)
-    instead of the exact product. Final scores re-rank Spark-side on
-    ROUND(cosine, 4) with id tiebreak, so ordering is engine-portable
-    and the margin guarantees the cut can never disagree with the
-    oracle's rounded ranking.
+    strictly better rounded scores exist globally), and the superset
+    property holds for ANY partition of the build rows into tiles, so
+    hash tiles rank identically to contiguous slices. Candidate volume
+    is O(n · k · tiles), never the n² score matrix. At 100 TB pick
+    tile_rows so (tile_rows × dims × 8 B) fits beside the probe batch,
+    point the stage dir at shared storage (it defaults to the local
+    tmp dir, which multi-node clusters can't read), or use the ANN
+    keys (``ext_sim_ann_lsh`` / ``ext_sim_ivf_topk``) instead of the
+    exact product. Final scores re-rank Spark-side on ROUND(cosine, 4)
+    with id tiebreak, so ordering is engine-portable and the margin
+    guarantees the cut can never disagree with the oracle's rounded
+    ranking.
     """
+    import tempfile
+
     import numpy as np
 
     corpus, _ = _corpus_and_queries(spark, sf_dir)
-    build_pdf = corpus.toPandas()  # build side, same as broadcast join
-    ids_all = build_pdf["vec_id"].to_numpy()
-    mat_all = np.vstack(build_pdf["embedding"].to_numpy()).astype(np.float64)
-    norm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
-    step = tile_rows if tile_rows and tile_rows > 0 else len(ids_all)
-    step = max(step, 1)
-    tiles = [
-        spark.sparkContext.broadcast(
-            (ids_all[i : i + step], mat_all[i : i + step], norm_all[i : i + step])
+    if tile_rows and tile_rows > 0:
+        n = corpus.count()
+        n_tiles = max(1, -(-n // tile_rows))
+    else:
+        n_tiles = 1
+    stage_dir = tempfile.mkdtemp(prefix="streamingdemo_knn_tiles_")
+    (
+        corpus.withColumn(
+            "tile", F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles))
         )
-        for i in range(0, len(ids_all), step)
-    ]
+        .write.mode("overwrite")
+        .partitionBy("tile")
+        .parquet(stage_dir)
+    )
 
-    def knn_against(b_tile):
+    def knn_against(tile_no: int):
         def knn(batches):
             import pandas as pd
 
-            ids_t, mat_t, norm_t = b_tile.value
+            tile = _knn_load_tile(stage_dir, tile_no)
+            if tile is None:
+                return
+            ids_t, mat_t, norm_t = tile
             for pdf in batches:
                 q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
                 qnorm = np.sqrt((q * q).sum(axis=1))
@@ -469,9 +515,9 @@ def ext_sim_knn_join(
         return knn
 
     schema = "vec_id long, nbr_id long, cosine_raw double"
-    cand = corpus.mapInPandas(knn_against(tiles[0]), schema)
-    for tile in tiles[1:]:
-        cand = cand.unionByName(corpus.mapInPandas(knn_against(tile), schema))
+    cand = corpus.mapInPandas(knn_against(0), schema)
+    for tile_no in range(1, n_tiles):
+        cand = cand.unionByName(corpus.mapInPandas(knn_against(tile_no), schema))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         cand.select(

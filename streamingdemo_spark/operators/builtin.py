@@ -46,6 +46,41 @@ def stream_parquet_source(
     return {"out": reader.load(params["path"])}
 
 
+# Kafka wire format: JSON-encoded value bytes. The explicit
+# microsecond formats matter — to_json's defaults print milliseconds
+# only, silently truncating the sub-ms event times a replayed topic
+# must preserve (from_json uses the same formats so the round trip is
+# exact). Both timestamp flavors are pinned: TIMESTAMP(_LTZ) columns
+# serialize with a zone offset, TIMESTAMP_NTZ without — the decode
+# schema picks the flavor, so producer and consumer must declare the
+# same one (as on a real topic). Shared by source, sink, and loopback
+# so the three can never drift apart.
+_KAFKA_JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def _kafka_encode(df: DataFrame) -> DataFrame:
+    """Encode rows exactly as ``kafka_sink`` puts them on the wire:
+    one binary JSON 'value' column holding all fields."""
+    return df.select(
+        F.to_json(F.struct(*df.columns), _KAFKA_JSON_OPTS)
+        .cast("binary")
+        .alias("value")
+    )
+
+
+def _kafka_decode(df: DataFrame, schema: str) -> DataFrame:
+    """Decode wire records exactly as ``kafka_source`` does: parse the
+    binary 'value' column as JSON against the declared schema."""
+    return df.select(
+        F.from_json(
+            F.col("value").cast("string"), schema, _KAFKA_JSON_OPTS
+        ).alias("v")
+    ).select("v.*")
+
+
 @register("kafka_source")
 def kafka_source(
     spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
@@ -61,10 +96,23 @@ def kafka_source(
         .option("startingOffsets", params.get("starting_offsets", "earliest"))
         .load()
     )
-    parsed = df.select(
-        F.from_json(F.col("value").cast("string"), params["schema"]).alias("v")
-    ).select("v.*")
-    return {"out": parsed}
+    return {"out": _kafka_decode(df, params["schema"])}
+
+
+@register("kafka_loopback")
+def kafka_loopback(
+    spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Broker-less Kafka wire-format round trip: encode the input with
+    the sink's exact serialization (``_kafka_encode``) and immediately
+    decode with the source's exact parse (``_kafka_decode``). Proves
+    the B1/B2 serialization logic — JSON field mapping, double
+    round-tripping, microsecond timestamps — end-to-end without a
+    broker; a deployment with one swaps this single operator for the
+    kafka_sink → kafka_source pair, nothing else changes.
+    params: schema (decode schema string)."""
+    (df,) = inputs.values()
+    return {"out": _kafka_decode(_kafka_encode(df), params["schema"])}
 
 
 @register("add_field")
@@ -150,9 +198,11 @@ def kafka_sink(
     spark: SparkSession, params: dict, inputs: dict[str, DataFrame]
 ) -> dict[str, DataFrame]:
     """Kafka sink (B2, ``KafkaOutput.java``): JSON-encode all columns
-    into 'value' and write to a topic. Config-only without a broker."""
+    into 'value' and write to a topic. Config-only without a broker;
+    the serialization itself is broker-independent and hash-proven by
+    ``kafka_loopback`` / ``stream_kafka_smoke``."""
     (df,) = inputs.values()
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    payload = _kafka_encode(df)
     query = (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", params["bootstrap_servers"])

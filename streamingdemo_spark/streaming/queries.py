@@ -429,12 +429,18 @@ def stream_kafka_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source→transform→sink wiring behind the operator registry (the
     KafkaInput → AddField → KafkaOutput pipeline of the reference,
     ``OpContainer`` + stubs). No broker in this environment, so the
-    registered ``kafka_source``/``kafka_sink`` operators are swapped for
-    the file-stream source and memory sink — the swap is pure config,
+    transport is the file-stream source — but the Kafka WIRE FORMAT
+    runs for real: every record passes through ``kafka_loopback``,
+    which applies kafka_sink's exact JSON serialization followed by
+    kafka_source's exact parse (binary value, microsecond timestamps,
+    shortest-round-trip doubles). With a broker, the loopback node is
+    replaced by the real kafka_sink → kafka_source pair — pure config,
     which is exactly the reference's operator-container contract.
 
-    Oracle-checked: the stateless source→add-field pipeline over a full
-    replay equals the batch projection of the same expression."""
+    Oracle-checked: the full replay through serialize→deserialize→
+    add-field equals the batch projection — so a wire-format defect
+    (truncated timestamp, lossy double, field misorder) fails the
+    value hash, not just a row count."""
     from streamingdemo_spark.operators import run_pipeline
     from streamingdemo_spark.streaming.sources import EVENTS_SCHEMA, _build
 
@@ -449,13 +455,19 @@ def stream_kafka_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "params": {"path": src_dir, "schema": EVENTS_SCHEMA},
                 },
                 {
+                    "name": "wire",
+                    "op": "kafka_loopback",
+                    "params": {"schema": EVENTS_SCHEMA},
+                    "inputs": {"in": "kafkaInput.out"},
+                },
+                {
                     "name": "addField",
                     "op": "add_field",
                     "params": {
                         "name": "value_bucket",
                         "expr": "CAST(FLOOR(value / 100) AS BIGINT)",
                     },
-                    "inputs": {"in": "kafkaInput.out"},
+                    "inputs": {"in": "wire.out"},
                 },
             ]
         },

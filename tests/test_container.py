@@ -309,6 +309,78 @@ class TestSpecIO:
             load_spec(str(bad))
 
 
+class TestKafkaWire:
+    """The B1/B2 wire format must round-trip losslessly — the exact
+    serialization kafka_sink writes and kafka_source parses, proven
+    without a broker via the kafka_loopback operator."""
+
+    SCHEMA = "event_id long, ts timestamp, value double, note string"
+
+    def test_wire_round_trip_is_lossless(self, spark):
+        from streamingdemo_spark.operators.builtin import (
+            _kafka_decode,
+            _kafka_encode,
+        )
+
+        rows = [
+            # sub-millisecond timestamp: to_json's DEFAULT format
+            # truncates to ms — the pinned micros format must not
+            (1, "2026-03-01 01:02:03.123456", 0.1 + 0.2, "plain"),
+            # 17-significant-digit double and a negative exponent
+            (2, "2026-03-01 00:00:00.000001", 1.7976931348623157e308, "big"),
+            (3, "2026-12-31 23:59:59.999999", 5e-324, 'quotes " and \\'),
+            (4, "2026-06-15 12:00:00", None, "unicodé 日本語 \U0001F600"),
+            (5, "2026-06-15 12:00:00.5", -0.0, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, __import__("datetime").datetime.fromisoformat(ts), v, s)
+             for i, ts, v, s in rows],
+            self.SCHEMA,
+        )
+        back = _kafka_decode(_kafka_encode(df), self.SCHEMA)
+        assert back.schema == df.schema
+        got = sorted([tuple(r) for r in back.collect()])
+        want = sorted([tuple(r) for r in df.collect()])
+        assert got == want
+
+    def test_loopback_operator_in_pipeline(self, spark, sf_dir, tmp_path):
+        """kafka_loopback as a DAG node: batch events through
+        serialize→parse equals the identity projection."""
+        from streamingdemo_spark.io import load_tables
+
+        # stage a micros-typed copy: the raw fixture file is
+        # TIMESTAMP(NANOS), which parquet_source reads as long
+        staged = str(tmp_path / "events")
+        load_tables(spark, sf_dir, ("events",))["events"].write.parquet(staged)
+        ports = run_pipeline(
+            spark,
+            _spec(
+                {
+                    "name": "src",
+                    "op": "parquet_source",
+                    "params": {"path": staged},
+                },
+                {
+                    "name": "wire",
+                    "op": "kafka_loopback",
+                    # ts is timestamp_ntz on this path (load_tables'
+                    # parquet flavor); the decode schema must declare
+                    # the same flavor the producer serialized
+                    "params": {
+                        "schema": (
+                            "event_id long, ts timestamp_ntz, user_id long, "
+                            "event_type string, value double, props string"
+                        )
+                    },
+                    "inputs": {"in": "src.out"},
+                },
+            ),
+        )
+        want = load_tables(spark, sf_dir, ("events",))["events"]
+        got = sorted([tuple(r) for r in ports["wire.out"].collect()])
+        assert got == sorted([tuple(r) for r in want.collect()])
+
+
 class TestReferenceXML:
     def test_reference_shaped_xml_drives_container(self, spark, sf_dir, tmp_path):
         """A1 parity: the reference's own XML shape (operator nodes +
