@@ -110,17 +110,61 @@ def main() -> None:
         print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    anchors = _anchor_ratios(timings, float(sf))
+    if anchors:
+        # Same-key wall ratio vs the previous round's recorded bench.
+        # Absolute seconds vary up to ~2x between round VMs (fresh
+        # instances), so a uniform anchor ratio != 1.0 is box speed,
+        # not a regression — divide the headline by anchor_median to
+        # compare rounds structurally.
+        out["anchors"] = anchors
+        ratios = sorted(anchors.values())
+        out["anchor_median"] = ratios[len(ratios) // 2]
+    print(json.dumps(out))
+
+
+# Stable, untouched-by-design keys used to estimate box speed relative
+# to the previous round's recorded bench (they span scan/join/agg/
+# window/sort, so a uniform shift is the VM, not the engine).
+ANCHOR_KEYS = [
+    "flagship_q3", "agg_groupby", "join_star3",
+    "win_topk_group", "sort_limit_topk",
+]
+
+
+def _anchor_ratios(timings: dict[str, float], sf: float) -> dict[str, float]:
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    if not benches:
+        return {}
+    try:
+        doc = json.load(open(benches[-1]))
+    except (OSError, ValueError):
+        return {}
+    # the driver wraps the emitted JSON line under "parsed"; accept
+    # both the raw line shape and the recorded-artifact shape
+    parsed = doc if "queries" in doc else doc.get("parsed", {})
+    prev = parsed.get("queries") or {}
+    # ratios only mean "box speed" when both runs used the same scale
+    if parsed.get("sf") != sf:
+        return {}
+    return {
+        k: round(timings[k] / prev[k], 3)
+        for k in ANCHOR_KEYS
+        if k in timings and k in prev and prev[k] > 0
+    }
 
 
 if __name__ == "__main__":

@@ -166,6 +166,67 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN l_extendedprice END)
+             AS p25_price,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END)
+             AS p50_price,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN l_extendedprice END)
+             AS p75_price,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN l_extendedprice END)
+             AS p90_price
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank percentiles, fully hash-checkable: where
+    ``agg_percentile`` stays rows-only because engines' interpolating /
+    approximate quantile algorithms differ, this variant defines
+    percentile p as the value at rank ceil(p·n) — computed with PURE
+    INTEGER arithmetic (ceil(a·n/b) = (a·n + b - 1) div b), so both
+    engines select the identical source value and nothing is ever
+    interpolated in floating point. The value at a rank is well-defined
+    regardless of how ties order, so no tiebreak column is needed.
+
+    Shape: one window sort per group (rank + group size in a single
+    pass) and a conditional-max aggregate — the one unavoidable cost of
+    EXACT percentiles is that per-group sort; at 100 TB that is why the
+    sketch keys (``agg_kll_quantile_merge``) are the scale path and
+    this key is the ground-truth auditor you run on a slice.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at_rank(rank_expr: str, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(rank_expr), F.col("l_extendedprice"))
+        ).alias(name)
+
+    return ranked.groupBy("l_returnflag").agg(
+        at_rank("(n + 3) div 4", "p25_price"),
+        at_rank("(n + 1) div 2", "p50_price"),
+        at_rank("(3 * n + 3) div 4", "p75_price"),
+        at_rank("(9 * n + 9) div 10", "p90_price"),
+    )
+
+
+@query(
     "agg_conditional",
     oracle=f"""
     SELECT o_orderpriority,

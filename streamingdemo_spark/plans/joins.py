@@ -431,18 +431,43 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 is ~260M candidate rows before the aggregate), so the slice
     keeps verification and bench measuring the join shape, not bulk
     row writing. The banded plan is identical at any slice width.
+
+    Explosive-join parallelism (round-4 probe finding): this join's
+    INPUTS are small relative to its candidate OUTPUT, so AQE's
+    input-size-based partition coalescing would funnel the ~2×
+    candidate stream through a handful of tasks — invisible to AQE
+    because the explosion happens at join output, after the stats it
+    coalesces on. The band key is therefore salted (orders explode ×S
+    cheap copies, lineitem hashes into S buckets) and both sides are
+    explicitly repartitioned on (band, salt), which pins the task
+    count and spreads candidate generation evenly. The wider-slice
+    probe (tools/r4_scale_probe.py) showed 16× intervals going
+    superlinear (58.7 s) without the salt and linear (≈wall × slice)
+    with it.
     """
+    return _range_banded(spark, sf_dir, mod=32)
+
+
+_BAND_SALTS = 8
+
+
+def _range_banded(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """The banded interval join at slice ``o_orderkey % mod`` (see
+    ``join_range_banded``; the probe runs wider slices)."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     epoch = F.lit("1990-01-01")
     li = t["lineitem"].select(
         "l_extendedprice",
         "l_shipdate",
         F.floor(F.datediff(F.col("l_shipdate"), epoch) / 7).alias("band"),
-    )
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_BAND_SALTS))
+        .alias("salt"),
+    ).repartition(n_part, "band", "salt")
     day = F.datediff(F.col("o_orderdate"), epoch)
     o = (
         t["orders"]
-        .filter(F.col("o_orderkey") % 32 == 0)
+        .filter(F.col("o_orderkey") % mod == 0)
         .select(
             "o_orderkey",
             "o_orderdate",
@@ -452,9 +477,14 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("band"),
         )
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(s) for s in range(_BAND_SALTS)])),
+        )
+        .repartition(n_part, "band", "salt")
     )
     return (
-        li.join(o, "band")
+        li.join(o, ["band", "salt"])
         .filter(
             (F.col("l_shipdate") >= F.col("o_orderdate"))
             & (

@@ -298,6 +298,35 @@ class TestSpecIO:
         ports = run_pipeline(spark, loaded)
         assert ports["top.out"].count() == 10
 
+    def test_schemed_path_reads_via_hadoop_fs(self, spark, sf_dir, tmp_path):
+        """A1 remote-FS parity (OpContainer.java:236-262): a spec path
+        with a filesystem scheme goes through the Hadoop FileSystem
+        API of the active session. file:// exercises the exact same
+        JVM code path hdfs:// / s3a:// would take, minus the cluster."""
+        from streamingdemo_spark.operators.spec_io import (
+            dump_spec,
+            load_reference_xml,
+            load_spec,
+        )
+
+        spec_file = str(tmp_path / "flagship.json")
+        dump_spec(flagship_pipeline_spec(sf_dir), spec_file)
+        loaded = load_spec("file://" + spec_file)
+        assert loaded == load_spec(spec_file)
+
+        xml_file = tmp_path / "procedure.xml"
+        xml_file.write_text(
+            """<?xml version="1.0"?>
+            <procedure>
+              <operator name="src" class="parquet_source">
+                <param name="path" value="/data/events"/>
+              </operator>
+            </procedure>"""
+        )
+        via_scheme = load_reference_xml("file://" + str(xml_file))
+        assert via_scheme == load_reference_xml(str(xml_file))
+        assert via_scheme["operators"][0]["op"] == "parquet_source"
+
     def test_unsupported_format_raises(self, tmp_path):
         from streamingdemo_spark.operators.spec_io import load_spec
 

@@ -173,6 +173,10 @@ def test_banded_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = _plan(QUERIES["join_range_banded"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # candidate generation must stay parallel: the band key is salted
+    # and pinned via explicit repartition, so AQE's input-size-based
+    # coalescing cannot funnel the exploded output through few tasks
+    assert "hashpartitioning(band" in plan and "salt" in plan
 
 
 def test_salted_join_shuffles_on_compound_key(spark, sf_dir):
