@@ -92,6 +92,8 @@ _PRIORITY = [
     "agg_continuous_rollup", "fn_zorder", "fn_try_arith",
     "agg_grouping_id", "src_schema_evolution", "subq_not_in_null",
     "subq_corr_agg", "agg_bitmap_distinct",
+    # -- round-4 additions
+    "stream_stream_outer_join", "flagship_q18", "agg_percentile_exact",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
     "ext_compression_ratio", "stream_kafka_smoke", "stream_rate_smoke",

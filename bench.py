@@ -75,6 +75,10 @@ HEADLINE = [
     "ext_graph_pagerank", # iterative join+agg loop (checkpointed)
     "ext_ts_resample",    # time spine + gap fill + forward fill
     "ext_sim_ivf_assign", # broadcast-codebook cell assignment
+    # round-4 additions
+    "flagship_q18",       # aggregate-driven semi-filter + broadcast hot set
+    "stream_stream_outer_join",  # watermarked outer join w/ flush sentinels
+    "agg_percentile_exact",      # exact nearest-rank percentiles
 ]
 
 

@@ -127,3 +127,59 @@ def flagship_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+@query(
+    "flagship_q18",
+    oracle=f"""
+    WITH hot AS (
+      SELECT l_orderkey, {osum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, h.sum_qty
+    FROM hot h
+    JOIN orders o ON o.o_orderkey = h.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def flagship_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third flagship (TPC-H-Q18-shaped): large-volume customers — the
+    orders whose total line quantity exceeds a threshold, with their
+    customer, ranked by order value. The defining shape is an
+    aggregate-driven semi-filter: the qualifying set comes from a
+    HAVING over a fact-table aggregate, not from any dimension
+    predicate.
+
+    Scale shape: ONE aggregate over lineitem (map-side partial
+    combine, integer-unit exact sum) produces the hot-order set; the
+    HAVING prunes it to a tiny relation that then BROADCASTS to
+    orders — the classic Q18 anti-pattern (re-joining the full
+    lineitem against orders and re-aggregating) never materializes.
+    Customer is a broadcast dim, and the top-100 is a TakeOrdered
+    (no global sort). The deterministic o_orderkey tiebreak makes the
+    LIMIT oracle-stable.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    hot = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(hot), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )

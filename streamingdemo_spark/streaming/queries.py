@@ -357,6 +357,86 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_outer_join",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v LEFT JOIN events p
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view, joined to
+    same-user purchases in the following 60 minutes — views with no
+    purchase emit once with nulls, the abandonment signal the inner
+    funnel join (``stream_stream_join``) cannot produce.
+
+    The outer semantics are what make this key distinct: Spark can only
+    emit the null-extended row once the watermark PROVES no match can
+    still arrive (watermark > view_ts + 60 min), so unmatched rows
+    trail the stream by the window length — and every view still open
+    at end-of-replay would be dropped when the query stops. The replay
+    therefore uses the 'flush' source variant, which appends two
+    sentinel events past the last real event in separate triggers
+    (files_per_trigger=1): the first advances the watermark through
+    every open window, the second forces the one more micro-batch in
+    which that watermark evicts and emits — a batch availableNow would
+    otherwise never run. Pushdown subtlety (found the hard way): the
+    event_type filters get pushed BELOW the EventTimeWatermark node by
+    Catalyst, so a filter that drops the sentinel would blind the
+    watermark to it — each side's filter therefore ADMITS the sentinel
+    ('view'/'purchase' OR '__flush__'), and the sentinel rows (which
+    never join a real row — reserved user_id -1) are stripped from the
+    REPLAYED BATCH RESULT, where no streaming pushdown exists. The
+    appended output then equals the batch LEFT JOIN exactly. State is
+    GC'd by the same two-sided time bound as the inner join — bounded
+    by rate × window at 100 TB.
+
+    Reference anchor: composes the C1 SQL surface's outer-join shape
+    (SparkSQLOperator.java:18-19) with the B-layer stream model.
+    """
+    views = (
+        events_stream(spark, sf_dir, "flush", files_per_trigger=1)
+        .withWatermark("ts", "1 minute")
+        .filter(F.col("event_type").isin("view", "__flush__"))
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir, "flush", files_per_trigger=1)
+        .withWatermark("ts", "1 minute")
+        .filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 60 MINUTES"
+        ),
+        "leftOuter",
+    ).select(
+        "view_id", "user_id", "view_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
+    replayed = run_to_memory(joined, output_mode="append", state_partitions=4)
+    # batch-side sentinel strip — pushdown-safe here (see docstring)
+    return replayed.filter(F.col("view_id") >= 0)
+
+
+@query(
     "stream_stateful_custom",
     oracle=f"""
     SELECT user_id, COUNT(*) AS n_events, {osum("value", 4)} AS val_sum

@@ -14,6 +14,7 @@ the point of Structured Streaming's unbounded-relation model.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import time
@@ -93,6 +94,41 @@ def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
         dup = t.filter(pa.array(t["event_id"].to_numpy() % 10 == 0))
         _write_chunks(t, out_dir, n_chunks - 1)
         pq.write_table(dup, os.path.join(out_dir, f"part-{n_chunks - 1:04d}.parquet"))
+    elif variant == "flush":
+        # Ordered chunks plus TWO trailing watermark-flush sentinels
+        # (events 2 h and 4 h after the last real one, event_id -1/-2,
+        # type '__flush__'). Outer joins / late aggregates only emit
+        # their null-extended or final rows once the watermark PASSES
+        # the window bound — and the watermark a batch COMPUTES only
+        # takes effect in the NEXT batch, which availableNow never
+        # runs after the last file. Sentinel 1 advances the watermark
+        # past every open window; sentinel 2 forces one more
+        # micro-batch in which that watermark evicts + emits. The two
+        # sentinels must land in separate triggers (consumers use
+        # files_per_trigger=1), and consumers filter them out by
+        # event_type — but only AFTER their withWatermark node has
+        # seen them.
+        _write_chunks(t, out_dir, n_chunks - 2)
+        max_ts = pc.max(t["ts"]).as_py()
+        for i, hours in enumerate((2, 4)):
+            sentinel = pa.table(
+                {
+                    "event_id": pa.array([-1 - i], pa.int64()),
+                    "ts": pa.array(
+                        [max_ts + datetime.timedelta(hours=hours)],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["__flush__"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ).select(t.column_names)
+            pq.write_table(
+                sentinel.cast(t.schema),
+                os.path.join(out_dir, f"part-{n_chunks - 2 + i:04d}.parquet"),
+            )
+            time.sleep(0.01)
     else:
         raise ValueError(f"unknown variant {variant!r}")
     return out_dir

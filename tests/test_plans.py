@@ -331,3 +331,13 @@ def test_corr_agg_subquery_decorrelates(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "Subquery" not in plan  # fully rewritten to joins
+
+
+def test_flagship_q18_broadcasts_hot_set_and_takes_ordered(spark, sf_dir):
+    """Q18's qualifying set must broadcast (never re-shuffle orders
+    against full lineitem) and the top-100 must be a TakeOrdered, not
+    a global sort."""
+    plan = _plan(QUERIES["flagship_q18"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

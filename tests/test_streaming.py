@@ -21,6 +21,33 @@ class TestStreamBatchEquivalence:
         b = _rows(batch.drop("we"), "ws", "n", "val_sum")
         assert s == b and len(s) > 0
 
+    def test_stream_outer_join_equals_batch_left_join(self, spark, sf_dir):
+        """The watermarked left-outer stream-stream join must emit
+        every view exactly once — matched rows with their purchase,
+        unmatched rows null-extended once the flush sentinels push the
+        watermark past their window — and equal the batch LEFT JOIN."""
+        out = QUERIES["stream_stream_outer_join"](spark, sf_dir)
+        got = _rows(out, "view_id", "purchase_id")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")) \
+            if dict(ev.dtypes).get("ts") == "bigint" else ev
+        v = ev.filter("event_type = 'view'").select(
+            F.col("event_id").alias("view_id"), "user_id",
+            F.col("ts").alias("view_ts"))
+        p = ev.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"))
+        want = _rows(
+            v.join(p, F.expr(
+                "user_id = p_user_id AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 60 MINUTES"),
+                "leftOuter"),
+            "view_id", "purchase_id")
+        assert got == want and len(got) > 0
+        # the abandonment signal must actually be present
+        assert any(p is None for _, p in got)
+
     def test_stream_static_join_preserves_rows(self, spark, sf_dir):
         joined = QUERIES["stream_stream_static_join"](spark, sf_dir)
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
