@@ -400,7 +400,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SparkSQLOperator.java:18-19) with the B-layer stream model.
     """
     views = (
-        events_stream(spark, sf_dir, "flush", files_per_trigger=1)
+        events_stream(spark, sf_dir, "flush", n_chunks=4, files_per_trigger=1)
         .withWatermark("ts", "1 minute")
         .filter(F.col("event_type").isin("view", "__flush__"))
         .select(
@@ -410,7 +410,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        events_stream(spark, sf_dir, "flush", files_per_trigger=1)
+        events_stream(spark, sf_dir, "flush", n_chunks=4, files_per_trigger=1)
         .withWatermark("ts", "1 minute")
         .filter(F.col("event_type").isin("purchase", "__flush__"))
         .select(
