@@ -94,6 +94,7 @@ _PRIORITY = [
     "subq_corr_agg", "agg_bitmap_distinct",
     # -- round-4 additions
     "stream_stream_outer_join", "flagship_q18", "agg_percentile_exact",
+    "fn_variant_json", "fn_xml", "src_text_scan",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
     "ext_compression_ratio", "stream_kafka_smoke", "stream_rate_smoke",

@@ -540,3 +540,79 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_add(F.col("o_custkey"), F.lit(10**18)).alias("shifted"),
         F.expr("try_cast(o_orderpriority AS BIGINT)").alias("prio_num"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent,
+           json_valid(props) AS is_obj
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the payload once into the binary variant
+    encoding, then ``variant_get`` path-extracts with a target type —
+    the modern replacement for per-access string re-parsing
+    (``fn_json``'s get_json_object re-parses the JSON text per
+    expression; a variant column parses once and every extraction
+    walks the binary encoding, the difference that matters when a
+    100 TB pipeline reads ten fields per row). ``try_variant_get``
+    returns NULL for absent paths instead of erroring — same
+    null-on-missing contract as the oracle's json_extract.
+
+    Scale shape: pure projection, no shuffle; at rest, store the
+    parsed column as a VARIANT-typed parquet/table column so the
+    parse cost is paid at ingest, not per query.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_num"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("absent"),
+        F.expr("is_variant_null(parse_json(props)) = false").alias("is_obj"),
+    )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_xml,
+           event_type AS t_xml,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_xpath
+    FROM events
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface: rows are rendered to an XML fragment,
+    then parsed back two ways — ``from_xml`` against a declared schema
+    (Spark 4's native XML reader as an expression) and the ``xpath_*``
+    extractors. The oracle recomputes the same fields from the
+    original columns, so a parser defect (entity handling, type
+    coercion, whitespace) breaks the value hash, not just a count.
+
+    Both parse paths are JVM-side expressions in a pure projection —
+    no shuffle, no Python; the same expressions drive
+    ``spark.read.format('xml')`` at file scale.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    xml = F.format_string(
+        "<r><k>%s</k><t>%s</t></r>",
+        F.get_json_object("props", "$.k"),
+        "event_type",
+    )
+    parsed = F.from_xml(xml, "k INT, t STRING")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_xml"),
+        parsed.getField("t").alias("t_xml"),
+        F.expr(
+            "xpath_long(format_string('<r><k>%s</k><t>%s</t></r>',"
+            " get_json_object(props, '$.k'), event_type), '/r/k')"
+        ).alias("k_xpath"),
+    )

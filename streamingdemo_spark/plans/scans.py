@@ -294,3 +294,32 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     )
+
+
+@query(
+    "src_text_scan",
+    oracle="""
+    SELECT text AS value FROM documents
+    """,
+)
+def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text ingestion (``spark.read.text``) — the entry
+    path for raw corpora dumps (one row per line, lazy scan,
+    splittable like any file source). Proven by a round trip: the
+    documents table is written out as text files by the EXECUTORS
+    (``df.write.text``, one file per partition — no driver staging),
+    read back with read.text, and the line set must hash-equal the
+    original text column (fixture documents are single-line, so the
+    round trip is the identity).
+
+    At 100 TB this is how a crawl dump enters the engine before any
+    parquet conversion: text scan → parse/score → columnar write;
+    compression-splittable codecs (bzip2/zstd-seekable) or many files
+    keep the scan parallel.
+    """
+    import tempfile
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = tempfile.mkdtemp(prefix="streamingdemo_textscan_") + "/docs"
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
+    return spark.read.text(out)
