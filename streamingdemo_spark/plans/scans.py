@@ -323,3 +323,54 @@ def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="streamingdemo_textscan_") + "/docs"
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@query(
+    "src_python_datasource",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(mod97) AS BIGINT) AS mod_sum
+    FROM (
+      SELECT i AS id, (i * i) % 97 AS mod97,
+             e.event_type
+      FROM range(0, 5000) t(i)
+      JOIN events e ON e.event_id = i
+    )
+    GROUP BY event_type
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 DataSource API): a
+    pure-Python source class registered by name becomes a
+    ``spark.read.format(...)`` scan with REAL partition planning —
+    each InputPartition reads in its own task (8 here, plan-visible),
+    the engine-native answer to the reference's by-class-name source
+    operators (``OpContainer``'s registry dispatch) without any
+    driver-side materialization. The generated relation joins the
+    events fixture like any other table; the oracle replays the
+    generator's integer math in SQL, so partition planning, per-task
+    generators, and Arrow conversion are all value-hash-checked.
+
+    At scale the same API wraps internal feeds (service APIs, custom
+    formats); partition count drives parallelism exactly like file
+    splits. See plans/python_source.py for the source class.
+    """
+    from streamingdemo_spark.plans.python_source import register_demo_source
+
+    register_demo_source(spark)
+    gen = (
+        spark.read.format("demo_range")
+        .option("n", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        gen.join(ev, gen["id"] == ev["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mod97").alias("mod_sum"),
+        )
+    )

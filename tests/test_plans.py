@@ -341,3 +341,20 @@ def test_flagship_q18_broadcasts_hot_set_and_takes_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_python_datasource_plans_real_partitions(spark):
+    """The custom Python source must scan with one task per declared
+    InputPartition — distributed like a file source, not a
+    driver-side collect."""
+    from streamingdemo_spark.plans.python_source import register_demo_source
+
+    register_demo_source(spark)
+    gen = (
+        spark.read.format("demo_range")
+        .option("n", 1000).option("partitions", 8).load()
+    )
+    assert gen.rdd.getNumPartitions() == 8
+    rows = {r["id"]: (r["mod97"], r["val"]) for r in gen.collect()}
+    assert len(rows) == 1000
+    assert rows[123] == ((123 * 123) % 97, float((123 * 31) % 1000) / 10.0)
