@@ -598,21 +598,76 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both parse paths are JVM-side expressions in a pure projection —
     no shuffle, no Python; the same expressions drive
-    ``spark.read.format('xml')`` at file scale.
+    ``spark.read.format('xml')`` at file scale. Cost note (10× probe):
+    linear at ~25 µs/row/parse — XML readers initialize per value, an
+    order of magnitude above JSON/variant extraction. At corpus scale
+    parse XML ONCE at ingest (read.format('xml') or one from_xml
+    projection into a struct/variant column) and never re-parse per
+    query; this key deliberately keeps both parse forms to pin their
+    semantics.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    xml = F.format_string(
-        "<r><k>%s</k><t>%s</t></r>",
-        F.get_json_object("props", "$.k"),
-        "event_type",
+    # render the fragment ONCE in its own projection — from_xml and
+    # xpath then parse the same column instead of each re-rendering
+    # (format_string + JSON extraction would otherwise run twice per
+    # row; XML parsing dominates this key's cost, don't double it)
+    staged = ev.select(
+        "event_id",
+        F.format_string(
+            "<r><k>%s</k><t>%s</t></r>",
+            F.get_json_object("props", "$.k"),
+            "event_type",
+        ).alias("xml"),
     )
-    parsed = F.from_xml(xml, "k INT, t STRING")
-    return ev.select(
+    parsed = F.from_xml("xml", "k INT, t STRING")
+    return staged.select(
         "event_id",
         parsed.getField("k").alias("k_xml"),
         parsed.getField("t").alias("t_xml"),
-        F.expr(
-            "xpath_long(format_string('<r><k>%s</k><t>%s</t></r>',"
-            " get_json_object(props, '$.k'), event_type), '/r/k')"
-        ).alias("k_xpath"),
+        F.expr("xpath_long(xml, '/r/k')").alias("k_xpath"),
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS mixed
+      FROM events
+    )
+    SELECT lower(mixed) AS etype, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN lower(mixed) = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_ci
+    FROM m GROUP BY lower(mixed)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): grouping and equality under
+    UTF8_LCASE — the engine-level form of case-insensitive semantics
+    that otherwise force lower() rewrites through every predicate (and
+    break index/pushdown use on collated stores). Half the fixture's
+    event types are upper-cased deterministically; grouping by the
+    collated value must merge both spellings, and a collated equality
+    against a differently-cased literal must match. The group key is
+    re-lowered for output because a collation groups values while
+    keeping an arbitrary original-cased representative — the oracle
+    lowers explicitly, same contract.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    c = F.collate(mixed, "UTF8_LCASE")
+    hit = F.when(
+        c == F.collate(F.lit("VIEW"), "UTF8_LCASE"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.select(c.alias("k"), hit.alias("hit"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hit").alias("n_view_ci"),
+        )
+        .select(F.lower("k").alias("etype"), "n", "n_view_ci")
     )

@@ -106,6 +106,27 @@ def main() -> None:
         print(f"ts_motif {sf}: {sec}s", flush=True)
     out["ext_ts_motif_10x"] = rows
 
+    # 10x probes for every round-4 key (SCALE discipline: each new
+    # key records a growth ratio; best-of-2 to shed first-touch
+    # codegen)
+    new_keys = [
+        "flagship_q18", "agg_percentile_exact", "stream_stream_outer_join",
+        "fn_variant_json", "fn_xml", "src_text_scan",
+        "src_python_datasource", "fn_collation",
+    ]
+    for key in new_keys:
+        rec = {}
+        for sf in ("sf0.01", "sf0.1"):
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                n, sec = _drain(QUERIES[key](spark, f"/root/testdata/{sf}"))
+                best = sec if best is None else min(best, sec)
+            rec[sf] = {"rows": n, "sec": best}
+        rec["ratio"] = round(rec["sf0.1"]["sec"] / max(rec["sf0.01"]["sec"], 0.01), 2)
+        print(f"{key}: {rec['sf0.01']['sec']}s -> {rec['sf0.1']['sec']}s ({rec['ratio']}x)", flush=True)
+        out[f"{key}_10x"] = rec
+
     print(json.dumps(out))
 
 
