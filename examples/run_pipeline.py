@@ -18,6 +18,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import streamingdemo_spark.extensions  # noqa: F401  (registers query keys
+import streamingdemo_spark.plans  # noqa: F401       for the `query` op)
+import streamingdemo_spark.streaming.queries  # noqa: F401
 from streamingdemo_spark.operators import run_pipeline
 from streamingdemo_spark.operators.spec_io import load_reference_xml, load_spec
 from streamingdemo_spark.session import get_spark

@@ -479,3 +479,19 @@ class TestExampleSpecs:
         rows = ports["report.out"].collect()
         assert len(rows) > 0
         assert {"source", "n_docs", "total_tokens"} == set(rows[0].asDict())
+
+    def test_training_data_pipeline_example(self, spark, sf_dir):
+        """The LLM data-prep example composes registry query nodes
+        (dedup, surprisal) with container sql/filter/aggregate ops and
+        yields a per-source token budget; survivors must not exceed
+        the corpus and every budget row must carry positive tokens."""
+        ports = self._run_example(spark, sf_dir, "training_data_pipeline.yaml")
+        rows = ports["budget.out"].collect()
+        assert len(rows) > 0
+        assert {"source", "n_docs", "total_tokens", "avg_surprisal"} == set(
+            rows[0].asDict()
+        )
+        n_docs_total = sum(r["n_docs"] for r in rows)
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert 0 < n_docs_total <= corpus
+        assert all(r["total_tokens"] > 0 for r in rows)
