@@ -647,3 +647,55 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "ts", "user_id", "next_click_ts")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, nullif(user_id % 10, 0) AS bucket, value
+      FROM events
+    ),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n_right
+      FROM k GROUP BY bucket
+    )
+    SELECT k.bucket, COUNT(*) AS n_events,
+           CAST(MAX(a.n_right) AS BIGINT) AS bucket_size
+    FROM k JOIN agg a ON k.bucket IS NOT DISTINCT FROM a.bucket
+    GROUP BY k.bucket
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    pipeline needs when the join key is legitimately absent (unknown
+    cohort, unparsed field) and those rows must still land in a
+    group. A tenth of the fixture's buckets are nulled via nullif to
+    make the NULL-NULL path load-bearing: a plain equi-join would
+    lose that entire group and the hash check would catch it.
+
+    Plan note: Spark executes ``eqNullSafe`` as a hash join on the
+    key's null-flag-extended form (still shuffle/broadcast-able, NOT
+    a nested loop); the aggregate side here is tiny so it
+    broadcasts.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = ev.select(
+        "event_id",
+        F.nullif(F.col("user_id") % 10, F.lit(0)).alias("bucket"),
+        "value",
+    )
+    agg = k.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        k.alias("k")
+        .join(
+            F.broadcast(agg).alias("a"),
+            F.col("k.bucket").eqNullSafe(F.col("a.bucket")),
+        )
+        .groupBy(F.col("k.bucket").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("a.n_right").alias("bucket_size"),
+        )
+    )
