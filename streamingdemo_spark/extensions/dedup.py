@@ -958,3 +958,238 @@ def ext_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return checked.groupBy("doc_id").agg(F.expr("bool_and(hit)").alias("maybe_dup"))
+
+
+def _dedup_eval_oracle() -> str:
+    """DuckDB replay of the banding-evaluation slice: exact
+    shingle-Jaccard ground truth vs raw LSH candidate pairs."""
+    m = POLY_MOD
+    rows = _MH_N // _MH_BANDS
+    mins = ",\n             ".join(
+        f"MIN(({_MH_A[k]} * hs + {_MH_B[k]}) % {m}) AS h{k}"
+        for k in range(_MH_N)
+    )
+
+    def fold(cols: list[str]) -> str:
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = f"(({acc}) * 131 + {c}) % {m}"
+        return acc
+
+    bands_sql = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{fold([f'h{b * rows + r}' for r in range(rows)])} AS bucket FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(list_filter(string_split(text, ' '),
+                                           (t, i) -> i % 25 <> 0), ' ')
+        FROM documents WHERE doc_id % 5 = 0
+      ) WHERE doc_id % 1000000 < 400
+    ),
+    tokh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(t, ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % {m})) AS th
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(th) - 2, 1) + 1),
+               i -> ((th[i] * 131 + th[i+1]) % {m} * 131 + th[i+2]) % {m}))
+               AS sh
+      FROM tokh
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS hs FROM sh),
+    truth_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.hs = b.hs AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh))) AS j
+        FROM truth_pairs JOIN sh sa ON sa.doc_id = doc_a
+                         JOIN sh sb ON sb.doc_id = doc_b)
+      WHERE j >= 0.5
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    banded AS (
+      {bands_sql}
+    ),
+    capped AS (
+      SELECT doc_id, band, bucket FROM
+        (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+         FROM banded)
+      WHERE bn <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT * FROM truth)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM hit) AS n_hit,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM cand), 1), 4)
+             AS precision,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM truth), 1), 4)
+             AS recall
+    """
+
+
+@query("ext_dedup_eval", oracle=_dedup_eval_oracle())
+def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality evaluation: precision/recall of the MinHash-LSH
+    candidate generator against EXACT shingle-Jaccard ground truth on
+    a deterministic corpus slice — the measurement a pipeline team
+    runs before trusting (or re-tuning) a banding configuration at
+    100 TB, where re-running exact Jaccard over the full corpus is
+    impossible but a sliced audit is cheap.
+
+    Ground truth on the slice: pairs sharing >= 1 shingle (all others
+    have Jaccard 0), verified with exact set intersection at the 0.5
+    threshold the production key uses. Candidates: the identical
+    4x3-band pipeline (same permutation constants, same bucket cap) —
+    WITHOUT its verify step, because the evaluator measures the raw
+    banding selectivity. One output row: counts + rounded
+    precision/recall. Every hash is the portable convention, so the
+    DuckDB oracle replays both sides bit-for-bit.
+
+    Scale shape: the slice bound (~400 base docs + mutants) caps the
+    truth join; at production scale the slice is a sampled partition,
+    everything else is unchanged.
+    """
+    mod = F.lit(POLY_MOD)
+    sliced = _docs_with_mutants(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(1_000_000)) < 400
+    )
+    toks = F.split("text", " ")
+    with_th = sliced.select(
+        "doc_id", F.transform(toks, poly_hash).alias("th")
+    )
+    th = F.col("th")
+    n = F.size(th)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: (
+            (F.element_at(th, i) * 131 + F.element_at(th, i + 1)) % mod * 131
+            + F.element_at(th, i + F.lit(2))
+        )
+        % mod,
+    )
+    docs = with_th.select(
+        "doc_id", F.array_distinct(shingle_hashes).alias("sh")
+    ).cache()
+    ex = docs.select("doc_id", F.explode("sh").alias("hs"))
+    truth_pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    j = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    truth = (
+        truth_pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= 0.5)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    sigs = (
+        ex.select(
+            "doc_id",
+            *[
+                ((F.lit(_MH_A[k]) * F.col("hs") + F.lit(_MH_B[k])) % mod).alias(
+                    f"h{k}"
+                )
+                for k in range(_MH_N)
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{k}").alias(f"h{k}") for k in range(_MH_N)])
+    )
+    rows_per_band = _MH_N // _MH_BANDS
+
+    def _band_bucket(b: int) -> Column:
+        acc: Column = F.col(f"h{b * rows_per_band}")
+        for r in range(1, rows_per_band):
+            acc = (acc * 131 + F.col(f"h{b * rows_per_band + r}")) % mod
+        return acc
+
+    from pyspark.sql.window import Window
+
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_bucket(b) for b in range(_MH_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    banded = (
+        banded.withColumn(
+            "bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("bn") <= 100)
+        .drop("bn")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .cache()
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                4,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_truth"), F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+    )

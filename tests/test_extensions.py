@@ -37,6 +37,17 @@ class TestDedup:
         )
         assert planted / n_mutants > 0.6  # LSH recall × jaccard cutoff
 
+    def test_dedup_eval_reports_tight_banding(self, spark, sf_dir):
+        """The banding evaluator must show the 4x3 LSH configuration is
+        actually good on the fixture slice: high recall (the params
+        target jaccard 0.85 at ~0.98 candidate probability) and
+        non-degenerate precision (bucket join is not spraying
+        candidates)."""
+        row = QUERIES["ext_dedup_eval"](spark, sf_dir).collect()[0]
+        assert row["n_truth"] > 0
+        assert row["recall"] >= 0.9
+        assert row["precision"] >= 0.5
+
     def test_simhash_recovers_planted_mutants(self, spark, sf_dir):
         planted, _ = _planted_recall(
             QUERIES["ext_dedup_simhash"](spark, sf_dir), "doc_a", "doc_b"
