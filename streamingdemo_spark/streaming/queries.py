@@ -823,3 +823,123 @@ def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.read.parquet(out + "/data")
+
+
+def _has_tws_protobuf() -> bool:
+    """transformWithState's Python state protocol speaks protobuf; the
+    driver-side schema worker dies with an ImportError without it
+    (observed: google.protobuf.descriptor missing in this container).
+    Gate the key so it registers only where it can actually run —
+    same capability-gating convention as the PIL-less multimodal
+    decode."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_tws_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get() if self._totals.exists() else (0, 0)
+            n, cents = prev
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 10_000).round().astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "val_sum": [cents / 10_000.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def _register_tws():
+    if not _has_tws_protobuf():  # pragma: no cover - env-dependent
+        return None
+    return query(
+        "stream_tws_custom",
+        oracle=f"""
+        SELECT user_id, COUNT(*) AS n_events, {osum("value", 4)} AS val_sum
+        FROM events GROUP BY user_id
+        """,
+    )
+
+
+_tws_decorator = _register_tws()
+
+
+def stream_tws_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running totals via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState: a StatefulProcessor
+    CLASS with an explicit lifecycle (init/handleInputRows/close) and
+    NAMED, individually-typed state primitives (value/list/map state,
+    timers, TTL) instead of one monolithic state tuple. Same semantics
+    as ``stream_stateful_custom`` (exact scaled-int totals per user),
+    same oracle — so the two APIs are pinned equivalent on identical
+    input, and a migration between them is provably behavior-neutral.
+
+    Why it matters at 100 TB: named state composes (add a list-state
+    event buffer without repacking the tuple), and TTL/timers are
+    first-class — the production knobs for unbounded key spaces. State
+    here is one 2-long struct per user, bounded by key cardinality.
+    """
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
+    updates = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_tws_processor(),
+        outputStructType="user_id long, n_events long, val_sum double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store (the 100 TB
+    # state backend — spillable, incremental-checkpoint); scope it to
+    # this query and restore the session default after.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        mem = run_to_memory(updates, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    last = F.max(F.struct("n_events", "val_sum")).alias("s")
+    return (
+        mem.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.val_sum").alias("val_sum"),
+        )
+    )
+
+
+if _tws_decorator is not None:  # pragma: no cover - env-dependent
+    stream_tws_custom = _tws_decorator(stream_tws_custom)
