@@ -294,3 +294,28 @@ def test_anomaly_screen_as_container_operator(spark, sf_dir):
         for r in QUERIES["ext_ts_anomaly"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_stateful_stream_runs_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state backend: the same applyInPandasWithState
+    totals must produce identical results under the RocksDB state
+    store provider (spillable, incremental-checkpoint) as under the
+    default HDFS-backed provider — state logic must not depend on
+    provider semantics."""
+    key = "stream_stateful_custom"
+    baseline = _rows(QUERIES[key](spark, sf_dir), "user_id", "n_events", "val_sum")
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = _rows(QUERIES[key](spark, sf_dir), "user_id", "n_events", "val_sum")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, prev)
+    assert got == baseline and len(got) > 0
