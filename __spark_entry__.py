@@ -162,8 +162,12 @@ def driver_proven() -> frozenset[str]:
 
 def _derive_order() -> list[str]:
     proven = driver_proven()
-    fresh = [k for k in _PRIORITY if k not in proven]
-    old = [k for k in _PRIORITY if k in proven]
+    # Capability-gated keys (e.g. stream_tws_custom without protobuf,
+    # multimodal decode without PIL) may not register on this box;
+    # DRIVER_ORDER tracks what actually registered, nothing more.
+    priority = [k for k in _PRIORITY if k in QUERIES]
+    fresh = [k for k in priority if k not in proven]
+    old = [k for k in priority if k in proven]
     # Registry keys missing from _PRIORITY (just-added ops) are by
     # definition never-checked: they run right after the known fresh
     # block, before anything proven.
