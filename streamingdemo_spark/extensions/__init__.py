@@ -8,6 +8,7 @@ from streamingdemo_spark.extensions import (  # noqa: F401
     corpus,
     dedup,
     graph,
+    retrieval,
     similarity,
     text,
     multimodal,

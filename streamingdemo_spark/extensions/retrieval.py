@@ -1,0 +1,270 @@
+"""Retrieval scoring over the documents/embeddings corpus (SURVEY
+§2.F north-star surface): BM25 lexical ranking and reciprocal-rank
+hybrid fusion — the ranking half of a RAG / retrieval-augmented
+training-data pipeline, next to ``ext_text_tfidf`` (term weighting)
+and ``ext_sim_cosine_topk`` (dense scoring).
+
+Reference parity note: the reference's query surface is its SQL entry
+point (``src/sparkSQL/SparkSQLOperator.java:18-19``); these keys are
+north-star extensions beyond it, per SURVEY §2.F.
+
+Portability: BM25 is log/division-heavy, so per-(doc, term) scores are
+quantized to integer micro-units (``floor(x*1e6 + 0.5)``) BEFORE the
+per-doc sum — the same integer-sketch discipline as
+``ext_unigram_surprisal`` — making every aggregate an exact int64 sum:
+order-insensitive, bitwise-reproducible, replayed exactly by the
+DuckDB oracle. Rank fusion then never touches a float at all:
+``1e9 div (k + rank)`` is pure integer arithmetic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import query
+
+# The standing query: one frequent, one mid, one rare corpus term
+# (df ≈ 385 / 387 / 25 of 500 docs at sf0.01), so idf actually spreads
+# the scores instead of degenerating to tf ordering.
+QUERY_TERMS = ("spark", "window", "dup")
+_TERMS_SQL = "('spark', 'window', 'dup')"
+
+K1 = 1.2  # BM25 term-frequency saturation
+B = 0.75  # BM25 length normalization
+TOP_N = 10
+RRF_K = 60  # standard reciprocal-rank-fusion damping
+QUERY_DOC = 7  # its embedding stands in for the query's dense vector
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_micro) for every document matching ≥1 query term.
+
+    Shape: one scan tokenizes and carries the doc length alongside the
+    explode; the query-term filter drops ~90% of tokens BEFORE the
+    (doc, term) aggregate, so the shuffle is bounded by matches, not
+    corpus tokens. df (per query term) and the corpus totals are
+    tiny aggregates of that same matched set / the doclen relation,
+    joined back as broadcast 1-row/3-row relations — no driver-side
+    ``count()`` actions, the whole thing is one job. At 100 TB nothing
+    here grows beyond (matched docs × |query|) except the initial scan.
+
+    Float discipline: every double op in the score is written in the
+    exact same shape as the oracle SQL (same literals, same
+    parenthesization), so both engines execute the same IEEE-754
+    sequence; the only transcendental is ln() whose cross-engine ulp
+    the 1e-6 micro-grid absorbs (margin pinned by
+    tests/test_portable_hash.py::test_bm25_floor_boundary_margin).
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    doclen = d.select("doc_id", F.size("toks").alias("dl"))
+    tot = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)); tf-norm denominator uses
+    # dl/avgdl as (dl*N)/dl_sum — one exact-integer-arg division
+    # instead of a chained avgdl rounding step
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf")
+        + K1
+        * (
+            (1.0 - B)
+            + B
+            * ((F.col("dl") * F.col("n_docs")).cast("double") / F.col("dl_sum"))
+        )
+    )
+    micro = F.floor(idf * tfn * 1000000 + F.lit(0.5)).alias("micro")
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", micro)
+    )
+    return scored.groupBy("doc_id").agg(F.sum("micro").alias("bm25_micro"))
+
+
+_BM25_ORACLE_CTE = f"""
+    d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+          FROM documents),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM d),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN {_TERMS_SQL}
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               ln(1 + (tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * ((tf.tf * {K1 + 1.0}) /
+                  (tf.tf + {K1} * (({1.0 - B}) + {B} *
+                   (CAST(d.dl * tot.n_docs AS DOUBLE) / tot.dl_sum))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM tf
+      JOIN d USING (doc_id)
+      JOIN dfq USING (term)
+      CROSS JOIN tot
+    ),
+    bm25 AS (
+      SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+      FROM contrib GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "ext_text_bm25",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CTE}
+    SELECT doc_id, bm25_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+                AS INT) AS rank
+    FROM bm25
+    QUALIFY rank <= {TOP_N}
+    """,
+)
+def ext_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document ranking for a fixed query-term
+    set, top-10 — the standard lexical retrieval scorer (Robertson et
+    al.'s probabilistic weighting, as implemented by every search
+    engine), expressed as two bounded aggregates and broadcast joins.
+
+    Scale shape: see ``_bm25_scored``. The final top-10 is a single
+    unpartitioned row_number over a match-bounded relation; at 100 TB
+    swap it for the TakeOrdered form (`sort_limit_topk`) — the scored
+    relation is (matched docs)-sized either way.
+    """
+    bm25 = _bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    return (
+        bm25.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_N)
+        .select("doc_id", "bm25_micro", "rank")
+    )
+
+
+@query(
+    "ext_sim_rrf",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CTE},
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+                  AS INT) AS lex_rank
+      FROM bm25 WHERE doc_id <> {QUERY_DOC}
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings
+          WHERE vec_id = {QUERY_DOC}),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), q.q_emb), 4) DESC,
+               e.vec_id) AS INT) AS dense_rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_DOC}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             lex.lex_rank, dense.dense_rank,
+             COALESCE(1000000000 // ({RRF_K} + lex.lex_rank), 0)
+             + COALESCE(1000000000 // ({RRF_K} + dense.dense_rank), 0)
+               AS rrf_nano
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_nano,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id)
+                AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= {TOP_N}
+    """,
+)
+def ext_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking and a dense cosine ranking (query vector = doc 7's
+    embedding) fused as score = Σ 1/(60 + rank) — the standard
+    hybrid-search combiner (Cormack et al.'s RRF), kept exact with
+    integer nano-units: ``1e9 div (60 + rank)`` on both engines, so
+    the fusion involves no float arithmetic at all.
+
+    A doc missing from one ranking (no query term / no vector row)
+    contributes only its other rank — the FULL OUTER + COALESCE(…, 0)
+    shape. Both input rankings are global windows over bounded
+    relations (match-bounded lexical side, corpus-sized dense side
+    ranked per ``ext_sim_cosine_topk``'s broadcast pattern); at 100 TB
+    the dense ranking would come from the ANN keys
+    (``ext_sim_ann_lsh`` / IVF) instead of the exact scan, and the
+    fusion join keys on doc_id — co-partitioned, one shuffle.
+    """
+    lex = _bm25_scored(spark, sf_dir).filter(F.col("doc_id") != QUERY_DOC)
+    lex = lex.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))),
+    ).select("doc_id", "lex_rank")
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = corpus.filter(F.col("vec_id") == QUERY_DOC).select(
+        F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731 — mirrors similarity._norm
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cosine = F.round(dot / (norm(F.col("emb")) * norm(F.col("q_emb"))), 4)
+    dense = (
+        corpus.filter(F.col("vec_id") != QUERY_DOC)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cosine.alias("cosine"))
+        .withColumn(
+            "dense_rank",
+            F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "dense_rank")
+    )
+
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 div ({RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 div ({RRF_K} + dense_rank)"), F.lit(0)
+            )
+        ).alias("rrf_nano"),
+    )
+    w = Window.orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_N)
+    )

@@ -564,3 +564,49 @@ def test_kll_merge_rank_accuracy(spark, sf_dir):
         qhat = est["ALL"][col]
         rank = ev.filter(F.col("value") <= qhat).count() / n
         assert abs(rank - target) <= 0.03, (col, qhat, rank)
+
+
+class TestRetrieval:
+    def test_bm25_top_docs_contain_the_rare_term(self, spark, sf_dir):
+        """'dup' is ~16× rarer than the other query terms, so its idf
+        dominates: every top-10 BM25 doc must actually contain it, and
+        scores must be strictly ranked."""
+        from streamingdemo_spark.extensions.retrieval import QUERY_TERMS
+
+        out = QUERIES["ext_text_bm25"](spark, sf_dir).collect()
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+        scores = [r["bm25_micro"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id").isin([r["doc_id"] for r in out]))
+            .collect()
+        }
+        rare = QUERY_TERMS[-1]
+        assert all(rare in docs[r["doc_id"]].split(" ") for r in out)
+
+    def test_rrf_fuses_both_rankings(self, spark, sf_dir):
+        """rrf_nano must equal the integer fusion of the two emitted
+        ranks, the query doc must not rank itself, and the fused top-10
+        can't be dominated by docs absent from both lists."""
+        from streamingdemo_spark.extensions.retrieval import (
+            QUERY_DOC,
+            RRF_K,
+        )
+
+        out = QUERIES["ext_sim_rrf"](spark, sf_dir).collect()
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+        assert all(r["doc_id"] != QUERY_DOC for r in out)
+        for r in out:
+            want = 0
+            if r["lex_rank"] is not None:
+                want += 1_000_000_000 // (RRF_K + r["lex_rank"])
+            if r["dense_rank"] is not None:
+                want += 1_000_000_000 // (RRF_K + r["dense_rank"])
+            assert r["rrf_nano"] == want, r
+        # the fused winner sits in the top tier of at least one ranking
+        top = out[0]
+        assert min(
+            x for x in (top["lex_rank"], top["dense_rank"]) if x is not None
+        ) <= 3

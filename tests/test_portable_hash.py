@@ -82,3 +82,44 @@ def test_poly_hash_matches_duckdb_bitwise(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
     want = dict(con.execute(f"SELECT i, {opoly('s')} FROM t").fetchall())
     assert got == want
+
+
+def test_bm25_floor_boundary_margin():
+    """ext_text_bm25 quantizes idf·tfn to integer micro-units with
+    floor(x*1e6 + 0.5); like the micro-nat keys, parity assumes the
+    engines' ln() agree to ~1 ulp, which only matters within ~2e-9 of
+    a floor boundary. Enumerate every (tf, df, dl, N, dl_sum) combo
+    the fixture produces and verify a ≥1e-6 margin."""
+    import math
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    from streamingdemo_spark.extensions.retrieval import _TERMS_SQL, B, K1
+
+    rows = con.execute(
+        f"""
+        WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                   FROM '{sf_dir}/documents.parquet'),
+        tot AS (SELECT COUNT(*) AS n, SUM(dl) AS dls FROM d),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM '{sf_dir}/documents.parquet')
+          WHERE term IN {_TERMS_SQL}
+          GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT DISTINCT tf.tf, dfq.df, d.dl, tot.n, tot.dls
+        FROM tf JOIN d USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot
+        """
+    ).fetchall()
+    assert rows
+    for tf, df, dl, n, dls in rows:
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        tfn = (tf * (K1 + 1.0)) / (
+            tf + K1 * ((1.0 - B) + B * (float(dl * n) / dls))
+        )
+        frac = (idf * tfn * 1e6 + 0.5) % 1.0
+        margin = min(frac, 1.0 - frac)
+        assert margin >= 1e-6, (tf, df, dl, margin)
