@@ -618,3 +618,54 @@ def ext_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "ext_split_assign",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split('split:' || CAST(doc_id AS VARCHAR), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket,
+    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split('split:' || CAST(doc_id AS VARCHAR), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80 THEN 'train'
+         WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split('split:' || CAST(doc_id AS VARCHAR), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split,
+    n_chars
+    FROM documents
+    """,
+)
+def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment: bucket =
+    portable_hash('split:' || doc_id) mod 100, with an 80/10/10 cut —
+    the reproducible content-independent split every training pipeline
+    stamps onto its corpus. Hash-based (not modulo-of-id) so the split
+    is uncorrelated with ingestion order, stable under re-runs and
+    incremental appends, and new documents land in splits at the
+    configured ratio without rebalancing old ones.
+
+    Shape: a pure per-row expression chain — no shuffle, no state;
+    pushdown-friendly and embarrassingly parallel at any scale. The
+    salt prefix ('split:') namespaces this hash away from the other
+    doc_id-keyed hashes (``ext_doc_shuffle``'s ':seed42') so split
+    membership and shuffle order stay independent."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        poly_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return d.select("doc_id", bucket.alias("bucket"), "n_chars").select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )

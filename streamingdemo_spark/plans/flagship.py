@@ -183,3 +183,92 @@ def flagship_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@query(
+    "flagship_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           {osum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+        OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+    """,
+)
+def flagship_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth flagship (TPC-H-Q7-shaped): volume shipping between two
+    nations — revenue flowing supplier-nation → customer-nation per
+    year, with the classic DISJUNCTIVE pair predicate ((A,B) or
+    (B,A)) that couples two different dimension hops of the same
+    dimension table.
+
+    Scale shape: the disjunction implies each nation side is
+    individually in {{A, B}}, so BOTH aliased nation scans are
+    pre-filtered to two rows before joining — the pair condition
+    survives only as a cheap residual that removes the A→A / B→B
+    combinations. That turns supplier and customer into
+    semi-filtered broadcast dims (each keeps ~2/25ths of its rows),
+    the date range pushes into the lineitem parquet scan, and the
+    only big shuffle is lineitem⋈orders. The aggregate output is
+    2 pairs × years — trivially small. A naive translation that
+    keeps the OR-of-ANDs as a post-join filter forfeits the nation
+    pruning and drags the full dims through the join; plan-asserted
+    in tests/test_plans.py.
+    """
+    t = load_tables(
+        spark, sf_dir, ("nation", "customer", "orders", "lineitem", "supplier")
+    )
+    pair = ("NATION_3", "NATION_9")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    n1 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = t["customer"].join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    items = t["lineitem"].filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    return (
+        items.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # residual of the disjunctive pair predicate: nation pruning
+        # already restricted both sides to {A, B}; only cross pairs stay
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )

@@ -610,3 +610,21 @@ class TestRetrieval:
         assert min(
             x for x in (top["lex_rank"], top["dense_rank"]) if x is not None
         ) <= 3
+
+
+def test_split_assign_ratios_and_determinism(spark, sf_dir):
+    """The 80/10/10 hash split must be stable across runs, partition
+    counts must be within binomial noise of the target ratios, and the
+    split must be independent of the shuffle hash (different salt)."""
+    out = QUERIES["ext_split_assign"](spark, sf_dir)
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+    assert a == b
+    n = len(a)
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for _, s in a.values():
+        counts[s] += 1
+    # 4σ binomial slack at n=500: train ±36, val/test ±27
+    assert abs(counts["train"] - 0.8 * n) <= 4 * (n * 0.8 * 0.2) ** 0.5
+    assert abs(counts["val"] - 0.1 * n) <= 4 * (n * 0.1 * 0.9) ** 0.5
+    assert abs(counts["test"] - 0.1 * n) <= 4 * (n * 0.1 * 0.9) ** 0.5

@@ -358,3 +358,25 @@ def test_python_datasource_plans_real_partitions(spark):
     rows = {r["id"]: (r["mod97"], r["val"]) for r in gen.collect()}
     assert len(rows) == 1000
     assert rows[123] == ((123 * 123) % 97, float((123 * 31) % 1000) / 10.0)
+
+
+def test_flagship_q7_prunes_nations_and_broadcasts_dims(spark, sf_dir):
+    """Q7's disjunctive nation-pair predicate must turn into per-side
+    nation pruning (pushed IN filters on both aliased nation scans),
+    leaving supplier/customer/nation all broadcast; only the
+    lineitem⋈orders join may shuffle."""
+    plan = _plan(QUERIES["flagship_q7"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1
+    # nation pruning reached the parquet scans: the IN filter appears
+    # as pushed-down scan predicates, once per aliased nation scan
+    assert plan.count("NATION_3") >= 2
+
+
+def test_split_assign_is_pure_projection(spark, sf_dir):
+    """The split assignment must stay a per-row expression chain: no
+    exchange, no aggregate — embarrassingly parallel at any scale."""
+    plan = _plan(QUERIES["ext_split_assign"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
