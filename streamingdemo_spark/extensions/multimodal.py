@@ -232,3 +232,172 @@ def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         sample, schema="doc_id long, frame_no int, frame_bytes int, checksum int"
     )
+
+
+# media near-dup fixture: every 7th payload re-appears "re-encoded"
+# (uniform +1 brightness on every body byte) under doc_id + 2e6
+PHASH_MUTANT_OFFSET = 2_000_000
+_N_BUCKETS = 64  # 63 adjacent-pair bits -> fits a positive int64
+_HAMMING_MAX = 8
+_N_BANDS = 8  # 8 bands x 8 bits: >=1 clean band unless flips hit all 8
+
+
+def _phash_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload fixture for perceptual dedup: originals plus
+    brightness-shifted copies. The shift adds +1 to every body byte
+    (built by re-encoding the text with each codepoint +1 — same
+    bytes, since the corpus is single-byte ASCII), which changes every
+    byte hash but barely moves adjacent-bucket DIFFERENCES — the exact
+    failure mode content-hash dedup has on re-encoded media."""
+    base = _encode_payload(spark, sf_dir)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    shifted_text = F.array_join(
+        F.transform(F.split("text", ""), lambda c: F.char(F.ascii(c) + 1)), ""
+    )
+    width = (F.col("n_chars") % 64 + 1).cast("int")
+    height = (F.col("n_chars") % 48 + 1).cast("int")
+    header = F.concat(
+        F.lit(_MAGIC),
+        F.encode(F.lpad(width.cast("string"), 6, "0"), "utf-8"),
+        F.encode(F.lpad(height.cast("string"), 6, "0"), "utf-8"),
+    )
+    mutants = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + PHASH_MUTANT_OFFSET).alias("doc_id"),
+            F.concat(header, F.encode(shifted_text, "utf-8")).alias("payload"),
+            F.lit("image/fake").alias("media_type"),
+        )
+    )
+    return base.unionByName(mutants)
+
+
+def _phash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched perceptual hash: 64 equal byte-range bucket sums
+    over the body, dHash bit i = (bucket[i] > bucket[i+1]), 63-bit
+    signature. Pure integer arithmetic end-to-end so the DuckDB oracle
+    replays it bit-for-bit; a production deployment swaps the byte
+    buckets for decoded-pixel grid means, same signature algebra."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            body = np.frombuffer(bytes(payload)[20:], dtype=np.uint8)
+            L = len(body)
+            edges = [(i * L) // _N_BUCKETS for i in range(_N_BUCKETS + 1)]
+            sums = np.array(
+                [int(body[edges[i] : edges[i + 1]].sum()) for i in range(_N_BUCKETS)],
+                dtype=np.int64,
+            )
+            bits = sums[:-1] > sums[1:]
+            phash = int((bits * (1 << np.arange(_N_BUCKETS - 1, dtype=np.uint64))).sum())
+            out.append({"doc_id": int(doc_id), "phash": phash})
+        yield pd.DataFrame(out)[["doc_id", "phash"]]
+
+
+def _phash_oracle_codes(delta: str) -> str:
+    return (
+        f"list_transform(string_split(text, ''), "
+        f"c -> CAST(ascii(c) + {delta} AS BIGINT))"
+    )
+
+
+def _phash_oracle_sig(codes: str) -> str:
+    """DuckDB replay of :func:`_phash_stage` from the code list."""
+    return f"""(
+      WITH co AS (SELECT {codes} AS codes),
+      b AS (SELECT list_transform(range(0, 64),
+              i -> COALESCE(list_aggregate(list_slice(
+                     co.codes, (i * len(co.codes)) // 64 + 1,
+                     ((i + 1) * len(co.codes)) // 64), 'sum'), 0)) AS s
+            FROM co)
+      SELECT list_aggregate(list_transform(range(0, 63),
+               i -> CASE WHEN b.s[i + 1] > b.s[i + 2]
+                         THEN CAST(1 AS BIGINT) << i
+                         ELSE CAST(0 AS BIGINT) END), 'sum')
+      FROM b)"""
+
+
+@query(
+    "ext_multimodal_phash_dedup",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_phash_oracle_sig(_phash_oracle_codes('0'))} AS phash
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {PHASH_MUTANT_OFFSET},
+             {_phash_oracle_sig(_phash_oracle_codes('1'))}
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    bands AS (
+      SELECT doc_id, phash, j AS band_no,
+             (phash >> (8 * j)) & 255 AS band_val
+      FROM sigs, UNNEST(range(0, 8)) AS t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS ph_a, b.phash AS ph_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+    """,
+)
+def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection for media payloads: binary encode
+    (JVM) → Arrow ``mapInPandas`` dHash signature → 8×8-bit LSH band
+    explode → equi-join candidate generation → exact hamming verify
+    with ``bit_count(xor)``. Finds the planted brightness-shifted
+    re-encodes (hamming ≈ 0-3) that byte-exact dedup cannot, without
+    ever comparing all pairs.
+
+    100 TB shape: signatures are 8 bytes/item, the band join is an
+    equi-join on (band_no, band_val) — candidates are collision-
+    bounded, never quadratic (same discipline as ``ext_dedup_simhash``,
+    but over the BINARY media column: the decode/feature stage is the
+    Arrow batch path real pixel phashing uses). Skewed bands (e.g.
+    all-dark images hashing to band 0) get the same salting/bucket-cap
+    treatment as the text LSH keys.
+    """
+    sigs = _phash_payloads(spark, sf_dir).repartition(8, "doc_id").mapInPandas(
+        _phash_stage, schema="doc_id long, phash long"
+    )
+    bands = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band_no"),
+    ).withColumn(
+        # expr form: the shiftrightunsigned() Python wrapper only takes
+        # a literal bit count, not a per-row column
+        "band_val",
+        F.expr("shiftrightunsigned(phash, band_no * 8) & 255"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_no",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_no",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

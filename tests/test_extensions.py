@@ -628,3 +628,35 @@ def test_split_assign_ratios_and_determinism(spark, sf_dir):
     assert abs(counts["train"] - 0.8 * n) <= 4 * (n * 0.8 * 0.2) ** 0.5
     assert abs(counts["val"] - 0.1 * n) <= 4 * (n * 0.1 * 0.9) ** 0.5
     assert abs(counts["test"] - 0.1 * n) <= 4 * (n * 0.1 * 0.9) ** 0.5
+
+
+def test_phash_dedup_catches_reencodes_exact_hash_misses(spark, sf_dir):
+    """Every planted brightness-shifted media copy must be recovered
+    (the +1-per-byte shift barely moves adjacent-bucket differences),
+    while byte-exact hashing finds NONE of them — the reason media
+    dedup needs a perceptual signature at all."""
+    from streamingdemo_spark.extensions.multimodal import (
+        PHASH_MUTANT_OFFSET,
+        _phash_payloads,
+    )
+
+    out = QUERIES["ext_multimodal_phash_dedup"](spark, sf_dir).collect()
+    planted = [
+        r for r in out if r["doc_b"] - r["doc_a"] == PHASH_MUTANT_OFFSET
+    ]
+    n_mutants = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 7 == 0)
+        .count()
+    )
+    assert len(planted) == n_mutants
+    assert all(r["hamming"] <= 3 for r in planted)
+
+    exact = (
+        _phash_payloads(spark, sf_dir)
+        .groupBy(F.xxhash64("payload"))
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+        .filter(F.col("b") - F.col("a") == PHASH_MUTANT_OFFSET)
+        .count()
+    )
+    assert exact == 0
