@@ -669,3 +669,119 @@ def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "n_chars",
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Chained-CTE DuckDB replay of the 3-round merge loop: each round
+    re-derives pair counts from the previous round's symbol strings,
+    picks the same (count DESC, pair ASC) argmax, and applies the same
+    left-to-right non-overlapping replace."""
+    parts = [
+        """
+    v0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
+             ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    for i in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM (
+        SELECT wc, unnest(list_transform(generate_series(1, len(a) - 1),
+                 j -> a[j] || ' ' || a[j + 1])) AS pair
+        FROM (SELECT wc, string_split(trim(s), ' ') AS a FROM v{i - 1})
+        WHERE len(a) >= 2
+      ) GROUP BY pair
+    ),
+    m{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+    v{i} AS (
+      SELECT w, wc,
+             replace(s, ' ' || m{i}.pair || ' ',
+                     ' ' || replace(m{i}.pair, ' ', '') || ' ') AS s
+      FROM v{i - 1} CROSS JOIN m{i}
+    )""")
+        sel = "\n    UNION ALL ".join(
+            f"SELECT CAST({i} AS INT) AS merge_no, pair, n FROM m{i}"
+            for i in range(1, _BPE_ROUNDS + 1)
+        )
+    return "WITH " + ",".join(parts) + "\n    " + sel
+
+
+@query("ext_bpe_train", oracle=_bpe_oracle())
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 3 merge rounds: maintain the word
+    vocabulary as space-joined symbol strings, and per round (a) count
+    adjacent symbol pairs weighted by word frequency, (b) pick the
+    most frequent pair (count DESC, pair ASC — deterministic), (c)
+    merge it everywhere with a left-to-right non-overlapping replace.
+    Output: the learned merge table (merge_no, pair, n) — the artifact
+    a tokenizer trainer ships.
+
+    This is how industrial BPE trainers actually scale: after the one
+    corpus pass that builds word counts, every round runs on the
+    WORD VOCABULARY (sub-linear in corpus size), never on the corpus
+    itself. The per-round argmax is a driver scalar (one tiny
+    TakeOrdered collect — same bounded-driver-state discipline as
+    ``ext_graph_pagerank``'s convergence probe); the vocabulary stays
+    distributed and cached, and each round adds one narrow projection
+    to its lineage. At a 1e7-word vocabulary each round is one
+    explode + vocabulary-bounded aggregate — flat cost per round.
+
+    Both engines replay the merge with plain ``replace`` (both scan
+    left-to-right over non-overlapping matches), and the sentinel
+    spaces around each symbol string make symbol boundaries explicit,
+    so 'a b'→'ab' can never merge across two adjacent words or inside
+    an already-merged symbol.
+    """
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "w",
+            "wc",
+            F.concat(
+                F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+            ).alias("s"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, int]] = []
+    cur = vocab
+    for round_no in range(1, _BPE_ROUNDS + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pairs = (
+            cur.select("wc", arr.alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " j -> a[j - 1] || ' ' || a[j])"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("pair")).first()
+        merges.append((round_no, best["pair"], best["n"]))
+        merged = best["pair"].replace(" ", "")
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best['pair']} "),
+                F.lit(f" {merged} "),
+            ),
+        )
+    vocab.unpersist()
+    return spark.createDataFrame(merges, "merge_no int, pair string, n long")

@@ -660,3 +660,34 @@ def test_phash_dedup_catches_reencodes_exact_hash_misses(spark, sf_dir):
         .count()
     )
     assert exact == 0
+
+
+def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
+    """Replay the whole 3-round BPE loop in pure Python on collected
+    word counts (the vocabulary is small) and require the exact same
+    merge table — pins pair counting, argmax tie-break, and the
+    non-overlapping replace semantics end-to-end."""
+    from collections import Counter
+
+    got = [
+        (r["merge_no"], r["pair"], r["n"])
+        for r in QUERIES["ext_bpe_train"](spark, sf_dir).collect()
+    ]
+    words = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        words.update(r["text"].split(" "))
+    vocab = {f" {' '.join(w)} ": wc for w, wc in words.items()}
+    want = []
+    for round_no in (1, 2, 3):
+        counts = Counter()
+        for s, wc in vocab.items():
+            syms = s.strip().split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[f"{a} {b}"] += wc
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((round_no, pair, n))
+        vocab = {
+            s.replace(f" {pair} ", f" {pair.replace(' ', '')} "): wc
+            for s, wc in vocab.items()
+        }
+    assert got == want
