@@ -803,3 +803,111 @@ def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("cl")).alias("is_home"),
         )
     )
+
+
+N_PROBE = 2
+
+
+@query(
+    "ext_sim_ivf_probe_topk",
+    oracle="""
+    WITH {cte},
+    cent AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec
+             FROM cmeans GROUP BY label),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+    vd AS (
+      SELECT v.vec_id, v.e, cent.cl,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(generate_series(1, len(e)),
+                                i -> (e[i] - cvec[i]) * (e[i] - cvec[i]))),
+               (a, b) -> a + b) AS d
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, e, cl AS cell FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn FROM vd)
+      WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS q_id, e AS q_emb, cl AS cell FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn
+         FROM vd WHERE vec_id < 8)
+      WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT q.q_id, a.vec_id,
+             ROUND(list_cosine_similarity(a.e, q.q_emb), 4) AS cosine
+      FROM assigned a JOIN qcells q ON a.cell = q.cell
+      WHERE a.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rank FROM
+      (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       FROM cand)
+    WHERE rank <= 5
+    """.format(cte=_CENTROID_CTE, nprobe=N_PROBE),
+)
+def ext_sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search, oracle-exact: the search half of the IVF
+    index whose build half is ``ext_sim_ivf_assign``. Each query
+    probes its ``N_PROBE`` nearest codebook cells (same class-mean
+    codebook, same bitwise-exact squared-L2 fold) and exact-cosine
+    re-ranks ONLY the vectors homed in those cells — top-5 per query.
+    Complements the rows-only ``ext_sim_ivf_topk`` (whose KMeans fit
+    is engine-specific): with a deterministic codebook the whole
+    probe path is hash-checked against DuckDB.
+
+    Scale shape: the codebook broadcast + one corpus pass assigns
+    home cells (at 100 TB that result is WRITTEN partitioned by
+    cell, not recomputed); the probe set (queries × nprobe cells,
+    with query vectors) is a second broadcast, so candidate
+    generation is a map-side equi-join on cell — the corpus never
+    shuffles for a search, and re-rank cost is corpus/k × nprobe per
+    query instead of the brute-force full scan
+    (``ext_sim_cosine_topk``). Recall against that exact baseline is
+    pinned in tests/test_extensions.py.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cmeans = _centroid_means(e).select(F.col("label").alias("cl"), "pos", "c")
+    cent = cmeans.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    d = F.aggregate(
+        F.zip_with("e", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    vd = v.crossJoin(F.broadcast(cent)).select("vec_id", "e", "cl", d.alias("d"))
+    w_cell = Window.partitionBy("vec_id").orderBy("d", "cl")
+    ranked = vd.withColumn("rn", F.row_number().over(w_cell))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "e", F.col("cl").alias("cell")
+    )
+    qcells = (
+        ranked.filter((F.col("vec_id") < 8) & (F.col("rn") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("q_emb"),
+            F.col("cl").alias("cell"),
+        )
+    )
+    cosine = F.round(
+        _dot("e", "q_emb") / (_norm("e") * _norm("q_emb")), 4
+    )
+    cand = (
+        assigned.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

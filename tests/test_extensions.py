@@ -691,3 +691,24 @@ def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
             for s, wc in vocab.items()
         }
     assert got == want
+
+
+def test_ivf_probe_beats_probe_fraction_and_subsets_exact(spark, sf_dir):
+    """The deterministic-codebook probe search must beat the
+    probe-fraction recall floor (nprobe=2 of 10 cells scans ~20% of
+    the corpus; the fixture's label clusters are loose, so recall sits
+    near 2× that, not near 1.0), and every hit it returns must carry
+    the same cosine the exact scan computes."""
+    exact = {
+        (r["q_id"], r["vec_id"]): r["cosine"]
+        for r in QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    probe = QUERIES["ext_sim_ivf_probe_topk"](spark, sf_dir).collect()
+    hits = [r for r in probe if (r["q_id"], r["vec_id"]) in exact]
+    recall = len(hits) / len(exact)
+    assert recall > 0.25
+    assert all(exact[(r["q_id"], r["vec_id"])] == r["cosine"] for r in hits)
+    per_q = {}
+    for r in probe:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
