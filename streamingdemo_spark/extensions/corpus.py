@@ -674,11 +674,13 @@ def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
-    """Chained-CTE DuckDB replay of the 3-round merge loop: each round
+def _bpe_oracle_ctes() -> str:
+    """The WITH body replaying the 3-round merge loop: each round
     re-derives pair counts from the previous round's symbol strings,
     picks the same (count DESC, pair ASC) argmax, and applies the same
-    left-to-right non-overlapping replace."""
+    left-to-right non-overlapping replace. Ends with v3 (the
+    post-merge vocabulary) so both the train and apply oracles build
+    on the identical chain."""
     parts = [
         """
     v0 AS (
@@ -705,11 +707,15 @@ def _bpe_oracle() -> str:
                      ' ' || replace(m{i}.pair, ' ', '') || ' ') AS s
       FROM v{i - 1} CROSS JOIN m{i}
     )""")
-        sel = "\n    UNION ALL ".join(
-            f"SELECT CAST({i} AS INT) AS merge_no, pair, n FROM m{i}"
-            for i in range(1, _BPE_ROUNDS + 1)
-        )
-    return "WITH " + ",".join(parts) + "\n    " + sel
+    return ",".join(parts)
+
+
+def _bpe_oracle() -> str:
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_no, pair, n FROM m{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + _bpe_oracle_ctes() + "\n    " + sel
 
 
 @query("ext_bpe_train", oracle=_bpe_oracle())
@@ -738,6 +744,17 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     so 'a b'→'ab' can never merge across two adjacent words or inside
     an already-merged symbol.
     """
+    merges, _, base = _bpe_fit(spark, sf_dir)
+    base.unpersist()
+    return spark.createDataFrame(merges, "merge_no int, pair string, n long")
+
+
+def _bpe_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, int]], DataFrame, DataFrame]:
+    """Run the merge loop; return (merge table, post-merge vocabulary
+    as (w, wc, s) with s the space-joined symbol string, persisted
+    base vocabulary). Callers unpersist the base when done."""
     words = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("w")
     )
@@ -783,5 +800,59 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f" {merged} "),
             ),
         )
-    vocab.unpersist()
-    return spark.createDataFrame(merges, "merge_no int, pair string, n long")
+    return merges, cur, vocab
+
+
+@query(
+    "ext_tokenize_apply",
+    oracle="WITH "
+    + _bpe_oracle_ctes()
+    + """,
+    tokmap AS (
+      SELECT w, len(string_split(trim(s), ' ')) AS n_sym FROM v3
+    ),
+    docw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           CAST(SUM(t.n_sym) AS BIGINT) AS bpe_tokens
+    FROM docw d JOIN tokmap t USING (w)
+    GROUP BY d.doc_id
+    """,
+)
+def ext_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer inference: apply the merge table ``ext_bpe_train``
+    learns to the corpus and report per-document whitespace vs BPE
+    token counts — the token-budget accounting step every training
+    pipeline runs after tokenizer training.
+
+    Scale shape: inference never re-tokenizes the corpus char by
+    char — the post-merge VOCABULARY (word → symbol count) is the
+    entire model state, broadcast to a map-side join against the
+    exploded corpus, then one per-doc aggregate. This is how
+    production token counting works at 100 TB: the expensive merge
+    loop ran once on the vocabulary; the corpus pass is an
+    equi-join + sum. The oracle replays the full train→apply chain
+    (the same 3-round CTE pyramid extended by the symbol-count map),
+    so a drift anywhere in training changes these counts and fails
+    the hash."""
+    merges, vocab, base = _bpe_fit(spark, sf_dir)
+    tokmap = vocab.select(
+        "w", F.size(F.split(F.trim(F.col("s")), " ")).alias("n_sym")
+    )
+    docw = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    out = (
+        docw.join(F.broadcast(tokmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
+    )
+    # materialize before unpersisting the vocab the plan references
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -712,3 +712,19 @@ def test_ivf_probe_beats_probe_fraction_and_subsets_exact(spark, sf_dir):
     for r in probe:
         per_q.setdefault(r["q_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_tokenize_apply_counts_bounded_and_compressive(spark, sf_dir):
+    """Per doc: ws_tokens <= bpe_tokens <= non-space chars (3 merges
+    can't beat one-symbol-per-word, and must not exceed raw chars);
+    corpus-wide the merges must actually fire (strict compression vs
+    character tokenization)."""
+    out = QUERIES["ext_tokenize_apply"](spark, sf_dir).collect()
+    chars = {
+        r["doc_id"]: len(r["text"].replace(" ", ""))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(out) == len(chars)
+    for r in out:
+        assert r["ws_tokens"] <= r["bpe_tokens"] <= chars[r["doc_id"]]
+    assert sum(r["bpe_tokens"] for r in out) < sum(chars.values())
