@@ -240,6 +240,12 @@ PHASH_MUTANT_OFFSET = 2_000_000
 _N_BUCKETS = 64  # 63 adjacent-pair bits -> fits a positive int64
 _HAMMING_MAX = 8
 _N_BANDS = 8  # 8 bands x 8 bits: >=1 clean band unless flips hit all 8
+# The sf0.1 probe (tools/r4b_scale_probe.py) showed band-collision
+# pairs growing ~80x at 10x docs on this low-entropy fixture — the
+# classic LSH hot-bucket blowup. Same guard as ext_dedup_minhash:
+# drop buckets above the cap (a bucket that big is boilerplate, not a
+# near-dup signal; its members still pair through their 7 other bands)
+_BAND_CAP = 100
 
 
 def _phash_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,10 +341,16 @@ def _phash_oracle_sig(codes: str) -> str:
              (phash >> (8 * j)) & 255 AS band_val
       FROM sigs, UNNEST(range(0, 8)) AS t(j)
     ),
+    capped AS (
+      SELECT doc_id, phash, band_no, band_val FROM
+        (SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_val) AS bn
+         FROM bands)
+      WHERE bn <= {_BAND_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.phash AS ph_a, b.phash AS ph_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band_no = b.band_no AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
     )
@@ -360,9 +372,14 @@ def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band_no, band_val) — candidates are collision-
     bounded, never quadratic (same discipline as ``ext_dedup_simhash``,
     but over the BINARY media column: the decode/feature stage is the
-    Arrow batch path real pixel phashing uses). Skewed bands (e.g.
-    all-dark images hashing to band 0) get the same salting/bucket-cap
-    treatment as the text LSH keys.
+    Arrow batch path real pixel phashing uses). Hot buckets (e.g.
+    all-dark images collapsing onto one band value) are dropped above
+    ``_BAND_CAP`` members — same skew guard as ``ext_dedup_minhash``;
+    an over-cap bucket's members still pair through their other 7
+    bands. Measured: the cap cuts sf0.1 candidate pairs ~3x while
+    planted recall stays 100% at sf0.01 (tested) and 97% at sf0.1
+    (the lost 3% sit in regions dense enough to saturate all 8
+    bands — the standard LSH cap tradeoff, tunable via _BAND_CAP).
     """
     sigs = _phash_payloads(spark, sf_dir).repartition(8, "doc_id").mapInPandas(
         _phash_stage, schema="doc_id long, phash long"
@@ -376,6 +393,16 @@ def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a literal bit count, not a per-row column
         "band_val",
         F.expr("shiftrightunsigned(phash, band_no * 8) & 255"),
+    )
+    from pyspark.sql.window import Window
+
+    bucket_n = F.count(F.lit(1)).over(
+        Window.partitionBy("band_no", "band_val")
+    )
+    bands = (
+        bands.withColumn("bn", bucket_n)
+        .filter(F.col("bn") <= _BAND_CAP)
+        .drop("bn")
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
