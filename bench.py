@@ -79,6 +79,10 @@ HEADLINE = [
     "flagship_q18",       # aggregate-driven semi-filter + broadcast hot set
     "stream_stream_outer_join",  # watermarked outer join w/ flush sentinels
     "agg_percentile_exact",      # exact nearest-rank percentiles
+    "flagship_q7",        # disjunctive nation-pair pruning
+    "ext_sim_rrf",        # BM25 + cosine hybrid rank fusion
+    "ext_multimodal_phash_dedup",  # Arrow binary phash + banded LSH
+    "ext_bpe_train",      # iterative vocab-bounded merge loop
 ]
 
 
