@@ -943,3 +943,102 @@ def stream_tws_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _tws_decorator is not None:  # pragma: no cover - env-dependent
     stream_tws_custom = _tws_decorator(stream_tws_custom)
+
+
+# test introspection: the last run's (source, partials, checkpoint)
+# dirs, so tests can assert the second run really was incremental
+_LAST_INCREMENTAL: dict[str, str] = {}
+
+
+@query(
+    "stream_incremental_agg",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {osum("value", 4)} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a foreachBatch
+    stream appends per-epoch PARTIAL aggregates (count + integer-unit
+    sum per event_type) to a target table, across TWO separate
+    ``availableNow`` runs sharing one checkpoint — run 1 sees half the
+    source files, new files land, run 2 resumes from the checkpoint
+    and processes ONLY the new files. The read-back folds the partials
+    into the final aggregate, which must hash-equal the batch
+    aggregate over the full events table.
+
+    This is the nightly-refresh pattern for aggregate tables at
+    100 TB: never re-scan history — each refresh appends
+    group-cardinality-sized partials for the new data only (counts and
+    integer-unit sums are mergeable, the same algebra as map-side
+    partial combine), and compaction of the partial log is a
+    group-sized batch job. Restart safety comes from the checkpoint
+    (consumed files are never re-aggregated) plus per-epoch
+    idempotence (an epoch re-run overwrites its own partials, keyed by
+    epoch id — same discipline as ``stream_foreach_batch``'s merge).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from streamingdemo_spark.streaming.sources import EVENTS_SCHEMA, _build
+
+    built = _build(sf_dir, "ordered", 4)
+    files = sorted(
+        f for f in os.listdir(built) if f.endswith(".parquet")
+    )
+    src = tempfile.mkdtemp(prefix="inc_src_")
+    target = os.path.join(tempfile.mkdtemp(prefix="inc_tgt_"), "partials")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_inc_")
+    _LAST_INCREMENTAL.update(source=src, partials=target, checkpoint=ckpt)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("partial_n"),
+                F.sum(
+                    F.floor(F.col("value") * 10000 + F.lit(0.5))
+                ).alias("partial_units"),
+            )
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            # epoch-partitioned overwrite = per-epoch idempotence on
+            # re-delivery after a crash between sink and commit
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target)
+        )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    for f in files[: len(files) // 2]:
+        shutil.copy(os.path.join(built, f), src)
+    run_once()
+    for f in files[len(files) // 2 :]:
+        shutil.copy(os.path.join(built, f), src)
+    run_once()
+
+    partials = spark.read.parquet(target)
+    return partials.groupBy("event_type").agg(
+        F.sum("partial_n").alias("n_events"),
+        (F.sum("partial_units").cast("double") / F.lit(10000.0)).alias(
+            "total_value"
+        ),
+    )

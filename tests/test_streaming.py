@@ -319,3 +319,45 @@ def test_stateful_stream_runs_on_rocksdb_state_store(spark, sf_dir):
         else:
             spark.conf.set(prov, prev)
     assert got == baseline and len(got) > 0
+
+
+def test_incremental_agg_resumes_and_equals_batch(spark, sf_dir):
+    """The second availableNow run must RESUME the checkpoint (epoch
+    ids continue, only the newly-landed files are aggregated — each
+    epoch holds exactly one file's rows), and the folded partials must
+    equal the batch aggregate over the full events table."""
+    import streamingdemo_spark.streaming.queries as sq
+
+    out = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in QUERIES["stream_incremental_agg"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_total = ev.count()
+    batch = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("v"),
+        )
+        .collect()
+    }
+    assert out == batch
+    partials = spark.read.parquet(sq._LAST_INCREMENTAL["partials"])
+    per_epoch = {
+        r["epoch"]: r["n"]
+        for r in partials.groupBy("epoch")
+        .agg(F.sum("partial_n").alias("n"))
+        .collect()
+    }
+    # 4 source files -> 4 epochs at maxFilesPerTrigger=1, ids
+    # CONTINUING across the two runs (0,1 then 2,3), one file each
+    assert sorted(per_epoch) == [0, 1, 2, 3]
+    assert all(abs(n - n_total / 4) <= n_total / 4 for n in per_epoch.values())
+    assert sum(per_epoch.values()) == n_total
