@@ -856,3 +856,95 @@ def ext_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+@query(
+    "ext_lang_mix_temperature",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    w AS (SELECT lang, n,
+                 CAST(FLOOR(sqrt(n) * 1000000 + 0.5) AS BIGINT) AS wm
+          FROM c),
+    t AS (SELECT CAST(SUM(wm) AS BIGINT) AS wsum,
+                 CAST(SUM(n) AS BIGINT) AS ntot FROM w),
+    q AS (SELECT lang, n, wm,
+                 (200 * wm) // t.wsum AS quota,
+                 (n * 1000000) // t.ntot AS share_before_ppm
+          FROM w CROSS JOIN t),
+    r AS (SELECT lang, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       string_split(CAST(doc_id AS VARCHAR) || ':mix', ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007),
+                   doc_id) AS rk
+          FROM documents)
+    SELECT q.lang, q.n AS n_docs, q.share_before_ppm, q.quota,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(r.n_chars) AS BIGINT) AS sample_chars
+    FROM r JOIN q USING (lang)
+    WHERE r.rk <= q.quota
+    GROUP BY q.lang, q.n, q.share_before_ppm, q.quota
+    """,
+)
+def ext_lang_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (T=2, i.e. p ∝ n^(1/2)) —
+    the multilingual-pretraining rebalance that upsamples low-resource
+    languages relative to their raw share. Per language: raw count and
+    share, the temperature quota out of a 200-doc budget, and the
+    deterministically sampled set (count + chars actually drawn).
+
+    Exactness: sqrt is IEEE-correctly-rounded in BOTH engines (unlike
+    ln/pow there is no ulp gap to absorb), so quantizing
+    floor(sqrt(n)·1e6 + 0.5) is unconditionally portable; everything
+    after — weight normalization, quotas, shares — is integer
+    division. Selection is the salted portable hash ranked per
+    language, so the drawn set is reproducible and independent of the
+    split/shuffle hashes.
+
+    Scale shape: language counts and weights are a lang-cardinality
+    aggregate + broadcast; the sample selection is one hash-ranked
+    window per language. At 100 TB replace the exact window with a
+    hash-threshold cut (rank r ≤ quota ≈ hash < quota/n·MAX, as in
+    ``ext_sample_stratified``) — no global sort either way.
+    """
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select(
+        "lang",
+        "n",
+        F.floor(F.sqrt("n") * 1000000 + F.lit(0.5)).alias("wm"),
+    )
+    t = w.agg(
+        F.sum("wm").alias("wsum"), F.sum("n").alias("ntot")
+    )
+    q = (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.expr("(n * 1000000) div ntot").alias("share_before_ppm"),
+            F.expr("(200 * wm) div wsum").alias("quota"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            poly_hash(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+            ),
+            F.asc("doc_id"),
+        )
+    )
+    r = d.select("lang", "n_chars", "doc_id").withColumn("rk", rk)
+    return (
+        r.join(F.broadcast(q), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("lang", "n_docs", "share_before_ppm", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+        )
+    )

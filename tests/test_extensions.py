@@ -728,3 +728,23 @@ def test_tokenize_apply_counts_bounded_and_compressive(spark, sf_dir):
     for r in out:
         assert r["ws_tokens"] <= r["bpe_tokens"] <= chars[r["doc_id"]]
     assert sum(r["bpe_tokens"] for r in out) < sum(chars.values())
+
+
+def test_lang_mix_temperature_rebalances_toward_uniform(spark, sf_dir):
+    """T=2 mixing must shrink the dominant language's share and grow
+    every low-resource share (strictly between raw and uniform),
+    quotas must be honored exactly, and the draw must be repeatable."""
+    rows = QUERIES["ext_lang_mix_temperature"](spark, sf_dir).collect()
+    total_raw = sum(r["n_docs"] for r in rows)
+    total_sampled = sum(r["n_sampled"] for r in rows)
+    assert total_sampled <= 200
+    again = QUERIES["ext_lang_mix_temperature"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        assert r["n_sampled"] == min(r["quota"], r["n_docs"])
+        raw_share = r["n_docs"] / total_raw
+        new_share = r["n_sampled"] / total_sampled
+        if raw_share > 1 / len(rows):
+            assert new_share < raw_share  # dominant lang shrinks
+        else:
+            assert new_share > raw_share  # low-resource langs grow
