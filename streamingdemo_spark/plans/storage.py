@@ -411,3 +411,50 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     z = F.expr(f"{spread('x')} | shiftleft({spread('y')}, 1)")
     return base.select("o_orderkey", z.alias("zval"))
+
+
+# test introspection: file counts before/after the last compaction run
+_LAST_COMPACTION: dict[str, int] = {}
+
+
+@query(
+    "snk_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented table (orders deliberately
+    written as 64 splinter files — the debris an incremental/streaming
+    writer leaves behind) is rewritten into size-targeted files, and
+    the read-back must be value-hash IDENTICAL to the original
+    table — compaction is a layout change, never a data change.
+
+    The rewrite uses ``coalesce``, not ``repartition``: coalesce
+    merges existing partitions WITHOUT a shuffle (each output task
+    reads a handful of splinters sequentially), which is the correct
+    primitive when the goal is fewer files rather than a new
+    distribution. At 100 TB this runs per table-partition (compact
+    yesterday's partition only), sized by bytes
+    (``target_files ≈ partition_bytes / 128 MiB``) — here the target
+    is 4. File counts are recorded for the test; the 16× reduction is
+    asserted there, the content equality by this key's oracle.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    frag = os.path.join(tempfile.mkdtemp(prefix="compact_"), "fragmented")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+
+    compacted = os.path.join(os.path.dirname(frag), "compacted")
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+        compacted
+    )
+
+    def _n_files(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    _LAST_COMPACTION.update(
+        before=_n_files(frag), after=_n_files(compacted)
+    )
+    return spark.read.parquet(compacted)

@@ -380,3 +380,17 @@ def test_split_assign_is_pure_projection(spark, sf_dir):
     plan = _plan(QUERIES["ext_split_assign"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_compaction_shrinks_files_without_shuffle(spark, sf_dir):
+    """Compaction must cut 64 splinters to the 4-file target, the
+    rewrite plan must be shuffle-free (Coalesce, no Exchange between
+    scan and write), and content equality is the key's oracle."""
+    import streamingdemo_spark.plans.storage as st
+
+    out = QUERIES["snk_compaction"](spark, sf_dir)
+    assert out.count() > 0
+    assert st._LAST_COMPACTION == {"before": 64, "after": 4}
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _plan(src.coalesce(4))
+    assert "Exchange" not in plan and "Coalesce" in plan
