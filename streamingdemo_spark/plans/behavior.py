@@ -590,3 +590,84 @@ def ext_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.desc("corr"), "et_a", "idx_a", "et_b", "idx_b"
     ).limit(5)
+
+
+@query(
+    "ext_ts_twa",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v_units,
+             LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(next_sec - sec) AS BIGINT) AS sum_dt,
+             CAST(SUM(v_units * (next_sec - sec)) AS BIGINT) AS sum_w
+      FROM seq WHERE next_sec IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events, sum_dt,
+           ROUND((CAST(sum_w AS DOUBLE) / sum_dt) / 10000.0, 6) + 0.0
+             AS twa_value
+    FROM agg WHERE sum_dt > 0
+    """,
+)
+def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over the irregular event series:
+    each observation holds until the next one (step interpolation), so
+    its weight is the seconds until that successor — the correct mean
+    for irregularly-sampled gauges (connection counts, prices, queue
+    depths), where the row-mean over-weights bursts.
+
+    Exactness: epoch seconds and 1e-4 value units are integers, so
+    every weight and weighted term is an exact int64 product
+    (|v_units·Δt| ≪ 2^63 for any realistic gauge/timespan) and the
+    per-user sums are order-insensitive; the single double division
+    happens once at the end, identically parenthesized in both
+    engines. Intervals are closed-open: the last observation of a user
+    carries no weight (no successor) — users whose events share one
+    second (sum_dt = 0) are excluded rather than divided by zero.
+
+    Scale shape: one window pass (lead) partitioned by user + one
+    aggregate — both shuffle on user_id, and AQE coalesces the
+    window/agg exchanges into one. No spine join, no explode: cost is
+    linear in events regardless of time span (contrast
+    ``ext_ts_resample``, whose hourly spine grows with the window)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the NTZ→LTZ cast is pinned safe by the
+    # session's UTC timeZone (session.py), making unix_seconds the
+    # same naive epoch DuckDB's epoch(ts) floors to
+    sec = F.unix_seconds(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        sec.alias("sec"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).alias("v_units"),
+    ).withColumn("next_sec", F.lead("sec").over(w))
+    agg = (
+        seq.filter(F.col("next_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("next_sec") - F.col("sec")).alias("sum_dt"),
+            F.sum(
+                F.col("v_units") * (F.col("next_sec") - F.col("sec"))
+            ).alias("sum_w"),
+        )
+    )
+    return agg.filter(F.col("sum_dt") > 0).select(
+        "user_id",
+        "n_events",
+        "sum_dt",
+        (
+            F.round((F.col("sum_w").cast("double") / F.col("sum_dt")) / 10000.0, 6)
+            + F.lit(0.0)
+        ).alias("twa_value"),
+    )

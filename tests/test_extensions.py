@@ -748,3 +748,44 @@ def test_lang_mix_temperature_rebalances_toward_uniform(spark, sf_dir):
             assert new_share < raw_share  # dominant lang shrinks
         else:
             assert new_share > raw_share  # low-resource langs grow
+
+
+def test_twa_weights_holds_not_rows(spark, sf_dir):
+    """The time-weighted mean must equal a pure-Python step-function
+    replay for a sample of users, and must differ from the naive row
+    mean whenever inter-event gaps vary (the whole point of TWA)."""
+    out = {
+        r["user_id"]: r for r in QUERIES["ext_ts_twa"](spark, sf_dir).collect()
+    }
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from itertools import groupby
+
+    n_diff = 0
+    for uid, rows in groupby(ev, key=lambda r: r["user_id"]):
+        rows = list(rows)
+        # naive datetime -> UTC explicitly: .timestamp() alone would
+        # read the box's local TZ and break the replay off-UTC
+        from datetime import timezone
+
+        secs = [
+            int(r["ts"].replace(tzinfo=timezone.utc).timestamp())
+            for r in rows
+        ]
+        units = [int(r["value"] * 10000 + 0.5) for r in rows]
+        sum_dt = secs[-1] - secs[0]
+        if sum_dt <= 0:
+            assert uid not in out
+            continue
+        sum_w = sum(
+            u * (b - a) for u, a, b in zip(units, secs, secs[1:])
+        )
+        want = round((sum_w / sum_dt) / 10000.0, 6)
+        assert abs(out[uid]["twa_value"] - want) < 1e-9, uid
+        row_mean = sum(units[:-1]) / len(units[:-1]) / 10000.0
+        n_diff += abs(row_mean - want) > 1e-6
+    assert n_diff > 0  # gaps vary, so TWA must disagree with row mean
