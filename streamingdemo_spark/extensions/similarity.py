@@ -911,3 +911,59 @@ def ext_sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@query(
+    "ext_emb_gram",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    a AS (
+      SELECT i, qv[i + 1] AS xi, qv
+      FROM q, UNNEST(range(0, 64)) AS t(i)
+    )
+    SELECT CAST(a.i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(SUM(a.xi * a.qv[j + 1]) AS BIGINT) AS c_ij,
+           CAST(COUNT(*) AS BIGINT) AS n_vec
+    FROM a, UNNEST(range(0, 64)) AS u(j)
+    WHERE j >= a.i
+    GROUP BY a.i, j
+    """,
+)
+def ext_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Gram (second-moment) matrix of the embedding
+    corpus — the building block of PCA, whitening, and linear-probe
+    covariance at scale. Vectors are quantized to int64 milli-units
+    (the ``ext_sim_ann_lsh`` convention), so every product and the
+    d(d+1)/2 upper-triangle sums are exact integers: shuffle-order
+    independent and replayed bit-for-bit by the oracle.
+
+    Scale shape: the double explode makes rows × d(d+1)/2 tuples, but
+    map-side partial combine collapses them to at most 2,080
+    accumulators per task before the ONE shuffle (output cardinality
+    is d², never rows) — this is exactly how a 100 TB covariance is
+    computed: no driver matrix, no gather. For very wide d, swap the
+    explode for per-partition numpy outer products in
+    ``mapInPandas`` feeding the same integer-sum aggregate — the
+    aggregation algebra (exact mergeable int sums) is unchanged.
+    Downstream PCA (eigen-decomposition of the d×d result) is
+    codebook-sized driver math, like the BPE argmax; the test runs
+    power iteration on the collected matrix against numpy."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)),
+        ).alias("qv")
+    )
+    a = q.select(F.posexplode("qv").alias("i", "xi"), "qv")
+    b = a.select(
+        "i", "xi", F.posexplode("qv").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))
+    return b.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("c_ij"),
+        F.count(F.lit(1)).alias("n_vec"),
+    )

@@ -789,3 +789,39 @@ def test_twa_weights_holds_not_rows(spark, sf_dir):
         row_mean = sum(units[:-1]) / len(units[:-1]) / 10000.0
         n_diff += abs(row_mean - want) > 1e-6
     assert n_diff > 0  # gaps vary, so TWA must disagree with row mean
+
+
+def test_gram_matrix_equals_numpy_and_powers_pca(spark, sf_dir):
+    """The distributed integer Gram matrix must equal numpy's X^T X of
+    the milli-quantized vectors exactly, and its dominant eigenvector
+    (driver-side power iteration, the intended PCA use) must match
+    numpy's eigendecomposition."""
+    import numpy as np
+
+    rows = QUERIES["ext_emb_gram"](spark, sf_dir).collect()
+    d = 64
+    C = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        C[r["i"], r["j"]] = r["c_ij"]
+        C[r["j"], r["i"]] = r["c_ij"]
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    Q = np.floor(emb * 1000 + 0.5).astype(np.int64)
+    assert (C == Q.T @ Q).all()
+    v = np.ones(d)
+    for _ in range(200):
+        v = C @ v
+        v = v / np.linalg.norm(v)
+    evals, evecs = np.linalg.eigh(C.astype(np.float64))
+    top = evecs[:, np.argmax(evals)]
+    # near-random embeddings have a small top eigengap, so power
+    # iteration converges slowly — 0.99 alignment is ample evidence
+    # the matrix is the right one (the exact check is the == above)
+    assert abs(v @ top) > 0.99
