@@ -495,3 +495,17 @@ class TestExampleSpecs:
         corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         assert 0 < n_docs_total <= corpus
         assert all(r["total_tokens"] > 0 for r in rows)
+
+    def test_hybrid_search_spec_equals_direct_fusion(self, spark, sf_dir):
+        """The hybrid-search spec's hit list must carry exactly the
+        ext_sim_rrf ranking (same doc per rank), joined metadata must
+        be consistent, and the language report must cover the hits."""
+        ports = self._run_example(spark, sf_dir, "hybrid_search.yaml")
+        hits = ports["hits.out"].collect()
+        want = {
+            r["rank"]: r["doc_id"]
+            for r in QUERIES["ext_sim_rrf"](spark, sf_dir).collect()
+        }
+        assert {r["rank"]: r["doc_id"] for r in hits} == want
+        mix = ports["mix.out"].collect()
+        assert sum(r["n_hits"] for r in mix) == len(hits)
