@@ -852,8 +852,10 @@ def ext_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("bpe_tokens"),
         )
     )
-    # materialize before unpersisting the vocab the plan references
-    out = out.localCheckpoint(eager=True)
+    # unpersist is safe here: the learned merges are baked into the
+    # lineage as literals, so executing `out` later just recomputes
+    # the vocab-sized chain from the scan (no checkpoint of a
+    # corpus-sized result, no dependency on executor-held blocks)
     base.unpersist()
     return out
 
