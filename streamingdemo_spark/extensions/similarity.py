@@ -939,7 +939,11 @@ def ext_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance at scale. Vectors are quantized to int64 milli-units
     (the ``ext_sim_ann_lsh`` convention), so every product and the
     d(d+1)/2 upper-triangle sums are exact integers: shuffle-order
-    independent and replayed bit-for-bit by the oracle.
+    independent and replayed bit-for-bit by the oracle. Overflow
+    bound: unit-norm inputs give |q_i·q_j| ≤ 1e6 per row, so the
+    int64 sums stay exact to ~9e12 rows; past that (or for
+    unnormalized inputs) lower the quantization scale or sum through
+    decimal(38).
 
     Scale shape: the double explode makes rows × d(d+1)/2 tuples, but
     map-side partial combine collapses them to at most 2,080
