@@ -650,6 +650,93 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, ts, user_id,
+             (SELECT MAX(c.ts) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p0.user_id
+                AND c.ts <= p0.ts) AS back_ts,
+             (SELECT MIN(c.ts) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p0.user_id
+                AND c.ts >= p0.ts) AS fwd_ts
+      FROM events p0 WHERE p0.event_type = 'purchase'
+    )
+    SELECT event_id, ts, user_id,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_click_ts,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL THEN 'backward'
+                WHEN back_ts IS NULL THEN 'forward'
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM p
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+    each purchase takes whichever click is closer in time — the
+    backward match or the forward match — with ties to the backward
+    side. Completes the as-of matrix next to ``join_asof`` (backward),
+    ``join_asof_forward`` and ``join_asof_tolerance``.
+
+    Plan: the same single-shuffle union scaffold, with BOTH directed
+    carries computed as two window passes over the one user_id
+    partitioning (ascending for the backward carry, descending for
+    the forward carry — Spark reuses the exchange, re-sorting per
+    window, never reshuffling). The tie-compare runs on exact
+    microsecond integers (``unix_micros`` ≍ DuckDB ``epoch_us``), so
+    'nearest' can never flip on a float rounding.
+    """
+    from pyspark.sql.window import Window
+
+    is_click = (F.col("event_type") == "click").cast("int")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), is_click.desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    both = (
+        _click_purchase_union(spark, sf_dir)
+        .withColumn("back_ts", F.last("click_ts", ignorenulls=True).over(wb))
+        .withColumn("fwd_ts", F.last("click_ts", ignorenulls=True).over(wf))
+        .filter(F.col("event_type") == "purchase")
+    )
+    d_back = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("back_ts").cast("timestamp")
+    )
+    d_fwd = F.unix_micros(F.col("fwd_ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    back_wins = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (d_back <= d_fwd)
+    )
+    return both.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(back_wins, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+        .alias("nearest_click_ts"),
+        F.when(
+            F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None)
+        )
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+@query(
     "join_null_safe",
     oracle="""
     WITH k AS (

@@ -394,3 +394,16 @@ def test_compaction_shrinks_files_without_shuffle(spark, sf_dir):
     src = spark.read.parquet(f"{sf_dir}/orders.parquet")
     plan = _plan(src.coalesce(4))
     assert "Exchange" not in plan and "Coalesce" in plan
+
+
+def test_asof_nearest_reuses_one_exchange_for_both_carries(spark, sf_dir):
+    """The nearest as-of's two directed window passes must share ONE
+    user_id shuffle (two Sort+Window stages over the same exchange) —
+    never a second repartitioning or a range join."""
+    plan = _plan(QUERIES["join_asof_nearest"](spark, sf_dir))
+    lines = plan.splitlines()
+    n_exchange = sum(1 for l in lines if "+- Exchange hashpartitioning" in l)
+    n_window = sum(1 for l in lines if "+- Window" in l or l.strip().startswith("Window"))
+    assert n_exchange == 1, plan
+    assert n_window == 2, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
