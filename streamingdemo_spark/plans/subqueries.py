@@ -9,8 +9,9 @@ confirm no per-row subquery execution survives at scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from streamingdemo_spark.io import register_views
+from streamingdemo_spark.io import load_tables, register_views
 from streamingdemo_spark.registry import query
 
 # Decimal-exact global average: both engines compute the identical
@@ -205,4 +206,61 @@ def subq_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
         GROUP BY p.p_brand
         """
+    )
+
+
+_ANY_ALL_SQL = """
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_acctbal > ALL
+        (SELECT c.c_acctbal FROM customer c
+         WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < 0)
+      AND s.s_acctbal < ANY
+        (SELECT c.c_acctbal FROM customer c
+         WHERE c.c_nationkey = s.s_nationkey)
+    """
+
+
+@query("subq_any_all", oracle=_ANY_ALL_SQL)
+def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries (ANY/ALL), both correlated:
+    suppliers whose balance beats EVERY overdrawn same-nation
+    customer yet trails AT LEAST ONE same-nation customer — the
+    > ALL / < ANY surface the other subquery keys don't touch.
+
+    Spark's parser has no quantified-comparison syntax, so the Spark
+    side IS the decorrelation every engine performs internally:
+    ONE per-nation aggregate (max/count over the overdrawn subset,
+    max/count overall) broadcast-joined back, with the quantifier
+    algebra as plain predicates — ``> ALL S`` ≡ ``S empty OR bal >
+    max(S)``, ``< ANY S`` ≡ ``S non-empty AND bal < max(S)``. The
+    DuckDB oracle runs the native ANY/ALL text, pinning that this
+    rewrite implements the standard's semantics (including the
+    empty-set cases) rather than a lookalike. Scale shape: the
+    aggregate is nation-cardinality-sized, the join broadcasts — no
+    per-row subquery re-execution, same discipline as
+    ``subq_corr_agg``.
+    """
+    t = load_tables(spark, sf_dir, ("supplier", "customer"))
+    per_nation = t["customer"].groupBy("c_nationkey").agg(
+        F.max(F.when(F.col("c_acctbal") < 0, F.col("c_acctbal"))).alias(
+            "max_neg"
+        ),
+        F.count(F.when(F.col("c_acctbal") < 0, F.lit(1))).alias("n_neg"),
+        F.max("c_acctbal").alias("max_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    s = t["supplier"].join(
+        F.broadcast(per_nation),
+        F.col("s_nationkey") == F.col("c_nationkey"),
+        "left",
+    )
+    gt_all = (F.coalesce(F.col("n_neg"), F.lit(0)) == 0) | (
+        F.col("s_acctbal") > F.col("max_neg")
+    )
+    lt_any = (F.coalesce(F.col("n_all"), F.lit(0)) > 0) & (
+        F.col("s_acctbal") < F.col("max_all")
+    )
+    return s.filter(gt_all & lt_any).select(
+        "s_suppkey", "s_name", "s_acctbal"
     )
