@@ -671,3 +671,139 @@ def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("twa_value"),
     )
+
+
+@query(
+    "ext_ts_interp",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket FROM bounds) g
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket,
+             CAST(FLOOR(epoch(s.bucket)) AS BIGINT) // 3600 AS bi,
+             COALESCE(a.n_events, 0) AS n_events,
+             CASE WHEN a.n_events > 0
+                  THEN a.sum_value / a.n_events END AS avg0
+      FROM spine s LEFT JOIN agg a
+        ON s.event_type = a.event_type AND s.bucket = a.bucket
+    ),
+    br AS (
+      SELECT *,
+             LAST_VALUE(avg0 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN avg0 IS NOT NULL THEN bi END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             FIRST_VALUE(avg0 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN avg0 IS NOT NULL THEN bi END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT event_type, bucket, n_events,
+           CASE WHEN avg0 IS NOT NULL THEN ROUND(avg0, 6) + 0.0
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  ROUND(pv + (nv - pv) *
+                        (CAST(bi - pb AS DOUBLE) / (nb - pb)), 6) + 0.0
+                END AS interp_avg,
+           (avg0 IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS filled
+    FROM br
+    """,
+)
+def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by LINEAR INTERPOLATION — the ``interpolate()`` of
+    timeseries stores, next to ``ext_ts_resample``'s forward fill:
+    empty hourly buckets take the value linearly between the last
+    observed average before and the first after, weighted by integer
+    bucket distance; buckets outside the observed bracket stay NULL.
+
+    Portability: the bracket values derive from exact integer-unit
+    sums (one correctly-rounded division each), bucket indices are
+    exact integer epoch-hours, and the interpolation is written in
+    the identical operation order on both engines, so the doubles
+    agree before the shared ROUND(…, 6) grid.
+
+    Scale shape: same as the resample — one fact aggregate, a
+    broadcast-bounds spine, and now FOUR per-series ordered window
+    carries (prev/next value and position). Spark computes all four
+    over ONE exchange (same partitioning, two sort orders), so the
+    extra carries cost sorts, not shuffles."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    agg = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 4).alias("sum_value"),
+    )
+    j = _hourly_spine_join(ev, agg).select(
+        "event_type",
+        "bucket",
+        F.expr(
+            "CAST(unix_seconds(CAST(bucket AS TIMESTAMP)) AS BIGINT) div 3600"
+        ).alias("bi"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(
+            F.col("n_events") > 0, F.col("sum_value") / F.col("n_events")
+        ).alias("avg0"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    bi_obs = F.when(F.col("avg0").isNotNull(), F.col("bi"))
+    br = (
+        j.withColumn("pv", F.last("avg0", ignorenulls=True).over(wb))
+        .withColumn("pb", F.last(bi_obs, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("avg0", ignorenulls=True).over(wf))
+        .withColumn("nb", F.first(bi_obs, ignorenulls=True).over(wf))
+    )
+    interp = (
+        F.round(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("bi") - F.col("pb")).cast("double")
+                / (F.col("nb") - F.col("pb"))
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return br.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.when(F.col("avg0").isNotNull(), F.round("avg0", 6) + F.lit(0.0))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("interp_avg"),
+        (
+            F.col("avg0").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("filled"),
+    )

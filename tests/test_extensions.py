@@ -825,3 +825,24 @@ def test_gram_matrix_equals_numpy_and_powers_pca(spark, sf_dir):
     # iteration converges slowly — 0.99 alignment is ample evidence
     # the matrix is the right one (the exact check is the == above)
     assert abs(v @ top) > 0.99
+
+
+def test_ts_interp_fills_within_bracket_bounds(spark, sf_dir):
+    """Interpolated values must exist exactly for in-bracket gap
+    buckets and lie within the observed per-series value range
+    (linear interpolation can't overshoot its endpoints)."""
+    out = QUERIES["ext_ts_interp"](spark, sf_dir)
+    filled = out.filter("filled").collect()
+    assert filled
+    obs = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in out.filter("n_events > 0")
+        .groupBy("event_type")
+        .agg(F.min("interp_avg").alias("lo"), F.max("interp_avg").alias("hi"))
+        .collect()
+    }
+    for r in filled:
+        lo, hi = obs[r["event_type"]]
+        assert lo - 1e-9 <= r["interp_avg"] <= hi + 1e-9, r
+    # every row is either observed, filled, or outside the bracket
+    assert out.filter("interp_avg IS NULL AND filled").count() == 0
