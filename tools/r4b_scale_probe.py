@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import streamingdemo_spark.plans  # noqa: E402,F401  (registers keys)
 import streamingdemo_spark.extensions  # noqa: E402,F401
+import streamingdemo_spark.streaming.queries  # noqa: E402,F401
 from streamingdemo_spark.registry import QUERIES  # noqa: E402
 from streamingdemo_spark.session import get_spark  # noqa: E402
 
@@ -31,6 +32,14 @@ KEYS = [
     ("ext_bpe_train", "docs 10x (vocab sub-linear)"),
     ("ext_tokenize_apply", "docs 10x"),
     ("ext_sim_ivf_probe_topk", "emb 4x"),
+    ("stream_incremental_agg", "events 10x (4 micro-batches)"),
+    ("ext_lang_mix_temperature", "docs 10x"),
+    ("snk_compaction", "orders 10x (64 -> 4 files)"),
+    ("ext_ts_twa", "events 10x"),
+    ("ext_emb_gram", "emb 4x (output fixed at d^2)"),
+    ("join_asof_nearest", "events 10x"),
+    ("subq_any_all", "supplier/customer 10x"),
+    ("ext_ts_interp", "events 10x (spine fixed by time range)"),
 ]
 
 
