@@ -325,9 +325,9 @@ def _phash_oracle_sig(codes: str) -> str:
       FROM b)"""
 
 
-@query(
-    "ext_multimodal_phash_dedup",
-    oracle=f"""
+# shared by the pair key and the cluster key (which wraps it in a
+# recursive closure) — one text, one semantics
+_PHASH_PAIRS_ORACLE = f"""
     WITH sigs AS (
       SELECT doc_id, {_phash_oracle_sig(_phash_oracle_codes('0'))} AS phash
       FROM documents
@@ -358,8 +358,10 @@ def _phash_oracle_sig(codes: str) -> str:
            CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
     FROM cand
     WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
-    """,
-)
+    """
+
+
+@query("ext_multimodal_phash_dedup", oracle=_PHASH_PAIRS_ORACLE)
 def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup detection for media payloads: binary encode
     (JVM) → Arrow ``mapInPandas`` dHash signature → 8×8-bit LSH band
@@ -427,4 +429,60 @@ def ext_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "ext_multimodal_phash_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_PHASH_PAIRS_ORACLE}) ph),
+    edges AS (SELECT doc_a, doc_b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk AS (
+      SELECT doc_a AS doc_id, doc_b AS reach FROM edges
+      UNION
+      SELECT w.doc_id, e.doc_b FROM walk w JOIN edges e ON w.reach = e.doc_a
+    ),
+    comp AS (
+      SELECT doc_id, least(doc_id, MIN(reach)) AS canonical_id
+      FROM walk GROUP BY doc_id
+    ),
+    sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (canonical_id)
+    WHERE s.cluster_size >= 2
+    """,
+)
+def ext_multimodal_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup CLUSTERS: the phash pair list closed into
+    connected components, one canonical keep-id per group — what a
+    media dedup actually ships (keep one representative per visual
+    cluster, not a pair list). Reuses the text-dedup min-label
+    pointer-doubling loop (``dedup.min_label_components``: probed
+    fixpoint, localCheckpoint per round, loud failure over silent
+    under-merge), so both dedup modalities share one verified
+    clustering engine; the oracle wraps the shared pair SQL in a
+    recursive transitive closure. Component sizes stay bounded by the
+    band-cap on candidate generation, so the closure's frontier never
+    explodes at scale."""
+    from streamingdemo_spark.extensions.dedup import min_label_components
+
+    pairs = ext_multimodal_phash_dedup(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).cache()
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = min_label_components(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .filter(F.col("cluster_size") >= 2)
+        .select("doc_id", F.col("label").alias("canonical_id"), "cluster_size")
     )

@@ -846,3 +846,27 @@ def test_ts_interp_fills_within_bracket_bounds(spark, sf_dir):
         assert lo - 1e-9 <= r["interp_avg"] <= hi + 1e-9, r
     # every row is either observed, filled, or outside the bracket
     assert out.filter("interp_avg IS NULL AND filled").count() == 0
+
+
+def test_phash_cluster_groups_contain_the_planted_pairs(spark, sf_dir):
+    """Every planted (doc, doc+offset) re-encode pair must land in the
+    same cluster, each cluster's canonical must be its min member, and
+    sizes must equal member counts."""
+    from collections import Counter
+
+    from streamingdemo_spark.extensions.multimodal import (
+        PHASH_MUTANT_OFFSET,
+    )
+
+    rows = QUERIES["ext_multimodal_phash_cluster"](spark, sf_dir).collect()
+    canon = {r["doc_id"]: r["canonical_id"] for r in rows}
+    members = Counter(r["canonical_id"] for r in rows)
+    for r in rows:
+        assert r["cluster_size"] == members[r["canonical_id"]]
+    for doc in set(canon):
+        if doc + PHASH_MUTANT_OFFSET in canon:
+            assert canon[doc] == canon[doc + PHASH_MUTANT_OFFSET]
+    by_canon = {}
+    for d, c in canon.items():
+        by_canon.setdefault(c, []).append(d)
+    assert all(c == min(ds) for c, ds in by_canon.items())
