@@ -378,3 +378,77 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_last_hour"
         ),
     )
+
+
+@query(
+    "win_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             list(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(
+             list_aggregate(
+               list_transform(vals,
+                 (v, i) -> v / CAST(CAST(1 AS BIGINT)
+                                    << (len(vals) - i) AS DOUBLE)),
+               'sum')
+             / (2.0 - 1.0 / CAST(CAST(1 AS BIGINT)
+                                 << (len(vals) - 1) AS DOUBLE))
+             / 10000.0,
+             6) + 0.0 AS ewma_value
+    FROM seq
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) per user over a
+    16-event trailing frame — the smoothing every monitoring/trading
+    pipeline runs, which plain SQL windows can't express because the
+    weight depends on the row's POSITION in the frame (not a builtin
+    aggregate). Expressed as a frame-ordered ``collect_list`` plus a
+    positional higher-order fold — JVM-side, no UDF.
+
+    Exactness (why α = 1/2): weights 2^-k are built by INTEGER shift
+    then one exact division (never libm ``pow``), value units are
+    ≤24-bit integers, and k ≤ 15 — so every term AND every partial sum
+    fits the 53-bit mantissa exactly: the whole fold is
+    exact-arithmetic on both engines, with one correctly-rounded
+    division by the closed-form weight total 2 − 2^−(n−1) at the end.
+    Index convention pinned by the oracle: Spark's lambda index is
+    0-based, DuckDB's is 1-based — both reduce to weight
+    2^-(n-1-pos0).
+
+    Scale shape: one partitioned window carrying a ≤16-element array —
+    state is frame-bounded, cost linear in events, shuffle only on
+    user_id. For unbounded (non-truncated) EWMA, use the streaming
+    stateful path (``stream_stateful_custom``) where the running value
+    is one number of state per key."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    v_units = F.floor(F.col("value") * 10000 + F.lit(0.5))
+    vals = F.collect_list(v_units).over(w)
+    seq = ev.select("user_id", "event_id", vals.alias("vals"))
+    # weight 2^-(n-1-i): integer shift, exact
+    num = F.expr(
+        "aggregate(transform(vals, (v, i) -> "
+        "v / CAST(shiftleft(CAST(1 AS BIGINT), size(vals) - 1 - i) "
+        "AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    den = F.lit(2.0) - F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), size(vals) - 1) AS DOUBLE)"
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        (F.round(num / den / F.lit(10000.0), 6) + F.lit(0.0)).alias(
+            "ewma_value"
+        ),
+    )

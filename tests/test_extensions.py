@@ -870,3 +870,37 @@ def test_phash_cluster_groups_contain_the_planted_pairs(spark, sf_dir):
     for d, c in canon.items():
         by_canon.setdefault(c, []).append(d)
     assert all(c == min(ds) for c, ds in by_canon.items())
+
+
+def test_ewma_matches_pure_python_recursion(spark, sf_dir):
+    """The frame-fold EWMA must equal the textbook recursion
+    s_t = (v_t + s_{t-1·scaled}) truncated to the same 16-term window,
+    replayed in exact Fraction arithmetic for every event."""
+    from fractions import Fraction
+    from itertools import groupby
+
+    out = {
+        (r["user_id"], r["event_id"]): r["ewma_value"]
+        for r in QUERIES["win_ewma"](spark, sf_dir).collect()
+    }
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    for uid, rows in groupby(ev, key=lambda r: r["user_id"]):
+        units = [
+            (r["event_id"], int(r["value"] * 10000 + 0.5)) for r in rows
+        ]
+        for t in range(len(units)):
+            frame = units[max(0, t - 15) : t + 1]
+            n = len(frame)
+            num = sum(
+                Fraction(v, 1 << (n - 1 - i))
+                for i, (_, v) in enumerate(frame)
+            )
+            den = 2 - Fraction(1, 1 << (n - 1))
+            want = float(num / den / 10000)
+            got = out[(uid, units[t][0])]
+            assert abs(got - round(want, 6)) < 2e-6, (uid, t)
