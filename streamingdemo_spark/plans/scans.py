@@ -374,3 +374,71 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mod97").alias("mod_sum"),
         )
     )
+
+
+@query(
+    "src_csv_corrupt_recovery",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           {osum("CASE WHEN o_orderkey % 97 <> 0 THEN o_totalprice ELSE 0 END")}
+             AS good_total
+    FROM orders
+    """,
+)
+def src_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input recovery on the CSV path: a feed where every
+    97th order line is corrupted (non-numeric amount, truncated
+    fields) is read in PERMISSIVE mode with a ``_corrupt_record``
+    column — bad lines become quarantine rows instead of killing the
+    job or silently vanishing, and the summary proves the accounting:
+    parsed + quarantined = fed, and the parsed total matches the
+    clean-subset oracle exactly.
+
+    This is the ingestion contract a 100 TB crawl feed needs: never
+    FAILFAST on line 3 billion, never DROPMALFORMED silently — land
+    bad lines in a quarantine column/table with the rest of the
+    batch, alert on the corrupt rate, reprocess later. The corrupt
+    feed itself is staged by the EXECUTORS (format_string + write
+    .text, no driver loop), and the corrupted subset is keyed by
+    orderkey so the oracle can replay the split from the clean table.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0,
+        # truncated + non-numeric: parses to nulls + _corrupt_record
+        F.format_string("%d,corrupted", F.col("o_orderkey")),
+    ).otherwise(
+        F.format_string(
+            "%d,%d,%s",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        )
+    )
+    feed = os.path.join(tempfile.mkdtemp(prefix="src_corrupt_"), "feed")
+    o.select(line.alias("value")).write.mode("overwrite").text(feed)
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "_corrupt_record string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(feed)
+        .cache()
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        dsum(
+            F.when(good, F.col("o_totalprice")).otherwise(F.lit(0.0))
+        ).alias("good_total"),
+    )

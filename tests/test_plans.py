@@ -407,3 +407,18 @@ def test_asof_nearest_reuses_one_exchange_for_both_carries(spark, sf_dir):
     assert n_exchange == 1, plan
     assert n_window == 2, plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_corrupt_csv_quarantines_without_loss(spark, sf_dir):
+    """PERMISSIVE + _corrupt_record must account for every fed line
+    (good + quarantined = total), and the corrupt count must equal the
+    deliberately-mangled subset exactly."""
+    row = QUERIES["src_csv_corrupt_recovery"](spark, sf_dir).collect()[0]
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    n_bad = orders.filter(F.col("o_orderkey") % 97 == 0).count()
+    assert row["n_rows"] == n
+    assert row["n_corrupt"] == n_bad
+    assert row["n_good"] == n - n_bad
