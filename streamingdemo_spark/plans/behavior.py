@@ -807,3 +807,159 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("nv").isNotNull()
         ).alias("filled"),
     )
+
+
+@query(
+    "ext_ab_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 10000.0 AS s1,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 10000.0 AS s2,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(FLOOR(value * value * 100000000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 100000000.0 AS ss1,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(value * value * 100000000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 100000000.0 AS ss2
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    v AS (
+      SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+             ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 AS se1,
+             ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2 AS se2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+           ROUND(m1 - m2, 6) + 0.0 AS mean_diff,
+           ROUND((m1 - m2) / sqrt(se1 + se2), 6) + 0.0 AS t_stat,
+           ROUND((se1 + se2) * (se1 + se2) /
+                 (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) + 0.0
+             AS welch_df
+    FROM v
+    """,
+)
+def ext_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test: does `value` differ between view and
+    purchase events — the A/B significance readout every experiment
+    platform computes, as ONE conditional-aggregate pass (no
+    per-group scan, no collect).
+
+    Exactness: both groups' Σy and Σy² come from integer-unit sums
+    (4-decimal values → exact 1e-4 and 1e-8 grids; y² of a 4-dec
+    double is exactly representable below 2^53, so the floor is
+    exact), making the accumulations shuffle-order independent; the
+    closing t/df formulas then run in one pinned double order on both
+    engines before the shared rounding grid. At 100 TB this is one
+    map-side-combined aggregate — experiment readouts cost a scan,
+    not a shuffle."""
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("event_type").isin("view", "purchase"))
+    )
+    is1 = F.col("event_type") == "view"
+    u = F.floor(F.col("value") * 10000 + F.lit(0.5))
+    uu = F.floor(F.col("value") * F.col("value") * 100000000 + F.lit(0.5))
+    s = ev.agg(
+        F.sum(is1.cast("long")).cast("double").alias("n1"),
+        F.sum((~is1).cast("long")).cast("double").alias("n2"),
+        (F.sum(F.when(is1, u).otherwise(0)).cast("double") / 10000.0).alias("s1"),
+        (F.sum(F.when(~is1, u).otherwise(0)).cast("double") / 10000.0).alias("s2"),
+        (F.sum(F.when(is1, uu).otherwise(0)).cast("double") / 100000000.0).alias("ss1"),
+        (F.sum(F.when(~is1, uu).otherwise(0)).cast("double") / 100000000.0).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    se1 = ((F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)) / n1
+    se2 = ((F.col("ss2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)) / n2
+    v = s.select(
+        n1, n2, m1.alias("m1"), m2.alias("m2"),
+        se1.alias("se1"), se2.alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return v.select(
+        F.col("n1").cast("long").alias("n_view"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        (F.round(F.col("m1") - F.col("m2"), 6) + F.lit(0.0)).alias("mean_diff"),
+        (
+            F.round((F.col("m1") - F.col("m2")) / F.sqrt(se), 6) + F.lit(0.0)
+        ).alias("t_stat"),
+        (
+            F.round(
+                se * se
+                / (
+                    F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                    + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+                ),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "agg_regression",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(date_diff('day', DATE '{_EPOCH}', ts)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS sy,
+             CAST(SUM(date_diff('day', DATE '{_EPOCH}', ts)
+                      * date_diff('day', DATE '{_EPOCH}', ts)) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(date_diff('day', DATE '{_EPOCH}', ts)
+                      * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 10000.0 AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+             AS slope_per_day,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) + 0.0 AS intercept
+    FROM s
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend (value vs day index): slope and
+    intercept per event_type — the drift line behind every metrics
+    dashboard, computed from exact integer component sums rather than
+    the built-in ``regr_slope`` (whose float accumulation order, and
+    therefore last ulp, depends on partitioning).
+
+    x is the integer day index (day² sums stay far inside int64 —
+    centering/rescaling is the fix if x were epoch seconds), y is the
+    4-decimal value in integer units, so Σx, Σy, Σx², Σxy are all
+    exact and shuffle-order independent; the closed-form slope and
+    intercept evaluate in one pinned double order on both engines.
+    One map-side-combined aggregate pass, |series| output rows."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    x = F.datediff(F.col("ts"), F.lit(_EPOCH))
+    yu = F.floor(F.col("value") * 10000 + F.lit(0.5))
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        (F.sum(yu).cast("double") / 10000.0).alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        (F.sum(x.cast("long") * yu).cast("double") / 10000.0).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_day"),
+        (F.round((sy - slope * sx) / n, 6) + F.lit(0.0)).alias("intercept"),
+    )

@@ -904,3 +904,46 @@ def test_ewma_matches_pure_python_recursion(spark, sf_dir):
             want = float(num / den / 10000)
             got = out[(uid, units[t][0])]
             assert abs(got - round(want, 6)) < 2e-6, (uid, t)
+
+
+def test_stats_keys_match_scipy_free_references(spark, sf_dir):
+    """The Welch t-test and regression keys must agree with plain
+    numpy computations on collected data (library-free reference:
+    numpy.polyfit for the line, the Welch formulas verbatim)."""
+    import numpy as np
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    vals = {
+        t: np.array(
+            [round(r["value"] * 1e4) / 1e4 for r in ev if r["event_type"] == t]
+        )
+        for t in ("view", "purchase")
+    }
+    a, b = vals["view"], vals["purchase"]
+    se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t_want = (a.mean() - b.mean()) / np.sqrt(se)
+    row = QUERIES["ext_ab_ttest"](spark, sf_dir).collect()[0]
+    assert row["n_view"] == len(a) and row["n_purchase"] == len(b)
+    assert abs(row["t_stat"] - t_want) < 1e-4
+
+    from datetime import date
+
+    reg = {
+        r["event_type"]: r
+        for r in QUERIES["agg_regression"](spark, sf_dir).collect()
+    }
+    for etype in ("view", "purchase"):
+        xs = np.array(
+            [
+                (r["ts"].date() - date(2024, 1, 1)).days
+                for r in ev
+                if r["event_type"] == etype
+            ],
+            dtype=float,
+        )
+        ys = np.array(
+            [r["value"] for r in ev if r["event_type"] == etype]
+        )
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(reg[etype]["slope_per_day"] - slope) < 1e-4
+        assert abs(reg[etype]["intercept"] - intercept) < 1e-2
