@@ -963,3 +963,81 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_day"),
         (F.round((sy - slope * sx) / n, 6) + F.lit(0.0)).alias("intercept"),
     )
+
+
+@query(
+    "agg_chi_square",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_EPOCH}', ts) % 7 AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, weekday, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS row_tot,
+             CAST(SUM(o) OVER (PARTITION BY weekday) AS DOUBLE) AS col_tot,
+             CAST(SUM(o) OVER () AS DOUBLE) AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT (o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+             / (row_tot * col_tot / n) AS term,
+             event_type, weekday
+      FROM m
+    )
+    SELECT CAST(COUNT(DISTINCT event_type) AS INT) AS n_rows_dim,
+           CAST(COUNT(DISTINCT weekday) AS INT) AS n_cols_dim,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT weekday) - 1) AS INT) AS dof,
+           ROUND(CAST(SUM(CAST(FLOOR(term * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1000000.0, 4) + 0.0 AS chi_square
+    FROM cells
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the event_type × weekday
+    contingency table — 'does activity mix shift by day of week', the
+    categorical counterpart to ``ext_ab_ttest``.
+
+    All observed and marginal counts are exact integers from ONE
+    aggregate plus window marginals over the contingency table
+    (|types| × 7 rows — the windows run on the tiny rollup, never the
+    events). Each cell's (o−e)²/e term evaluates in pinned double
+    order and is quantized to integer micro-units BEFORE the final
+    sum, so the statistic is order-insensitive and hash-portable
+    (same discipline as the surprisal keys). At 100 TB the only
+    full-data pass is the contingency aggregate with map-side
+    combine."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    weekday = F.datediff(F.col("ts"), F.lit(_EPOCH)) % 7
+    obs = ev.groupBy(
+        "event_type", weekday.alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "event_type",
+        "weekday",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("double").alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("weekday")).cast("double").alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast("double").alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    cells = m.select(
+        "event_type", "weekday", F.floor(term * 1000000 + F.lit(0.5)).alias("tm")
+    )
+    return cells.agg(
+        F.countDistinct("event_type").cast("int").alias("n_rows_dim"),
+        F.countDistinct("weekday").cast("int").alias("n_cols_dim"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("weekday") - 1)
+        ).cast("int").alias("dof"),
+        (
+            F.round(F.sum("tm").cast("double") / 1000000.0, 4) + F.lit(0.0)
+        ).alias("chi_square"),
+    )

@@ -947,3 +947,23 @@ def test_stats_keys_match_scipy_free_references(spark, sf_dir):
         slope, intercept = np.polyfit(xs, ys, 1)
         assert abs(reg[etype]["slope_per_day"] - slope) < 1e-4
         assert abs(reg[etype]["intercept"] - intercept) < 1e-2
+
+
+def test_chi_square_matches_numpy_contingency(spark, sf_dir):
+    """The chi-square statistic must match a numpy recomputation from
+    the raw contingency table (outer-product expected counts)."""
+    import numpy as np
+    from datetime import date
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    types = sorted({r["event_type"] for r in ev})
+    table = np.zeros((len(types), 7))
+    for r in ev:
+        wd = (r["ts"].date() - date(2024, 1, 1)).days % 7
+        table[types.index(r["event_type"]), wd] += 1
+    e = np.outer(table.sum(1), table.sum(0)) / table.sum()
+    want = ((table - e) ** 2 / e).sum()
+    row = QUERIES["agg_chi_square"](spark, sf_dir).collect()[0]
+    assert row["n_rows_dim"] == len(types) and row["n_cols_dim"] == 7
+    assert row["dof"] == (len(types) - 1) * 6
+    assert abs(row["chi_square"] - want) < 1e-3

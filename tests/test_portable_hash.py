@@ -123,3 +123,36 @@ def test_bm25_floor_boundary_margin():
         frac = (idf * tfn * 1e6 + 0.5) % 1.0
         margin = min(frac, 1.0 - frac)
         assert margin >= 1e-6, (tf, df, dl, margin)
+
+
+def test_chi_square_floor_boundary_margin():
+    """agg_chi_square quantizes each (o-e)²/e term with
+    floor(x*1e6 + 0.5); verify every term the fixture produces sits
+    ≥1e-6 from a floor boundary so cross-engine double noise in the
+    division chain can't flip a unit."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH obs AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', ts) % 7 AS weekday,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        )
+        SELECT o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+               CAST(SUM(o) OVER (PARTITION BY weekday) AS DOUBLE) AS ct,
+               CAST(SUM(o) OVER () AS DOUBLE) AS n
+        FROM obs
+        """
+    ).fetchall()
+    assert rows
+    for o, rt, ct, n in rows:
+        e = rt * ct / n
+        term = (o - e) * (o - e) / e
+        frac = (term * 1e6 + 0.5) % 1.0
+        margin = min(frac, 1.0 - frac)
+        assert margin >= 1e-6, (o, rt, ct, margin)
