@@ -264,3 +264,50 @@ def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(gt_all & lt_any).select(
         "s_suppkey", "s_name", "s_acctbal"
     )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    months AS (
+      SELECT lo AS m, hi FROM bounds
+      UNION ALL
+      SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi FROM months
+      WHERE m < hi
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month,
+           COALESCE(agg.n_orders, 0) AS n_orders,
+           COALESCE(agg.total, 0.0) AS total
+    FROM months LEFT JOIN agg ON months.m = agg.m
+    """
+
+
+@query("cte_recursive", oracle=_RECURSIVE_SQL)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a month spine grown
+    by recursion from the observed order-date bounds, left-joined to
+    the monthly rollup for a zero-filled revenue calendar — the same
+    identical SQL text runs on both engines (no dialect fork), with
+    the integer-unit sum convention inline.
+
+    Scale note: each recursion step here produces ONE row (the spine
+    is time-bounded, ~tens of iterations), so recursion depth — not
+    data volume — drives cost; Spark caps runaway recursion via
+    spark.sql.cteRecursionLevelLimit. For DATA-sized iteration
+    (transitive closure over millions of edges) prefer the
+    explicitly-checkpointed loop operators (``ext_dedup_cluster``,
+    ``ext_graph_pagerank``) whose per-round shuffles and lineage are
+    under the pipeline's control.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SQL)
