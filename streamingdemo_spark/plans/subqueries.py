@@ -311,3 +311,39 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {{osum}} AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """.format(
+        osum="CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 100.0"
+    ),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`|>`): the same logical plan as the
+    classic GROUP BY form, authored as a linear pipeline — the syntax
+    Spark 4.0 added for composable query authoring. The oracle is the
+    classic-SQL equivalent, pinning that the pipe form is pure sugar:
+    identical rows, identical exact-sum totals. Catalyst produces the
+    same optimized plan either way, so every scale property of
+    ``agg_groupby`` carries over verbatim.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 100.0 AS total
+           GROUP BY o_orderpriority
+        """
+    )
