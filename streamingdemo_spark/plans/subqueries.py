@@ -347,3 +347,33 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_named_params",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers (``:status``/``:floor``,
+    Spark 3.4+): values bind as typed literals through the parser —
+    never string concatenation — which is the SQL-injection-safe way
+    a service exposes this engine (the same discipline as the JDBC
+    registry's parameterized options, ``db_registry.py``). The oracle
+    inlines the same constants, pinning that binding is semantically
+    identical to literal SQL.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 150000.0},
+    )
