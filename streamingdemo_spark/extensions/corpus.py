@@ -950,3 +950,59 @@ def ext_lang_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sample_chars"),
         )
     )
+
+
+@query(
+    "ext_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT lang, source,
+             (len(string_split(text, ' ')) // 32) * 32 AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS small_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS exposed_docs,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           (MIN(class_size) >= 5) AS k5_anonymous
+    FROM classes GROUP BY lang
+    """,
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: group the corpus by
+    (lang, source, 32-token length bucket) — attributes an adversary
+    could link externally — and report, per language, how many
+    equivalence classes fall below k=5 and how many documents those
+    small classes expose. The release-gating check privacy reviews
+    run before publishing a dataset: a class of size 1 means a
+    document is uniquely re-identifiable from its quasi-identifiers
+    alone.
+
+    Shape: one aggregate to the equivalence classes (map-side
+    combine; cardinality = |lang|×|source|×|buckets|, never corpus-
+    sized) and one rollup over them — all integer counts, trivially
+    hash-portable. At 100 TB the same two-level aggregate holds;
+    remediation (generalize buckets, suppress small classes) reruns
+    the identical audit until `k5_anonymous` is true everywhere.
+    """
+    d = _docs(spark, sf_dir)
+    len_bucket = (
+        F.floor(F.size(F.split("text", " ")) / 32) * 32
+    ).alias("len_bucket")
+    classes = d.groupBy("lang", "source", len_bucket).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    small = F.col("class_size") < 5
+    return classes.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(small.cast("long")).alias("small_classes"),
+        F.sum(F.when(small, F.col("class_size")).otherwise(0)).alias(
+            "exposed_docs"
+        ),
+        F.min("class_size").alias("min_class_size"),
+        (F.min("class_size") >= 5).alias("k5_anonymous"),
+    )

@@ -967,3 +967,23 @@ def test_chi_square_matches_numpy_contingency(spark, sf_dir):
     assert row["n_rows_dim"] == len(types) and row["n_cols_dim"] == 7
     assert row["dof"] == (len(types) - 1) * 6
     assert abs(row["chi_square"] - want) < 1e-3
+
+
+def test_k_anonymity_counts_reconcile(spark, sf_dir):
+    """Per language: exposed_docs must equal the sum of members of
+    sub-k classes recomputed from raw data, and k5_anonymous must be
+    min_class_size >= 5."""
+    from collections import Counter
+
+    out = {r["lang"]: r for r in QUERIES["ext_k_anonymity"](spark, sf_dir).collect()}
+    classes = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        bucket = len(r["text"].split(" ")) // 32 * 32
+        classes[(r["lang"], r["source"], bucket)] += 1
+    for lang, row in out.items():
+        sizes = [n for (l, _, _), n in classes.items() if l == lang]
+        assert row["n_classes"] == len(sizes)
+        assert row["small_classes"] == sum(1 for n in sizes if n < 5)
+        assert row["exposed_docs"] == sum(n for n in sizes if n < 5)
+        assert row["min_class_size"] == min(sizes)
+        assert row["k5_anonymous"] == (min(sizes) >= 5)
