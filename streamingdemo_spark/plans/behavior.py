@@ -1041,3 +1041,65 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("tm").cast("double") / 1000000.0, 4) + F.lit(0.0)
         ).alias("chi_square"),
     )
+
+
+@query(
+    "win_cumulative_reach",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_EPOCH}', ts) AS day, user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_users,
+             list(DISTINCT user_id) AS us
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS INT) AS day, day_users,
+           CAST(len(list_distinct(flatten(list(us) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))))
+             AS BIGINT) AS cumulative_reach
+    FROM daily
+    """,
+)
+def win_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative reach: per event_type per day, how many DISTINCT
+    users have been seen so far — the marketing/growth curve that a
+    plain running COUNT cannot produce (users repeat across days, so
+    the daily counts don't sum). Expressed as a per-day distinct-set
+    rollup plus a set-union window: collect_set per day, then
+    flatten + array_distinct over the unbounded-preceding frame.
+
+    Scale honesty: the carried set is bounded by the true user
+    universe per series (the reach itself), NOT by event volume — the
+    union window is exact and fine while reach ≤ ~1e6 per series; for
+    internet-scale reach swap the exact set for the mergeable HLL
+    sketches of ``agg_hll_mergeable`` (same rollup shape, fixed
+    sketch size, ~1% error). The daily rollup keeps the window input
+    at series × days rows, never event-sized."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    d = ev.select(
+        "event_type",
+        F.datediff(F.col("ts"), F.lit(_EPOCH)).alias("day"),
+        "user_id",
+    )
+    daily = d.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("day_users"),
+        F.collect_set("user_id").alias("us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.col("day").cast("int").alias("day"),
+        "day_users",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("us").over(w)))
+        ).cast("long").alias("cumulative_reach"),
+    )

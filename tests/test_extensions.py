@@ -987,3 +987,23 @@ def test_k_anonymity_counts_reconcile(spark, sf_dir):
         assert row["exposed_docs"] == sum(n for n in sizes if n < 5)
         assert row["min_class_size"] == min(sizes)
         assert row["k5_anonymous"] == (min(sizes) >= 5)
+
+
+def test_cumulative_reach_is_monotone_and_bounded(spark, sf_dir):
+    """Reach must be non-decreasing per series, at least the daily
+    distinct count, and converge to the series' true user universe."""
+    out = QUERIES["win_cumulative_reach"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    universe = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    series = {}
+    for r in sorted(out, key=lambda r: (r["event_type"], r["day"])):
+        prev = series.get(r["event_type"], 0)
+        assert r["cumulative_reach"] >= prev
+        assert r["cumulative_reach"] >= r["day_users"]
+        series[r["event_type"]] = r["cumulative_reach"]
+    assert series == universe
