@@ -1103,3 +1103,80 @@ def win_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list("us").over(w)))
         ).cast("long").alias("cumulative_reach"),
     )
+
+
+@query(
+    "agg_market_basket",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM b GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM b),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           (p.support * t.n_orders * 1000000) // (ia.n_item * ib.n_item)
+             AS lift_micro
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN tot t
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in ≥3
+    orders, with lift = P(a,b)/(P(a)·P(b)) in integer micro-units —
+    association mining's support/lift readout, float-free end to end
+    (one integer division per pair).
+
+    Scale shape: pair generation is a WITHIN-ORDER self-join (orders
+    are small, so candidate pairs are Σ|basket|² — linear-ish in
+    orders, never the catastrophic parts × parts cross join), with
+    map-side combine on (a, b) before the shuffle. Item counts and
+    the order total are item-/1-row-sized broadcast relations. The
+    support floor prunes the long tail of singleton pairs BEFORE the
+    lift join, the same discipline as every frequent-itemset miner's
+    first Apriori pass."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    b = li.select("l_orderkey", "l_partkey").distinct().cache()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    tot = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    x = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    y = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        x.join(y, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr(
+                "(support * n_orders * 1000000) div (na * nb)"
+            ).alias("lift_micro"),
+        )
+    )
