@@ -1171,3 +1171,60 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("raw_chars"),
         ratio_ppk("text").alias("compress_ppk"),
     )
+
+
+@query(
+    "ext_feature_standardize",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(n_tok) AS DOUBLE) AS sx,
+             CAST(SUM(n_tok * n_tok) AS DOUBLE) AS sxx
+      FROM x GROUP BY lang
+    )
+    SELECT x.doc_id, x.lang, x.n_tok,
+           ROUND((x.n_tok - s.sx / s.n) /
+                 sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) + 0.0
+             AS z_len
+    FROM x JOIN s USING (lang)
+    """,
+)
+def ext_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: each document's token count
+    as a z-score against ITS LANGUAGE's mean/stddev — the
+    groupwise-normalize step before any cross-lingual length filter
+    or model feature (a global z-score would mark every zh doc
+    'short'). Group moments come from exact integer Σx and Σx²
+    (shuffle-order independent), broadcast back to the row level;
+    the closing (x−μ)/σ runs in pinned double order on both engines
+    before the shared rounding grid.
+
+    Scale shape: one integer aggregate to |groups| rows + one
+    broadcast join — standardization costs a scan, and the same two
+    relations standardize ANY number of integer features in one
+    pass."""
+    d = _docs(spark, sf_dir)
+    x = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    s = x.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("n_tok").cast("double").alias("sx"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("n_tok") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (
+        x.join(F.broadcast(s), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            (F.round(z, 6) + F.lit(0.0)).alias("z_len"),
+        )
+    )

@@ -1007,3 +1007,24 @@ def test_cumulative_reach_is_monotone_and_bounded(spark, sf_dir):
         assert r["cumulative_reach"] >= r["day_users"]
         series[r["event_type"]] = r["cumulative_reach"]
     assert series == universe
+
+
+def test_standardize_zscores_are_groupwise_zero_mean(spark, sf_dir):
+    """Per language, z-scores must have ~zero mean and ~unit sample
+    variance (the defining property), and the z of a doc longer than
+    its language mean must be positive."""
+    from collections import defaultdict
+
+    rows = QUERIES["ext_feature_standardize"](spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((r["n_tok"], r["z_len"]))
+    for lang, pairs in by_lang.items():
+        zs = [z for _, z in pairs]
+        m = sum(zs) / len(zs)
+        v = sum((z - m) ** 2 for z in zs) / (len(zs) - 1)
+        assert abs(m) < 1e-4, lang
+        assert abs(v - 1.0) < 1e-3, lang
+        mean_tok = sum(t for t, _ in pairs) / len(pairs)
+        for t, z in pairs:
+            assert (z > 0) == (t > mean_tok) or abs(t - mean_tok) < 1
