@@ -1006,3 +1006,89 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("class_size").alias("min_class_size"),
         (F.min("class_size") >= 5).alias("k5_anonymous"),
     )
+
+
+@query(
+    "ext_dataset_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, source, lower(trim(text)) AS norm
+                FROM documents),
+    v2 AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0
+                  THEN lower(trim(text)) || ' edited'
+                  ELSE lower(trim(text)) END AS norm
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000, source, lower(trim(text))
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             COALESCE(a.source, b.source) AS source,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN a.norm <> b.norm THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT source, change, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j WHERE change <> 'unchanged'
+    GROUP BY source, change
+    """,
+)
+def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diff: added / removed / changed documents
+    between two corpus versions (v2 drops every 13th doc, edits every
+    11th, appends mirrors of every 17th under new ids), reported per
+    source — the audit every dataset release publishes alongside its
+    version bump, and the input to incremental reprocessing (only
+    'added'+'changed' need re-scoring; see
+    ``ext_dedup_incremental_bloom``).
+
+    Shape: ONE full-outer join on doc_id classifies every row in a
+    single pass (content comparison only on matched ids — at 100 TB
+    compare ``xxhash64(norm)`` digests instead of full text so the
+    join carries 8 bytes per side), then a diff-sized aggregate.
+    Nothing is quadratic; unchanged rows never leave the join."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.col("text")))
+    v1 = d.select("doc_id", "source", norm.alias("norm"))
+    v2 = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("doc_id") % 11 == 0, F.concat(norm, F.lit(" edited")))
+            .otherwise(norm)
+            .alias("norm"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                "source",
+                norm.alias("norm"),
+            )
+        )
+    )
+    a = v1.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    j = a.join(b, a.id_a == b.id_b, "full_outer").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("id_b").isNull(), "removed")
+        .when(F.col("id_a").isNull(), "added")
+        .when(F.col("norm_a") != F.col("norm_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        j.filter(F.col("change") != "unchanged")
+        .groupBy("source", "change")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1028,3 +1028,24 @@ def test_standardize_zscores_are_groupwise_zero_mean(spark, sf_dir):
         mean_tok = sum(t for t, _ in pairs) / len(pairs)
         for t, z in pairs:
             assert (z > 0) == (t > mean_tok) or abs(t - mean_tok) < 1
+
+
+def test_dataset_diff_totals_match_construction(spark, sf_dir):
+    """The diff totals must equal the construction arithmetic: removed
+    = docs%13, added = docs%17, changed = docs%11 surviving the %13
+    removal (edit collides with removal on %143 multiples)."""
+    rows = QUERIES["ext_dataset_diff"](spark, sf_dir).collect()
+    totals = {}
+    for r in rows:
+        totals[r["change"]] = totals.get(r["change"], 0) + r["n_docs"]
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert totals["removed"] == sum(1 for i in ids if i % 13 == 0)
+    assert totals["added"] == sum(1 for i in ids if i % 17 == 0)
+    assert totals["changed"] == sum(
+        1 for i in ids if i % 11 == 0 and i % 13 != 0
+    )
