@@ -452,3 +452,58 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_value"
         ),
     )
+
+
+@query(
+    "win_session_native",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window()`` in batch: one groupBy on
+    (user, session_window(ts, 30 min)) assigns and merges sessions
+    inside the aggregate — no explicit lag/running-sum window pass
+    (contrast ``win_sessionize``, the window-function formulation of
+    the same semantics, and ``stream_session``, the streaming form).
+
+    The oracle replays the semantics with the lag-gap construction and
+    pins the boundary convention: session_window's end is
+    last_event + gap with an EXCLUSIVE bound, so an event exactly
+    gap-after its predecessor starts a NEW session (>= in the gap
+    test, where the plain sessionize key's documented convention is
+    >). One shuffle on user_id; the session merge is
+    aggregate-internal state bounded per user."""
+    from streamingdemo_spark.io import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
