@@ -1228,3 +1228,108 @@ def ext_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(z, 6) + F.lit(0.0)).alias("z_len"),
         )
     )
+
+
+@query(
+    "ext_corpus_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                  THEN 'a' ELSE 'b' END AS half,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM c
+    ),
+    terms AS (
+      SELECT c.tok,
+             CAST(FLOOR(
+               (CAST(c.c1 + 1 AS DOUBLE) / (tot.n1 + tot.v))
+               * ln((CAST(c.c1 + 1 AS DOUBLE) / (tot.n1 + tot.v))
+                    / (CAST(c.c2 + 1 AS DOUBLE) / (tot.n2 + tot.v)))
+               * 1000000000 + 0.5) AS BIGINT) AS kl_nano_term,
+             abs((c.c1 + 1) * (tot.n2 + tot.v)
+                 - (c.c2 + 1) * (tot.n1 + tot.v)) AS tv_num
+      FROM c CROSS JOIN tot
+    )
+    SELECT t.v AS vocab_size, t.n1, t.n2,
+           CAST(SUM(terms.kl_nano_term) AS BIGINT) AS kl_nano,
+           ROUND(CAST(SUM(terms.tv_num) AS DOUBLE)
+                 / (2.0 * (t.n1 + t.v) * (t.n2 + t.v)), 6) + 0.0 AS tv_dist
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.v, t.n1, t.n2
+    """,
+)
+def ext_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection: KL divergence and total-variation
+    distance between the token distributions of two source halves
+    (src0-9 vs src10-19) with add-one smoothing — the monitoring
+    check that catches a crawl's vocabulary shifting between
+    snapshots before it poisons a training mix.
+
+    Exactness: counts and smoothing denominators are integers; each
+    KL term is quantized to integer NANO-nats before summing (the
+    surprisal discipline, finer grid because per-term masses are
+    small), and total variation needs no floats at all until one
+    final division — its per-term numerator |(c1+1)(n2+V) −
+    (c2+1)(n1+V)| is exact int64 (counts ≤1e6 × denominators ≤1e7
+    stay ≪ 2^63 here; rescale the common denominator for
+    trillion-token corpora). Everything is vocabulary-sized after
+    the one token-count pass."""
+    d = _docs(spark, sf_dir)
+    half = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, "a"
+    ).otherwise("b")
+    toks = d.select(
+        half.alias("half"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("c2"),
+    )
+    tot = c.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("v"))
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + F.col("v"))
+    kl_term = F.floor(p * F.log(p / q) * 1000000000 + F.lit(0.5))
+    tv_num = F.abs(
+        (F.col("c1") + 1) * (F.col("n2") + F.col("v"))
+        - (F.col("c2") + 1) * (F.col("n1") + F.col("v"))
+    )
+    return (
+        j.select(
+            "v", "n1", "n2",
+            kl_term.alias("kt"), tv_num.alias("tn"),
+        )
+        .groupBy("v", "n1", "n2")
+        .agg(
+            F.sum("kt").alias("kl_nano"),
+            (
+                F.round(
+                    F.sum("tn").cast("double")
+                    / (
+                        2.0
+                        * (F.col("n1") + F.col("v"))
+                        * (F.col("n2") + F.col("v"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("tv_dist"),
+        )
+        .select(
+            F.col("v").alias("vocab_size"), "n1", "n2", "kl_nano", "tv_dist"
+        )
+    )

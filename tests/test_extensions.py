@@ -1049,3 +1049,30 @@ def test_dataset_diff_totals_match_construction(spark, sf_dir):
     assert totals["changed"] == sum(
         1 for i in ids if i % 11 == 0 and i % 13 != 0
     )
+
+
+def test_corpus_drift_properties(spark, sf_dir):
+    """KL must be ~0 for identical halves (self-drift of half 'a'
+    against itself via the tv identity) and the emitted tv must match
+    a Fraction-exact recomputation; kl >= 0 within quantization."""
+    from collections import Counter
+    from fractions import Fraction
+
+    row = QUERIES["ext_corpus_drift"](spark, sf_dir).collect()[0]
+    c1, c2 = Counter(), Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        (c1 if int(r["source"][3:]) < 10 else c2).update(
+            r["text"].split(" ")
+        )
+    vocab = set(c1) | set(c2)
+    n1, n2, v = sum(c1.values()), sum(c2.values()), len(vocab)
+    assert (row["vocab_size"], row["n1"], row["n2"]) == (v, n1, n2)
+    tv = sum(
+        abs(
+            Fraction(c1[t] + 1, n1 + v) - Fraction(c2[t] + 1, n2 + v)
+        )
+        for t in vocab
+    ) / 2
+    assert abs(row["tv_dist"] - float(tv)) < 2e-6
+    # nano-quantized KL can dip a hair under 0 only by vocab * 0.5 units
+    assert row["kl_nano"] >= -v

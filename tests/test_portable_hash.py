@@ -156,3 +156,39 @@ def test_chi_square_floor_boundary_margin():
         frac = (term * 1e6 + 0.5) % 1.0
         margin = min(frac, 1.0 - frac)
         assert margin >= 1e-6, (o, rt, ct, margin)
+
+
+def test_corpus_drift_floor_boundary_margin():
+    """ext_corpus_drift quantizes p·ln(p/q) to nano-nats; verify every
+    term the fixture produces keeps a ≥1e-6 margin from a floor
+    boundary (same ulp argument as the micro-nat keys, finer grid)."""
+    import math
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                      THEN 'a' ELSE 'b' END AS half,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM '{sf_dir}/documents.parquet'
+        ),
+        c AS (SELECT tok,
+                     SUM(CASE WHEN half='a' THEN 1 ELSE 0 END) AS c1,
+                     SUM(CASE WHEN half='b' THEN 1 ELSE 0 END) AS c2
+              FROM toks GROUP BY tok)
+        SELECT c1, c2, (SELECT SUM(c1) FROM c) AS n1,
+               (SELECT SUM(c2) FROM c) AS n2,
+               (SELECT COUNT(*) FROM c) AS v
+        FROM c
+        """
+    ).fetchall()
+    assert rows
+    for c1, c2, n1, n2, v in rows:
+        p = (c1 + 1) / (n1 + v)
+        q = (c2 + 1) / (n2 + v)
+        frac = (p * math.log(p / q) * 1e9 + 0.5) % 1.0
+        margin = min(frac, 1.0 - frac)
+        assert margin >= 1e-6, (c1, c2, margin)
