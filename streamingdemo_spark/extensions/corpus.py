@@ -1092,3 +1092,62 @@ def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "change")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "ext_source_overlap",
+    oracle="""
+    WITH corpus AS (
+      SELECT source, lower(trim(text)) AS norm FROM documents
+      UNION ALL
+      SELECT 'mirror-' || source, lower(trim(text))
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    by_text AS (
+      SELECT norm, list(DISTINCT source) AS srcs FROM corpus GROUP BY norm
+    ),
+    pairs AS (
+      SELECT a.src AS src_a, b.src AS src_b
+      FROM by_text, UNNEST(srcs) AS a(src), UNNEST(srcs) AS b(src)
+      WHERE a.src < b.src
+    )
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS shared_docs
+    FROM pairs GROUP BY src_a, src_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source overlap matrix: for every pair of sources, how many
+    distinct document texts they share (≥2 to suppress coincidences) —
+    the mirror-site detector that tells a crawl pipeline which source
+    pairs to collapse BEFORE document-level dedup (here the planted
+    'mirror-src*' feeds overlap their originals heavily; unrelated
+    source pairs share almost nothing).
+
+    Shape: group by content digest (at 100 TB: ``xxhash64(norm)``, 8
+    bytes), collect each text's distinct source set — bounded by the
+    source count, not corpus size — and explode within-group source
+    pairs: candidate volume is Σ|sources-per-text|², quadratic only
+    in MIRROR MULTIPLICITY, never in documents. One shuffle on the
+    digest, one aggregate on source pairs."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.col("text")))
+    corpus = d.select("source", norm.alias("norm")).unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            F.concat(F.lit("mirror-"), F.col("source")).alias("source"),
+            norm.alias("norm"),
+        )
+    )
+    by_text = corpus.groupBy("norm").agg(
+        F.collect_set("source").alias("srcs")
+    )
+    pairs = (
+        by_text.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+        .filter(F.col("shared_docs") >= 2)
+    )

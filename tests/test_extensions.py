@@ -1076,3 +1076,38 @@ def test_corpus_drift_properties(spark, sf_dir):
     assert abs(row["tv_dist"] - float(tv)) < 2e-6
     # nano-quantized KL can dip a hair under 0 only by vocab * 0.5 units
     assert row["kl_nano"] >= -v
+
+
+def test_source_overlap_flags_only_the_planted_mirrors(spark, sf_dir):
+    """Every surviving overlap pair must involve a planted mirror
+    feed and its original (unrelated real sources share ~no exact
+    texts), and each mirror must overlap its own original."""
+    rows = QUERIES["ext_source_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        pair = {r["src_a"], r["src_b"]}
+        mirrors = {s for s in pair if s.startswith("mirror-")}
+        assert mirrors, r
+    found = {
+        tuple(sorted((r["src_a"], r["src_b"]))) for r in rows
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mirrored_srcs = {
+        r["source"]
+        for r in docs.filter(F.col("doc_id") % 5 == 0)
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    import pyspark.sql.functions as _F
+
+    per_src = {
+        r["source"]: r["n"]
+        for r in docs.filter(_F.col("doc_id") % 5 == 0)
+        .groupBy("source")
+        .agg(_F.count(_F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, n in per_src.items():
+        if n >= 2:
+            assert tuple(sorted((src, f"mirror-{src}"))) in found
