@@ -422,3 +422,25 @@ def test_corrupt_csv_quarantines_without_loss(spark, sf_dir):
     assert row["n_rows"] == n
     assert row["n_corrupt"] == n_bad
     assert row["n_good"] == n - n_bad
+
+
+def test_session_new_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
+    """Join-shape audit for the continuation keys: no CartesianProduct
+    anywhere; the only sort-merge joins are the two inherent full-outer
+    joins (rank fusion, snapshot diff) — every dim/total relation rides
+    a broadcast."""
+    cases = {
+        "ext_text_bm25": 0,
+        "ext_sim_rrf": 1,        # full-outer lex⋈dense on doc_id
+        "ext_tokenize_apply": 0,
+        "agg_market_basket": 0,
+        "ext_lang_mix_temperature": 0,
+        "ext_feature_standardize": 0,
+        "ext_dataset_diff": 1,   # full-outer v1⋈v2 on doc_id
+        "ext_source_overlap": 0,
+        "ext_corpus_drift": 0,
+    }
+    for key, max_smj in cases.items():
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert plan.count("SortMergeJoin") <= max_smj, (key, plan)
