@@ -1042,3 +1042,50 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "stream_trending",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws, event_type, n, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ws
+                     ORDER BY n DESC, event_type) AS INT) AS rnk
+      FROM counts)
+    WHERE rnk <= 3
+    """,
+)
+def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending query: top-3 event types per hourly window —
+    the 'what's hot right now' product query. Ranking over a streaming
+    aggregate is unsupported inside the stream (windows-on-aggregates
+    need a second stateful stage), so this uses the production
+    two-stage shape: the STREAM maintains the per-(window, type)
+    counts (complete-mode state, bounded by windows × types); the
+    RANKING runs as a batch window over the emitted result table each
+    refresh — exactly how serving layers read a continuously-updated
+    aggregate. After the deterministic full replay, the ranked output
+    must hash-equal the all-batch computation.
+    """
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    counts = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    table = run_to_memory(counts, output_mode="complete")
+    from pyspark.sql.window import Window
+
+    rank_w = Window.partitionBy("ws").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        table.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 3)
+    )
