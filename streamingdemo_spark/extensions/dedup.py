@@ -1193,3 +1193,63 @@ def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _split_of(expr: str) -> str:
+    """Oracle fragment: the ext_split_assign convention applied to a
+    vector id — portable hash of 'split:'||id mod 100, <80 = train."""
+    return (
+        f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split('split:' || CAST({expr} AS VARCHAR), ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(x, y) -> (x * 31 + y) % 1000000007) % 100 < 80 "
+        f"THEN 'train' ELSE 'eval' END"
+    )
+
+
+@query(
+    "ext_semantic_decontam",
+    oracle=f"""
+    WITH pairs AS ({{inner}}),
+    tagged AS (
+      SELECT vec_a, vec_b, cosine,
+             {_split_of('vec_a')} AS split_a,
+             {_split_of('vec_b')} AS split_b
+      FROM pairs
+    )
+    SELECT CASE WHEN split_a = 'eval' THEN vec_a ELSE vec_b END AS eval_id,
+           CASE WHEN split_a = 'eval' THEN vec_b ELSE vec_a END AS train_id,
+           cosine
+    FROM tagged WHERE split_a <> split_b
+    """.format(inner=_embedding_oracle()),
+)
+def ext_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval decontamination: embedding near-dup pairs
+    (the sign-LSH pipeline of ``ext_dedup_embedding``) that CROSS the
+    hash split (``ext_split_assign``'s 80/20 convention on vector
+    ids) — an eval item with a ≥0.99-cosine twin in train is leaked
+    even when no text matches, the case n-gram decontamination
+    (``ext_contamination_check``) can't see. Output: (eval_id,
+    train_id, cosine) — the rows an eval-set builder must drop.
+
+    Pure composition of two verified operators: the pair finder runs
+    unchanged (bucketed, never all-pairs) and the split tag is a
+    per-row hash — so this whole check costs one extra projection
+    and filter on top of the near-dup join, and the oracle composes
+    the same two verified SQL fragments."""
+    pairs = ext_dedup_embedding(spark, sf_dir)
+    split = lambda c: F.when(  # noqa: E731
+        poly_hash(F.concat(F.lit("split:"), F.col(c).cast("string"))) % 100
+        < 80,
+        "train",
+    ).otherwise("eval")
+    tagged = pairs.select(
+        "vec_a", "vec_b", "cosine",
+        split("vec_a").alias("split_a"), split("vec_b").alias("split_b"),
+    ).filter(F.col("split_a") != F.col("split_b"))
+    is_a_eval = F.col("split_a") == "eval"
+    return tagged.select(
+        F.when(is_a_eval, F.col("vec_a")).otherwise(F.col("vec_b")).alias("eval_id"),
+        F.when(is_a_eval, F.col("vec_b")).otherwise(F.col("vec_a")).alias("train_id"),
+        "cosine",
+    )

@@ -1111,3 +1111,33 @@ def test_source_overlap_flags_only_the_planted_mirrors(spark, sf_dir):
     for src, n in per_src.items():
         if n >= 2:
             assert tuple(sorted((src, f"mirror-{src}"))) in found
+
+
+def test_semantic_decontam_is_the_cross_split_subset(spark, sf_dir):
+    """Decontam rows must be exactly the near-dup pairs whose two ids
+    hash into different splits, with the eval id always on the eval
+    side — and the cross-split fraction must sit near the binomial
+    expectation 2·0.8·0.2 of the split."""
+    from streamingdemo_spark.registry import POLY_MOD
+
+    def split(i):
+        acc = 0
+        for ch in f"split:{i}":
+            acc = (acc * 31 + ord(ch)) % POLY_MOD
+        return "train" if acc % 100 < 80 else "eval"
+
+    pairs = QUERIES["ext_dedup_embedding"](spark, sf_dir).collect()
+    want = set()
+    for r in pairs:
+        sa, sb = split(r["vec_a"]), split(r["vec_b"])
+        if sa != sb:
+            ev = r["vec_a"] if sa == "eval" else r["vec_b"]
+            tr = r["vec_b"] if sa == "eval" else r["vec_a"]
+            want.add((ev, tr, r["cosine"]))
+    got = {
+        (r["eval_id"], r["train_id"], r["cosine"])
+        for r in QUERIES["ext_semantic_decontam"](spark, sf_dir).collect()
+    }
+    assert got == want
+    frac = len(got) / len(pairs)
+    assert 0.15 < frac < 0.50  # 2·0.8·0.2 = 0.32 ± binomial noise
