@@ -458,3 +458,76 @@ def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         before=_n_files(frag), after=_n_files(compacted)
     )
     return spark.read.parquet(compacted)
+
+
+@query(
+    "snk_analyze_stats",
+    oracle="""
+    SELECT 'n_rows' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM orders
+    UNION ALL
+    SELECT 'custkey_min', CAST(MIN(o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'custkey_max', CAST(MAX(o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'custkey_nulls',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_min', CAST(MIN(o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orderkey_max', CAST(MAX(o_orderkey) AS BIGINT) FROM orders
+    """,
+)
+def snk_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics round-trip: CTAS a managed table, ``ANALYZE
+    TABLE … COMPUTE STATISTICS FOR COLUMNS``, then read the stats BACK
+    FROM THE CATALOG (never from the data) and verify they equal the
+    data's true aggregates — proving the cost-based-optimizer inputs
+    (row counts, column min/max/null counts that drive join reordering
+    and selectivity estimates) are populated correctly. Only
+    deterministic integer statistics are compared; ndv (HLL-estimated)
+    and sizeInBytes (layout-dependent) are intentionally excluded.
+
+    Catalog reads are metadata-only driver calls (same bounded driver
+    edge as ``db_registry``); the one data pass is the ANALYZE scan
+    itself — at 100 TB that scan is why engines persist stats rather
+    than recompute them per query.
+    """
+    import uuid
+
+    from streamingdemo_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    tbl = f"stats_demo_{uuid.uuid4().hex[:10]}"
+    spark.sql(f"CREATE TABLE {tbl} USING parquet AS SELECT * FROM orders")
+    try:
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+            f"FOR COLUMNS o_custkey, o_orderkey"
+        )
+
+        def col_stats(col: str) -> dict:
+            return {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql(
+                    f"DESCRIBE EXTENDED {tbl} {col}"
+                ).collect()
+            }
+
+        ck, ok = col_stats("o_custkey"), col_stats("o_orderkey")
+        n_rows = None
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect():
+            if r["col_name"] == "Statistics":
+                # e.g. '123456 bytes, 15000 rows'
+                n_rows = int(r["data_type"].split(",")[1].split()[0])
+        rows = [
+            ("n_rows", n_rows),
+            ("custkey_min", int(ck["min"])),
+            ("custkey_max", int(ck["max"])),
+            ("custkey_nulls", int(ck["num_nulls"])),
+            ("orderkey_min", int(ok["min"])),
+            ("orderkey_max", int(ok["max"])),
+        ]
+        return spark.createDataFrame(rows, "stat string, value long")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
