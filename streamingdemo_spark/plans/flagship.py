@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.io import load_tables, register_views
 from streamingdemo_spark.registry import dsum, osum, query
 
 _CUTOFF = "1998-06-01"
@@ -271,4 +271,60 @@ def flagship_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
+    )
+
+
+@query(
+    "flagship_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def flagship_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth flagship (TPC-H-Q21 shape): suppliers who kept orders
+    waiting — the sole late supplier on multi-supplier finished
+    orders. THE stress test for correlated-subquery planning: an
+    EXISTS and a NOT EXISTS, both correlated to the same fact table
+    the outer query scans ('late' = shipped >60 days after the order
+    date, standing in for the reference fixture's missing
+    receipt/commit dates).
+
+    Catalyst compiles the pair into one left-semi and one left-anti
+    join against lineitem re-scans — three passes over the fact,
+    NEVER a per-row re-execution; all three join on l_orderkey, so at
+    100 TB bucketing lineitem by orderkey makes every pass
+    co-partitioned (``join_bucketed``'s layout), and the supplier dim
+    broadcasts. Identical SQL runs on both engines.
+    """
+    register_views(spark, sf_dir, ("supplier", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        """
     )

@@ -444,3 +444,15 @@ def test_session_new_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
         plan = _plan(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
         assert plan.count("SortMergeJoin") <= max_smj, (key, plan)
+
+
+def test_flagship_q21_decorrelates_to_semi_and_anti_joins(spark, sf_dir):
+    """Q21's correlated EXISTS / NOT EXISTS pair must compile to
+    semi- and anti-joins on l_orderkey (no per-row re-execution, no
+    cartesian) and the result must be non-empty on the fixture."""
+    df = QUERIES["flagship_q21"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0
