@@ -328,3 +328,32 @@ def flagship_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """
+
+
+@query("flagship_q13", oracle=_Q13_SQL)
+def flagship_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth flagship (TPC-H-Q13 shape): customer order-count
+    distribution — how many customers placed 0, 1, 2… qualifying
+    orders. The defining subtlety: the order filter lives in the
+    JOIN'S ON CLAUSE, not the WHERE — moving it to WHERE silently
+    deletes every zero-order customer from the distribution (the
+    LEFT JOIN's null rows fail any WHERE predicate on the right
+    side), which is the most common Q13 rewrite bug.
+
+    Shape: one outer join (customer side broadcastable; at scale the
+    orders side shuffles on custkey once), a per-customer COUNT of
+    the RIGHT side's key (NULL-skipping, so unmatched customers count
+    0), then a distribution-sized second aggregate. Identical SQL on
+    both engines."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13_SQL)

@@ -456,3 +456,30 @@ def test_flagship_q21_decorrelates_to_semi_and_anti_joins(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+def test_flagship_q13_preserves_zero_order_customers(spark, sf_dir):
+    """The ON-clause filter must keep zero-qualifying-order customers
+    in the distribution (total custdist == customer count), and the
+    WHERE-clause rewrite must provably lose them — pinning the
+    outer-join semantics the key exists to demonstrate."""
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import register_views
+
+    df = QUERIES["flagship_q13"](spark, sf_dir)
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert df.agg(F.sum("custdist")).collect()[0][0] == n_cust
+    register_views(spark, sf_dir, ("customer", "orders"))
+    broken = spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+          WHERE o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+        GROUP BY c_count
+        """
+    )
+    assert broken.agg(F.sum("custdist")).collect()[0][0] < n_cust
