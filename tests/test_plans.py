@@ -471,15 +471,27 @@ def test_flagship_q13_preserves_zero_order_customers(spark, sf_dir):
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert df.agg(F.sum("custdist")).collect()[0][0] == n_cust
     register_views(spark, sf_dir, ("customer", "orders"))
-    broken = spark.sql(
+    # the selective filter (keep ONLY urgent) makes the loss certain:
+    # customers with zero urgent orders have no surviving join rows
+    on_form = spark.sql(
         """
-        SELECT c_count, COUNT(*) AS custdist FROM (
-          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        SELECT COUNT(*) AS n FROM (
+          SELECT c.c_custkey
           FROM customer c LEFT OUTER JOIN orders o
             ON c.c_custkey = o.o_custkey
-          WHERE o.o_orderpriority <> '1-URGENT'
+           AND o.o_orderpriority = '1-URGENT'
           GROUP BY c.c_custkey)
-        GROUP BY c_count
         """
-    )
-    assert broken.agg(F.sum("custdist")).collect()[0][0] < n_cust
+    ).collect()[0]["n"]
+    where_form = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM (
+          SELECT c.c_custkey
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+          WHERE o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey)
+        """
+    ).collect()[0]["n"]
+    assert on_form == n_cust
+    assert where_form < n_cust
