@@ -1333,3 +1333,60 @@ def ext_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("vocab_size"), "n1", "n2", "kl_nano", "tv_dist"
         )
     )
+
+
+@query(
+    "ext_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ch GROUP BY doc_id, c
+    ),
+    n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id,
+           CAST(MAX(n.n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS alphabet,
+           CAST(SUM(CAST(FLOOR(
+             -(CAST(cnt.k AS DOUBLE) / n.n)
+             * ln(CAST(cnt.k AS DOUBLE) / n.n)
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro_nats
+    FROM cnt JOIN n USING (doc_id)
+    GROUP BY cnt.doc_id
+    """,
+)
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats/doc in
+    integer micro-nats) — the document-LOCAL gibberish detector:
+    random noise scores near ln(alphabet) per char, single-character
+    spam near 0, natural text in between. Complements the corpus-trained
+    ``ext_unigram_surprisal`` (which needs a second pass over corpus
+    statistics; entropy needs only the document itself, so it
+    survives on day-one corpora with no trained model).
+
+    Shape: one char explode + (doc, char) count (alphabet-bounded per
+    doc), each term -p·ln(p) quantized to integer micro-nats before
+    the per-doc sum (the surprisal discipline: order-insensitive,
+    ln-ulp absorbed by the grid). NATS, not bits, deliberately:
+    dyadic probabilities make log2(p) exactly integer, parking
+    -p·log2(p)·1e6 dead on a floor boundary where a 1-ulp ln-ratio
+    disagreement flips engines — the margin test caught exactly that
+    (k=4, n=512); ln(p) of a dyadic p is irrational, so no such
+    boundary exists. Cost linear in characters."""
+    d = _docs(spark, sf_dir)
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    n = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    term = F.floor(-p * F.log(p) * 1000000 + F.lit(0.5))
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("alphabet"),
+            F.sum(term).alias("entropy_micro_nats"),
+        )
+    )

@@ -1141,3 +1141,27 @@ def test_semantic_decontam_is_the_cross_split_subset(spark, sf_dir):
     assert got == want
     frac = len(got) / len(pairs)
     assert 0.15 < frac < 0.50  # 2·0.8·0.2 = 0.32 ± binomial noise
+
+
+def test_char_entropy_matches_python_and_bounds(spark, sf_dir):
+    """Entropy must equal a pure-Python recomputation (same micro-nat
+    quantization) and respect 0 <= H <= n·ln(alphabet) (total nats
+    over the doc, since terms are per-char-probability masses)."""
+    import math
+    from collections import Counter
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["ext_char_entropy"](spark, sf_dir).collect()
+    }
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        counts = Counter(r["text"])
+        n = sum(counts.values())
+        want = sum(
+            math.floor(-(k / n) * math.log(k / n) * 1e6 + 0.5)
+            for k in counts.values()
+        )
+        row = out[r["doc_id"]]
+        assert row["n_chars"] == n and row["alphabet"] == len(counts)
+        assert row["entropy_micro_nats"] == want
+        assert 0 <= row["entropy_micro_nats"] <= math.log(len(counts)) * 1e6 + len(counts)

@@ -192,3 +192,30 @@ def test_corpus_drift_floor_boundary_margin():
         frac = (p * math.log(p / q) * 1e9 + 0.5) % 1.0
         margin = min(frac, 1.0 - frac)
         assert margin >= 1e-6, (c1, c2, margin)
+
+
+def test_char_entropy_floor_boundary_margin():
+    """ext_char_entropy's micro-NAT terms: every (k, n) ratio the
+    fixture produces must keep a ≥1e-6 margin from a floor boundary
+    (the bits formulation failed here: dyadic p makes log2(p) exactly
+    integer and parks terms dead on a boundary)."""
+    import math
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM '{sf_dir}/documents.parquet'),
+        cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)
+        SELECT DISTINCT cnt.k, n.n FROM cnt JOIN n USING (doc_id)
+        """
+    ).fetchall()
+    assert rows
+    for k, n in rows:
+        p = k / n
+        frac = (-p * math.log(p) * 1e6 + 0.5) % 1.0
+        margin = min(frac, 1.0 - frac)
+        assert margin >= 1e-6, (k, n, margin)
