@@ -1046,3 +1046,72 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(merged)
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, price_c, qty,
+             SUM(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY price_c, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN price_c END) AS DOUBLE)
+             / 100.0 AS weighted_median_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the price at which half the QUANTITY
+    (not half the rows) lies on each side, per return flag — the
+    order statistic metrics teams actually want when rows carry
+    different weights (row-median over-weights small lots). Lower
+    weighted median: the first price (in deterministic order) whose
+    cumulative weight reaches half the total.
+
+    All integer arithmetic: prices in exact cents, weights as
+    integers, one ordered cumulative-sum window per group and a
+    threshold pick — no interpolation, no floats until the final
+    cents→double presentation. At 100 TB the window sort is the cost
+    (same as any exact percentile); the documented scale path is the
+    mergeable KLL sketch (``agg_kll_quantile_merge``) when ~1% rank
+    error is acceptable.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("price_c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = Window.partitionBy("l_returnflag").orderBy(
+        "price_c", "l_orderkey", "l_linenumber"
+    )
+    c = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("qty").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("qty").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min("tot").alias("total_weight"),
+        (
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("price_c"))
+            ).cast("double")
+            / 100.0
+        ).alias("weighted_median_price"),
+    )

@@ -1165,3 +1165,31 @@ def test_char_entropy_matches_python_and_bounds(spark, sf_dir):
         assert row["n_chars"] == n and row["alphabet"] == len(counts)
         assert row["entropy_micro_nats"] == want
         assert 0 <= row["entropy_micro_nats"] <= math.log(len(counts)) * 1e6 + len(counts)
+
+
+def test_weighted_median_python_replay(spark, sf_dir):
+    """Weighted medians must equal a pure-Python replay: half the
+    total quantity lies at-or-below the reported price per group."""
+    from collections import defaultdict
+
+    rows = QUERIES["agg_weighted_median"](spark, sf_dir).collect()
+    data = defaultdict(list)
+    for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect():
+        data[r["l_returnflag"]].append(
+            (
+                int(r["l_extendedprice"] * 100 + 0.5),
+                int(r["l_quantity"] + 0.5),
+                r["l_orderkey"],
+                r["l_linenumber"],
+            )
+        )
+    for r in rows:
+        items = sorted(data[r["l_returnflag"]], key=lambda t: (t[0], t[2], t[3]))
+        tot = sum(q for _, q, _, _ in items)
+        assert r["total_weight"] == tot
+        cum = 0
+        for price_c, qty, _, _ in items:
+            cum += qty
+            if 2 * cum >= tot:
+                assert abs(r["weighted_median_price"] - price_c / 100.0) < 1e-9
+                break
