@@ -357,3 +357,42 @@ def flagship_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q13_SQL)
+
+
+_Q19_SQL = f"""
+    SELECT {{osum}} AS revenue, COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """
+
+
+@query(
+    "flagship_q19",
+    oracle=_Q19_SQL.format(
+        osum=osum("l.l_extendedprice * (1 - l.l_discount)", 4)
+    ),
+)
+def flagship_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh flagship (TPC-H-Q19 shape): discounted revenue under a
+    DISJUNCTION of conjunctive condition groups mixing columns from
+    BOTH join sides — the classic stress test for OR-predicate
+    handling. The optimizer must split each OR branch into its
+    per-side conjuncts and push the derivable unions down: the part
+    scan receives brand IN (…) (every branch constrains brand) and
+    the lineitem scan a quantity range, while only the cross-side
+    residual stays on the join — a naive plan filters the full join
+    output instead. Plan-asserted: pushed scan filters on both sides,
+    part broadcast, no cartesian. Identical SQL on both engines.
+    """
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        _Q19_SQL.format(
+            osum="CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)"
+            " * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0"
+        )
+    )

@@ -495,3 +495,16 @@ def test_flagship_q13_preserves_zero_order_customers(spark, sf_dir):
     ).collect()[0]["n"]
     assert on_form == n_cust
     assert where_form < n_cust
+
+
+def test_flagship_q19_pushes_or_predicates_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-ANDs must decompose: the part scan receives the
+    brand/size disjunction, the lineitem scan a quantity predicate —
+    neither side scans unfiltered — and the join stays broadcast-hash
+    with no cartesian."""
+    plan = _plan(QUERIES["flagship_q19"](spark, sf_dir))
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in scan_lines), plan
+    assert any("l_quantity" in l for l in scan_lines), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
