@@ -100,6 +100,11 @@ _PRIORITY = [
     "flagship_q7", "ext_split_assign", "ext_multimodal_phash_dedup",
     "ext_bpe_train", "ext_sim_ivf_probe_topk", "ext_tokenize_apply",
     "stream_incremental_agg", "ext_lang_mix_temperature", "snk_compaction", "ext_ts_twa", "ext_emb_gram", "join_asof_nearest", "subq_any_all", "ext_ts_interp", "ext_multimodal_phash_cluster", "win_ewma", "src_csv_corrupt_recovery", "ext_ab_ttest", "agg_regression", "agg_chi_square", "cte_recursive", "sql_pipe_syntax", "sql_named_params", "ext_k_anonymity", "win_cumulative_reach", "agg_market_basket", "ext_feature_standardize", "ext_dataset_diff", "win_session_native", "ext_corpus_drift", "ext_source_overlap", "stream_trending", "ext_semantic_decontam", "snk_analyze_stats", "flagship_q21", "flagship_q13", "ext_char_entropy", "agg_weighted_median", "flagship_q19",
+    # -- round-4 TPC-H sweep (flagship_sweep.py)
+    "flagship_q1", "flagship_q4", "flagship_q6", "flagship_q8",
+    "flagship_q9", "flagship_q10", "flagship_q12", "flagship_q14",
+    "flagship_q15", "flagship_q16", "flagship_q17", "flagship_q20",
+    "flagship_q22",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
     "ext_compression_ratio", "stream_kafka_smoke", "stream_rate_smoke",

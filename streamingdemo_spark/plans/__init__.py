@@ -8,6 +8,7 @@ Importing this package populates ``streamingdemo_spark.registry``.
 
 from streamingdemo_spark.plans import (  # noqa: F401
     flagship,
+    flagship_sweep,
     scans,
     projections,
     joins,

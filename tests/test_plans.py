@@ -508,3 +508,83 @@ def test_flagship_q19_pushes_or_predicates_to_both_scans(spark, sf_dir):
     assert any("l_quantity" in l for l in scan_lines), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sweep_flagships_have_no_cartesian_and_bounded_smj(spark, sf_dir):
+    """TPC-H sweep (flagship_sweep.py): none of the 13 shapes may plan
+    a cartesian product, and shuffled (sort-merge) joins are bounded to
+    the fact⋈fact / fact⋈aggregate hops each shape genuinely needs —
+    every dimension hop must broadcast. q22's 1-row average relation is
+    the one legitimate BroadcastNestedLoopJoin (a singleton cross)."""
+    max_smj = {
+        "flagship_q1": 0,
+        "flagship_q4": 1,   # orders ⋈ lineitem semi
+        "flagship_q6": 0,
+        "flagship_q8": 1,   # lineitem ⋈ orders
+        "flagship_q9": 0,
+        "flagship_q10": 1,  # lineitem ⋈ orders
+        "flagship_q12": 1,  # orders ⋈ lineitem
+        "flagship_q14": 0,
+        "flagship_q15": 1,  # supplier ⋈ revenue (tiny, AQE may bc)
+        "flagship_q16": 2,  # lineitem ⋈ part grain + anti
+        "flagship_q17": 2,  # fact ⋈ part_avg reuse + brand probe
+        "flagship_q20": 3,  # two aggregate grains + semi
+        "flagship_q22": 1,  # customer ⋈ orders anti
+    }
+    for key, bound in max_smj.items():
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert plan.count("SortMergeJoin") <= bound, (key, plan)
+
+
+def test_flagship_q1_pushes_date_and_partial_aggregates(spark, sf_dir):
+    """Q1's shipdate cutoff must reach the parquet scan and the 6-group
+    aggregate must partial-combine (two HashAggregate phases around one
+    exchange) — the map-side-combine contract that makes Q1 scan-bound
+    at 100 TB."""
+    plan = _plan(QUERIES["flagship_q1"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_q6_pushes_all_three_predicates(spark, sf_dir):
+    """Q6 is the pushdown litmus test: date range, discount band and
+    quantity cap must ALL appear as pushed parquet filters, and the
+    scan must read only the referenced columns."""
+    plan = _plan(QUERIES["flagship_q6"](spark, sf_dir))
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan_lines, plan
+    pushed = scan_lines[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, (frag, pushed)
+    assert "l_orderkey" not in plan  # column pruning held
+
+
+def test_flagship_q4_compiles_exists_to_semi_join(spark, sf_dir):
+    plan = _plan(QUERIES["flagship_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_q10_takes_ordered_and_broadcasts_dims(spark, sf_dir):
+    plan = _plan(QUERIES["flagship_q10"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_flagship_q16_q22_compile_exclusions_to_anti_joins(spark, sf_dir):
+    """Q16's NOT IN and Q22's NOT EXISTS must both become anti joins,
+    never per-row subqueries."""
+    for key in ("flagship_q16", "flagship_q22"):
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert "Anti" in plan, key
+
+
+def test_flagship_q20_pushes_name_prefix_and_semi_joins(spark, sf_dir):
+    """Q20's LIKE 'red%' is prefix-anchored, so it must push into the
+    part scan as StringStartsWith, and the IN-chain must compile to a
+    semi join."""
+    plan = _plan(QUERIES["flagship_q20"](spark, sf_dir))
+    assert "StringStartsWith(p_name,red)" in plan
+    assert "LeftSemi" in plan
