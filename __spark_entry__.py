@@ -104,7 +104,7 @@ _PRIORITY = [
     "flagship_q1", "flagship_q4", "flagship_q6", "flagship_q8",
     "flagship_q9", "flagship_q10", "flagship_q12", "flagship_q14",
     "flagship_q15", "flagship_q16", "flagship_q17", "flagship_q20",
-    "flagship_q22",
+    "flagship_q22", "ext_dedup_substring", "ext_bigram_surprisal",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
     "ext_compression_ratio", "stream_kafka_smoke", "stream_rate_smoke",

@@ -1253,3 +1253,73 @@ def ext_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_a_eval, F.col("vec_b")).otherwise(F.col("vec_a")).alias("train_id"),
         "cosine",
     )
+
+
+@query(
+    "ext_dedup_substring",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, substr(text, CAST(p AS INT), 40) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 10)) AS p
+            FROM documents)
+      WHERE len(substr(text, CAST(p AS INT), 40)) = 40
+    )
+    SELECT {opoly("gram")} AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection — the character-level dedup
+    modality of the "Deduplicating Training Data" line of work: find
+    every 40-character span that appears verbatim in ≥2 documents, so a
+    downstream pass can mask or drop the repeated spans (licenses,
+    boilerplate headers, templated pages) that document-level and
+    shingle-Jaccard dedup both miss.
+
+    Mechanism: character 40-grams sampled at stride 10 (any duplicated
+    run of ≥49 chars is guaranteed to contribute at least one aligned
+    gram pair; shorter overlaps are caught probabilistically — stride
+    trades recall floor for a 10× volume cut, the standard fingerprint
+    compromise vs a true suffix array, which does not distribute).
+    Grouping is on the GRAM ITSELF, so matches are exact string
+    equality, not hash-bucket guesses; the reported span_hash is the
+    portable poly_hash fingerprint of the span (collisions can only
+    merge *reported ids*, never create a false span match).
+
+    Scale shape: explode is linear (len/10 grams per doc); ONE shuffle
+    groups grams (at 100 TB pre-aggregate on xxhash64(gram) to shrink
+    shuffle rows to 8-byte keys, then verify the surviving buckets by
+    string equality — same two-phase discipline as ext_dedup_minhash's
+    banding); output is bounded by the duplicated-span count. No
+    all-pairs stage exists.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text") - 39, F.lit(1)),
+                    F.lit(10),
+                )
+            ).alias("p"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, p, 40)").alias("gram"))
+        .filter(F.length("gram") == 40)
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(poly_hash(F.col("gram")).alias("span_hash"), "n_docs", "n_occ")
+    )

@@ -1390,3 +1390,102 @@ def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).alias("entropy_micro_nats"),
         )
     )
+
+
+@query(
+    "ext_bigram_surprisal",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(2, len(l)),
+                                   i -> l[i-1] || chr(1) || l[i])) AS bg
+      FROM docs
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+    c1 AS (SELECT split_part(bg, chr(1), 1) AS prev, SUM(c) AS cp
+           FROM c2 GROUP BY split_part(bg, chr(1), 1)),
+    scored AS (
+      SELECT bi.doc_id,
+             CAST(FLOOR(-ln(CAST(c2.c AS DOUBLE) / c1.cp) * 1000000 + 0.5)
+                  AS BIGINT) AS micro_nats
+      FROM bi JOIN c2 USING (bg)
+      JOIN c1 ON c1.prev = split_part(bi.bg, chr(1), 1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           (CAST(SUM(micro_nats) AS DOUBLE) / COUNT(*)) / 1000000.0
+             AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal: the mean -ln p(token | prev)
+    per document, with the conditional estimated from the corpus
+    itself (count(prev,tok) / count(prev-as-prefix)). One order of
+    context sharper than ``ext_unigram_surprisal`` at separating
+    shuffled/garbled text from fluent text — word-salad scores near
+    the unigram baseline on unigram surprisal but spikes on bigram
+    surprisal, which is why CCNet-style pipelines score with an LM,
+    not a vocabulary.
+
+    No smoothing term is needed for corpus self-scoring: every scored
+    bigram occurs in the training counts by construction (c ≥ 1), so
+    the estimate is well-defined without leaving the exact-integer
+    discipline (smoothing constants would divide by corpus-dependent
+    vocab sizes — more rounding sites for zero benefit here).
+
+    Shape: bigrams form via one window lag over (doc, position) — a
+    single shuffle on doc_id; the bigram and prefix count relations
+    aggregate map-side (prefix counts ROLL UP from bigram counts, no
+    second corpus pass); two count joins on the bigram/prefix string
+    (at 100 TB: on xxhash64 of it); one per-doc aggregate. Linear in
+    token volume throughout. Docs with <2 tokens have no bigram rows
+    and are absent from the output by definition (both engines).
+
+    Portability: per-bigram surprisal quantizes to integer micro-nats
+    before the order-insensitive integer sum (the convention of
+    ext_unigram_surprisal, ln not log2 per the round-4 dyadic-boundary
+    finding); the floor-margin test in tests/test_portable_hash.py
+    covers these (c, cp) ratios too. The \\x01 separator cannot occur
+    inside tokens (tokens are space-split text).
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(F.col("prev"), F.lit("\x01"), F.col("tok")).alias("bg"),
+        )
+    )
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy(
+        F.split_part(F.col("bg"), F.lit("\x01"), F.lit(1)).alias("prev")
+    ).agg(F.sum("c").alias("cp"))
+    micro = F.floor(
+        -F.log(F.col("c").cast("double") / F.col("cp").cast("double")) * 1000000
+        + F.lit(0.5)
+    ).alias("micro_nats")
+    scored = (
+        bi.join(c2, "bg")
+        .join(
+            c1,
+            F.split_part(F.col("bg"), F.lit("\x01"), F.lit(1)) == F.col("prev"),
+        )
+        .select("doc_id", micro)
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_bigrams"),
+        ((F.sum("micro_nats").cast("double") / n) / F.lit(1000000.0)).alias(
+            "mean_surprisal"
+        ),
+    )

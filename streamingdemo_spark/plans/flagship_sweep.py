@@ -648,7 +648,8 @@ _Q22_SQL = f"""
       AND CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.cnt
           > pos.sum_units
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
     GROUP BY c.c_nationkey
     """
 
@@ -656,14 +657,19 @@ _Q22_SQL = f"""
 @query("flagship_q22", oracle=_Q22_SQL)
 def flagship_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: global sales opportunity — wealthy customers
-    from a set of countries who never placed an order. Three stresses
-    in one plan: an uncorrelated scalar aggregate (the average
-    balance) consumed as a cross-joined 1-row relation, a correlated
-    NOT EXISTS compiled to an anti join against the full orders
-    table, and a small grouped report on what survives.
+    from a set of countries who lapsed (no order in the fixture's
+    final eight months). Three stresses in one plan: an uncorrelated
+    scalar aggregate (the average balance) consumed as a cross-joined
+    1-row relation, a correlated NOT EXISTS with a side predicate
+    compiled to an anti join against the date-sliced orders table,
+    and a small grouped report on what survives.
 
     Fixture adaptation: no c_phone, so the substring country code is
-    the nation key itself (membership list unchanged in spirit).
+    the nation key itself; and because the fixture gives EVERY
+    customer orders (no order-less customer exists at any sf), the
+    original's "never ordered" becomes "not ordered since 2001" —
+    same anti-join shape, non-vacuous at every scale, and the date
+    predicate pushes into the orders scan before the anti join.
     Exactness: "balance above average" is the integer inequality
     ``units·n > Σunits`` (2-decimal balances scale exactly to integer
     cents) — no engine compares against a rounded average.

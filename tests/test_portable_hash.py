@@ -219,3 +219,38 @@ def test_char_entropy_floor_boundary_margin():
         frac = (-p * math.log(p) * 1e6 + 0.5) % 1.0
         margin = min(frac, 1.0 - frac)
         assert margin >= 1e-6, (k, n, margin)
+
+
+def test_bigram_micro_nat_floor_boundary_margin():
+    """Same ulp-safety proof as test_micro_nat_floor_boundary_margin,
+    for ext_bigram_surprisal's conditional ratios: every
+    (bigram count, prefix count) pair the fixture produces must keep
+    its micro-nat value ≥1e-6 away from a floor boundary (~1000× the
+    1-ulp ln() disagreement bound), so the key's hash parity is
+    platform-safe, not lucky."""
+    import math
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH docs AS (SELECT string_split(text, ' ') AS l
+                      FROM '{sf_dir}/documents.parquet'),
+        bi AS (SELECT unnest(list_transform(generate_series(2, len(l)),
+                             i -> l[i-1] || chr(1) || l[i])) AS bg
+               FROM docs),
+        c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+        c1 AS (SELECT split_part(bg, chr(1), 1) AS prev, SUM(c) AS cp
+               FROM c2 GROUP BY split_part(bg, chr(1), 1))
+        SELECT DISTINCT c2.c, c1.cp
+        FROM c2 JOIN c1 ON c1.prev = split_part(c2.bg, chr(1), 1)
+        """
+    ).fetchall()
+    assert rows
+    for c, cp in rows:
+        frac = (-math.log(c / cp) * 1e6 + 0.5) % 1.0
+        margin = min(frac, 1.0 - frac)
+        assert margin >= 1e-6, (c, cp, margin)
