@@ -83,6 +83,11 @@ HEADLINE = [
     "ext_sim_rrf",        # BM25 + cosine hybrid rank fusion
     "ext_multimodal_phash_dedup",  # Arrow binary phash + banded LSH
     "ext_bpe_train",      # iterative vocab-bounded merge loop
+    # round-4 TPC-H sweep additions
+    "flagship_q1",        # pricing summary: map-side-combine showcase
+    "flagship_q6",        # all-pushed scan-filter-aggregate
+    "flagship_q21",       # correlated EXISTS/NOT EXISTS triple fact pass
+    "ext_dedup_substring",  # exact duplicated-span detection
 ]
 
 
