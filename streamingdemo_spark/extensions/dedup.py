@@ -1323,3 +1323,140 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select(poly_hash(F.col("gram")).alias("span_hash"), "n_docs", "n_occ")
     )
+
+
+@query(
+    "ext_dedup_span_coverage",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS s, CAST(p AS BIGINT) + 39 AS e,
+             substr(text, CAST(p AS INT), 40) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 10)) AS p
+            FROM documents)
+      WHERE len(substr(text, CAST(p AS INT), 40)) = 40
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.s, g.e FROM grams g
+      WHERE g.gram IN (SELECT gram FROM dup)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS covered
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(covered) AS dup_chars
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+             / CAST(d.n_chars AS DOUBLE) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def ext_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of exact substring dedup: per-document
+    duplicated-character coverage. Every 40-gram span that
+    ``ext_dedup_substring`` flags as shared maps back onto its source
+    documents; overlapping spans merge into islands (the gap-islands
+    window pattern), and each document reports how many of its
+    characters sit inside a shared span — the number a curation
+    pipeline thresholds to drop boilerplate-heavy pages or to mask
+    the spans before training.
+
+    Scale shape: gram volume is len/10 per doc (linear); the dup-span
+    membership check is a semi join against the grouped gram relation
+    (one shuffle, same two-phase xxhash64 escalation as
+    ext_dedup_substring at 100 TB); the interval merge is a window
+    PARTITIONED BY doc (per-doc work is bounded by the doc's own gram
+    count — never global); the final left join returns every document
+    (zero coverage included) so downstream filters see the full
+    corpus. No all-pairs stage.
+
+    Exactness: coverage arithmetic is pure integers; the fraction is
+    one exact-int / exact-int double division, identical both engines.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text") - 39, F.lit(1)),
+                    F.lit(10),
+                )
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("s"),
+            (F.col("p").cast("long") + 39).alias("e"),
+            F.expr("substring(text, p, 40)").alias("gram"),
+        )
+        .filter(F.length("gram") == 40)
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "s", "e")
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("dup_chars"))
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dup_chars"), F.lit(0)).alias("dup_chars"),
+            (
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

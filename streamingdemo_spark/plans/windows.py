@@ -507,3 +507,73 @@ def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "win_yoy_growth",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    )
+    SELECT nation, o_year, revenue,
+           LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year)
+             AS prev_revenue,
+           (revenue - LAG(revenue) OVER (PARTITION BY nation
+                                         ORDER BY o_year))
+             / LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year)
+             AS yoy_growth
+    FROM rev
+    """,
+)
+def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: a window over an AGGREGATE's output —
+    nation×year revenue first, then LAG along each nation's year
+    series to produce the growth ratio. The composition (aggregate →
+    window on the aggregate, not on raw rows) is the defining shape of
+    every BI trend report and of TPC-DS's share-shift queries; the
+    raw-row window keys (win_lag_lead etc.) don't cover it.
+
+    Scale shape: the aggregate reduces the fact to nation×year grain
+    BEFORE the window, so the window input is tiny however large the
+    fact — the window shuffle moves ~nations×years rows. Partitioned
+    by nation (never a global order). First year per nation has NULL
+    prev/growth on both engines.
+
+    Exactness: revenue is an integer-unit exact sum; LAG moves those
+    exact doubles unchanged; the growth ratio replays the identical
+    (sub, div) float sequence on both engines.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "nation",
+        "o_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    )

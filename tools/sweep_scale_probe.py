@@ -37,6 +37,8 @@ KEYS = [
     ("flagship_q22", "customer+orders 10x, anti join"),
     ("ext_dedup_substring", "docs 10x (grams 10x, dup spans grow with planted dups)"),
     ("ext_bigram_surprisal", "docs 10x (bigram vocab sub-linear)"),
+    ("win_yoy_growth", "orders 10x, nation-year grain fixed"),
+    ("ext_dedup_span_coverage", "docs 10x, per-doc window bounded"),
 ]
 
 
