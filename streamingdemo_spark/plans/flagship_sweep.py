@@ -1,20 +1,21 @@
-"""TPC-H shape sweep — the 13 remaining query shapes (SURVEY §2 C1).
+"""TPC-H shape sweep — the 15 remaining query shapes (SURVEY §2 C1).
 
 The reference's whole relational surface is one unrestricted SQL entry
 point (``src/sparkSQL/SparkSQLOperator.java:18-19``): any SQL a user
 ran there must run here. flagship.py carries Q3/Q5/Q7/Q13/Q18/Q19/Q21;
-this module completes the TPC-H sweep with every other shape the
-fixture can express: Q1, Q4, Q6, Q8, Q9, Q10, Q12, Q14, Q15, Q16, Q17,
-Q20, Q22.
+this module carries the other fifteen — Q1, Q2, Q4, Q6, Q8, Q9, Q10,
+Q11, Q12, Q14, Q15, Q16, Q17, Q20, Q22 — so ALL 22 TPC-H query shapes
+have a hash-checked key.
 
 Fixture adaptations (documented per key): there is no ``partsupp``
 table and no ``l_commitdate / l_receiptdate / l_shipmode / c_phone /
 p_container`` column, so Q4/Q21-style "late" is shipdate > orderdate +
 60 days, Q9's profit drops the supplycost term, Q12 groups by
-``l_linestatus`` instead of shipmode, Q16/Q20 derive supplier×part
-facts from lineitem instead of partsupp, and Q22's country code is the
-nation key itself. Every adaptation preserves the *plan shape* the
-original query stresses — that is what this sweep exists to prove.
+``l_linestatus`` instead of shipmode, Q2/Q16/Q20 derive supplier×part
+facts from lineitem instead of partsupp, Q11's importance threshold is
+self-scaling instead of externally SF-scaled, and Q22's country code
+is the nation key itself. Every adaptation preserves the *plan shape*
+the original query stresses — that is what this sweep exists to prove.
 
 Float discipline: every money/ratio aggregate goes through the
 integer-unit exact-sum convention (``registry.dsum`` / ``osum``), and
@@ -683,3 +684,100 @@ def flagship_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22_SQL)
+
+
+_Q2_SQL = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, ps.cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size < 10 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
+                     JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                     JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                     JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                     WHERE ps2.l_partkey = p.p_partkey
+                       AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """
+
+
+@query("flagship_q2", oracle=_Q2_SQL)
+def flagship_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — for each qualifying
+    part, the European supplier(s) offering its lowest price. The
+    defining shape is a CORRELATED SCALAR MIN subquery that re-joins
+    the same supplier→nation→region dimension chain as the outer
+    query and compares per-part: the optimizer must decorrelate it to
+    one aggregate-and-join over the shared relation, never a per-part
+    re-execution.
+
+    Fixture adaptation: no partsupp, so the supplier×part cost
+    relation derives from lineitem as MIN(l_extendedprice) per
+    (partkey, suppkey) — MIN of stored 2-decimal doubles involves no
+    arithmetic, so the correlated equality compares exact stored
+    values on both engines (ties return identically).
+
+    Scale shape: ONE fact pass builds ps (map-side combine to
+    supplier×part grain); both the outer query and the decorrelated
+    subquery consume that aggregate with broadcast dims; the top-100
+    is a TakeOrdered with a fully deterministic 4-column tiebreak.
+    Identical SQL on both engines.
+    """
+    register_views(
+        spark, sf_dir, ("part", "supplier", "nation", "region", "lineitem")
+    )
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = """
+    WITH v AS (
+      SELECT l.l_partkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS u
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey),
+    tot AS (SELECT SUM(u) AS t, COUNT(*) AS np FROM v)
+    SELECT v.l_partkey AS ps_partkey,
+           CAST(v.u AS DOUBLE) / 100.0 AS part_value
+    FROM v, tot
+    WHERE v.u * tot.np * 2 > 3 * tot.t
+    """
+
+
+@query("flagship_q11", oracle=_Q11_SQL)
+def flagship_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock identification — the parts
+    whose value held by one nation's suppliers is an outsized share
+    of that nation's total. The defining shape is a grouped aggregate
+    filtered against a SCALAR aggregate of itself (HAVING value >
+    fraction × total): the grouped relation must be computed once and
+    consumed twice (group rows + global total), with the total joined
+    back as a 1-row broadcast.
+
+    Fixture adaptations: the supplier×part value derives from
+    lineitem (no partsupp); and where the original scales its
+    fraction by 1/SF externally, the threshold here is self-scaling —
+    "1.5× the average part value", expressed as the exact integer
+    inequality u·np·2 > 3·t (u, np, t all BIGINT from integer-unit
+    sums), so the key is non-vacuous at every fixture scale without
+    any engine comparing against a rounded quotient.
+
+    Scale shape: one fact pass to (part) grain with broadcast dims;
+    the total re-aggregates THE GROUPED RELATION (tiny), not the
+    fact — Catalyst inlines the CTE into two identical subplans and
+    AQE stitches them back with a ReusedExchange at runtime, so the
+    part-grain shuffle and the scan under it execute once
+    (plan-pinned post-execution in tests/test_plans.py); the filter
+    join is a 1-row cross broadcast. Identical SQL on both engines.
+    """
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q11_SQL)

@@ -588,3 +588,26 @@ def test_flagship_q20_pushes_name_prefix_and_semi_joins(spark, sf_dir):
     plan = _plan(QUERIES["flagship_q20"](spark, sf_dir))
     assert "StringStartsWith(p_name,red)" in plan
     assert "LeftSemi" in plan
+
+
+def test_flagship_q2_decorrelates_scalar_min(spark, sf_dir):
+    """Q2's correlated scalar MIN must decorrelate to an aggregate
+    plus join over the shared supplier-part relation — no cartesian,
+    no per-part re-execution — and the top-100 must TakeOrdered."""
+    plan = _plan(QUERIES["flagship_q2"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_q11_reuses_fact_aggregate(spark, sf_dir):
+    """Q11's grouped relation feeds both the row stream and the global
+    total. Catalyst inlines the CTE into two identical subplans, so at
+    RUNTIME AQE must stitch them back together with a ReusedExchange —
+    the part-grain shuffle (and the fact scan under it) executes once.
+    The static pre-execution plan shows two scans by design; the
+    post-execution plan is the one that proves single-pass."""
+    df = QUERIES["flagship_q11"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
