@@ -509,3 +509,43 @@ class TestExampleSpecs:
         assert {r["rank"]: r["doc_id"] for r in hits} == want
         mix = ports["mix.out"].collect()
         assert sum(r["n_hits"] for r in mix) == len(hits)
+
+
+class TestTpchReportSpec:
+    def test_tpch_report_spec_equals_direct_queries(self, spark, sf_dir):
+        """The report spec's growth port must carry exactly the
+        win_yoy_growth rows, the region rollup must cover every
+        nation-year exactly once, and the pricing port must equal
+        flagship_q1 (operator composition adds nothing and loses
+        nothing — A-layer wiring over C-layer operators)."""
+        from tests.test_container import TestExampleSpecs
+
+        ports = TestExampleSpecs._run_example(
+            TestExampleSpecs(), spark, sf_dir, "tpch_report.yaml"
+        )
+        direct = {
+            (r["nation"], r["o_year"]): r["revenue"]
+            for r in QUERIES["win_yoy_growth"](spark, sf_dir).collect()
+        }
+        got = {
+            (r["nation"], r["o_year"]): r["revenue"]
+            for r in ports["growth.out"].collect()
+        }
+        assert got == direct
+        trend = ports["region_trend.out"].collect()
+        assert sum(r["n_nations"] for r in trend) == len(direct)
+        import math
+        assert math.isclose(
+            sum(r["revenue"] for r in trend),
+            sum(direct.values()),
+            rel_tol=1e-9,
+        )
+        q1_direct = {
+            (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+            for r in QUERIES["flagship_q1"](spark, sf_dir).collect()
+        }
+        q1_spec = {
+            (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+            for r in ports["pricing.out"].collect()
+        }
+        assert q1_spec == q1_direct
