@@ -108,6 +108,7 @@ _PRIORITY = [
     "win_yoy_growth", "ext_dedup_span_coverage",
     "flagship_q2", "flagship_q11",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
+    "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
     "ext_compression_ratio", "stream_kafka_smoke", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first

@@ -971,3 +971,79 @@ def ext_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xi") * F.col("xj")).alias("c_ij"),
         F.count(F.lit(1)).alias("n_vec"),
     )
+
+
+@query("ext_embedding_pca_project")
+def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-4 principal
+    directions — the dimensionality-reduction step a production vector
+    pipeline runs before IVF/LSH indexing (shorter vectors, decorrelated
+    axes) and the standard embedding-drift visualization input.
+
+    Pipeline (each stage at its correct scale tier):
+    1. distributed: exact integer Gram matrix via ``ext_emb_gram``'s
+       milli-unit quantization — one shuffle, d²-bounded output;
+    2. driver: eigendecomposition of the collected d×d matrix
+       (codebook-sized math, same legitimate driver edge as the BPE
+       merge argmax; d=64 here, any d ≤ ~10k is trivial);
+    3. distributed again: project every vector against the broadcast
+       components — a pure expression fold, no shuffle at all.
+
+    Determinism: numpy's symmetric ``eigh`` is deterministic given the
+    exact-integer Gram; the remaining sign ambiguity is pinned by
+    forcing each component's largest-|value| coordinate positive
+    (ties broken by lowest index). Components quantize to micro-unit
+    int64 before broadcast, so each projection is an EXACT integer
+    dot product (|q|≤~2e3 × |w|≤1e6 × 64 terms ≪ 2^63) — bitwise
+    reproducible across runs and partitionings; the test replays the
+    whole pipeline in numpy/pure-Python integer math and asserts
+    exact equality. No DuckDB oracle by contract (eigendecomposition
+    is not expressible in SQL); correctness is pinned by that test.
+    """
+    import numpy as np
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    # stage 1-2: exact integer Gram -> driver eigh (d x d only; the
+    # rows x d matrix never leaves the executors)
+    gram_rows = (
+        q.select(F.posexplode("qv").alias("i", "xi"), "qv")
+        .select("i", "xi", F.posexplode("qv").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("c_ij"))
+        .collect()
+    )
+    d = max(r["j"] for r in gram_rows) + 1
+    gram = np.zeros((d, d))
+    for r in gram_rows:
+        gram[r["i"], r["j"]] = r["c_ij"]
+        gram[r["j"], r["i"]] = r["c_ij"]
+    _, vecs = np.linalg.eigh(gram)
+    comps = vecs[:, ::-1][:, :4].T  # top-4, largest eigenvalue first
+    fixed = []
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        fixed.append((-c if c[pivot] < 0 else c))
+    # micro-unit integer components -> exact integer dot products
+    wq = [[int(np.floor(v * 1_000_000 + 0.5)) for v in c] for c in fixed]
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                "qv",
+                F.array(*[F.lit(w) for w in wk]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias(f"pc{k + 1}_nano")
+        for k, wk in enumerate(wq)
+    ]
+    return q.select("vec_id", "label", *proj_cols)

@@ -1193,3 +1193,45 @@ def test_weighted_median_python_replay(spark, sf_dir):
             if 2 * cum >= tot:
                 assert abs(r["weighted_median_price"] - price_c / 100.0) < 1e-9
                 break
+
+
+def test_pca_project_matches_numpy_exactly(spark, sf_dir):
+    """ext_embedding_pca_project: replay the whole pipeline in
+    numpy/pure-Python integer math — same milli-unit quantization,
+    same Gram, same eigh, same sign fix, same micro-unit component
+    quantization — and require BITWISE-equal integer projections for
+    every vector (the key's determinism contract)."""
+    import numpy as np
+
+    from streamingdemo_spark.registry import QUERIES
+
+    got = {
+        r["vec_id"]: (r["pc1_nano"], r["pc2_nano"], r["pc3_nano"], r["pc4_nano"])
+        for r in QUERIES["ext_embedding_pca_project"](spark, sf_dir).collect()
+    }
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = t["vec_id"]
+    Q = np.array(
+        [
+            [int(np.floor(float(x) * 1000 + 0.5)) for x in emb]
+            for emb in t["embedding"]
+        ],
+        dtype=object,  # python ints: exact
+    )
+    Qf = np.array([[float(v) for v in row] for row in Q])
+    gram = Qf.T @ Qf
+    _, vecs = np.linalg.eigh(gram)
+    comps = vecs[:, ::-1][:, :4].T
+    want_rows = {}
+    wq = []
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        c = -c if c[pivot] < 0 else c
+        wq.append([int(np.floor(v * 1_000_000 + 0.5)) for v in c])
+    for vid, row in zip(ids, Q):
+        want_rows[vid] = tuple(
+            sum(int(x) * w for x, w in zip(row, wk)) for wk in wq
+        )
+    assert got == want_rows
