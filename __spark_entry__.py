@@ -106,7 +106,7 @@ _PRIORITY = [
     "flagship_q15", "flagship_q16", "flagship_q17", "flagship_q20",
     "flagship_q22", "ext_dedup_substring", "ext_bigram_surprisal",
     "win_yoy_growth", "ext_dedup_span_coverage",
-    "flagship_q2", "flagship_q11",
+    "flagship_q2", "flagship_q11", "win_share_of_total", "ext_winsorize",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

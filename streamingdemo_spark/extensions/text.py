@@ -1489,3 +1489,93 @@ def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_surprisal"
         ),
     )
+
+
+@query(
+    "ext_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             MAX(CASE WHEN rn = (n + 19) // 20 THEN n_chars END) AS p05,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS p95
+      FROM ranked GROUP BY lang
+    )
+    SELECT d.lang, c.p05, c.p95, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS raw_mean,
+           CAST(SUM(LEAST(GREATEST(d.n_chars, c.p05), c.p95)) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean
+    FROM documents d JOIN cuts c ON c.lang = d.lang
+    GROUP BY d.lang, c.p05, c.p95
+    """,
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-language length statistics: clip each document's
+    length to its language's exact [p5, p95] band before averaging —
+    the robust-mean preprocessing that stops a handful of giant or
+    truncated pages from dragging corpus budgets (outlier-robust
+    means are what you feed token-budget planning, not raw means).
+
+    The cut points use the EXACT nearest-rank convention of
+    ``agg_percentile_exact`` (rank ceil(p·n) in pure integer
+    arithmetic), so both engines pick the identical source values;
+    clipping (LEAST/GREATEST) and the sums stay in integers; each
+    mean is one exact-int / exact-int double division.
+
+    Scale shape: one per-language window sort finds the cut ranks
+    (the unavoidable exact-percentile cost — the sketch keys are the
+    100 TB path, this is the auditor); the cuts relation is
+    language-cardinality-sized and broadcasts back onto the corpus;
+    the final aggregate map-side combines. The rn tiebreak (doc_id)
+    makes rank assignment deterministic even though the VALUE at a
+    rank is tie-insensitive — belt and braces.
+    """
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = W.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer ceil(p*n) ranks: (a*n + b - 1) DIV b — Spark's `/` is
+    # double division, so the rank arithmetic must use DIV explicitly
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("n_chars")
+            ).otherwise(F.lit(None))
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("n_chars")
+            ).otherwise(F.lit(None))
+        ).alias("p95"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            cnt.alias("n_docs"),
+            (F.sum("n_chars").cast("double") / cnt).alias("raw_mean"),
+            (
+                F.sum(
+                    F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95"))
+                ).cast("double")
+                / cnt
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "lang", "p05", "p95", "n_docs", "raw_mean", "winsorized_mean"
+        )
+    )

@@ -577,3 +577,62 @@ def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
     )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS units
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(units AS DOUBLE)
+             / CAST(SUM(units) OVER (PARTITION BY o_custkey) AS DOUBLE)
+             AS share_of_customer,
+           RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY units DESC, o_orderkey) AS spend_rank
+    FROM u
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's total
+    spend, plus its rank among that customer's orders — the canonical
+    "percent of group total" BI window (RATIO_TO_REPORT in Oracle/
+    Teradata dialects), expressed as a full-partition window aggregate
+    feeding a per-row division.
+
+    Scale shape: ONE shuffle on the partition key serves both the
+    window SUM and the RANK (same window spec family); no join-back of
+    a separate aggregate (the naive two-pass form) and no global
+    window — everything is per-customer.
+
+    Exactness: prices scale to integer cents; the partition SUM is an
+    exact integer, so each share is one exact-int / exact-int double
+    division, identical on both engines. The rank orders by the
+    integer units with an orderkey tiebreak — fully deterministic.
+    """
+    o = _orders(spark, sf_dir)
+    u = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+    )
+    wsum = Window.partitionBy("o_custkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("units"), F.asc("o_orderkey")
+    )
+    return u.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.col("units").cast("double")
+            / F.sum("units").over(wsum).cast("double")
+        ).alias("share_of_customer"),
+        F.rank().over(wrank).alias("spend_rank"),
+    )
