@@ -1180,3 +1180,89 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
     )
+
+
+@query(
+    "ext_feature_pit_assembly",
+    oracle="""
+    WITH feat AS (
+      SELECT event_id, user_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS clicks_before,
+             epoch_us(ts)
+               - MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS micros_since_signup
+      FROM events
+    )
+    SELECT event_id, user_id, value AS purchase_value,
+           last_view_value, COALESCE(clicks_before, 0) AS clicks_before,
+           micros_since_signup
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def ext_feature_pit_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature assembly — the feature-store join that
+    builds leakage-free training examples: for every purchase event,
+    attach features computed ONLY from that user's strictly-earlier
+    events (most recent prior view value, clicks so far, microseconds
+    since signup). Off-by-one here is the classic train/serve-skew
+    bug; the strictly-preceding frame (UNBOUNDED PRECEDING AND 1
+    PRECEDING) makes "no peeking at the label row or the future" a
+    property of the frame, not of discipline.
+
+    Scale shape: ONE window pass over (user, time) computes ALL
+    features — no per-feature as-of join cascade (N features would
+    otherwise mean N sorted merge passes); one shuffle on user_id,
+    per-user work linear in that user's history. At 100 TB this is
+    the assembly pattern feature stores compile to; add features by
+    adding window columns, not joins.
+
+    Exactness: the view value passes through unchanged (stored
+    4-decimal double); click counts are integers; the signup delta is
+    exact integer microseconds (unix_micros vs DuckDB epoch_us over
+    the same NTZ-as-UTC convention pinned by session.py). Users with
+    no prior signup/view yield NULLs on both engines; tie order is
+    (ts, event_id)-deterministic.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("value")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_view_value"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .alias("clicks_before"),
+        (
+            us
+            - F.min(F.when(F.col("event_type") == "signup", us)).over(w)
+        ).alias("micros_since_signup"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        "last_view_value",
+        F.coalesce(F.col("clicks_before"), F.lit(0)).alias("clicks_before"),
+        "micros_since_signup",
+    )
