@@ -107,7 +107,7 @@ _PRIORITY = [
     "flagship_q22", "ext_dedup_substring", "ext_bigram_surprisal",
     "win_yoy_growth", "ext_dedup_span_coverage",
     "flagship_q2", "flagship_q11", "win_share_of_total", "ext_winsorize",
-    "ext_feature_pit_assembly",
+    "ext_feature_pit_assembly", "ext_dedup_substring_mask",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -1460,3 +1460,171 @@ def ext_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@query(
+    "ext_dedup_substring_mask",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS s, CAST(p AS BIGINT) + 39 AS e,
+             substr(text, CAST(p AS INT), 40) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 10)) AS p
+            FROM documents)
+      WHERE len(substr(text, CAST(p AS INT), 40)) = 40
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.s, g.e FROM grams g
+      WHERE g.gram IN (SELECT gram FROM dup)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM (
+        SELECT doc_id, s, e,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged) GROUP BY doc_id, island
+    ),
+    segs AS (
+      SELECT i.doc_id, i.s,
+             substr(d.text,
+                    CAST(COALESCE(LAG(i.e) OVER (PARTITION BY i.doc_id
+                                                 ORDER BY i.s), 0) + 1 AS INT),
+                    CAST(i.s - COALESCE(LAG(i.e) OVER (PARTITION BY i.doc_id
+                                                       ORDER BY i.s), 0) - 1
+                         AS INT)) AS seg,
+             MAX(i.e) OVER (PARTITION BY i.doc_id) AS max_e
+      FROM islands i JOIN documents d ON d.doc_id = i.doc_id
+    )
+    SELECT sg.doc_id,
+           string_agg(sg.seg, '[DUP]' ORDER BY sg.s)
+             || '[DUP]' || substr(d.text, CAST(MAX(sg.max_e) + 1 AS INT))
+             AS masked,
+           COUNT(*) AS n_spans
+    FROM segs sg JOIN documents d ON d.doc_id = sg.doc_id
+    GROUP BY sg.doc_id, d.text
+    """,
+)
+def ext_dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT step of exact substring dedup: rewrite each affected
+    document with its shared spans replaced by a ``[DUP]`` marker —
+    what a curation pipeline actually ships when a page is worth
+    keeping but its boilerplate is not (the span-masking treatment of
+    the "Deduplicating Training Data" line of work, as opposed to
+    dropping whole documents).
+
+    Construction is windows-and-joins only — no per-row lambdas: the
+    merged islands of ``ext_dedup_span_coverage``, a LAG window that
+    turns each island into the KEPT segment preceding it
+    (substr(text, prev_e+1, s-prev_e-1) — substring with column
+    arguments), and an ordered string aggregation gluing kept
+    segments around the markers, closed by the post-last-island tail.
+    Only documents containing at least one shared span appear (the
+    rest are unchanged by definition).
+
+    Scale shape: identical to ext_dedup_span_coverage (linear gram
+    explode, one gram-group shuffle, per-doc windows) plus one
+    broadcast-sized join of the island relation back to its
+    documents' text and a per-doc ordered aggregation — everything
+    partitions by doc_id; no stage is quadratic.
+
+    Exactness: pure string surgery on integer offsets; empty kept
+    segments (island at position 1, back-to-back islands) concatenate
+    identically on both engines; island offsets are unique per doc so
+    the ordered aggregation is deterministic.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text") - 39, F.lit(1)),
+                    F.lit(10),
+                )
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("s"),
+            (F.col("p").cast("long") + 39).alias("e"),
+            F.expr("substring(text, p, 40)").alias("gram"),
+        )
+        .filter(F.length("gram") == 40)
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "s", "e")
+    from pyspark.sql.window import Window as W
+
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        hits.withColumn(
+            "new_island",
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    w_lag = W.partitionBy("doc_id").orderBy("s")
+    segs = (
+        islands.join(d.select("doc_id", "text"), "doc_id")
+        .withColumn("prev_e", F.coalesce(F.lag("e").over(w_lag), F.lit(0)))
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.expr(
+                "substring(text, CAST(prev_e + 1 AS INT),"
+                " CAST(s - prev_e - 1 AS INT))"
+            ).alias("seg"),
+        )
+    )
+    per_doc = segs.groupBy("doc_id").agg(
+        F.concat_ws(
+            "[DUP]",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("head"),
+        F.max("e").alias("max_e"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        per_doc.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("head"),
+                F.lit("[DUP]"),
+                F.expr("substring(text, CAST(max_e + 1 AS INT))"),
+            ).alias("masked"),
+            "n_spans",
+        )
+    )
