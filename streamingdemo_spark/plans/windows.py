@@ -636,3 +636,65 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_customer"),
         F.rank().over(wrank).alias("spend_rank"),
     )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v_units,
+             ts
+      FROM events
+    ),
+    fr AS (
+      SELECT event_id, user_id, value,
+             list_sort(list(v_units) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
+      FROM u
+    )
+    SELECT event_id, user_id, value,
+           CAST(frame[(len(frame) + 1) // 2] AS DOUBLE) / 10000.0
+             AS moving_median
+    FROM fr
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over the trailing 7 observations per user — the
+    outlier-robust smoother ops dashboards use where ``win_moving``'s
+    mean spikes on a single bad reading. Exact, not approximate: the
+    frame's values (integer 1e-4 units) sort inside the window and
+    the nearest-rank element at ceil(n/2) is selected — both engines
+    pick the identical source value, nothing interpolated.
+
+    Scale shape: one shuffle on the partition key; per-row cost is
+    the O(k log k) sort of a SEVEN-element frame (constant), so the
+    whole operator is linear — the classic streaming-median heap
+    trick is unnecessary at fixed small k, and for large frames the
+    exact-percentile window of ``agg_percentile_exact`` or the KLL
+    sketch keys are the documented paths. The (ts, event_id) order
+    makes frames deterministic under ties.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.array_sort(
+        F.collect_list(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).over(w)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int")).cast(
+                "double"
+            )
+            / F.lit(10000.0)
+        ).alias("moving_median"),
+    )
