@@ -1047,3 +1047,49 @@ def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, wk in enumerate(wq)
     ]
     return q.select("vec_id", "label", *proj_cols)
+
+
+@query(
+    "ext_sim_range_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < 8)
+    SELECT q.q_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.q_emb), 4) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+      AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       q.q_emb), 4) >= 0.28
+    """,
+)
+def ext_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL corpus vectors within a
+    cosine threshold of each query — the other half of the vector-
+    store API surface next to top-k (``ext_sim_cosine_topk``). Top-k
+    bounds the result count but not the quality; range search bounds
+    the quality but not the count — retrieval layers use it for
+    "everything at least this related" (dedup candidates, semantic
+    recall sets) where a fixed k silently truncates or pads.
+
+    Shape: identical scan discipline to the top-k key — broadcast
+    query set, one corpus pass, JVM-side dot products — but NO window
+    at all: the threshold replaces the rank, so the operator is a
+    pure scan-filter (cheaper than top-k, which needs the per-query
+    ordering). At 100 TB the LSH/IVF bucket keys provide the
+    candidate set and this exact threshold check is the verify stage
+    (same escalation as the dedup family). Scores round to 4 decimals
+    before comparison on BOTH engines (the rounded score is the spec,
+    as across the similarity family), so the boundary is
+    engine-portable.
+    """
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    cosine = F.round(
+        _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 4
+    )
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.28)
+    )

@@ -1579,3 +1579,61 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "p05", "p95", "n_docs", "raw_mean", "winsorized_mean"
         )
     )
+
+
+@query(
+    "ext_text_readability",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_syll,
+           (n_syll * 1000000) // n_words AS syll_per_word_micro,
+           2068350 - (8460 * n_syll * 1000000 // n_words) // 10000
+             AS fk_micro
+    FROM f
+    """,
+)
+def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring in the Flesch tradition: syllables are
+    approximated by vowel groups (the standard cheap proxy), and each
+    document gets a reading-ease-style score that falls as its
+    syllables-per-word rises — the signal educational-value and
+    complexity filters band on when composing pretraining mixes
+    (word-salad and legal boilerplate sit at opposite ends).
+
+    The fixture corpus has no sentence punctuation, so the
+    words-per-sentence term of the full Flesch formula is dropped and
+    the score keeps only the syllable-density term (206.835 − 84.6 ·
+    syll/word, in micro-units) — the adaptation is documented rather
+    than faked with a constant sentence count.
+
+    Exactness: counts are integers (regexp_extract_all of vowel runs
+    agrees across engines on this ASCII corpus); the density and the
+    score use integer floor division at micro-unit precision
+    (``a*1e6 DIV b``) — no float appears anywhere, so parity is
+    unconditional, not ulp-dependent. Pure scan-projection: no
+    shuffle, no join; at 100 TB this is parquet-decode-bound, as a
+    per-document scorer should be.
+    """
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_syll = F.expr("CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT)")
+    f = d.select(
+        "doc_id", "lang", n_words.alias("n_words"), n_syll.alias("n_syll")
+    )
+    spw_micro = F.expr("n_syll * 1000000 DIV n_words")
+    return f.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_syll",
+        spw_micro.alias("syll_per_word_micro"),
+        F.expr("2068350 - (8460 * n_syll * 1000000 DIV n_words) DIV 10000").alias(
+            "fk_micro"
+        ),
+    )
