@@ -1266,3 +1266,99 @@ def ext_feature_pit_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("clicks_before"), F.lit(0)).alias("clicks_before"),
         "micros_since_signup",
     )
+
+
+@query(
+    "ext_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS click_k,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+      FROM events
+    ),
+    pit AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(click_k IGNORE NULLS) OVER w AS last_k,
+             LAST_VALUE(click_us IGNORE NULLS) OVER w AS last_click_us,
+             epoch_us(ts) AS us
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN last_click_us IS NOT NULL
+                 AND us - last_click_us <= 86400000000
+                THEN last_k END AS campaign,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS attributed_revenue
+    FROM pit
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def ext_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase's revenue is credited to
+    the campaign (the ``k`` field of the click's JSON props) of that
+    user's most recent click within the preceding 24 hours — the
+    default attribution model of every marketing-analytics stack.
+    Purchases with no qualifying click fall into the NULL (direct)
+    bucket rather than disappearing, so the revenue total is
+    conserved across the report.
+
+    Composition: JSON field extraction (the ``fn_json`` surface), a
+    strictly-preceding PIT window carrying both the campaign and its
+    click time (the ``ext_feature_pit_assembly`` frame — attribution
+    IS a point-in-time feature), the 24 h recency test in exact
+    integer microseconds, and an integer-unit revenue rollup at
+    campaign grain.
+
+    Scale shape: one shuffle on user_id for the window, then a
+    campaign-cardinality aggregate with map-side combine. No
+    self-join of purchases to clicks (the naive form shuffles events
+    twice and double-counts multi-click users); the window is the
+    single-pass formulation.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type") == "click",
+            F.get_json_object("props", "$.k").cast("long"),
+        ).alias("click_k"),
+        F.when(F.col("event_type") == "click", us).alias("click_us"),
+        us.alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pit = base.select(
+        "event_type",
+        "value",
+        "us",
+        F.last("click_k", ignorenulls=True).over(w).alias("last_k"),
+        F.last("click_us", ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    day_us = 86_400_000_000
+    campaign = F.when(
+        F.col("last_click_us").isNotNull()
+        & ((F.col("us") - F.col("last_click_us")) <= day_us),
+        F.col("last_k"),
+    )
+    return (
+        pit.filter(F.col("event_type") == "purchase")
+        .groupBy(campaign.alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", 4).alias("attributed_revenue"),
+        )
+    )
