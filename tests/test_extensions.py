@@ -1235,3 +1235,32 @@ def test_pca_project_matches_numpy_exactly(spark, sf_dir):
             sum(int(x) * w for x, w in zip(row, wk)) for wk in wq
         )
     assert got == want_rows
+
+
+def test_substring_mask_consistent_with_span_coverage(spark, sf_dir):
+    """Cross-key consistency between the two independent consumers of
+    the island pipeline: the set of masked docs must equal the docs
+    with nonzero coverage; each masked doc carries exactly n_spans
+    [DUP] markers; and the characters REMOVED by masking must equal
+    that doc's dup_chars (coverage and mask agree on every island
+    boundary)."""
+    from streamingdemo_spark.registry import QUERIES
+
+    cov = {
+        r["doc_id"]: r["dup_chars"]
+        for r in QUERIES["ext_dedup_span_coverage"](spark, sf_dir).collect()
+    }
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    masked = QUERIES["ext_dedup_substring_mask"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in masked} == {
+        d for d, c in cov.items() if c > 0
+    }
+    for r in masked:
+        assert r["masked"].count("[DUP]") == r["n_spans"]
+        kept = len(r["masked"]) - 5 * r["n_spans"]  # strip markers
+        assert n_chars[r["doc_id"]] - kept == cov[r["doc_id"]], r["doc_id"]

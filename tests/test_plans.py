@@ -611,3 +611,29 @@ def test_flagship_q11_reuses_fact_aggregate(spark, sf_dir):
     plan = _plan(df)
     assert "ReusedExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_batch2_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
+    """Join-shape audit for the continuation-batch keys: no cartesian
+    products anywhere; sort-merge joins bounded to the genuinely
+    fact-sized hops (0 where everything broadcasts or no join
+    exists)."""
+    cases = {
+        "ext_dedup_substring": 1,       # gram group join path
+        "ext_dedup_span_coverage": 2,   # semi + doc join-back
+        "ext_dedup_substring_mask": 3,  # semi + 2 doc join-backs
+        "ext_bigram_surprisal": 2,      # c2 + c1 count joins
+        "win_yoy_growth": 0,
+        "win_share_of_total": 0,
+        "win_moving_median": 0,
+        "ext_winsorize": 0,             # cuts broadcast
+        "ext_feature_pit_assembly": 0,
+        "ext_attribution_last_touch": 0,
+        "ext_sim_range_search": 0,      # broadcast query set only
+        "ext_text_readability": 0,
+        "ext_embedding_pca_project": 0,
+    }
+    for key, bound in cases.items():
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert plan.count("SortMergeJoin") <= bound, (key, plan)
