@@ -109,7 +109,7 @@ _PRIORITY = [
     "flagship_q2", "flagship_q11", "win_share_of_total", "ext_winsorize",
     "ext_feature_pit_assembly", "ext_dedup_substring_mask",
     "win_moving_median", "ext_sim_range_search", "ext_text_readability",
-    "ext_attribution_last_touch",
+    "ext_attribution_last_touch", "ext_code_detect",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -1637,3 +1637,68 @@ def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fk_micro"
         ),
     )
+
+
+@query(
+    "ext_code_detect",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len(text) AS BIGINT) AS n_chars_m,
+             CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]|&]'))
+                  AS BIGINT) AS n_sym,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+               AS n_digit,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, lang, n_sym, n_digit,
+           n_sym * 1000000 // n_chars_m AS sym_ratio_micro,
+           (n_sym + n_digit) * 1000000 // n_chars_m
+             > 50000 AS looks_like_code
+    FROM f
+    """,
+)
+def ext_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection by symbol density: the fraction of
+    characters that are code punctuation (braces, semicolons,
+    operators, brackets) plus digits — the cheap structural signal
+    pretraining pipelines use to ROUTE documents (code to the code
+    pipeline with its own dedup/quality rules, prose to the text
+    pipeline) before any learned classifier. Distinct from
+    ``ext_text_langid`` (which assumes prose) and
+    ``ext_quality_score`` (which scores prose quality): this is a
+    router, not a ranker.
+
+    Exactness: character-class counts via regexp_extract_all agree
+    across engines on this corpus; ratios are integer floor division
+    at micro-unit precision; the routing decision compares integers.
+    The 5% symbol threshold is the standard heuristic operating
+    point — swap per corpus. Pure scan-projection: no shuffle, no
+    join; parquet-decode-bound at any scale.
+    """
+    d = _docs(spark, sf_dir)
+    n_chars_m = F.length("text").cast("long")
+    n_sym = F.expr(
+        r"CAST(size(regexp_extract_all(text, '[{}();=<>\\[\\]|&]', 0)) AS BIGINT)"
+    )
+    n_digit = F.expr("CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS BIGINT)")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    f = d.select(
+        "doc_id",
+        "lang",
+        n_chars_m.alias("n_chars_m"),
+        n_sym.alias("n_sym"),
+        n_digit.alias("n_digit"),
+        n_tok.alias("n_tok"),
+    )
+    return f.select(
+        "doc_id",
+        "lang",
+        "n_sym",
+        "n_digit",
+        F.expr("n_sym * 1000000 DIV n_chars_m").alias("sym_ratio_micro"),
+        (
+            F.expr("(n_sym + n_digit) * 1000000 DIV n_chars_m") > F.lit(50000)
+        ).alias("looks_like_code"),
+    )
