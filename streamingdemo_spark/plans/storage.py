@@ -531,3 +531,64 @@ def snk_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "stat string, value long")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@query(
+    "snk_partition_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                THEN 'RESTATED' ELSE o_orderpriority END AS o_orderpriority,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+    FROM orders
+    """,
+)
+def snk_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill via DYNAMIC partition overwrite:
+    a year-partitioned table gets one year's data restated, and
+    ``INSERT OVERWRITE`` in dynamic mode replaces ONLY the partitions
+    present in the incoming data — every other partition's files are
+    untouched. This is THE daily-pipeline idempotence primitive: a
+    re-run of a backfill converges to the same table instead of
+    appending duplicates (mode("append")) or destroying the rest of
+    the table (static overwrite, which would truncate all partitions
+    first).
+
+    The key proves all three properties in one pass: it writes the
+    partitioned base table, applies the 1997 restatement TWICE (the
+    second write must be a no-op difference — idempotence), and
+    returns the final read-back, whose oracle is the base data with
+    exactly the 1997 rows restated. The conf flips to ``dynamic``
+    only around the overwrite and is restored after (static is
+    Spark's default and other keys rely on it).
+
+    Scale shape: the backfill shuffles/writes only the restated
+    partition's rows; untouched partitions cost zero I/O — at 100 TB
+    with daily partitions this is the difference between rewriting
+    one day and rewriting three years.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    base = os.path.join(tempfile.mkdtemp(prefix="dynover_"), "orders_part")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(base)
+
+    restated = o.filter(F.col("o_year") == 1997).withColumn(
+        "o_orderpriority", F.lit("RESTATED")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for _ in range(2):  # second run must converge, not duplicate
+            restated.write.mode("overwrite").partitionBy("o_year").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = spark.read.parquet(base)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("o_year").cast("int").alias("o_year"),
+    )

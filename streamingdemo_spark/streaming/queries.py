@@ -1089,3 +1089,40 @@ def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.withColumn("rnk", F.row_number().over(rank_w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "stream_windowed_distinct",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ws,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per hourly window, as a real stream — the
+    per-window cardinality question (hourly active users) that
+    ``approx_count_distinct`` only estimates. The distinct set is
+    carried as aggregation state (``collect_set`` per window), so one
+    stateful operator does the whole job — no dropDuplicates→aggregate
+    chain, which would stack two stateful operators and hit the
+    multi-stateful-operator restrictions.
+
+    State bound: windows × distinct-users-per-window. That is the
+    honest cost of EXACT streaming cardinality — at 100 TB with
+    unbounded key domains, cap it with a watermark (evicts closed
+    windows' sets) or fall back to the mergeable sketches
+    (``agg_hll_mergeable``) when estimates suffice; the fixture's
+    150-user domain keeps the set trivially small here.
+
+    Oracle-checked: after the deterministic availableNow replay the
+    complete-mode table equals the batch COUNT(DISTINCT) per hour,
+    value-for-value.
+    """
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.size(F.collect_set("user_id")).cast("long").alias("n_users"))
+        .select(F.col("w.start").alias("ws"), "n_users")
+    )
+    return run_to_memory(agg, output_mode="complete")
