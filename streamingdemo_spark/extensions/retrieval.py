@@ -268,3 +268,101 @@ def ext_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_N)
     )
+
+
+@query(
+    "ext_rag_ingest",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(k AS INT) AS chunk_no,
+             toks[k*24+1:k*24+32] AS ctoks
+      FROM t, UNNEST(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS u(k)
+      WHERE k * 24 < n
+    ),
+    tok_h AS (
+      SELECT doc_id, chunk_no,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS th
+      FROM chunks, UNNEST(ctoks) AS u(tok)
+    ),
+    emb AS (
+      SELECT doc_id, chunk_no,
+             SUM((th * 3) % 2001 - 1000) AS e0,
+             SUM((th * 5) % 2001 - 1000) AS e1,
+             SUM((th * 7) % 2001 - 1000) AS e2,
+             SUM((th * 9) % 2001 - 1000) AS e3,
+             SUM((th * 11) % 2001 - 1000) AS e4,
+             SUM((th * 13) % 2001 - 1000) AS e5
+      FROM tok_h GROUP BY doc_id, chunk_no
+    )
+    SELECT doc_id, chunk_no, e0, e1,
+           (CASE WHEN e0 > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN e1 > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN e2 > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN e3 > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN e4 > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN e5 > 0 THEN 32 ELSE 0 END) AS bucket
+    FROM emb
+    """,
+)
+def ext_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingest as ONE declarative plan: chunk every
+    document (32-token windows, 24-token stride — the
+    ``ext_doc_chunking`` convention), embed each chunk, and assign it
+    a sign-LSH index bucket — the chunk/embed/index triple every
+    retrieval pipeline runs at ingest time, here composed into a
+    single lineage so Catalyst plans the whole path (no intermediate
+    materialization between stages).
+
+    The "embedding" is the engine's deterministic integer projection
+    (per-token poly_hash pushed through 6 odd-multiplier arithmetic
+    PRNG dims, summed per chunk — the ``ext_sim_ann_lsh`` sketch
+    family), standing in for the external encoder model exactly like
+    the multimodal keys' deterministic fake decode: the PLUMBING
+    (chunk explode shape, per-chunk aggregation grain, bucket
+    assignment, output schema) is the real thing under test, and it
+    is integer-exact so the whole three-stage pipeline hash-checks
+    against DuckDB. Swap the projection for a Pandas-UDF encoder
+    call in production; every other stage is unchanged.
+
+    Scale shape: chunk explode is linear (tokens/24 per doc); token
+    hashes are computed ONCE per occurrence (materialized projection
+    before the fold — the round-2 lambda-re-evaluation rule); the
+    per-chunk aggregate map-side combines; bucket assignment is a
+    pure projection. No shuffle except the chunk-grain aggregate.
+    """
+    from streamingdemo_spark.registry import poly_hash
+
+    chunk, stride = 32, 24
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    ks = F.sequence(
+        F.lit(0), F.greatest(F.ceil(n / stride).cast("int") - 1, F.lit(0))
+    )
+    start = F.col("chunk_no") * stride
+    chunks = with_toks.select(
+        "doc_id", "toks", F.explode(ks).alias("chunk_no")
+    ).select(
+        "doc_id", "chunk_no", F.slice("toks", start + 1, chunk).alias("ctoks")
+    )
+    tok_h = chunks.select(
+        "doc_id", "chunk_no", F.explode("ctoks").alias("tok")
+    ).select("doc_id", "chunk_no", poly_hash(F.col("tok")).alias("th"))
+    mults = [3, 5, 7, 9, 11, 13]
+    emb = tok_h.groupBy("doc_id", "chunk_no").agg(
+        *[
+            F.sum((F.col("th") * m) % 2001 - 1000).alias(f"e{k}")
+            for k, m in enumerate(mults)
+        ]
+    )
+    bucket = sum(
+        F.when(F.col(f"e{k}") > 0, 2**k).otherwise(0) for k in range(6)
+    )
+    return emb.select(
+        "doc_id", "chunk_no", "e0", "e1", bucket.alias("bucket")
+    )
