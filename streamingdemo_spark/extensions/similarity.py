@@ -1093,3 +1093,83 @@ def ext_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.28)
     )
+
+
+@query(
+    "ext_negative_sampling",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS a_id, label AS a_label
+      FROM embeddings WHERE vec_id < 8
+    ),
+    tagged AS (
+      SELECT a.a_id, e.vec_id, e.label,
+             CASE WHEN e.label = a.a_label THEN 1 ELSE 0 END AS is_pos,
+             (a.a_id * 1000003 + e.vec_id * 2654435761) % 1000000007 AS h
+      FROM anchors a, embeddings e
+      WHERE e.vec_id <> a.a_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a_id, is_pos
+                     ORDER BY h, vec_id) AS INT) AS rk
+      FROM tagged
+    )
+    SELECT a_id, vec_id, is_pos, rk
+    FROM ranked
+    WHERE (is_pos = 1 AND rk = 1) OR (is_pos = 0 AND rk <= 4)
+    """,
+)
+def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction: for each anchor vector,
+    ONE positive (same label) and FOUR negatives (different label),
+    sampled deterministically — the (anchor, positive, negatives)
+    batches that contrastive/embedding training consumes, built so a
+    re-run of the pipeline reproduces byte-identical training data
+    (the reproducibility property ``ext_doc_shuffle`` provides for
+    epoch order, applied to pair sampling).
+
+    Sampling is a pseudo-random ORDER, not a random draw: candidates
+    rank by an integer arithmetic-PRNG hash of (anchor, candidate)
+    and the top-of-ranking is selected — uniform-ish, seedable (the
+    multipliers), and exactly replayable on both engines. Swap the
+    is_pos=0 ranking to similarity order against the anchor and this
+    same shape becomes hard-negative mining (the ``ext_sim_ann_lsh``
+    candidates feeding the rank instead of the PRNG).
+
+    Scale shape: anchors broadcast against one corpus scan; the
+    per-(anchor, polarity) window ranks |corpus| rows per anchor —
+    at 100 TB the PRNG rank threshold becomes a WHERE h < cutoff
+    filter BEFORE the window (constant expected candidates per
+    anchor), keeping the shuffle bounded; documented here, exercised
+    at fixture scale in the simple form.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    anchors = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"))
+    )
+    tagged = (
+        e.select("vec_id", "label")
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("a_label"), 1).otherwise(0).alias(
+                "is_pos"
+            ),
+            (
+                (F.col("a_id") * 1000003 + F.col("vec_id") * F.lit(2654435761))
+                % 1000000007
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("a_id", "is_pos").orderBy("h", "vec_id")
+    return (
+        tagged.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(
+            ((F.col("is_pos") == 1) & (F.col("rk") == 1))
+            | ((F.col("is_pos") == 0) & (F.col("rk") <= 4))
+        )
+        .select("a_id", "vec_id", "is_pos", "rk")
+    )
