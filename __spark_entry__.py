@@ -111,7 +111,7 @@ _PRIORITY = [
     "win_moving_median", "ext_sim_range_search", "ext_text_readability",
     "ext_attribution_last_touch", "ext_code_detect",
     "snk_partition_overwrite_dynamic", "stream_windowed_distinct",
-    "ext_rag_ingest", "ext_negative_sampling",
+    "ext_rag_ingest", "ext_negative_sampling", "snk_observe_metrics",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -592,3 +592,62 @@ def snk_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderpriority",
         F.col("o_year").cast("int").alias("o_year"),
     )
+
+
+@query(
+    "snk_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished
+    FROM orders
+    """,
+)
+def snk_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via Spark's Observation API: the
+    write job itself computes row count, exact revenue total, and a
+    status count AS IT WRITES — no second scan, no separate audit
+    query. This is how a production sink gates bad loads ("abort the
+    promotion if n_rows dropped 50% vs yesterday") at zero extra I/O:
+    the observe() aggregates ride the same tasks that produce the
+    output files.
+
+    The key writes the orders table to a scratch sink with an
+    attached Observation and returns the observed metrics as a
+    1-row relation; the oracle recomputes the same aggregates from
+    the source — equality proves the observed numbers describe
+    exactly the written data. The revenue metric uses the integer-
+    unit exact-sum convention inside observe(), so the comparison is
+    bitwise, not approximate.
+
+    Scale note: observed metrics are partial-aggregated per task and
+    merged on the driver (metric-cardinality-sized), the same
+    mergeable-accumulator algebra as any global aggregate — free at
+    any scale.
+    """
+    from pyspark.sql import Observation
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    obs = Observation("load_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("sum_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+    )
+    dest = os.path.join(tempfile.mkdtemp(prefix="observe_"), "orders_out")
+    observed.write.mode("overwrite").parquet(dest)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["n_finished"])],
+        "n_rows bigint, sum_price double, n_finished bigint",
+    )
