@@ -786,3 +786,73 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("a.n_right").alias("bucket_size"),
         )
     )
+
+
+@query(
+    "join_runtime_bloom",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: when a selectively-filtered
+    build side meets a large probe side in a SHUFFLED join, Spark
+    injects a bloom_filter_agg subquery on the build side and a
+    might_contain() filter on the probe side's SCAN — probe rows with
+    no possible match are dropped before the shuffle, the row-level
+    analogue of dynamic partition pruning (which needs a partitioned
+    table; this works on any layout). At 100 TB this is the
+    difference between shuffling the whole fact and shuffling the
+    ~20% that can match a filtered dimension.
+
+    The key pins the thresholds so the filter injects at fixture
+    scale and disables broadcast (a broadcast-hash join already
+    prunes at the hash table — the Bloom path exists for the
+    SMJ/shuffled-hash regime) — at production scale the DEFAULT
+    thresholds (10 MB creation side / 10 GB probe scan) make the same
+    decision automatically. Confs are restored after planning; the
+    plan shape (might_contain on the probe scan) is asserted in
+    tests/test_plans.py. Result values are ordinary join+aggregate
+    output — the Bloom filter may only REMOVE provably-unmatchable
+    rows, so the oracle is the plain join.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+        o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        out = (
+            t["lineitem"]
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            )
+        )
+        # materialize the plan under the pinned confs; lazy execution
+        # later would otherwise plan under restored defaults
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

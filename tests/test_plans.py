@@ -637,3 +637,36 @@ def test_session_batch2_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
         plan = _plan(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
         assert plan.count("SortMergeJoin") <= bound, (key, plan)
+
+
+def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
+    """join_runtime_bloom must inject might_contain() on the probe
+    side under its pinned confs — asserted by replanning the same
+    query under the key's conf set (the key itself checkpoints, so
+    its returned plan no longer shows the join)."""
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+        o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        j = t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan or "Subquery" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
