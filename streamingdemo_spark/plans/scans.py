@@ -442,3 +442,45 @@ def src_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(good, F.col("o_totalprice")).otherwise(F.lit(0.0))
         ).alias("good_total"),
     )
+
+
+@query(
+    "src_compressed_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def src_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-file ingestion: gzip'd JSON-lines in, rows out —
+    the shape of most delivered data drops (API exports, log
+    shipping, vendor feeds). Proven by a round trip: the documents
+    table's metadata columns are written as gzip JSONL by the
+    EXECUTORS (``write.option("compression","gzip").json`` — Spark
+    infers the codec back from the ``.gz`` extension on read), read
+    back with schema-explicit ``read.json``, and the rows must
+    hash-equal the source.
+
+    The 100 TB trap this key documents: gzip is NOT splittable — one
+    file = one task no matter the file size, so a single 500 GB
+    .json.gz drop serializes onto one core. The mitigation is upstream
+    of the reader (many moderate files — here one per partition, the
+    executor-write default — or a splittable codec like bzip2/zstd-
+    seekable); after the first columnar rewrite the codec question
+    disappears (parquet compresses per column chunk and stays
+    splittable). Schema is passed explicitly: inference would scan
+    every gzip member once just to guess types the pipeline already
+    knows.
+    """
+    import tempfile
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = tempfile.mkdtemp(prefix="streamingdemo_gzscan_") + "/docs_jsonl"
+    (
+        d.select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    return spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+        out
+    ).select("doc_id", "lang", "n_chars")
