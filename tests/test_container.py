@@ -549,3 +549,28 @@ class TestTpchReportSpec:
             for r in ports["pricing.out"].collect()
         }
         assert q1_spec == q1_direct
+
+
+class TestFeatureStoreSpec:
+    def test_feature_store_spec_matches_direct_keys(self, spark, sf_dir):
+        """Feature-store spec parity: the examples port must carry one
+        row per purchase with exactly the PIT features, and the
+        campaign summary must conserve total purchases against the
+        attribution key."""
+        ports = TestExampleSpecs._run_example(
+            TestExampleSpecs(), spark, sf_dir, "feature_store.yaml"
+        )
+        direct = {
+            r["event_id"]: (r["clicks_before"], r["micros_since_signup"])
+            for r in QUERIES["ext_feature_pit_assembly"](spark, sf_dir).collect()
+        }
+        got = {
+            r["event_id"]: (r["clicks_before"], r["micros_since_signup"])
+            for r in ports["examples.out"].collect()
+        }
+        assert got == direct
+        summary = ports["campaign_summary.out"].collect()[0]
+        att = QUERIES["ext_attribution_last_touch"](spark, sf_dir).collect()
+        assert summary["n_campaigns"] == len(att)
+        assert summary["total_purchases"] == sum(r["n_purchases"] for r in att)
+        assert summary["total_purchases"] == len(direct)
