@@ -1115,3 +1115,92 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("weighted_median_price"),
     )
+
+
+@query(
+    "agg_moments_exact",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+               * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v2
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(v) AS s1,
+             SUM(v2) AS s2,
+             SUM(CAST(v2 AS HUGEINT) * v) AS s3,
+             SUM(CAST(v2 AS HUGEINT) * v2) AS s4
+      FROM u GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(s1 AS DOUBLE) / n) / 10000.0 AS mean,
+           ((CAST(s2 AS DOUBLE) / n)
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / 100000000.0 AS variance,
+           ((CAST(s3 AS DOUBLE) / n)
+             - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+             + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n))
+           / (((CAST(s2 AS DOUBLE) / n)
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              * sqrt((CAST(s2 AS DOUBLE) / n)
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             AS skewness
+    FROM s
+    """,
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape statistics (mean, variance, skewness) from
+    EXACT integer power sums — the mergeable-moments pattern: each
+    partition contributes (n, Σv, Σv², Σv³, Σv⁴) in exact integer
+    arithmetic (int64 through v², int128/decimal(38) for the cubes
+    and quartics, where v⁴ ≈ 1e27 would wrap int64), and only the
+    FINAL closing formula touches floating point — in the identical
+    (+,-,×,÷,sqrt) sequence on both engines, so every IEEE operation
+    is correctly rounded over identical operands and the hash check
+    is unconditional. The naive streaming skewness (accumulating
+    float moments) is shuffle-order-dependent; this is how you get
+    reproducible higher moments on a cluster.
+
+    Why it matters for data pipelines: skewness is the cheap signal
+    for "this metric's distribution changed shape" (drift that mean
+    and variance both miss); power sums are trivially mergeable so
+    the same accumulators serve incremental daily rollups
+    (``stream_incremental_agg``'s pattern).
+
+    Scale shape: one scan, map-side partial combine to 5-group
+    state, a few wide-decimal additions per row — codegen-friendly
+    and linear. Kurtosis would extend the same pattern with the s4
+    term (carried in the accumulator already).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    u = ev.select(
+        "event_type", v.alias("v"), (v * v).alias("v2")
+    )
+    s = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum("v2").alias("s2"),
+        F.sum(F.col("v2").cast("decimal(38,0)") * F.col("v")).alias("s3"),
+        F.sum(F.col("v2").cast("decimal(38,0)") * F.col("v2")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    var_u = m2r - m1 * m1
+    skew = (m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1) / (
+        var_u * F.sqrt(var_u)
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (m1 / F.lit(10000.0)).alias("mean"),
+        (var_u / F.lit(100000000.0)).alias("variance"),
+        skew.alias("skewness"),
+    )
