@@ -377,3 +377,31 @@ def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "floor": 150000.0},
     )
+
+
+@query(
+    "sql_exec_immediate",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_acctbal > 5000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4): run SQL held in a VARIABLE with
+    USING-bound parameters — the dynamic-SQL surface stored-procedure
+    migrations and templating layers target. The query text travels
+    as a session variable and the threshold binds as a typed
+    parameter, so even the dynamic path keeps the injection-safe
+    discipline of ``sql_named_params``; the oracle inlines the same
+    constants, pinning the indirection semantically inert.
+    """
+    register_views(spark, sf_dir, ("customer",))
+    spark.sql("DECLARE OR REPLACE VARIABLE seg_query STRING")
+    spark.sql(
+        """SET VAR seg_query =
+           'SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer WHERE c_acctbal > ? GROUP BY c_mktsegment'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE seg_query USING 5000.0")
