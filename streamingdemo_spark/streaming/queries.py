@@ -1126,3 +1126,39 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("ws"), "n_users")
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_update_mode",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third output-mode semantics next to
+    append (``stream_watermark_late``) and complete
+    (``stream_tumbling``): each micro-batch emits ONLY the window
+    rows whose state CHANGED in that batch, so a downstream upsert
+    sink (foreachBatch MERGE) receives deltas instead of the full
+    table — the bandwidth-correct mode when the window set is large
+    and each batch touches few windows.
+
+    The memory sink therefore accumulates SEVERAL versions of each
+    window (one per batch that touched it). The key reconciles them
+    the way a real upsert consumer would — keep the latest version
+    per key — exploiting that a count under replay is MONOTONE: the
+    maximum emitted count per window IS its final value. After the
+    deterministic availableNow replay that reconciliation must equal
+    the batch aggregate exactly; it also implicitly proves update
+    mode re-emitted every window's final state (a missing final
+    emission would leave a stale smaller count and fail the hash).
+    """
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    emitted = run_to_memory(agg, output_mode="update")
+    return emitted.groupBy("ws").agg(F.max("n").alias("n"))
