@@ -113,7 +113,7 @@ _PRIORITY = [
     "snk_partition_overwrite_dynamic", "stream_windowed_distinct",
     "ext_rag_ingest", "ext_negative_sampling", "snk_observe_metrics",
     "join_runtime_bloom", "src_compressed_scan", "agg_moments_exact",
-    "sql_exec_immediate", "stream_update_mode",
+    "sql_exec_immediate", "stream_update_mode", "set_union_by_name",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -1149,7 +1149,18 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
               * sqrt((CAST(s2 AS DOUBLE) / n)
                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
-             AS skewness
+             AS skewness,
+           ((CAST(s4 AS DOUBLE) / n)
+             - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+             + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s2 AS DOUBLE) / n)
+             - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           / (((CAST(s2 AS DOUBLE) / n)
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              * ((CAST(s2 AS DOUBLE) / n)
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             - 3.0 AS excess_kurtosis
     FROM s
     """,
 )
@@ -1174,8 +1185,8 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan, map-side partial combine to 5-group
     state, a few wide-decimal additions per row — codegen-friendly
-    and linear. Kurtosis would extend the same pattern with the s4
-    term (carried in the accumulator already).
+    and linear. Excess kurtosis closes from the same accumulator's
+    s4 term with the identical-sequence discipline.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     v = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
@@ -1193,14 +1204,22 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = F.col("s1").cast("double") / n
     m2r = F.col("s2").cast("double") / n
     m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
     var_u = m2r - m1 * m1
     skew = (m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1) / (
         var_u * F.sqrt(var_u)
     )
+    kurt = (
+        m4r
+        - F.lit(4.0) * m1 * m3r
+        + F.lit(6.0) * m1 * m1 * m2r
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var_u * var_u) - F.lit(3.0)
     return s.select(
         "event_type",
         "n",
         (m1 / F.lit(10000.0)).alias("mean"),
         (var_u / F.lit(100000000.0)).alias("variance"),
         skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
     )

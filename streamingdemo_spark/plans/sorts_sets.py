@@ -125,3 +125,45 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``set_intersect``."""
     a, b = _halves(spark, sf_dir)
     return a.intersectAll(b)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, src FROM (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS src
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'v1' AS src
+      FROM orders WHERE o_orderkey % 2 = 1)
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: combine an old extract (three columns)
+    with a new extract (an added column, different column ORDER) via
+    ``unionByName(allowMissingColumns=True)`` — columns align by NAME
+    and the old rows take NULL for the new column. Positional
+    ``union`` silently pairs mismatched columns (the classic
+    swapped-column corruption when two exports drifted); by-name
+    union is the safe form whenever inputs come from different
+    pipeline versions — the compute-side twin of
+    ``src_schema_evolution``'s read-side mergeSchema.
+
+    Scale shape: union is a zero-shuffle lineage concat; the NULL
+    fill is a projection. The deliberately shuffled column order on
+    the v2 side is the test: positional union would pair totalprice
+    with priority and corrupt both.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit("v2").alias("src"),
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    return v2.unionByName(v1, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "src"
+    )
