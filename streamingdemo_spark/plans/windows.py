@@ -698,3 +698,63 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("moving_median"),
     )
+
+
+@query(
+    "win_skyline_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS psize,
+             COUNT(*) AS n_parts, MIN(p_partkey) AS sample_part
+      FROM part GROUP BY p_retailprice, p_size
+    ),
+    scan AS (
+      SELECT *, MAX(psize) OVER (
+               ORDER BY price ASC, psize DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_prev
+      FROM pts
+    )
+    SELECT price, psize, n_parts, sample_part
+    FROM scan
+    WHERE best_prev IS NULL OR psize > best_prev
+    """,
+)
+def win_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the parts no other part
+    dominates (cheaper-or-equal AND bigger-or-equal, strictly better
+    in one) — the multi-objective shortlist shape of product search,
+    instance-type pickers, and model-selection dashboards (cost vs
+    quality).
+
+    The naive formulation is a quadratic NOT EXISTS self-join; the
+    plan here is the sort-based linear scan: dedupe to distinct
+    (price, size) points, order by (price asc, size desc), and keep a
+    point iff its size beats the running MAX over all strictly-prior
+    points — after tie-dedup that inequality is exactly
+    non-domination (a prior point has smaller price, or equal price
+    and larger size; either way size ≥ current means dominated).
+
+    The global ORDER here serializes the frontier scan onto one task
+    after a point-grain dedup — fine while distinct (price, size)
+    points fit one task (they usually do; the DOMAIN is small even
+    when rows are billions). For wider domains, grid-partition price
+    into ranges, compute local frontiers per range in parallel, then
+    rescan the concatenated local frontiers — same operator twice.
+    Identical window logic on both engines.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    pts = p.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("sample_part"),
+    )
+    w = (
+        Window.orderBy(F.asc("price"), F.desc("psize"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scan = pts.withColumn("best_prev", F.max("psize").over(w))
+    return scan.filter(
+        F.col("best_prev").isNull() | (F.col("psize") > F.col("best_prev"))
+    ).select("price", "psize", "n_parts", "sample_part")

@@ -1264,3 +1264,35 @@ def test_substring_mask_consistent_with_span_coverage(spark, sf_dir):
         assert r["masked"].count("[DUP]") == r["n_spans"]
         kept = len(r["masked"]) - 5 * r["n_spans"]  # strip markers
         assert n_chars[r["doc_id"]] - kept == cov[r["doc_id"]], r["doc_id"]
+
+
+def test_skyline_equals_bruteforce_dominance(spark, sf_dir):
+    """win_skyline_frontier's linear scan must return EXACTLY the
+    non-dominated point set per the quadratic NOT EXISTS definition —
+    two independent formulations of dominance agreeing on the whole
+    fixture."""
+    import duckdb
+
+    from streamingdemo_spark.registry import QUERIES
+
+    got = {
+        (r["price"], r["psize"])
+        for r in QUERIES["win_skyline_frontier"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            f"""
+            WITH pts AS (SELECT DISTINCT p_retailprice AS price,
+                                p_size AS psize
+                         FROM read_parquet('{sf_dir}/part.parquet'))
+            SELECT price, psize FROM pts p1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts p2
+              WHERE p2.price <= p1.price AND p2.psize >= p1.psize
+                AND (p2.price < p1.price OR p2.psize > p1.psize))
+            """
+        ).fetchall()
+    }
+    assert got == want and got
