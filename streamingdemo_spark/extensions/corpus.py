@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import poly_hash, query
+from streamingdemo_spark.registry import opoly, poly_hash, query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,4 +1150,72 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared_docs"))
         .filter(F.col("shared_docs") >= 2)
+    )
+
+
+@query(
+    "ext_dataset_card",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             {opoly("text")} AS th
+      FROM documents
+    ),
+    dup AS (
+      SELECT th, COUNT(*) AS c FROM h GROUP BY th
+    )
+    SELECT h.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(h.n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT h.lang) AS n_langs,
+           CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_in_dup_groups,
+           SUM(h.n_chars) * 1000000 // COUNT(*) AS mean_chars_micro
+    FROM h JOIN dup ON dup.th = h.th
+    GROUP BY h.source
+    """,
+)
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card ("datasheets for datasets") — the per-source
+    summary table a corpus release ships: document and token volumes,
+    language spread, exact-duplicate exposure (docs whose text occurs
+    more than once ANYWHERE in the corpus — cross-source duplication
+    counts against both sources), and mean length. The numbers a
+    consumer reads before training on the mix, produced by the same
+    engine that built it.
+
+    Shape: one scan computes per-doc facts (token count, the portable
+    text hash); a hash-grain aggregate finds duplicate groups; the
+    join-back tags each doc's dup exposure; one source-grain rollup
+    (COUNT DISTINCT lang expands to the standard two-phase plan).
+    Everything integer-exact (mean as micro-unit floor division), so
+    the card is bitwise-reproducible — a re-release diff of two cards
+    (``ext_dataset_diff``'s job) is meaningful down to the last
+    digit.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        poly_hash(F.col("text")).alias("th"),
+    )
+    dup = h.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        h.join(dup, "th")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_in_dup_groups"),
+            F.expr("SUM(n_chars) * 1000000 DIV COUNT(*)").alias(
+                "mean_chars_micro"
+            ),
+        )
     )
