@@ -199,27 +199,27 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully join/agg-based — the profile is a small broadcast dim; no
     Python model, no UDF.
 
-    Perf notes (this session): gram generation is a positional
-    explode + plain ``substring(text, p, 3)`` — the codegen form —
-    instead of a ``transform``-lambda per index, which runs
-    interpreted (the round-2 HOF finding; 1.4× on the gram pass);
-    and the gram relation is localCheckpoint'ed because BOTH the
-    train and test branches consume it — without it each branch
-    re-runs the whole explode (2× the dominant cost).
+    Perf notes: gram generation is a positional explode + plain
+    ``substring(text, p, 3)`` — the codegen form — instead of a
+    ``transform``-lambda per index, which runs interpreted (the
+    round-2 HOF finding; 1.4× on the gram pass). The gram relation
+    is deliberately NOT cached/checkpointed even though both the
+    train and test branches consume it: materializing ~300 gram rows
+    per document into executor storage OOM'd the heap at the 500k-doc
+    probe (SCALE.md) — recomputing a codegen'd explode twice is cheap
+    and O(1) in memory; caching it is O(corpus). The scale rule:
+    checkpoint SMALL reused relations (profiles, codebooks), never
+    exploded fact-sized ones.
     """
     d = _docs(spark, sf_dir)
-    grams = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
-            ).alias("p"),
-            "text",
-        )
-        .select("doc_id", "lang", F.expr("substring(text, p, 3)").alias("gram"))
-        .localCheckpoint(eager=True)
-    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+        ).alias("p"),
+        "text",
+    ).select("doc_id", "lang", F.expr("substring(text, p, 3)").alias("gram"))
     train = grams.filter(F.col("doc_id") % 10 < 8)
     test = grams.filter(F.col("doc_id") % 10 >= 8)
     profile = (
