@@ -1223,3 +1223,76 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS i
+      FROM spend
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_spend,
+           (2.0 * CAST(SUM(i * cents) AS DOUBLE)
+             / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)))
+             - ((COUNT(*) + 1.0) / COUNT(*)) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the standard
+    concentration metric ("do 1% of customers carry 50% of revenue?"),
+    the same number data pipelines compute for token-count
+    concentration across sources or traffic concentration across
+    keys (a shuffle-skew early warning at the BUSINESS level).
+
+    Exactness: the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    over ascending-sorted exact integer cents. Ties get arbitrary
+    adjacent ranks (custkey tiebreak for determinism), but the SUM of
+    i·xᵢ over a tie group is permutation-invariant — equal x times a
+    fixed multiset of ranks — so the value is tie-insensitive by
+    algebra, not by luck. Both integer sums stay < 2^53 here (cast to
+    double exactly); at 100 TB row counts widen Σ(i·xᵢ) through
+    decimal(38), same discipline as agg_moments_exact.
+
+    Shape: per-customer aggregate (one fact shuffle), a per-nation
+    rank window (partitioned — never global), and a nation-grain
+    rollup. The closing float sequence is written identically on both
+    engines.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    spend = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    tot = F.sum("cents").cast("double")
+    s = F.sum(F.col("i") * F.col("cents")).cast("double")
+    return ranked.groupBy("c_nationkey").agg(
+        n.alias("n_customers"),
+        (tot / F.lit(100.0)).alias("total_spend"),
+        (
+            (F.lit(2.0) * s / (n * tot)) - ((n + F.lit(1.0)) / n)
+        ).alias("gini"),
+    )
