@@ -1362,3 +1362,46 @@ def ext_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 4).alias("attributed_revenue"),
         )
     )
+
+
+@query(
+    "win_ohlc_bars",
+    oracle="""
+    SELECT user_id, date_trunc('hour', ts) AS bar,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n_obs
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: each user's value series resampled to hourly
+    open/high/low/close candles — the compaction every monitoring and
+    market-data pipeline applies before charting or downsampled
+    storage (the raw series is too dense to keep hot; the candle
+    preserves the shape). open/close are SELECTED source values
+    (min_by/max_by on event time — no arithmetic, so exactness is
+    free), high/low are plain extremes.
+
+    Determinism: the fixture guarantees (user_id, ts) uniqueness, so
+    the time-arg selection has no ties within a bar; per-series bars
+    are the realistic grain anyway (a global bar would mix every
+    series' values). At 100 TB this is one map-side-combinable
+    aggregate — min_by/max_by carry (value, ts) pairs as mergeable
+    accumulator state, so the candle compaction runs in the scan
+    stage, the classic pre-aggregation before windowed charting.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bar"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
