@@ -549,7 +549,7 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
              {osum("l_quantity", 0)} AS sx,
              {osum("l_extendedprice", 2)} AS sy,
              {osum("l_quantity * l_quantity", 0)} AS sxx,
-             {osum("l_extendedprice * l_extendedprice", 4)} AS syy,
+             {osum("l_extendedprice * l_extendedprice", 4, wide=True)} AS syy,
              {osum("l_quantity * l_extendedprice", 2)} AS sxy
       FROM lineitem GROUP BY l_linestatus
     )
@@ -579,7 +579,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(x, 0).alias("sx"),
         dsum(y, 2).alias("sy"),
         dsum(x * x, 0).alias("sxx"),
-        dsum(y * y, 4).alias("syy"),
+        # price**2 in 1e-4 units overflows int64 past ~60k rows/group
+        # (6.7e19 at sf0.1) -- the documented dsum wide=True case;
+        # DuckDB's SUM(BIGINT) silently widens to HUGEINT, so the wrap
+        # was a one-sided divergence caught by the sf0.1 full sim
+        dsum(y * y, 4, wide=True).alias("syy"),
         dsum(x * y, 2).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")

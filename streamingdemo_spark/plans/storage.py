@@ -226,7 +226,7 @@ def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snk_scd2_history",
     oracle="""
     WITH h AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate,
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              LAG(o_orderpriority) OVER w AS prev_prio,
              ROW_NUMBER() OVER w AS rn
       FROM orders
@@ -234,16 +234,17 @@ def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY o_orderdate, o_orderkey)
     ),
     changes AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate FROM h
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM h
       WHERE rn = 1 OR o_orderpriority <> prev_prio
     )
     SELECT o_custkey AS custkey,
            o_orderpriority AS priority,
            o_orderdate AS valid_from,
            LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate) AS valid_to,
+                                   ORDER BY o_orderdate, o_orderkey)
+             AS valid_to,
            LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate) IS NULL
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL
              AS is_current
     FROM changes
     """,
@@ -270,13 +271,19 @@ def snk_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderpriority",
         "o_orderdate",
+        "o_orderkey",
         F.lag("o_orderpriority").over(w).alias("prev_prio"),
         F.row_number().over(w).alias("rn"),
     )
     changes = h.filter(
         (F.col("rn") == 1) | (F.col("o_orderpriority") != F.col("prev_prio"))
     )
-    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    # the interval-closing window needs the SAME (date, orderkey)
+    # tiebreak as change detection: a customer can log two change rows
+    # on one date (rn=1 then a flip), and ordering by date alone lets
+    # each engine close those intervals in its own order -- invisible
+    # at sf0.01 (no same-date change pairs), caught by the sf0.1 sim
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     valid_to = F.lead("o_orderdate").over(w2)
     return changes.select(
         F.col("o_custkey").alias("custkey"),
