@@ -1135,7 +1135,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n,
              SUM(v) AS s1,
-             SUM(v2) AS s2,
+             SUM(CAST(v2 AS HUGEINT)) AS s2,
              SUM(CAST(v2 AS HUGEINT) * v) AS s3,
              SUM(CAST(v2 AS HUGEINT) * v2) AS s4
       FROM u GROUP BY event_type
@@ -1200,7 +1200,9 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = u.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s1"),
-        F.sum("v2").alias("s2"),
+        # v2 <= 3.1e13 per row: a long sum wraps past ~3e5 rows/group
+        # in the worst case -- widen like s3/s4 (same exactness)
+        F.sum(F.col("v2").cast("decimal(38,0)")).alias("s2"),
         F.sum(F.col("v2").cast("decimal(38,0)") * F.col("v")).alias("s3"),
         F.sum(F.col("v2").cast("decimal(38,0)") * F.col("v2")).alias("s4"),
     )
