@@ -81,6 +81,13 @@ def flagship_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (dsum); the averages divide those exact sums by
     the exact count, one correctly-rounded division per engine. The
     shipdate predicate pushes into the parquet scan.
+
+    Overflow bound (dsum contract): the scale-6 charge sum wraps int64
+    past ~6e7 rows/group (scale-4 disc_price past ~6e9) — beyond that,
+    pass wide=True to those two dsum calls (decimal-128 buffers,
+    measured ~3.5× slower per round 2) or pre-aggregate per partition
+    first; only 6 groups exist, so a true 100 TB Q1 takes the wide
+    path for charge. The fixture scales stay ≥1e3 under the bound.
     """
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"].filter(
