@@ -1162,3 +1162,131 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emitted = run_to_memory(agg, output_mode="update")
     return emitted.groupBy("ws").agg(F.max("n").alias("n"))
+
+
+@query(
+    "stream_timeout_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts)
+                    - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                  > 3600000000 OR
+                  LAG(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS val_sum
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via GroupState EVENT-TIME TIMEOUT — the state-
+    expiry semantics the other stateful keys don't exercise: a user's
+    open session lives in state with a timeout set to last_event +
+    gap, and when the WATERMARK passes that point Spark invokes the
+    function with hasTimedOut (no new data needed) so the session
+    emits exactly when it provably cannot be extended. This is how
+    production sessionizers emit promptly for idle users instead of
+    waiting for their next visit; gap here is 6 hours.
+
+    In-batch gaps split sessions inside the function (sorted scan);
+    only the batch's LAST open session rides state. The availableNow
+    subtlety from stream_stream_outer_join applies: the final
+    sessions' timeouts only fire if the watermark advances past them,
+    so the 'flush' replay appends far-future sentinel rows in their
+    own trailing triggers (skipped by the function, but they advance
+    the watermark) — and the sentinels must NOT be filtered before
+    the watermark node, or Catalyst pushes the filter below it and
+    blinds the watermark.
+
+    Oracle-checked against the batch lag-gap sessionization: every
+    session (start, end, count, exact integer-unit value sum) equals
+    the batch construction — the timeout path emits precisely the
+    sessions the gap definition implies, no extras, none missing.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 3600 * 1_000_000
+    # files_per_trigger=1 keeps the two flush sentinels in SEPARATE
+    # trailing triggers: the first advances the watermark at its
+    # batch's end, the second gives Spark a batch in which to invoke
+    # the now-expired timeouts. Grouping them into one final batch
+    # (e.g. 2/trigger over 8+2 files) leaves the last watermark
+    # advance with no following batch -- the final 6 h of sessions
+    # never time out (caught by the oracle on first run).
+    stream = events_stream(
+        spark, sf_dir, "flush", n_chunks=8, files_per_trigger=1
+    ).withWatermark("ts", "1 minute")
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        out = []
+        if state.hasTimedOut:
+            s0, last, n, cents = state.get
+            out.append((user_id, s0, last, n, cents))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = []
+            for pdf in pdf_iter:
+                real = pdf[pdf["event_type"] != "__flush__"]
+                if len(real):
+                    rows.append(real[["ts", "value"]])
+            if rows:
+                batch = pd.concat(rows).sort_values("ts")
+                for ts, value in zip(batch["ts"], batch["value"]):
+                    us = int(pd.Timestamp(ts).value // 1000)
+                    cents = int(round(float(value) * 10_000))
+                    if cur is None:
+                        cur = (us, us, 1, cents)
+                    elif us - cur[1] > gap_us:
+                        out.append((user_id, *cur))
+                        cur = (us, us, 1, cents)
+                    else:
+                        cur = (cur[0], us, cur[2] + 1, cur[3] + cents)
+            if cur is not None:
+                state.update(cur)
+                # emit when the watermark proves no extension possible
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "start_us": [o[1] for o in out],
+                    "end_us": [o[2] for o in out],
+                    "n_events": [o[3] for o in out],
+                    "cents": [o[4] for o in out],
+                }
+            )
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, start_us long, end_us long, "
+            "n_events long, cents long"
+        ),
+        stateStructType="start_us long, last_us long, n long, cents long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    mem = run_to_memory(sessions, output_mode="append")
+    return mem.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        (F.col("cents").cast("double") / F.lit(10000.0)).alias("val_sum"),
+    )
