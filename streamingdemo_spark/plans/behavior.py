@@ -1405,3 +1405,83 @@ def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+@query(
+    "agg_ltv_cohort",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(year FROM o_orderdate) * 12
+                 + EXTRACT(month FROM o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    aged AS (
+      SELECT f.cohort_m,
+             (EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate)) - f.cohort_m AS age_m,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    ),
+    by_age AS (
+      SELECT cohort_m, age_m, SUM(cents) AS cents
+      FROM aged GROUP BY cohort_m, age_m
+    )
+    SELECT CAST(cohort_m AS INT) AS cohort_m,
+           CAST(age_m AS INT) AS age_m,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 100.0 AS cum_revenue
+    FROM by_age
+    """,
+)
+def agg_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by their FIRST
+    order month, revenue accumulated by months-since-first — the
+    growth-analytics table behind "how much is a January-acquired
+    customer worth by month 6?" and payback-period decisions.
+    ``agg_retention_cohort`` counts who comes back; this accumulates
+    what they spend — the two views every cohort dashboard pairs.
+
+    Exactness: cohort and age are pure integer month indices
+    (year×12+month — no date-diff rounding conventions to reconcile
+    across engines); revenue accumulates in integer cents; the
+    running sum is a window over the (cohort, age)-grain AGGREGATE,
+    so the window input is tiny (cohorts × ages) regardless of fact
+    size — same window-over-aggregate discipline as win_yoy_growth.
+
+    Scale shape: one fact pass for first-order months (min-aggregate,
+    map-side combined), a broadcast join back (customer-grain
+    relation), one (cohort, age) aggregate, then the small window.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
+        "long"
+    )
+    first = (
+        o.groupBy("o_custkey")
+        .agg(F.min(month_idx).alias("cohort_m"))
+    )
+    aged = (
+        o.join(F.broadcast(first), "o_custkey")
+        .select(
+            "cohort_m",
+            (month_idx - F.col("cohort_m")).alias("age_m"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    by_age = aged.groupBy("cohort_m", "age_m").agg(F.sum("cents").alias("cents"))
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return by_age.select(
+        F.col("cohort_m").cast("int").alias("cohort_m"),
+        F.col("age_m").cast("int").alias("age_m"),
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias(
+            "cum_revenue"
+        ),
+    )
