@@ -571,6 +571,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating point, so their last ulp depends on partitioning — this
     shape is the value-hashable (and at 100 TB, deterministic-rerun)
     variant, still a single map-side-combined aggregate pass.
+
+    Overflow headroom: syy (price squared at scale 4) goes through the
+    wide decimal path — its long form wrapped at sf0.1 (caught by the
+    full-registry sf0.1 sweep); sxx and sxy stay long with >=1e3x
+    headroom at 100 TB row counts (qty <= 50 caps their per-row terms).
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
