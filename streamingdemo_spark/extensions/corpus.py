@@ -1219,3 +1219,57 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ext_split_temporal",
+    oracle="""
+    WITH cut AS (SELECT TIMESTAMP '2024-01-24 00:00:00' AS t0),
+    train_users AS (
+      SELECT DISTINCT user_id FROM events, cut WHERE ts < t0
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN e.ts < cut.t0 THEN 'train'
+                WHEN tu.user_id IS NULL THEN 'eval'
+                ELSE 'discard' END AS split
+    FROM events e CROSS JOIN cut
+    LEFT JOIN train_users tu ON tu.user_id = e.user_id
+    """,
+)
+def ext_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/eval split: train = everything
+    before the cutoff; eval = post-cutoff events of users the model
+    NEVER saw in training; post-cutoff events of train users are
+    DISCARDED, not evaluated — scoring a model on future behavior of
+    users it memorized inflates eval silently (user-level leakage),
+    which is why temporal splits must also be user-disjoint. The hash
+    split (``ext_split_assign``) answers "does it generalize across
+    users"; this one answers "does it generalize FORWARD" — the
+    deployment question.
+
+    Shape: one distinct-user aggregate on the train slice (the
+    predicate pushes to the scan), broadcast back as a membership
+    check — no row ever moves for the labeling itself. At 100 TB the
+    train-user relation is user-cardinality-sized (broadcast or a
+    Bloom side, ``ext_dedup_incremental_bloom``'s pattern).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    train_users = (
+        ev.filter(F.col("ts") < cutoff)
+        .select("user_id")
+        .distinct()
+        .withColumn("seen_in_train", F.lit(True))
+    )
+    return (
+        ev.join(F.broadcast(train_users), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("ts") < cutoff, "train")
+            .when(F.col("seen_in_train").isNull(), "eval")
+            .otherwise("discard")
+            .alias("split"),
+        )
+    )

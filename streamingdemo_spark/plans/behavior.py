@@ -1485,3 +1485,57 @@ def agg_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+@query(
+    "ext_churn_label",
+    oracle="""
+    WITH act AS (
+      SELECT user_id,
+             MAX(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00'
+                      THEN epoch_us(ts) END) AS last_before_us,
+             COUNT(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 END) AS n_before,
+             COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 END) AS n_after
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_before,
+           epoch_us(TIMESTAMP '2024-01-24 00:00:00') - last_before_us
+             AS idle_us_at_cutoff,
+           n_after = 0 AS churned
+    FROM act
+    WHERE n_before > 0
+    """,
+)
+def ext_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time churn LABEL construction — the supervised-label
+    half of the training-example assembly that
+    ``ext_feature_pit_assembly`` builds features for: a user active
+    before the cutoff is labeled churned iff they have NO activity in
+    the post-cutoff observation window. The cutoff discipline is the
+    leakage control: every feature (activity count, idleness at
+    cutoff) derives strictly from BEFORE the cutoff; only the label
+    looks after it. Mixing those windows is the most common silent
+    leak in churn models.
+
+    One pass over events builds both windows' aggregates
+    (conditional aggregation — no self-join of before vs after);
+    idleness is exact integer microseconds; users who first appear
+    after the cutoff are excluded (nothing to predict from).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff_us = F.unix_micros(cutoff)
+    act = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") < cutoff, us)).alias("last_before_us"),
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("n_before"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_after"),
+    )
+    return act.filter(F.col("n_before") > 0).select(
+        "user_id",
+        "n_before",
+        (cutoff_us - F.col("last_before_us")).alias("idle_us_at_cutoff"),
+        (F.col("n_after") == 0).alias("churned"),
+    )
