@@ -670,3 +670,26 @@ def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_session_batch3_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
+    """Join-shape audit for the final continuation batch."""
+    cases = {
+        "win_skyline_frontier": 0,
+        "ext_dataset_card": 1,      # hash-grain dup join-back
+        "agg_gini_concentration": 0,  # customer dim broadcasts
+        "win_ohlc_bars": 0,
+        "agg_ltv_cohort": 0,        # first-order relation broadcasts
+        "ext_churn_label": 0,
+        "ext_split_temporal": 0,    # train-user membership broadcasts
+        "agg_moments_exact": 0,
+        "set_union_by_name": 0,
+        "src_compressed_scan": 0,
+        "ext_rag_ingest": 0,
+        "ext_negative_sampling": 0,  # anchors broadcast
+        "snk_observe_metrics": 0,
+    }
+    for key, bound in cases.items():
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert plan.count("SortMergeJoin") <= bound, (key, plan)
