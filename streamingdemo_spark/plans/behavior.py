@@ -1539,3 +1539,122 @@ def ext_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cutoff_us - F.col("last_before_us")).alias("idle_us_at_cutoff"),
         (F.col("n_after") == 0).alias("churned"),
     )
+
+
+@query(
+    "agg_time_to_convert",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS signup_us
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, MIN(signup_us) AS signup_us,
+             MIN(CASE WHEN event_type = 'purchase' AND us >= signup_us
+                      THEN us END) AS first_purchase_us
+      FROM marked WHERE signup_us IS NOT NULL
+      GROUP BY user_id
+    ),
+    durs AS (
+      SELECT first_purchase_us - signup_us AS dur_us FROM conv
+      WHERE first_purchase_us IS NOT NULL
+    ),
+    ranked AS (
+      SELECT dur_us,
+             ROW_NUMBER() OVER (ORDER BY dur_us) AS rn,
+             COUNT(*) OVER () AS n
+      FROM durs
+    )
+    SELECT (SELECT COUNT(*) FROM conv) AS n_signup_users,
+           (SELECT COUNT(*) FROM durs) AS n_converted,
+           (SELECT COUNT(*) FROM durs) * 1000000
+             // (SELECT COUNT(*) FROM conv) AS conv_rate_micro,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN dur_us END) AS p25_us,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END) AS p50_us,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN dur_us END) AS p75_us
+    FROM ranked
+    """,
+)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: how long users take from SIGNUP to their first
+    subsequent PURCHASE — conversion rate plus the exact quartiles of
+    the delay distribution, the activation metric every funnel review
+    opens with. The correlation subtlety: the qualifying purchase must
+    follow THAT USER'S signup, so the signup time rides a per-user
+    window onto every row before the conditional min — no per-user
+    subquery, no self-join of signups to purchases.
+
+    Exactness end to end: integer-microsecond durations, nearest-rank
+    quartiles in pure integer rank arithmetic (the
+    ``agg_percentile_exact`` convention — both engines select the
+    identical source duration), and the conversion rate in integer
+    micro-units via floor division. Never-converting signups stay in
+    the denominator and out of the quartiles on both engines.
+
+    Scale shape: one user-partitioned window + per-user aggregate;
+    the quartile ranking runs over the CONVERTED-USER relation (users,
+    not events) — at extreme user counts swap in the KLL sketch keys;
+    this is the exact auditor.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = Window.partitionBy("user_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.min(F.when(F.col("event_type") == "signup", us)).over(wu).alias(
+            "signup_us"
+        ),
+    )
+    conv = (
+        marked.filter(F.col("signup_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("signup_us").alias("signup_us"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("signup_us")),
+                    F.col("us"),
+                )
+            ).alias("first_purchase_us"),
+        )
+    )
+    durs = conv.filter(F.col("first_purchase_us").isNotNull()).select(
+        (F.col("first_purchase_us") - F.col("signup_us")).alias("dur_us")
+    )
+    w = Window.orderBy("dur_us")
+    wall = Window.partitionBy()
+    ranked = durs.select(
+        "dur_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    n_signup = conv.agg(F.count(F.lit(1)).alias("ns"))
+    n_conv = durs.agg(F.count(F.lit(1)).alias("nc"))
+    q = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("dur_us"))
+        ).alias("p25_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("dur_us"))
+        ).alias("p50_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("dur_us"))
+        ).alias("p75_us"),
+    )
+    return (
+        n_signup.crossJoin(n_conv)
+        .crossJoin(q)
+        .select(
+            F.col("ns").alias("n_signup_users"),
+            F.col("nc").alias("n_converted"),
+            F.expr("nc * 1000000 DIV ns").alias("conv_rate_micro"),
+            "p25_us",
+            "p50_us",
+            "p75_us",
+        )
+    )
