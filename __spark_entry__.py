@@ -117,6 +117,7 @@ _PRIORITY = [
     "win_skyline_frontier", "ext_dataset_card", "agg_gini_concentration",
     "win_ohlc_bars", "stream_timeout_sessions", "agg_ltv_cohort",
     "ext_churn_label", "ext_split_temporal", "agg_time_to_convert",
+    "agg_seasonality_profile",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -1658,3 +1658,48 @@ def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p75_us",
         )
     )
+
+
+@query(
+    "agg_seasonality_profile",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS val_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile: event volume and value by
+    (ISO day-of-week, hour) — the 7×24 load grid behind capacity
+    planning, anomaly baselines ("is Tuesday 3 am unusually busy?"),
+    and traffic-shaped batch scheduling.
+
+    The portability pin this key exists to document: engines DISAGREE
+    on day-of-week numbering — Spark's ``dayofweek`` counts Sunday=1
+    (so Monday=2) while DuckDB's counts Sunday=0 via ``dayofweek``
+    and Monday=1 via ``isodow``. The only safe cross-engine convention
+    is ISO (Monday=1..Sunday=7): Spark ``weekday()+1`` ==
+    DuckDB ``isodow()``, pinned here by the value hash — a naive
+    ``dayofweek`` on both sides would rotate the whole profile by a
+    day and STILL look plausible on a dashboard.
+
+    One scan, 168-group map-side-combined aggregate; integer-unit
+    value sums.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            (F.weekday(F.col("ts").cast("timestamp")) + 1)
+            .cast("int")
+            .alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("val_sum"),
+        )
+    )
