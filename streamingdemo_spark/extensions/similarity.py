@@ -989,15 +989,22 @@ def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. distributed again: project every vector against the broadcast
        components — a pure expression fold, no shuffle at all.
 
-    Determinism: numpy's symmetric ``eigh`` is deterministic given the
-    exact-integer Gram; the remaining sign ambiguity is pinned by
+    Determinism — scoped to SAME-ENVIRONMENT runs: given the
+    exact-integer Gram, ``np.linalg.eigh`` is deterministic for a
+    fixed numpy/BLAS build, and the sign ambiguity is pinned by
     forcing each component's largest-|value| coordinate positive
-    (ties broken by lowest index). Components quantize to micro-unit
-    int64 before broadcast, so each projection is an EXACT integer
-    dot product (|q|≤~2e3 × |w|≤1e6 × 64 terms ≪ 2^63) — bitwise
-    reproducible across runs and partitionings; the test replays the
-    whole pipeline in numpy/pure-Python integer math and asserts
-    exact equality. No DuckDB oracle by contract (eigendecomposition
+    (ties broken by lowest index). That pin resolves per-vector SIGN
+    only, not subspace ROTATION: under (near-)degenerate eigenvalues,
+    or across different BLAS builds, eigh may return a different
+    orthonormal basis of the same eigenspace, and the projections
+    legitimately differ. The reproducibility contract is therefore:
+    bitwise-identical across runs and partitionings ON THE SAME
+    numpy/BLAS environment with a well-separated spectrum (true for
+    this corpus; the test asserts exact equality against a full
+    numpy/pure-Python integer replay in-process). Components quantize
+    to micro-unit int64 before broadcast, so each projection is an
+    EXACT integer dot product (|q|≤~2e3 × |w|≤1e6 × 64 terms ≪ 2^63)
+    — the only float step is the driver-side eigh itself. No DuckDB oracle by contract (eigendecomposition
     is not expressible in SQL); correctness is pinned by that test.
     """
     import numpy as np
@@ -1105,7 +1112,9 @@ def ext_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged AS (
       SELECT a.a_id, e.vec_id, e.label,
              CASE WHEN e.label = a.a_label THEN 1 ELSE 0 END AS is_pos,
-             (a.a_id * 1000003 + e.vec_id * 2654435761) % 1000000007 AS h
+             ((a.a_id % 1000000007) * 1000003
+              + (e.vec_id % 1000000007) * (2654435761 % 1000000007))
+               % 1000000007 AS h
       FROM anchors a, embeddings e
       WHERE e.vec_id <> a.a_id
     ),
@@ -1131,7 +1140,12 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sampling is a pseudo-random ORDER, not a random draw: candidates
     rank by an integer arithmetic-PRNG hash of (anchor, candidate)
     and the top-of-ranking is selected — uniform-ish, seedable (the
-    multipliers), and exactly replayable on both engines. Swap the
+    multipliers), and exactly replayable on both engines. Operands
+    are reduced mod p BEFORE the multiply, so each product is bounded
+    by ~p * multiplier < 2^63 for any int64 id domain — without the
+    reduction, vec_id around 3.5e9 overflows the raw product, and the
+    engines diverge asymmetrically (Spark wraps silently in non-ANSI
+    mode, DuckDB raises). Swap the
     is_pos=0 ranking to similarity order against the anchor and this
     same shape becomes hard-negative mining (the ``ext_sim_ann_lsh``
     candidates feeding the rank instead of the PRNG).
@@ -1159,7 +1173,11 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_pos"
             ),
             (
-                (F.col("a_id") * 1000003 + F.col("vec_id") * F.lit(2654435761))
+                (
+                    (F.col("a_id") % 1000000007) * 1000003
+                    + (F.col("vec_id") % 1000000007)
+                    * F.lit(2654435761 % 1000000007)
+                )
                 % 1000000007
             ).alias("h"),
         )

@@ -1200,7 +1200,7 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     function with hasTimedOut (no new data needed) so the session
     emits exactly when it provably cannot be extended. This is how
     production sessionizers emit promptly for idle users instead of
-    waiting for their next visit; gap here is 6 hours.
+    waiting for their next visit; gap here is 1 hour.
 
     In-batch gaps split sessions inside the function (sorted scan);
     only the batch's LAST open session rides state. The availableNow
@@ -1225,7 +1225,7 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch's end, the second gives Spark a batch in which to invoke
     # the now-expired timeouts. Grouping them into one final batch
     # (e.g. 2/trigger over 8+2 files) leaves the last watermark
-    # advance with no following batch -- the final 6 h of sessions
+    # advance with no following batch -- the final 1 h of sessions
     # never time out (caught by the oracle on first run).
     stream = events_stream(
         spark, sf_dir, "flush", n_chunks=8, files_per_trigger=1
