@@ -1255,16 +1255,124 @@ def ext_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 10  # winnowing window (grams per window)
+WINNOW_K = 40  # gram length (chars)
+WINNOW_SEL = 12  # selection-hash prefix length (chars)
+
+
+def _winnowed_grams(d: DataFrame) -> DataFrame:
+    """Winnowed 40-gram fingerprints of each document: (doc_id, s, e,
+    gram) — the content-defined sampling shared by the three exact
+    substring-dedup keys (Schleimer/Wilkerson/Aiken, "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD'03).
+
+    Every gram position is a candidate (stride 1); a position is
+    SELECTED iff its hash achieves the minimum of at least one window
+    of WINNOW_W consecutive positions containing it. Because selection
+    depends only on gram CONTENT (never on absolute position), two
+    documents sharing any run of >= W + K - 1 = 49 chars share a full
+    window of identical grams and therefore select the same gram in
+    both — the deterministic, alignment-free guarantee fixed-stride
+    sampling cannot give (stride-10 at positions p≡1 (mod 10)
+    deterministically missed runs whose start offsets differ mod 10,
+    no matter how long).
+
+    Mechanism (two stacked windows, one shuffle):
+      mn(p) = MIN(h) over [p, p+W-1]   — min of the window STARTING at p
+      mx(p) = MAX(mn) over [p-W+1, p]  — best window-min among windows
+                                          CONTAINING p
+      selected(p) ⟺ mx(p) == h(p)      — p achieves some window's min
+    Ties select every tied position (a superset of rightmost-rule
+    winnowing — still >= 1 per window, pure h-arithmetic, so both
+    engines agree exactly). Trailing sub-W windows at doc end add a
+    few extra fingerprints; harmless and replayed identically.
+
+    The selection hash folds only the first WINNOW_SEL chars of each
+    gram (selection needs content-determinism, not collision
+    resistance; a 12-char portable fold is 3.3× cheaper than hashing
+    the full gram at every position). Shuffle rows are (doc_id, p, h)
+    triples — the document text is NOT carried through the window
+    (that would duplicate each doc len/1 times); full grams are
+    extracted by one doc_id join-back for the ~2/(W+1) selected
+    positions only. Expected fingerprint density 2/(W+1) ≈ 0.18/char
+    vs stride-10's fixed 0.10 — the ~1.8× volume is the price of the
+    recall guarantee.
+    """
+    from pyspark.sql.window import Window as W
+
+    pos = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - 39, F.lit(1))
+                )
+            ).alias("p"),
+            "text",
+        )
+        .filter(F.length("text") >= F.col("p") + 39)
+        .select(
+            "doc_id",
+            "p",
+            poly_hash(F.expr(f"substring(text, p, {WINNOW_SEL})")).alias("h"),
+        )
+    )
+    w_fwd = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    w_bwd = W.partitionBy("doc_id").orderBy("p").rowsBetween(1 - WINNOW_W, 0)
+    sel = (
+        pos.withColumn("mn", F.min("h").over(w_fwd))
+        .withColumn("mx", F.max("mn").over(w_bwd))
+        .filter(F.col("mx") == F.col("h"))
+        .select("doc_id", "p")
+    )
+    return sel.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.col("p").cast("long").alias("s"),
+        (F.col("p").cast("long") + 39).alias("e"),
+        F.expr("substring(text, p, 40)").alias("gram"),
+    )
+
+
+def _winnow_sql() -> str:
+    """Oracle CTE chain replaying :func:`_winnowed_grams` exactly —
+    ends with ``grams(doc_id, s, e, gram)``; callers append their
+    downstream CTEs/SELECT."""
+    h = opoly(f"substr(text, CAST(p AS INT), {WINNOW_SEL})")
+    return f"""
+    pos AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p, {h} AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 1)) AS p
+            FROM documents)
+      WHERE len(text) >= p + 39
+    ),
+    fwd AS (
+      SELECT doc_id, p, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS mn
+      FROM pos
+    ),
+    sel AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p, h,
+               MAX(mn) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                             AND CURRENT ROW) AS mx
+        FROM fwd)
+      WHERE mx = h
+    ),
+    grams AS (
+      SELECT s.doc_id, s.p AS s, s.p + 39 AS e,
+             substr(d.text, CAST(s.p AS INT), 40) AS gram
+      FROM sel s JOIN documents d ON d.doc_id = s.doc_id
+    )"""
+
+
 @query(
     "ext_dedup_substring",
     oracle=f"""
-    WITH grams AS (
-      SELECT doc_id, substr(text, CAST(p AS INT), 40) AS gram
-      FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 10)) AS p
-            FROM documents)
-      WHERE len(substr(text, CAST(p AS INT), 40)) = 40
-    )
+    WITH {_winnow_sql()}
     SELECT {opoly("gram")} AS span_hash,
            COUNT(DISTINCT doc_id) AS n_docs,
            COUNT(*) AS n_occ
@@ -1281,39 +1389,27 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate headers, templated pages) that document-level and
     shingle-Jaccard dedup both miss.
 
-    Mechanism: character 40-grams sampled at stride 10 (any duplicated
-    run of ≥49 chars is guaranteed to contribute at least one aligned
-    gram pair; shorter overlaps are caught probabilistically — stride
-    trades recall floor for a 10× volume cut, the standard fingerprint
-    compromise vs a true suffix array, which does not distribute).
+    Mechanism: WINNOWED character 40-grams (see :func:`_winnowed_grams`
+    — content-defined sampling, so any duplicated run of ≥49 chars is
+    GUARANTEED to contribute an identical selected gram in every
+    document containing it, regardless of the run's alignment; shorter
+    overlaps are caught probabilistically — ~0.18 fingerprints/char
+    traded against a true suffix array, which does not distribute).
     Grouping is on the GRAM ITSELF, so matches are exact string
     equality, not hash-bucket guesses; the reported span_hash is the
     portable poly_hash fingerprint of the span (collisions can only
     merge *reported ids*, never create a false span match).
 
-    Scale shape: explode is linear (len/10 grams per doc); ONE shuffle
-    groups grams (at 100 TB pre-aggregate on xxhash64(gram) to shrink
-    shuffle rows to 8-byte keys, then verify the surviving buckets by
-    string equality — same two-phase discipline as ext_dedup_minhash's
-    banding); output is bounded by the duplicated-span count. No
-    all-pairs stage exists.
+    Scale shape: the winnow explode is linear (one (doc,p,h) triple
+    per char, text never duplicated through the shuffle); ONE shuffle
+    groups the surviving grams (at 100 TB pre-aggregate on
+    xxhash64(gram) to shrink shuffle rows to 8-byte keys, then verify
+    the surviving buckets by string equality — same two-phase
+    discipline as ext_dedup_minhash's banding); output is bounded by
+    the duplicated-span count. No all-pairs stage exists.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("text") - 39, F.lit(1)),
-                    F.lit(10),
-                )
-            ).alias("p"),
-            "text",
-        )
-        .select("doc_id", F.expr("substring(text, p, 40)").alias("gram"))
-        .filter(F.length("gram") == 40)
-    )
+    grams = _winnowed_grams(d).select("doc_id", "gram")
     return (
         grams.groupBy("gram")
         .agg(
@@ -1327,15 +1423,8 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_span_coverage",
-    oracle="""
-    WITH grams AS (
-      SELECT doc_id, CAST(p AS BIGINT) AS s, CAST(p AS BIGINT) + 39 AS e,
-             substr(text, CAST(p AS INT), 40) AS gram
-      FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 10)) AS p
-            FROM documents)
-      WHERE len(substr(text, CAST(p AS INT), 40)) = 40
-    ),
+    oracle=f"""
+    WITH {_winnow_sql()},
     dup AS (
       SELECT gram FROM grams GROUP BY gram
       HAVING COUNT(DISTINCT doc_id) >= 2
@@ -1383,9 +1472,10 @@ def ext_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline thresholds to drop boilerplate-heavy pages or to mask
     the spans before training.
 
-    Scale shape: gram volume is len/10 per doc (linear); the dup-span
-    membership check is a semi join against the grouped gram relation
-    (one shuffle, same two-phase xxhash64 escalation as
+    Scale shape: winnowed gram volume is ~0.18/char per doc (linear;
+    see :func:`_winnowed_grams` for the shuffle discipline); the
+    dup-span membership check is a semi join against the grouped gram
+    relation (one shuffle, same two-phase xxhash64 escalation as
     ext_dedup_substring at 100 TB); the interval merge is a window
     PARTITIONED BY doc (per-doc work is bounded by the doc's own gram
     count — never global); the final left join returns every document
@@ -1396,26 +1486,7 @@ def ext_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact-int / exact-int double division, identical both engines.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("text") - 39, F.lit(1)),
-                    F.lit(10),
-                )
-            ).alias("p"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            F.col("p").cast("long").alias("s"),
-            (F.col("p").cast("long") + 39).alias("e"),
-            F.expr("substring(text, p, 40)").alias("gram"),
-        )
-        .filter(F.length("gram") == 40)
-    )
+    grams = _winnowed_grams(d)
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1464,15 +1535,8 @@ def ext_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_substring_mask",
-    oracle="""
-    WITH grams AS (
-      SELECT doc_id, CAST(p AS BIGINT) AS s, CAST(p AS BIGINT) + 39 AS e,
-             substr(text, CAST(p AS INT), 40) AS gram
-      FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 10)) AS p
-            FROM documents)
-      WHERE len(substr(text, CAST(p AS INT), 40)) = 40
-    ),
+    oracle=f"""
+    WITH {_winnow_sql()},
     dup AS (
       SELECT gram FROM grams GROUP BY gram
       HAVING COUNT(DISTINCT doc_id) >= 2
@@ -1533,11 +1597,11 @@ def ext_dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only documents containing at least one shared span appear (the
     rest are unchanged by definition).
 
-    Scale shape: identical to ext_dedup_span_coverage (linear gram
-    explode, one gram-group shuffle, per-doc windows) plus one
-    broadcast-sized join of the island relation back to its
-    documents' text and a per-doc ordered aggregation — everything
-    partitions by doc_id; no stage is quadratic.
+    Scale shape: identical to ext_dedup_span_coverage (winnowed gram
+    pipeline, one gram-group shuffle, per-doc windows) plus one
+    join of the island relation back to its documents' text and a
+    per-doc ordered aggregation — everything partitions by doc_id;
+    no stage is quadratic.
 
     Exactness: pure string surgery on integer offsets; empty kept
     segments (island at position 1, back-to-back islands) concatenate
@@ -1545,26 +1609,7 @@ def ext_dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered aggregation is deterministic.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("text") - 39, F.lit(1)),
-                    F.lit(10),
-                )
-            ).alias("p"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            F.col("p").cast("long").alias("s"),
-            (F.col("p").cast("long") + 39).alias("e"),
-            F.expr("substring(text, p, 40)").alias("gram"),
-        )
-        .filter(F.length("gram") == 40)
-    )
+    grams = _winnowed_grams(d)
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

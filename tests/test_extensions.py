@@ -1237,6 +1237,40 @@ def test_pca_project_matches_numpy_exactly(spark, sf_dir):
     assert got == want_rows
 
 
+def test_winnowing_catches_misaligned_runs(spark):
+    """The guarantee fixed-stride sampling could not give (round-4
+    advice finding): a duplicated run of >= W + K - 1 = 49 chars must
+    yield a shared selected gram for EVERY relative alignment of the
+    run between the two documents — selection is content-defined, so
+    offset arithmetic (a ≢ b mod stride) can no longer hide a
+    duplicate. Probes all 10 offset classes with the minimum-length
+    run; non-run text uses disjoint alphabets so the run is the only
+    possible 40-char overlap."""
+    import string
+
+    from streamingdemo_spark.extensions.dedup import _winnowed_grams
+
+    run = (string.ascii_lowercase + string.digits + string.ascii_uppercase)[
+        :49
+    ]
+    for off in range(10):
+        docs = spark.createDataFrame(
+            [
+                (1, "!" * 7 + run + "@" * 23),
+                (2, "#" * (7 + off) + run + "$" * 31),
+            ],
+            "doc_id long, text string",
+        )
+        shared = (
+            _winnowed_grams(docs)
+            .groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .count()
+        )
+        assert shared >= 1, f"offset {off}: misaligned run missed"
+
+
 def test_substring_mask_consistent_with_span_coverage(spark, sf_dir):
     """Cross-key consistency between the two independent consumers of
     the island pipeline: the set of masked docs must equal the docs
