@@ -88,6 +88,8 @@ HEADLINE = [
     "flagship_q6",        # all-pushed scan-filter-aggregate
     "flagship_q21",       # correlated EXISTS/NOT EXISTS triple fact pass
     "ext_dedup_substring",  # exact duplicated-span detection
+    # round-5 additions
+    "ext_sim_rrf_ann",    # candidate-bounded hybrid fusion (production RRF)
 ]
 
 

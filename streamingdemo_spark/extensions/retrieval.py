@@ -212,10 +212,12 @@ def ext_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes only its other rank — the FULL OUTER + COALESCE(…, 0)
     shape. Both input rankings are global windows over bounded
     relations (match-bounded lexical side, corpus-sized dense side
-    ranked per ``ext_sim_cosine_topk``'s broadcast pattern); at 100 TB
-    the dense ranking would come from the ANN keys
-    (``ext_sim_ann_lsh`` / IVF) instead of the exact scan, and the
-    fusion join keys on doc_id — co-partitioned, one shuffle.
+    ranked per ``ext_sim_cosine_topk``'s broadcast pattern). The
+    corpus-wide dense ranking makes this the VERIFICATION variant:
+    ``ext_sim_rrf_ann`` is the production sibling (LSH candidates,
+    every window partitioned by query) and this key is its exact
+    auditor — the same pairing as ``ext_doc_shuffle`` /
+    ``ext_doc_shuffle_sharded``.
     """
     lex = _bm25_scored(spark, sf_dir).filter(F.col("doc_id") != QUERY_DOC)
     lex = lex.withColumn(
@@ -366,3 +368,193 @@ def ext_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", "chunk_no", "e0", "e1", bucket.alias("bucket")
     )
+
+
+N_QT = 3  # rarest corpus terms drawn from each query document
+
+
+@query(
+    "ext_sim_rrf_ann",
+    oracle=None,  # built below (needs the ANN CTE import)
+)
+def ext_sim_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION hybrid retrieval — the scale-path sibling of
+    ``ext_sim_rrf``, which ranks the ENTIRE corpus per query on its
+    dense leg (an exact global ordering: fine as an auditor, wrong as
+    a plan at 100 TB). Here BOTH legs are candidate-bounded and every
+    window is partitioned by query:
+
+    - dense leg: the sign-LSH candidate generator of
+      ``ext_sim_ann_lsh`` (bucket-join candidates, exact cosine
+      re-rank WITHIN candidates only — per-query work is
+      ~tables x corpus/2^planes, never the corpus);
+    - lexical leg: per-query "more-like-this" BM25 — each query
+      document contributes its 3 rarest corpus terms (df >= 2, ties
+      by term), and only documents matching >= 1 of those terms are
+      scored. Match-bounded by construction: rare terms have small
+      postings lists.
+    - fusion: one co-partitioned full-outer join on (q_id, doc_id),
+      integer-exact RRF (1e9 div (60 + rank)), rank WITHIN the fused
+      candidate set partitioned by q_id.
+
+    ``ext_sim_rrf`` remains the exact-ranking auditor for this key
+    (same fusion arithmetic over exhaustive rankings); the recall cost
+    of candidate generation is measured by the ANN tests. No
+    unpartitioned window exists on any leg — at 100 TB the plan is
+    shuffle-bounded by candidate volume, not corpus size.
+
+    Exactness: BM25 micro-units and integer RRF follow the module's
+    float discipline (identical literal shapes both engines); the
+    dense leg's LSH sketch is integer-exact (see
+    ``similarity._bucket_udf``), so the DuckDB oracle replays the
+    whole hybrid pipeline value-for-value.
+    """
+    from streamingdemo_spark.extensions.similarity import ext_sim_ann_lsh
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    doclen = d.select("doc_id", F.size("toks").alias("dl"))
+    tot = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfa = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    w_t = Window.partitionBy("q_id").orderBy(F.asc("df"), F.asc("term"))
+    qt = (
+        tf.filter(F.col("doc_id") < 8)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .join(dfa.filter(F.col("df") >= 2), "term")
+        .withColumn("trk", F.row_number().over(w_t))
+        .filter(F.col("trk") <= N_QT)
+        .select("q_id", "term", "df")
+    )
+
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf")
+        + K1
+        * (
+            (1.0 - B)
+            + B
+            * ((F.col("dl") * F.col("n_docs")).cast("double") / F.col("dl_sum"))
+        )
+    )
+    micro = F.floor(idf * tfn * 1000000 + F.lit(0.5)).alias("micro")
+    lex = (
+        tf.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("q_id", "doc_id", micro)
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("micro").alias("bm25_micro"))
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("bm25_micro"), F.asc("doc_id")
+                )
+            )
+            .cast("int"),
+        )
+        .select("q_id", "doc_id", "lex_rank")
+    )
+
+    dense = ext_sim_ann_lsh(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+
+    fused = (
+        lex.join(dense, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 div ({RRF_K} + dense_rank)"),
+                    F.lit(0),
+                )
+            ).alias("rrf_nano"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_N)
+    )
+
+
+def _rrf_ann_oracle() -> str:
+    from streamingdemo_spark.extensions.similarity import ANN_LSH_CTE
+
+    return f"""
+    WITH {ANN_LSH_CTE},
+    dtk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl FROM dtk),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM d),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM dtk),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dfa AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qt AS (
+      SELECT q_id, term, df FROM (
+        SELECT t.doc_id AS q_id, t.term, dfa.df,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY dfa.df ASC, t.term ASC) AS trk
+        FROM (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < 8) t
+        JOIN dfa ON dfa.term = t.term
+        WHERE dfa.df >= 2)
+      WHERE trk <= {N_QT}
+    ),
+    contrib AS (
+      SELECT qt.q_id, tf.doc_id,
+             CAST(FLOOR(
+               ln(1 + (tot.n_docs - qt.df + 0.5) / (qt.df + 0.5))
+               * ((tf.tf * {K1 + 1.0}) /
+                  (tf.tf + {K1} * (({1.0 - B}) + {B} *
+                   (CAST(d.dl * tot.n_docs AS DOUBLE) / tot.dl_sum))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM qt
+      JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.q_id
+      JOIN d ON d.doc_id = tf.doc_id
+      CROSS JOIN tot
+    ),
+    lex AS (
+      SELECT q_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY bm25_micro DESC, doc_id) AS INT) AS lex_rank
+      FROM (SELECT q_id, doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+            FROM contrib GROUP BY q_id, doc_id)
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, dn.q_id) AS q_id,
+             COALESCE(l.doc_id, dn.vec_id) AS doc_id,
+             l.lex_rank, dn.rank AS dense_rank,
+             COALESCE(1000000000 // ({RRF_K} + l.lex_rank), 0)
+             + COALESCE(1000000000 // ({RRF_K} + dn.rank), 0) AS rrf_nano
+      FROM lex l
+      FULL OUTER JOIN (SELECT * FROM ann_ranked WHERE rank <= 5) dn
+        ON l.q_id = dn.q_id AND l.doc_id = dn.vec_id
+    )
+    SELECT q_id, doc_id, lex_rank, dense_rank, rrf_nano,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= {TOP_N}
+    """
+
+
+from streamingdemo_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["ext_sim_rrf_ann"] = _rrf_ann_oracle()

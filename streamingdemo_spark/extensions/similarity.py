@@ -138,8 +138,12 @@ def _bucket_udf(n_tables: int, n_planes: int):
     return buckets
 
 
-_ANN_LSH_ORACLE = """
-    WITH params AS (
+# CTE chain replaying the full LSH pipeline (sketch -> candidate
+# buckets -> exact re-rank); ends in ``ann_ranked(q_id, vec_id,
+# cosine, rank)``. Shared by ext_sim_ann_lsh's oracle and the hybrid
+# fusion key's (retrieval.ext_sim_rrf_ann) dense leg.
+ANN_LSH_CTE = """
+    params AS (
       SELECT GREATEST(6, length(bin(COUNT(*) // 64 + 1))) AS np
       FROM embeddings
     ), vecs AS (
@@ -169,12 +173,15 @@ _ANN_LSH_ORACLE = """
       SELECT q_id, vec_id,
              ROUND(list_cosine_similarity(emb, q_emb), 4) AS cosine
       FROM cand
-    ), ranked AS (
+    ), ann_ranked AS (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
       FROM scored
-    )
-    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    )"""
+
+_ANN_LSH_ORACLE = f"""
+    WITH {ANN_LSH_CTE}
+    SELECT q_id, vec_id, cosine, rank FROM ann_ranked WHERE rank <= 5
 """
 
 
