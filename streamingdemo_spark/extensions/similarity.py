@@ -253,6 +253,15 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (ideally persisted as a partition column — then probing IS
     partition pruning), and per-query work is corpus_size × nprobe / k
     instead of corpus_size. Recall is tunable via nprobe.
+
+    Rows-only by contract, and irreducibly so: the ONLY engine-
+    specific step here is the iterative KMeans fit itself (Spark ML's
+    init sampling and float reduction order — no SQL engine replays
+    them). Everything downstream of fixed centroids IS hash-checked,
+    just under deterministic codebooks: ``ext_sim_ivf_assign``
+    (assignment) and ``ext_sim_ivf_probe_topk`` (the full probe+rank
+    search path) run this exact pipeline with class-mean centroids
+    and match DuckDB value-for-value.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

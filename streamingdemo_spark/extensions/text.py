@@ -1152,10 +1152,17 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas UDF (zlib level 6, fixed, so results are
     reproducible run-to-run); one scan, no shuffle — the screen
     composes with ``ext_quality_prune``-style percentile cuts
-    downstream. Rows-only by contract: DEFLATE output is
-    library-specific, so there is no cross-engine oracle; the
+    downstream. Rows-only by contract: the VALUE of a DEFLATE stream
+    is an encoder decision sequence (match lengths, lazy-match
+    heuristics, Huffman table splits) that only zlib itself defines —
+    no SQL engine can replay it, so there is nothing for a DuckDB
+    oracle to compute. What IS verifiable is verified elsewhere: the
     monotonicity contract (repetitive ≪ prose < random) is pinned by
-    ``tests/test_extensions.py::test_compression_ratio_orders_texts``.
+    ``tests/test_extensions.py::test_compression_ratio_orders_texts``,
+    and ``ext_compression_bound`` is the hash-green sibling — the
+    order-1 entropy-coding bound, exactly replayed by its oracle —
+    that carries the same redundancy signal through the portable
+    integer discipline.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1180,6 +1187,107 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").alias("raw_chars"),
         ratio_ppk("text").alias("compress_ppk"),
+    )
+
+
+@query(
+    "ext_compression_bound",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 2) AS b
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - 1)) AS i
+            FROM documents WHERE len(text) >= 2)
+    ),
+    c2 AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    c1 AS (SELECT doc_id, substr(b, 1, 1) AS f, SUM(c) AS cf
+           FROM c2 GROUP BY doc_id, substr(b, 1, 1)),
+    h AS (
+      SELECT c2.doc_id,
+             CAST(SUM(c2.c * CAST(FLOOR(
+               ln(CAST(c1.cf AS DOUBLE) / c2.c) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS h1_micronat
+      FROM c2 JOIN c1 ON c1.doc_id = c2.doc_id
+                     AND c1.f = substr(c2.b, 1, 1)
+      GROUP BY c2.doc_id
+    )
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, h.h1_micronat,
+           ROUND(CAST(h.h1_micronat AS DOUBLE)
+                 / (d.n_chars * 5545.177444479562), 4) + 0.0 AS bound_ppk
+    FROM documents d JOIN h ON h.doc_id = d.doc_id
+    """,
+)
+def ext_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 entropy-coding bound per document, in parts-per-thousand
+    of the raw 8-bit size — the oracle-checked sibling of
+    ``ext_compression_ratio``: the same redundancy signal (boilerplate
+    and template spam score far below prose, random junk near/above
+    1000‰), but defined by MATH a SQL engine can replay instead of by
+    zlib's encoder internals.
+
+    The bound is the ideal code length of a first-order (bigram-
+    conditional) character model: H₁ = Σ_xy c(xy)·ln(c(x·)/c(xy))
+    nats, where c(x·) counts x as a bigram head. Any order-1 entropy
+    coder approaches it; a window compressor like DEFLATE can land on
+    either side (long-range matches beat order-1 on repetitive docs),
+    which is exactly why the zlib measurement stays its own rows-only
+    key rather than being "checked" against this one.
+
+    Exactness: each ln term is quantized to integer micro-nats
+    (``floor(x*1e6 + 0.5)``, the ``ext_unigram_surprisal``
+    convention) and multiplied/summed as int64 — order-insensitive,
+    bitwise both engines; the ppk closes with one double division by
+    ``n_chars * 8·ln2·1000`` under a shared 1e-4 rounding grid.
+
+    Scale shape: a linear bigram explode, two grouped aggregates with
+    map-side combine (shuffle bounded by per-doc bigram vocabulary,
+    not corpus chars), one co-partitioned doc_id join — no window, no
+    broadcast of anything corpus-sized.
+    """
+    d = _docs(spark, sf_dir)
+    bg = (
+        d.filter(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 1)
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 2)").alias("b"))
+    )
+    c2 = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("f", F.substring("b", 1, 1))
+    )
+    c1 = c2.groupBy("doc_id", "f").agg(F.sum("c").alias("cf"))
+    term = (
+        F.floor(
+            F.log(F.col("cf").cast("double") / F.col("c")) * 1000000
+            + F.lit(0.5)
+        ).cast("long")
+        * F.col("c")
+    )
+    h = (
+        c2.join(c1, ["doc_id", "f"])
+        .groupBy("doc_id")
+        .agg(F.sum(term).cast("long").alias("h1_micronat"))
+    )
+    return d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")).join(
+        h, "doc_id"
+    ).select(
+        "doc_id",
+        "n_chars",
+        "h1_micronat",
+        (
+            F.round(
+                F.col("h1_micronat").cast("double")
+                / (F.col("n_chars") * F.lit(5545.177444479562)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("bound_ppk"),
     )
 
 

@@ -545,6 +545,46 @@ def test_compression_ratio_orders_texts(spark, sf_dir):
     assert rows[1] < median < rows[2]
 
 
+def test_compression_bound_orders_texts(spark, sf_dir):
+    """The order-1 entropy bound must carry the same monotone
+    redundancy signal as the zlib key it audits: boilerplate far below
+    fixture prose, LCG noise far above — through the identical planted
+    probe."""
+    from pyspark.sql import Row
+
+    from streamingdemo_spark.registry import QUERIES
+
+    fixture = sorted(
+        r["bound_ppk"]
+        for r in QUERIES["ext_compression_bound"](spark, sf_dir).collect()
+    )
+    assert fixture[0] > 0
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", n_chars=1000, text="spam " * 200),
+            Row(doc_id=2, lang="en", n_chars=1000, text=_lcg_noise(1000)),
+        ]
+    )
+    import streamingdemo_spark.extensions.text as text_mod
+
+    orig = text_mod._docs
+    text_mod._docs = lambda s, d: probe
+    try:
+        rows = {
+            r["doc_id"]: r["bound_ppk"]
+            for r in QUERIES["ext_compression_bound"](spark, sf_dir).collect()
+        }
+    finally:
+        text_mod._docs = orig
+    assert rows[1] < 50           # order-1 model nails pure repetition
+    # noise: near conditional alphabet entropy per char (the 1000-char
+    # sample conditions ~|A| observations per head, so the bound sits
+    # below the asymptotic log2|A|/8 but far above any structured text)
+    assert rows[2] > 350
+    median = fixture[len(fixture) // 2]
+    assert rows[1] < median < rows[2]
+
+
 def test_kll_merge_rank_accuracy(spark, sf_dir):
     """The merged sketch's quantile estimates must sit within KLL rank
     error (default k: ~1.65%; assert 3%) of their targets against the
