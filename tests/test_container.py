@@ -510,6 +510,105 @@ class TestExampleSpecs:
         mix = ports["mix.out"].collect()
         assert sum(r["n_hits"] for r in mix) == len(hits)
 
+    def test_anomaly_monitor_spec_equals_direct_query(self, spark, sf_dir):
+        """The anomaly-monitor spec (source → 3σ screen → filter →
+        rollup) must equal the same computation composed directly:
+        the container's port wiring and filter/aggregate ops add
+        nothing and lose nothing; and every alerting series must
+        conserve its alert count into the rollup."""
+        ports = self._run_example(spark, sf_dir, "anomaly_monitor.yaml")
+        got = {
+            r["event_type"]: (r["n_alerts"], r["min_flagged"], r["max_flagged"])
+            for r in ports["rollup.out"].collect()
+        }
+        spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+            "e"
+        )
+        direct = {
+            r["event_type"]: (r["n_alerts"], r["min_flagged"], r["max_flagged"])
+            for r in spark.sql(
+                """
+                WITH u AS (
+                  SELECT event_id, event_type,
+                         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
+                  FROM e
+                ),
+                win AS (
+                  SELECT event_id, event_type, x,
+                         COUNT(x) OVER w AS n,
+                         COALESCE(SUM(x) OVER w, CAST(0 AS BIGINT)) AS su,
+                         COALESCE(SUM(x * x) OVER w, CAST(0 AS BIGINT)) AS sq
+                  FROM u
+                  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                )
+                SELECT event_type, COUNT(*) AS n_alerts,
+                       MIN(CAST(x AS DOUBLE) / 10000.0) AS min_flagged,
+                       MAX(CAST(x AS DOUBLE) / 10000.0) AS max_flagged
+                FROM win
+                WHERE n >= 12
+                  AND (x * n - su) * (x * n - su) > 9 * (n * sq - su * su)
+                GROUP BY event_type
+                """
+            ).collect()
+        }
+        assert got == direct and len(got) > 0
+        # screen → filter conservation: the filtered relation's size
+        # equals the rollup's alert total
+        assert ports["alerts.out"].count() == sum(
+            v[0] for v in got.values()
+        )
+
+    def test_web_dedup_spec_equals_direct_query(self, spark, sf_dir):
+        """The URL-dedup spec's duplication profile must equal the
+        direct canonicalize → group → profile computation, and the
+        profile must conserve the corpus: Σ n_copies·n_groups =
+        |documents|."""
+        ports = self._run_example(spark, sf_dir, "web_dedup_pipeline.yaml")
+        got = {
+            r["n_copies"]: r["n_groups"] for r in ports["profile.out"].collect()
+        }
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.createOrReplaceTempView("d")
+        direct = {
+            r["n_copies"]: r["n_groups"]
+            for r in spark.sql(
+                """
+                WITH urls AS (
+                  SELECT doc_id,
+                         concat(CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                                     ELSE 'http://' END,
+                                CASE WHEN doc_id % 3 = 0
+                                     THEN 'WWW.Docs.Example.COM'
+                                     ELSE 'docs.example.com' END,
+                                '/articles/', CAST(doc_id DIV 7 AS STRING),
+                                CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END,
+                                CASE WHEN doc_id % 4 = 0
+                                     THEN '?utm_source=feed&ref=rss'
+                                     ELSE '' END) AS url
+                  FROM d
+                ),
+                canon AS (
+                  SELECT regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(lower(url), '^https?://', ''),
+                           '^www\\\\.', ''),
+                           '\\\\?(utm_[a-z]+|ref)=[^&]*(&(utm_[a-z]+|ref)=[^&]*)*$',
+                           ''),
+                           '/$', '') AS canonical_url
+                  FROM urls
+                ),
+                survivors AS (
+                  SELECT canonical_url, COUNT(*) AS n_copies
+                  FROM canon GROUP BY canonical_url
+                )
+                SELECT n_copies, COUNT(*) AS n_groups
+                FROM survivors GROUP BY n_copies
+                """
+            ).collect()
+        }
+        assert got == direct and len(got) > 0
+        assert sum(k * v for k, v in got.items()) == docs.count()
+
 
 class TestTpchReportSpec:
     def test_tpch_report_spec_equals_direct_queries(self, spark, sf_dir):
