@@ -119,7 +119,7 @@ _PRIORITY = [
     "ext_churn_label", "ext_split_temporal", "agg_time_to_convert",
     "agg_seasonality_profile",
     # -- round-5 additions
-    "ext_sim_rrf_ann", "ext_compression_bound",
+    "ext_sim_rrf_ann", "ext_compression_bound", "ext_graph_triangles",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

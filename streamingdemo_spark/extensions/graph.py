@@ -154,3 +154,169 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.col("r").alias("rank_nano"),
     )
+
+
+_KNN_K = 8  # backbone degree bound: top-k strongest co-occurrence edges
+
+
+@query(
+    "ext_graph_triangles",
+    oracle=f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                FROM lineitem),
+    co AS (
+      SELECT a.s AS pa, b.s AS pb, COUNT(*) AS w
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    sym AS (
+      SELECT pa AS node, pb AS nbr, w FROM co
+      UNION ALL
+      SELECT pb AS node, pa AS nbr, w FROM co
+    ),
+    topk AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY w DESC, nbr) AS rk
+        FROM sym)
+      WHERE rk <= {_KNN_K}
+    ),
+    mut AS (
+      SELECT t1.node AS ea, t1.nbr AS eb
+      FROM topk t1 JOIN topk t2
+        ON t1.node = t2.nbr AND t1.nbr = t2.node
+      WHERE t1.node < t1.nbr
+    ),
+    tri AS (
+      SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z
+      FROM mut e1
+      JOIN mut e2 ON e1.ea = e2.ea AND e1.eb < e2.eb
+      JOIN mut e3 ON e3.ea = e1.eb AND e3.eb = e2.eb
+    ),
+    nodes AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    ntri AS (SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY node),
+    degs AS (SELECT ea AS node FROM mut UNION ALL SELECT eb FROM mut),
+    deg AS (SELECT node, COUNT(*) AS deg FROM degs GROUP BY node)
+    SELECT deg.node AS supplier, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(COALESCE(ntri.n_tri, 0) AS BIGINT) AS n_tri
+    FROM deg LEFT JOIN ntri ON ntri.node = deg.node
+    """,
+)
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the mutual-top-k co-purchase
+    backbone — the community-structure primitive (clustering
+    coefficients, cohesive-group detection) run the way it survives
+    scale: NOT on the raw co-occurrence graph, which densifies as
+    data grows (every popular supplier pair eventually shares an
+    order, and triangle counting on a near-clique is Θ(n³)), but on
+    a degree-BOUNDED backbone.
+
+    Pipeline:
+    1. supplier co-occurrence weights: one self-join of the distinct
+       (order, supplier) relation per order key, aggregated to
+       (a, b, w) — shuffle bounded by per-order supplier pairs;
+    2. backbone: each node keeps its top-{_KNN_K} strongest neighbors
+       (w desc, id tiebreak; a per-node window), and an edge survives
+       only if BOTH endpoints kept it (mutual k-NN) — out-degree is
+       ≤ {_KNN_K} BY CONSTRUCTION, independent of corpus size;
+    3. triangles: orient surviving edges a < b and join wedges
+       (e1.a=e2.a) against closing edges — with degree ≤ k the wedge
+       relation is ≤ n·C(k,2) rows, so the classic self-join triangle
+       count is linear in nodes instead of cubic;
+    4. per-node participation: explode each triangle's 3 corners,
+       count, left-join back onto backbone degrees (nodes in
+       triangle-free neighborhoods report 0).
+
+    The same shape counts triangles on ANY similarity backbone — swap
+    stage 1-2 for ``ext_sim_knn_join``'s k-NN graph and this becomes
+    embedding-cluster cohesion scoring.
+
+    Exactness: pure integer counting end-to-end; ties in the top-k
+    cut are pinned by (w DESC, nbr ASC), identical on both engines.
+
+    100 TB: stage 1 is the only corpus-sized pass; stages 2-4 are
+    node-bounded. The orientation trick (count each triangle once
+    from its smallest corner) is what keeps the join fan-out
+    triangular rather than 6x, and the mutual-k-NN cut is the
+    standard backboning discipline for co-occurrence graphs whose
+    raw density grows with data volume.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    os_ = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    co = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("pa"), F.col("b.s").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = co.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr"), "w"
+    ).unionAll(
+        co.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"), "w")
+    )
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("nbr"))
+    topk = (
+        sym.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("node", "nbr")
+    )
+    # node-bounded (<= k*n/2 rows) and consumed by four branches below
+    # -- exactly the SMALL-reused-relation case localCheckpoint is for
+    mut = (
+        topk.alias("t1")
+        .join(
+            topk.alias("t2"),
+            (F.col("t1.node") == F.col("t2.nbr"))
+            & (F.col("t1.nbr") == F.col("t2.node")),
+        )
+        .filter(F.col("t1.node") < F.col("t1.nbr"))
+        .select(F.col("t1.node").alias("ea"), F.col("t1.nbr").alias("eb"))
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        mut.alias("e1")
+        .join(
+            mut.alias("e2"),
+            (F.col("e1.ea") == F.col("e2.ea"))
+            & (F.col("e1.eb") < F.col("e2.eb")),
+        )
+        .join(
+            mut.alias("e3"),
+            (F.col("e3.ea") == F.col("e1.eb"))
+            & (F.col("e3.eb") == F.col("e2.eb")),
+        )
+        .select(
+            F.col("e1.ea").alias("x"),
+            F.col("e1.eb").alias("y"),
+            F.col("e2.eb").alias("z"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    ntri = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    degs = mut.select(F.col("ea").alias("node")).unionAll(
+        mut.select(F.col("eb").alias("node"))
+    )
+    deg = degs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.join(ntri, "node", "left").select(
+        F.col("node").alias("supplier"),
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
