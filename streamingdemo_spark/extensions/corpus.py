@@ -1009,6 +1009,77 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_l_diversity",
+    oracle="""
+    WITH joined AS (
+      SELECT d.lang, d.source,
+             (len(string_split(d.text, ' ')) // 32) * 32 AS len_bucket,
+             e.label
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    classes AS (
+      SELECT lang, source, len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT label) AS BIGINT) AS l_div
+      FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS homogeneous_classes,
+           CAST(SUM(CASE WHEN l_div < 3 THEN class_size ELSE 0 END)
+                AS BIGINT) AS exposed_docs,
+           (MIN(l_div) >= 3) AS l3_diverse
+    FROM classes GROUP BY lang
+    """,
+)
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the second privacy gate after
+    ``ext_k_anonymity``: a class can be large (k-anonymous) yet still
+    leak if every member shares the same SENSITIVE value (an adversary
+    who links a person to the class learns the attribute without
+    identifying the row). Here the quasi-identifiers are the same
+    (lang, source, 32-token length bucket) and the sensitive attribute
+    is the document's topic label (embeddings.label keyed by doc id);
+    a class is l-diverse at l=3 iff it contains >= 3 distinct labels.
+
+    Reports, per language: class count, the minimum diversity, how
+    many classes fall below l=3 and how many documents they expose,
+    and the release-gate boolean. Pure integer counting; the only
+    addition over the k-anonymity shape is one co-partitioned id join
+    and a COUNT(DISTINCT label) whose domain is the label vocabulary —
+    both unchanged at 100 TB (distinct-label sets per class stay
+    label-vocabulary-bounded, so the two-level aggregate never grows
+    beyond classes x labels).
+    """
+    d = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    joined = d["documents"].join(
+        d["embeddings"].select(
+            F.col("vec_id").alias("doc_id"), "label"
+        ),
+        "doc_id",
+    )
+    len_bucket = (
+        F.floor(F.size(F.split("text", " ")) / 32) * 32
+    ).alias("len_bucket")
+    classes = joined.groupBy("lang", "source", len_bucket).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("label").alias("l_div"),
+    )
+    low = F.col("l_div") < 3
+    return classes.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l_div").alias("min_l"),
+        F.sum(low.cast("long")).alias("homogeneous_classes"),
+        F.sum(F.when(low, F.col("class_size")).otherwise(0)).alias(
+            "exposed_docs"
+        ),
+        (F.min("l_div") >= 3).alias("l3_diverse"),
+    )
+
+
+@query(
     "ext_dataset_diff",
     oracle="""
     WITH v1 AS (SELECT doc_id, source, lower(trim(text)) AS norm

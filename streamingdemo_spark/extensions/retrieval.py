@@ -558,3 +558,192 @@ def _rrf_ann_oracle() -> str:
 from streamingdemo_spark.registry import ORACLES  # noqa: E402
 
 ORACLES["ext_sim_rrf_ann"] = _rrf_ann_oracle()
+
+
+MMR_CAND = 10  # relevance candidates per query entering the greedy loop
+MMR_K = 5      # diversified picks per query
+# lambda = 0.7 as the exact integer pair (7, 3): score = 7*rel - 3*redund
+_MMR_LAM = (7, 3)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-MMR oracle: CTE chain s1..s{MMR_K}, each step an
+    integer argmax (the ext_graph_pagerank unrolling discipline)."""
+    lam, mu = _MMR_LAM
+    parts = [f"""
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+          FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS c_id,
+             CAST(FLOOR(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), q.q_emb) * 10000 + 0.5)
+               AS BIGINT) AS rel_u
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ),
+    cand AS (
+      SELECT q_id, c_id, rel_u FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rel_u DESC, c_id) AS rn FROM scored)
+      WHERE rn <= {MMR_CAND}
+    ),
+    ps AS (
+      SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+             CAST(FLOOR(list_cosine_similarity(
+               CAST(ea.embedding AS DOUBLE[]),
+               CAST(eb.embedding AS DOUBLE[])) * 10000 + 0.5)
+               AS BIGINT) AS sim_u
+      FROM cand a
+      JOIN cand b ON b.q_id = a.q_id AND b.c_id <> a.c_id
+      JOIN embeddings ea ON ea.vec_id = a.c_id
+      JOIN embeddings eb ON eb.vec_id = b.c_id
+    ),
+    s1 AS (
+      SELECT q_id, c_id, rel_u, 1 AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rel_u DESC, c_id) AS rn FROM cand)
+      WHERE rn = 1
+    )"""]
+    prev_sel = "s1"
+    for k in range(2, MMR_K + 1):
+        parts.append(f"""
+    r{k} AS (
+      SELECT c.q_id, c.c_id, c.rel_u,
+             MAX(ps.sim_u) AS mx
+      FROM cand c
+      JOIN {prev_sel} s ON s.q_id = c.q_id
+      JOIN ps ON ps.q_id = c.q_id AND ps.ca = c.c_id AND ps.cb = s.c_id
+      WHERE c.c_id NOT IN (SELECT c_id FROM {prev_sel} x
+                           WHERE x.q_id = c.q_id)
+      GROUP BY c.q_id, c.c_id, c.rel_u
+    ),
+    p{k} AS (
+      SELECT q_id, c_id, rel_u, {k} AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY {lam} * rel_u - {mu} * mx DESC, c_id) AS rn
+        FROM r{k})
+      WHERE rn = 1
+    ),
+    s{k} AS (SELECT * FROM {prev_sel} UNION ALL SELECT * FROM p{k})""")
+        prev_sel = f"s{k}"
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT q_id, c_id AS doc_id, rel_u, CAST(mmr_rank AS INT) AS mmr_rank
+    FROM {prev_sel}
+    """
+    )
+
+
+@query("ext_sim_mmr", oracle=_mmr_oracle())
+def ext_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval via Maximal Marginal Relevance (Carbonell
+    & Goldstein '98): from each query's top-{MMR_CAND} relevance
+    candidates, greedily pick {MMR_K} results maximizing
+    ``0.7*relevance - 0.3*max-similarity-to-already-picked`` — the
+    re-ranking step that stops a result page (or a RAG context window)
+    from being five near-duplicates of the best hit.
+
+    The greedy loop is SEQUENTIAL by definition, which usually exiles
+    such operators to rows-only status. Here it is fully
+    oracle-checked by the ``ext_graph_pagerank`` discipline: the loop
+    is UNROLLED ({MMR_K} fixed steps), every score is integer
+    deci-milli units (``floor(cosine*1e4 + 0.5)`` — exact, since the
+    raw cosines are bitwise-equal across engines per this module's
+    float discipline), and each step's argmax ties break on id — so
+    DuckDB replays the greedy selection decision-for-decision.
+
+    Scale shape: the candidate relation is (queries x {MMR_CAND})
+    rows and the pairwise-similarity relation (queries x {MMR_CAND}
+    x {MMR_CAND-1}) — the expensive part is the INITIAL top-{MMR_CAND}
+    retrieval, which is exactly ``ext_sim_cosine_topk``'s broadcast
+    scan (swap in the ANN keys at 100 TB; the MMR stage never sees
+    the corpus). The {MMR_K}-step loop runs on candidate-bounded
+    DataFrames — per-query work is O(K^2 * CAND), independent of
+    corpus size.
+    """
+    from streamingdemo_spark.extensions.similarity import (
+        _corpus_and_queries,
+        _dot,
+        _norm,
+    )
+
+    lam, mu = _MMR_LAM
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    rel_u = F.floor(
+        _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb"))
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    w_rel = Window.partitionBy("q_id").orderBy(F.desc("rel_u"), F.asc("c_id"))
+    cand = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            rel_u.alias("rel_u"),
+            "embedding",
+        )
+        .withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # queries*CAND rows; reused K+1 times
+    )
+    sim_u = F.floor(
+        _dot("ea", "eb") / (_norm("ea") * _norm("eb")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    ps = (
+        cand.select("q_id", F.col("c_id").alias("ca"), F.col("embedding").alias("ea"))
+        .join(
+            cand.select(
+                F.col("q_id").alias("qb"),
+                F.col("c_id").alias("cb"),
+                F.col("embedding").alias("eb"),
+            ),
+            (F.col("q_id") == F.col("qb")) & (F.col("ca") != F.col("cb")),
+        )
+        .select("q_id", "ca", "cb", sim_u.alias("sim_u"))
+        .localCheckpoint(eager=True)  # queries*CAND^2 rows; reused K-1 times
+    )
+    cand = cand.drop("embedding")
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "c_id", "rel_u", F.lit(1).alias("mmr_rank"))
+    )
+    for k in range(2, MMR_K + 1):
+        # candidates still unpicked: anti-join against the selected set
+        rem = cand.join(
+            sel.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        )
+        psr = ps.select(
+            F.col("q_id").alias("pq"), "ca", "cb", "sim_u"
+        )
+        mx = (
+            rem.join(
+                sel.select("q_id", F.col("c_id").alias("sc")), "q_id"
+            )
+            .join(
+                psr,
+                (F.col("q_id") == F.col("pq"))
+                & (F.col("c_id") == F.col("ca"))
+                & (F.col("sc") == F.col("cb")),
+            )
+            .groupBy("q_id", "c_id", "rel_u")
+            .agg(F.max("sim_u").alias("mx"))
+        )
+        w_mmr = Window.partitionBy("q_id").orderBy(
+            F.desc(lam * F.col("rel_u") - mu * F.col("mx")), F.asc("c_id")
+        )
+        pick = (
+            mx.withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "c_id", "rel_u", F.lit(k).alias("mmr_rank"))
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        "q_id",
+        F.col("c_id").alias("doc_id"),
+        "rel_u",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+    )

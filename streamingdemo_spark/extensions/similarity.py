@@ -1207,3 +1207,82 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "vec_id", "is_pos", "rk")
     )
+
+
+@query(
+    "ext_label_noise_knn",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+      FROM c a JOIN c b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT vec_id, nbr_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, nbr_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 3
+    ),
+    votes AS (
+      SELECT k.vec_id,
+             CAST(SUM(CASE WHEN nl.label = el.label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM knn k
+      JOIN embeddings el ON el.vec_id = k.vec_id
+      JOIN embeddings nl ON nl.vec_id = k.nbr_id
+      GROUP BY k.vec_id
+    )
+    SELECT e.vec_id, CAST(e.label AS INT) AS label, v.n_agree,
+           (v.n_agree = 0) AS is_suspect
+    FROM embeddings e JOIN votes v ON v.vec_id = e.vec_id
+    """,
+)
+def ext_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by neighborhood vote — the confident-
+    learning screen an ML-data pipeline runs before training: a vector
+    whose k nearest neighbors ALL carry a different label is either
+    mislabeled or an outlier, and both deserve review before they
+    poison a supervised run.
+
+    Composition, not new machinery: the exact k-NN graph from
+    ``ext_sim_knn_join`` (k=3, blocked-GEMM, driver-RSS-flat build),
+    two label joins (own + neighbor), one per-vector agreement count.
+    Output: every vector with its label, how many of its 3 nearest
+    neighbors agree, and the zero-agreement suspect flag.
+
+    Scale shape: the kNN graph is the whole cost (see the base key's
+    tile discipline); the label joins key on vec_id — co-partitioned,
+    each side corpus-sized but narrow (id + int). At 100 TB swap the
+    exact graph for the ANN keys and this stage is unchanged — the
+    vote logic never sees how candidates were generated. Exactness:
+    the graph's ROUND(cosine,4)+id ranking is engine-portable, and
+    the vote is pure integer counting on top of it.
+    """
+    knn = ext_sim_knn_join(spark, sf_dir).select("vec_id", "nbr_id")
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    labels = e.select("vec_id", "label")
+    votes = (
+        knn.join(labels.withColumnRenamed("label", "own_label"), "vec_id")
+        .join(
+            labels.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "nbr_id",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("nbr_label") == F.col("own_label")).cast("long")
+            ).alias("n_agree")
+        )
+    )
+    return labels.join(votes, "vec_id").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "n_agree",
+        (F.col("n_agree") == 0).alias("is_suspect"),
+    )

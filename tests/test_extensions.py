@@ -1370,3 +1370,69 @@ def test_skyline_equals_bruteforce_dominance(spark, sf_dir):
         ).fetchall()
     }
     assert got == want and got
+
+
+def test_label_noise_knn_votes_bounded_and_consistent(spark, sf_dir):
+    """Every vector votes with exactly its 3 nearest neighbors: counts
+    in [0,3], one row per corpus vector, and the agreement count must
+    equal a direct recount over the kNN graph joined with labels."""
+    from streamingdemo_spark.registry import QUERIES
+
+    out = {r["vec_id"]: r for r in QUERIES["ext_label_noise_knn"](spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert set(out) == set(labels)
+    knn = QUERIES["ext_sim_knn_join"](spark, sf_dir).collect()
+    agree: dict[int, int] = {}
+    for r in knn:
+        agree[r["vec_id"]] = agree.get(r["vec_id"], 0) + (
+            labels[r["nbr_id"]] == labels[r["vec_id"]]
+        )
+    for vid, row in out.items():
+        assert 0 <= row["n_agree"] <= 3
+        assert row["n_agree"] == agree.get(vid, 0), vid
+        assert row["is_suspect"] == (row["n_agree"] == 0)
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
+    """Same quasi-identifier classes as the k-anonymity audit (the id
+    join is 1:1 on this fixture), diversity bounded by class size and
+    label vocabulary, and exposure accounting conserves documents."""
+    from streamingdemo_spark.registry import QUERIES
+
+    ldiv = {r["lang"]: r for r in QUERIES["ext_l_diversity"](spark, sf_dir).collect()}
+    kanon = {r["lang"]: r for r in QUERIES["ext_k_anonymity"](spark, sf_dir).collect()}
+    assert set(ldiv) == set(kanon)
+    n_labels = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label").distinct().count()
+    )
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for lang, row in ldiv.items():
+        assert row["n_classes"] == kanon[lang]["n_classes"], lang
+        assert 1 <= row["min_l"] <= n_labels
+        assert 0 <= row["homogeneous_classes"] <= row["n_classes"]
+        assert row["exposed_docs"] <= total_docs
+        assert row["l3_diverse"] == (row["min_l"] >= 3)
+
+
+def test_mmr_diversifies_from_relevance_candidates(spark, sf_dir):
+    """MMR invariants: 5 distinct picks per query, all drawn from the
+    relevance top-10, pick #1 IS the relevance argmax, and ranks are
+    contiguous 1..5. Greedy scoring itself is pinned by the oracle."""
+    from streamingdemo_spark.extensions.retrieval import MMR_CAND, MMR_K
+    from streamingdemo_spark.registry import QUERIES
+
+    rows = QUERIES["ext_sim_mmr"](spark, sf_dir).collect()
+    by_q: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], {})[r["mmr_rank"]] = r["doc_id"]
+    top = {}
+    for r in QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect():
+        if r["rank"] == 1:
+            top[r["q_id"]] = r["vec_id"]
+    assert set(by_q) == set(top)
+    for q, picks in by_q.items():
+        assert sorted(picks) == list(range(1, MMR_K + 1))
+        assert len(set(picks.values())) == MMR_K
+        assert picks[1] == top[q], q
