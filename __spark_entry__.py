@@ -121,6 +121,7 @@ _PRIORITY = [
     # -- round-5 additions
     "ext_sim_rrf_ann", "ext_compression_bound", "ext_graph_triangles",
     "ext_label_noise_knn", "ext_l_diversity", "ext_sim_mmr",
+    "ext_ts_cusum", "stream_chained_windows",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -1703,3 +1703,140 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 4).alias("val_sum"),
         )
     )
+
+
+# CUSUM parameters in integer 1e-4 value units: allowance K ~ 0.5 sigma
+# of the fixture's value distribution (sd ~ 50), alarm threshold H ~ 5
+# sigma -- the standard (k, h) = (sigma/2, 5*sigma) tuning.
+_CUSUM_K = 250_000
+_CUSUM_H = 2_500_000
+
+
+@query(
+    "ext_ts_cusum",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    st AS (
+      SELECT event_id, event_type, ts, x,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS su,
+             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS px,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS BIGINT) AS i
+      FROM u
+    ),
+    p AS (
+      SELECT event_id, event_type, ts, n,
+             px * n - i * su - i * {_CUSUM_K} * n AS pi
+      FROM st
+    ),
+    s AS (
+      SELECT event_id, event_type, n,
+             CAST(pi - LEAST(CAST(0 AS BIGINT),
+                             MIN(pi) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING))
+                  AS BIGINT) AS sc
+      FROM p
+    )
+    SELECT event_id, event_type,
+           ROUND(CAST(sc AS DOUBLE) / (n * 10000.0), 4) + 0.0 AS cusum,
+           (sc > {_CUSUM_H} * n) AS is_alarm
+    FROM s
+    """,
+)
+def ext_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event series — the control-
+    chart statistic (Page 1954) that flags a SUSTAINED upward shift in
+    a metric's level, where the 3σ point test (``ext_ts_anomaly``)
+    only sees single outliers: S_i = max(0, S_{i-1} + x_i − μ − K)
+    accumulates small drifts until they cross the alarm threshold H.
+
+    The recurrence looks inherently sequential (each S_i needs
+    S_{i-1}), which is what usually exiles CUSUM to a stateful UDF.
+    It is not: S_i = P_i − min_{j≤i} P_j where P is the plain prefix
+    sum of (x_i − μ − K) — the same identity that turns maximum
+    drawdown into two windows. Two exact window passes per series
+    (prefix sum, running min), zero Python.
+
+    Exactness: everything is multiplied through by the series count n
+    (P_i·n = px·n − i·su − i·K·n with px the integer prefix sum), so
+    the reference mean μ = su/n never materializes as a float; the
+    alarm is the pure integer inequality sc > H·n, and the reported
+    cusum closes with ONE double division on the shared 1e-4 grid.
+    Overflow bound: |px·n| < n²·x̄ — at 1e-4 units and this value
+    scale that is ~2e16 at sf0.1 and crosses int64 near per-series
+    n ≈ 3e6 (where DuckDB silently HUGEINT-widens while Spark wraps —
+    the one-sided divergence class from the r4 agg_corr fix); past
+    that, cut over to decimal(38) prefix sums, or chunk series.
+
+    Scale shape: one shuffle clusters each series; both window passes
+    are O(1)-state running aggregates over it. Streaming form: the
+    raw recurrence IS the transformWithState loop (one long + one min
+    per key); this batch form is its backfill auditor.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    u = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).alias("x"),
+    )
+    w_all = Window.partitionBy("event_type")
+    w_pre = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = u.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("su"),
+        F.sum("x").over(w_pre).alias("px"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        ).cast("long").alias("i"),
+    )
+    p = st.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "n",
+        (
+            F.col("px") * F.col("n")
+            - F.col("i") * F.col("su")
+            - F.col("i") * F.lit(_CUSUM_K) * F.col("n")
+        ).alias("pi"),
+    )
+    w_min = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the running min must include the empty prefix P_0 = 0 (else the
+    # first element of every series reads S_1 = 0 instead of max(0, t_1))
+    s = p.select(
+        "event_id",
+        "event_type",
+        "n",
+        (
+            F.col("pi")
+            - F.least(F.lit(0).cast("long"), F.min("pi").over(w_min))
+        ).alias("sc"),
+    )
+    return s.select(
+        "event_id",
+        "event_type",
+        (
+            F.round(F.col("sc").cast("double") / (F.col("n") * 10000.0), 4)
+            + F.lit(0.0)
+        ).alias("cusum"),
+        (F.col("sc") > F.lit(_CUSUM_H) * F.col("n")).alias("is_alarm"),
+    )

@@ -1290,3 +1290,78 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("cents").cast("double") / F.lit(10000.0)).alias("val_sum"),
     )
+
+
+@query(
+    "stream_chained_windows",
+    oracle="""
+    WITH wmf AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '10 minutes', ts) AS bs,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('hour', bs) AS hs, event_type,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n
+    FROM b GROUP BY 1, 2
+    HAVING date_trunc('hour', bs) + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+    """,
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — the
+    multi-stateful pipeline Spark supports since 3.4 (and the shape
+    every metrics rollup wants): a 10-minute tumbling per-type count
+    feeding an hourly rollup (bucket count / total / max bucket) in
+    the SAME query, no intermediate sink. Before multi-stateful
+    support this required two jobs glued by a Kafka topic or a Delta
+    table; here the inner aggregate's finalized windows flow straight
+    into the outer aggregate, and BOTH states are watermark-GC'd.
+
+    Mechanics: the inner aggregate emits a 10-min window only once
+    the 10-minute watermark passes its end; the emitted row carries
+    the window struct as its event-time column, so the outer
+    ``window(col('w'), '1 hour')`` aggregate treats finalized buckets
+    as timestamped events and finalizes each hour when the SAME
+    watermark passes hour end. Spark's no-data final micro-batch
+    advances the watermark to max(ts) - 10 min after the last file,
+    flushing both levels without sentinels (the availableNow subtlety
+    the two-operator keys like stream_stream_outer_join need
+    sentinels for does not arise here: one watermark drives both
+    evictions in the same batch).
+
+    Oracle-checked (the only chained-stateful key with a value-exact
+    oracle): the replay is deterministic, so the emitted set is the
+    batch two-level rollup cut at the final watermark — hours whose
+    end exceeds max(ts) - 10 min stay in state and must NOT appear.
+    Pure integer counts; no floats anywhere.
+
+    100 TB: state is windows x event_types at each level (the inner
+    level dominates: 6 buckets/hour/type), both GC'd; the chained
+    form halves end-to-end latency and removes the intermediate
+    topic's storage and its at-least-once dedup burden.
+    """
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    inner = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outer = (
+        inner.groupBy(F.window(F.col("w"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("total_n"),
+            F.max("n").alias("max_bucket_n"),
+        )
+        .select(
+            F.col("h.start").alias("hs"),
+            "event_type",
+            "n_buckets",
+            "total_n",
+            "max_bucket_n",
+        )
+    )
+    return run_to_memory(outer, output_mode="append")

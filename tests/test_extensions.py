@@ -1436,3 +1436,36 @@ def test_mmr_diversifies_from_relevance_candidates(spark, sf_dir):
         assert sorted(picks) == list(range(1, MMR_K + 1))
         assert len(set(picks.values())) == MMR_K
         assert picks[1] == top[q], q
+
+
+def test_cusum_equals_textbook_recurrence(spark, sf_dir):
+    """The two-window prefix-min identity must reproduce the textbook
+    CUSUM recurrence S_i = max(0, S_{i-1} + (x_i - mu - K)) exactly —
+    replayed per series in plain Python on the same integer units."""
+    from streamingdemo_spark.plans.behavior import _CUSUM_H, _CUSUM_K
+    from streamingdemo_spark.registry import QUERIES
+
+    got = {
+        (r["event_type"], r["event_id"]): (r["cusum"], r["is_alarm"])
+        for r in QUERIES["ext_ts_cusum"](spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for etype, series in by_type.items():
+        series.sort(key=lambda r: (r["ts"], r["event_id"]))
+        xs = [int(r["value"] * 10000 + 0.5) for r in series]
+        n, su = len(xs), sum(xs)
+        s = 0
+        for r, x in zip(series, xs):
+            # scaled by n so mu = su/n never becomes a float
+            s = max(0, s + x * n - su - _CUSUM_K * n)
+            want_cusum = round(s / (n * 10000.0), 4) + 0.0
+            cus, alarm = got[(etype, r["event_id"])]
+            assert cus == want_cusum, (etype, r["event_id"])
+            assert alarm == (s > _CUSUM_H * n)
