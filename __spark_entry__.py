@@ -122,6 +122,7 @@ _PRIORITY = [
     "ext_sim_rrf_ann", "ext_compression_bound", "ext_graph_triangles",
     "ext_label_noise_knn", "ext_l_diversity", "ext_sim_mmr",
     "ext_ts_cusum", "stream_chained_windows",
+    "agg_markov_transitions", "ext_sample_weighted",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

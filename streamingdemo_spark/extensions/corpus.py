@@ -1344,3 +1344,75 @@ def ext_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+SAMPLE_WEIGHTED_K = 100
+
+
+@query(
+    "ext_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+             CAST(FLOOR(-ln(
+               CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+               / 4294967297.0) * 1000000 + 0.5) AS BIGINT) AS lnu_micro
+      FROM documents
+    )
+    SELECT doc_id, lang, w,
+           ROUND(CAST(lnu_micro AS DOUBLE) / w, 6) + 0.0 AS rank_key
+    FROM keyed
+    ORDER BY ROUND(CAST(lnu_micro AS DOUBLE) / w, 6) + 0.0, doc_id
+    LIMIT {SAMPLE_WEIGHTED_K}
+    """,
+)
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, seedably deterministic —
+    the Efraimidis–Spirakis exponential-rank trick (take the k
+    smallest ``-ln(u_i)/w_i``), which is how a data pipeline samples a
+    training subset with probability proportional to a quality or
+    length weight (here w = n_chars: a token-budget-aware draw that
+    prefers long documents) while staying exactly reproducible
+    run-to-run and engine-to-engine.
+
+    Portability chain: u_i comes from the integer Knuth-hash PRNG
+    (``(doc_id * 2654435761) mod 2^32 + 1`` over 2^32+1 — never 0 or
+    1, so ln is finite); ``-ln(u)`` quantizes to integer micro-nats
+    (the ``ext_unigram_surprisal`` convention, absorbing the ln ulp);
+    the rank key closes with ONE double division by the weight on a
+    shared 1e-6 rounding grid, and ties break on doc_id.
+
+    Scale shape: NO window anywhere — the global k-smallest is
+    ORDER BY + LIMIT, which Spark executes as TakeOrdered (per-
+    partition top-k heaps, then a k-sized driver merge; the
+    ``sort_limit_topk`` plan contract). One scan, no shuffle of the
+    corpus. At 100 TB this is THE way to draw a weighted subset:
+    no sequential pass, no rejection loop, restartable, and adding
+    ``GROUP BY stratum`` turns it into weighted-stratified via one
+    partitioned window instead.
+    """
+    d = _docs(spark, sf_dir)
+    lnu_micro = F.floor(
+        -F.log(
+            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1)
+            .cast("double")
+            / F.lit(4294967297.0)
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("w"),
+        lnu_micro.alias("lnu_micro"),
+    )
+    rank_key = (
+        F.round(F.col("lnu_micro").cast("double") / F.col("w"), 6)
+        + F.lit(0.0)
+    ).alias("rank_key")
+    return (
+        keyed.select("doc_id", "lang", "w", rank_key)
+        .orderBy("rank_key", "doc_id")
+        .limit(SAMPLE_WEIGHTED_K)
+    )

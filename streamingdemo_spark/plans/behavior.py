@@ -1840,3 +1840,68 @@ def ext_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum"),
         (F.col("sc") > F.lit(_CUSUM_H) * F.col("n")).alias("is_alarm"),
     )
+
+
+@query(
+    "agg_markov_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM t WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           ROUND(CAST(n_trans AS DOUBLE)
+                 / SUM(n_trans) OVER (PARTITION BY from_type), 6) + 0.0
+             AS p
+    FROM c
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from, to) event-type pair, how often a
+    user's next action follows — the empirical behavior model behind
+    next-action prediction, funnel leak diagnosis, and session
+    simulation (``ext_event_pattern`` matches one fixed pattern; this
+    is the full conditional distribution).
+
+    Shape: one LEAD window per user (the series shuffle every
+    sequence op pays), then an aggregate to |types|² rows; the row
+    probability divides by the from-state total via a window over
+    that domain-sized relation — never corpus-sized. The final
+    division is the single double op, on the shared 1e-6 grid.
+
+    100 TB: transition counting is a map-side-combinable aggregate
+    after the per-user sort; second-order chains just widen the key
+    to (prev2, prev, next) — same two stages.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = t.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    w_from = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (
+            F.round(
+                F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(w_from),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p"),
+    )

@@ -1469,3 +1469,31 @@ def test_cusum_equals_textbook_recurrence(spark, sf_dir):
             cus, alarm = got[(etype, r["event_id"])]
             assert cus == want_cusum, (etype, r["event_id"])
             assert alarm == (s > _CUSUM_H * n)
+
+
+def test_weighted_sample_biased_toward_heavy_docs(spark, sf_dir):
+    """Exponential-rank weighted sampling must (a) be deterministic,
+    (b) return exactly k rows, (c) oversample heavy documents: the
+    sampled mean weight exceeds the corpus mean (selection probability
+    is proportional to n_chars), and the transition-matrix rows of
+    agg_markov_transitions must each sum to ~1."""
+    from streamingdemo_spark.extensions.corpus import SAMPLE_WEIGHTED_K
+    from streamingdemo_spark.registry import QUERIES
+
+    s1 = QUERIES["ext_sample_weighted"](spark, sf_dir).collect()
+    s2 = QUERIES["ext_sample_weighted"](spark, sf_dir).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    assert len(s1) == SAMPLE_WEIGHTED_K
+    sampled_mean = sum(r["w"] for r in s1) / len(s1)
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = (
+        corpus.agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    assert sampled_mean > corpus_mean * 1.05, (sampled_mean, corpus_mean)
+
+    trans = QUERIES["agg_markov_transitions"](spark, sf_dir).collect()
+    by_from: dict[str, float] = {}
+    for r in trans:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    for ft, tot in by_from.items():
+        assert abs(tot - 1.0) < 1e-4, (ft, tot)
