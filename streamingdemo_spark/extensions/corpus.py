@@ -1416,3 +1416,94 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_key", "doc_id")
         .limit(SAMPLE_WEIGHTED_K)
     )
+
+
+_DP_EPS_INV = 2.0  # Laplace scale b = 1/epsilon (epsilon = 0.5)
+
+
+@query(
+    "ext_dp_noise_count",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY lang, source
+    ),
+    u AS (
+      SELECT lang, source, n_true,
+             CAST(({opoly("lang || ':' || source || ':dp-seed-42'")}
+                   * 2654435761) % 4294967296 + 1 AS DOUBLE)
+               / 4294967297.0 AS uu
+      FROM c
+    )
+    SELECT lang, source, n_true,
+           CAST(FLOOR((CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+                 * (-{_DP_EPS_INV}) * ln(1.0 - 2.0 * ABS(uu - 0.5))
+                 * 1000000 + 0.5) AS BIGINT) AS noise_micro,
+           ROUND(n_true + CAST(FLOOR((CASE WHEN uu >= 0.5 THEN 1.0
+                                           ELSE -1.0 END)
+                 * (-{_DP_EPS_INV}) * ln(1.0 - 2.0 * ABS(uu - 0.5))
+                 * 1000000 + 0.5) AS BIGINT) / 1000000.0, 4) + 0.0
+             AS n_noised
+    FROM u
+    """,
+)
+def ext_dp_noise_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Laplace-noised counts — the differential-privacy release
+    shape (counts + Laplace(1/ε) noise, ε=0.5) as production DP
+    pipelines actually run it: the noise draw comes from a SEEDED
+    PRNG so a release is reproducible, auditable, and replayable in a
+    backfill (a fresh random draw per run would make every rerun a
+    fresh privacy spend). Same inverse-CDF-of-hash-uniform trick as
+    ``ext_sample_weighted``: u from the integer Knuth hash of the
+    portable group fingerprint, noise = -b·sgn(u-½)·ln(1-2|u-½|).
+
+    Exactness: the uniform is an exact integer-ratio double; the one
+    transcendental quantizes to integer micro-units (the module's
+    ln-ulp discipline), and the released value closes with one shared
+    division + 1e-4 round. The true count rides along here so the
+    oracle can pin the noise independently — a real release drops it
+    (and the seed string becomes a secret input).
+
+    Scale shape: a two-column aggregate (map-side combine) to
+    |lang|×|source| rows, then pure per-row expressions — the DP
+    machinery adds zero shuffles to the count it protects.
+    """
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_true"))
+    uu = (
+        (
+            (
+                poly_hash(
+                    F.concat_ws(":", F.col("lang"), F.col("source"), F.lit("dp-seed-42"))
+                )
+                * F.lit(2654435761)
+            )
+            % F.lit(4294967296)
+            + 1
+        ).cast("double")
+        / F.lit(4294967297.0)
+    )
+    sgn = F.when(F.col("uu") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise_micro = F.floor(
+        sgn
+        * F.lit(-_DP_EPS_INV)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("uu") - 0.5))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        c.withColumn("uu", uu)
+        .withColumn("noise_micro", noise_micro)
+        .select(
+            "lang",
+            "source",
+            "n_true",
+            "noise_micro",
+            (
+                F.round(
+                    F.col("n_true") + F.col("noise_micro") / 1000000.0, 4
+                )
+                + F.lit(0.0)
+            ).alias("n_noised"),
+        )
+    )

@@ -856,3 +856,117 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH oi AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               + o_orderkey % 14 + 1 AS e
+      FROM orders WHERE o_orderkey % 32 = 0
+    ),
+    li AS (
+      SELECT l_orderkey, l_linenumber,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + l_linenumber % 7 + 1 AS e
+      FROM lineitem WHERE l_orderkey % 16 = 0
+    )
+    SELECT oi.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(COUNT(DISTINCT li.l_orderkey) AS BIGINT) AS n_ship_orders
+    FROM oi JOIN li ON oi.s <= li.e AND li.s <= oi.e
+    GROUP BY oi.o_orderkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join via TWO-SIDED banding — the shape
+    ``join_range_banded`` (point-in-interval) doesn't cover: both
+    relations are interval sets (order activity windows vs shipment
+    windows, derived deterministically from the fixture's dates), and
+    a pair matches when the intervals intersect (s₁ ≤ e₂ ∧ s₂ ≤ e₁).
+
+    Naively this is a theta join (cartesian + filter — Spark would
+    pick BroadcastNestedLoopJoin or worse). The banded plan: each
+    interval EXPLODES to every 7-day band it touches (≤3 bands left,
+    ≤2 right — bounded by interval_len/band + 1), the join becomes an
+    EQUI-join on band, and because an overlapping pair can share
+    SEVERAL bands each match is kept only in its CANONICAL band (the
+    band of the overlap's first day, GREATEST(s₁,s₂) DIV 7) — every
+    pair survives exactly once with no dedup shuffle and no reliance
+    on a unique right-side key (a pair-key DISTINCT would both cost a
+    shuffle and silently collapse physically-duplicated rows, which
+    this fixture has). Forgetting the canonicalization double-counts
+    pairs — the classic interval-join bug, pinned here by the
+    oracle's plain theta join.
+
+    All interval arithmetic is integer epoch-days (date minus epoch on
+    both engines), so band assignment and the overlap predicate are
+    exact. Scale shape: shuffle is O(rows x bands_per_interval) on
+    both sides — band width tunes the tradeoff (wider bands = fewer
+    replicas, more residual-filter work) and skew salting composes on
+    the band key as in join_range_banded.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    epoch = F.lit("1970-01-01")
+    oi = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 32 == 0)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("s"),
+            (
+                F.datediff(F.col("o_orderdate"), epoch).cast("long")
+                + F.col("o_orderkey") % 14
+                + 1
+            ).alias("e"),
+        )
+    )
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 16 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("ls"),
+            (
+                F.datediff(F.col("l_shipdate"), epoch).cast("long")
+                + F.col("l_linenumber") % 7
+                + 1
+            ).alias("le"),
+        )
+    )
+    ob = oi.select(
+        "o_orderkey",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.expr("s DIV 7"), F.expr("e DIV 7"))
+        ).alias("band"),
+    )
+    lb = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "ls",
+        "le",
+        F.explode(
+            F.sequence(F.expr("ls DIV 7"), F.expr("le DIV 7"))
+        ).alias("band"),
+    )
+    pairs = (
+        ob.join(lb, "band")
+        .filter((F.col("s") <= F.col("le")) & (F.col("ls") <= F.col("e")))
+        # a pair sharing k bands appears k times: keep it only in its
+        # CANONICAL band — the band of the overlap's first day — so
+        # every overlap survives exactly once without a distinct (which
+        # would also wrongly collapse physically-duplicate right rows)
+        .filter(F.col("band") == F.expr("GREATEST(s, ls) DIV 7"))
+        .select("o_orderkey", "l_orderkey")
+    )
+    return pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.countDistinct("l_orderkey").alias("n_ship_orders"),
+    )
