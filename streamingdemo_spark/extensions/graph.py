@@ -158,11 +158,10 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 8  # backbone degree bound: top-k strongest co-occurrence edges
 
-
-@query(
-    "ext_graph_triangles",
-    oracle=f"""
-    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+# CTE chain building the mutual-top-k co-purchase backbone; ends in
+# ``mut(ea, eb)`` with ea < eb. Shared by ext_graph_triangles and
+# ext_graph_bfs_distance.
+_BACKBONE_CTE = f"""os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
                 FROM lineitem),
     co AS (
       SELECT a.s AS pa, b.s AS pb, COUNT(*) AS w
@@ -187,7 +186,59 @@ _KNN_K = 8  # backbone degree bound: top-k strongest co-occurrence edges
       FROM topk t1 JOIN topk t2
         ON t1.node = t2.nbr AND t1.nbr = t2.node
       WHERE t1.node < t1.nbr
-    ),
+    )"""
+
+
+def _backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-top-k co-purchase backbone as (ea, eb) with ea < eb —
+    the Spark mirror of ``_BACKBONE_CTE`` (see ext_graph_triangles for
+    the construction rationale). localCheckpointed: node-bounded
+    (<= k*n/2 rows) and reused by several downstream branches."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    os_ = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    co = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("pa"), F.col("b.s").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = co.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr"), "w"
+    ).unionAll(
+        co.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"), "w")
+    )
+    wk = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("nbr"))
+    topk = (
+        sym.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("node", "nbr")
+    )
+    return (
+        topk.alias("t1")
+        .join(
+            topk.alias("t2"),
+            (F.col("t1.node") == F.col("t2.nbr"))
+            & (F.col("t1.nbr") == F.col("t2.node")),
+        )
+        .filter(F.col("t1.node") < F.col("t1.nbr"))
+        .select(F.col("t1.node").alias("ea"), F.col("t1.nbr").alias("eb"))
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "ext_graph_triangles",
+    oracle=f"""
+    WITH {_BACKBONE_CTE},
     tri AS (
       SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z
       FROM mut e1
@@ -246,47 +297,7 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard backboning discipline for co-occurrence graphs whose
     raw density grows with data volume.
     """
-    t = load_tables(spark, sf_dir, ("lineitem",))
-    os_ = (
-        t["lineitem"]
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    co = (
-        os_.alias("a")
-        .join(
-            os_.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("pa"), F.col("b.s").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    sym = co.select(
-        F.col("pa").alias("node"), F.col("pb").alias("nbr"), "w"
-    ).unionAll(
-        co.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"), "w")
-    )
-    from pyspark.sql.window import Window
-
-    wk = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("nbr"))
-    topk = (
-        sym.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _KNN_K)
-        .select("node", "nbr")
-    )
-    # node-bounded (<= k*n/2 rows) and consumed by four branches below
-    # -- exactly the SMALL-reused-relation case localCheckpoint is for
-    mut = (
-        topk.alias("t1")
-        .join(
-            topk.alias("t2"),
-            (F.col("t1.node") == F.col("t2.nbr"))
-            & (F.col("t1.nbr") == F.col("t2.node")),
-        )
-        .filter(F.col("t1.node") < F.col("t1.nbr"))
-        .select(F.col("t1.node").alias("ea"), F.col("t1.nbr").alias("eb"))
-        .localCheckpoint(eager=True)
-    )
+    mut = _backbone(spark, sf_dir)
     tri = (
         mut.alias("e1")
         .join(
@@ -319,4 +330,85 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("supplier"),
         F.col("deg").cast("long").alias("deg"),
         F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
+
+
+_BFS_HOPS = 3
+_BFS_SEED_MOD = 50  # seed set: suppliers with id % 50 == 0
+
+
+@query(
+    "ext_graph_bfs_distance",
+    oracle=f"""
+    WITH {_BACKBONE_CTE},
+    e AS (SELECT ea AS u, eb AS v FROM mut
+          UNION ALL SELECT eb AS u, ea AS v FROM mut),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+           WHERE node % {_BFS_SEED_MOD} = 0),
+    s1 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM s0
+             UNION ALL
+             SELECT e.v AS node, s0.dist + 1 AS dist
+             FROM s0 JOIN e ON e.u = s0.node)
+           GROUP BY node),
+    s2 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM s1
+             UNION ALL
+             SELECT e.v AS node, s1.dist + 1 AS dist
+             FROM s1 JOIN e ON e.u = s1.node)
+           GROUP BY node),
+    s3 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM s2
+             UNION ALL
+             SELECT e.v AS node, s2.dist + 1 AS dist
+             FROM s2 JOIN e ON e.u = s2.node)
+           GROUP BY node)
+    SELECT node AS supplier, CAST(dist AS INT) AS dist FROM s3
+    """,
+)
+def ext_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase backbone: hop distance
+    from a seed set (every {_BFS_SEED_MOD}th supplier — 'hub'
+    accounts) to every node within {_BFS_HOPS} hops — the influence-
+    radius / contamination-reach primitive (how far does a flagged
+    account's neighborhood extend?), and the third member of the
+    iterative-graph family after PageRank (fixed-point scores) and
+    min-label components (convergence loop).
+
+    Each hop is ONE join + ONE min-aggregate: frontier ⋈ edges
+    produces dist+1 candidates, unioned with the current labels and
+    min-reduced — the standard min-plus BFS step, unrolled
+    {_BFS_HOPS} times (the ``ext_graph_pagerank`` discipline) so the
+    DuckDB oracle replays every hop. Unreached nodes simply never
+    appear (no sentinel infinities to diverge on). Pure integer
+    distances; ties need no breaking (MIN is associative).
+
+    Scale shape: per hop the shuffle is |frontier ∪ labels| ⋈ edges
+    on the node key — bounded by k·n (backbone degree ≤ {_KNN_K});
+    the label relation is localCheckpointed each hop so lineage stays
+    O(1) in hop count. At real scale seeds come from a table, hops
+    from a loop with a convergence check (count of changed labels =
+    0), exactly like ``min_label_components``.
+    """
+    mut = _backbone(spark, sf_dir)
+    e = mut.select(
+        F.col("ea").alias("u"), F.col("eb").alias("v")
+    ).unionAll(mut.select(F.col("eb").alias("u"), F.col("ea").alias("v")))
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    labels = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_BFS_HOPS):
+        hop = labels.join(e, labels["node"] == e["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        labels = (
+            labels.unionAll(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("supplier"), F.col("dist").cast("int").alias("dist")
     )
