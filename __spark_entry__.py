@@ -124,7 +124,7 @@ _PRIORITY = [
     "ext_ts_cusum", "stream_chained_windows",
     "agg_markov_transitions", "ext_sample_weighted",
     "join_interval_overlap", "ext_dp_noise_count",
-    "ext_graph_bfs_distance",
+    "ext_graph_bfs_distance", "ext_ts_decompose",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -1905,3 +1905,108 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("p"),
     )
+
+
+@query(
+    "ext_ts_decompose",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, hr, y,
+             CAST((SUM(y) OVER w * 1000) // COUNT(*) OVER w AS BIGINT)
+               AS trend_milli
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT event_type, hr, y, trend_milli,
+             y * 1000 - trend_milli AS det_milli,
+             CAST(hour(hr) AS INT) AS hod
+      FROM t
+    ),
+    s AS (
+      -- det sums go negative and DuckDB // floors while Spark DIV
+      -- truncates: shift by a large offset so the numerator is
+      -- positive and the two agree, then shift back
+      SELECT event_type, hod,
+             CAST((SUM(det_milli) + 1000000000 * COUNT(*)) // COUNT(*)
+                  - 1000000000 AS BIGINT) AS seasonal_milli
+      FROM d GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hr, d.y, d.trend_milli, s.seasonal_milli,
+           CAST(d.det_milli - s.seasonal_milli AS BIGINT) AS resid_milli
+    FROM d JOIN s ON s.event_type = d.event_type AND s.hod = d.hod
+    """,
+)
+def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical time-series decomposition per event series: hourly
+    volume split into trend + daily seasonal + residual — the triage
+    view every metrics pipeline builds before alerting (is the spike
+    drift, time-of-day, or genuinely anomalous?), and the input
+    representation forecasting models consume.
+
+    Construction (additive decomposition, all INTEGER milli-units):
+    trend = centered 24-hour moving average of the hourly counts
+    (integer-division mean — deterministic, no float mean anywhere);
+    seasonal = per (series, hour-of-day) mean of the detrended
+    series; residual = detrended − seasonal. ``hour()`` agrees
+    between engines on the fixture's naive timestamps (unlike
+    day-of-week numbering — the agg_seasonality_profile lesson).
+
+    Assumes a dense hourly series (the fixture's event volume fills
+    every hour); for sparse series compose with ``ext_ts_resample``'s
+    time spine first, or the centered window spans non-contiguous
+    hours. Edge hours use the shrunk frame both engines share.
+
+    Scale shape: one aggregate to series×hours (map-side combine),
+    one bounded-frame window per series (O(1) ring-buffer state), one
+    domain-sized (series × 24) aggregate broadcast back. Nothing
+    corpus-sized past the first aggregate. The iterative STL variant
+    (loess loops) is deliberately NOT this key: classical
+    decomposition is closed-form, exact, and covers the triage use.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    # integer-division mean without float: (sum*1000) DIV count
+    t = h.withColumn(
+        "trend_milli",
+        F.expr("(sum(y) OVER (PARTITION BY event_type ORDER BY hr "
+               "ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) * 1000) DIV "
+               "count(*) OVER (PARTITION BY event_type ORDER BY hr "
+               "ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)"),
+    )
+    d = t.select(
+        "event_type",
+        "hr",
+        "y",
+        "trend_milli",
+        (F.col("y") * 1000 - F.col("trend_milli")).alias("det_milli"),
+        F.hour("hr").cast("int").alias("hod"),
+    )
+    # det sums go negative and Spark DIV truncates while DuckDB //
+    # floors: shift by a large offset so the numerator is positive and
+    # the two agree, then shift back
+    s = d.groupBy("event_type", "hod").agg(
+        F.expr(
+            "(sum(det_milli) + 1000000000 * count(*)) DIV count(*)"
+            " - 1000000000"
+        ).alias("seasonal_milli")
+    )
+    return (
+        d.join(s, ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hr",
+            "y",
+            "trend_milli",
+            "seasonal_milli",
+            (F.col("det_milli") - F.col("seasonal_milli")).alias("resid_milli"),
+        )
+    )

@@ -1497,3 +1497,29 @@ def test_weighted_sample_biased_toward_heavy_docs(spark, sf_dir):
         by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
     for ft, tot in by_from.items():
         assert abs(tot - 1.0) < 1e-4, (ft, tot)
+
+
+def test_ts_decompose_additivity_and_negative_path(spark, sf_dir):
+    """trend + seasonal + residual must reconstruct y*1000 exactly on
+    every row (pure integer additivity), seasonal components must be
+    roughly mean-zero per series, and the fixture must actually
+    exercise negative detrended sums (the Spark-DIV vs DuckDB-floor
+    divergence the offset trick guards against)."""
+    from streamingdemo_spark.registry import QUERIES
+
+    rows = QUERIES["ext_ts_decompose"](spark, sf_dir).collect()
+    assert rows
+    neg_seasonal = 0
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert (
+            r["trend_milli"] + r["seasonal_milli"] + r["resid_milli"]
+            == r["y"] * 1000
+        ), (r["event_type"], r["hr"])
+        neg_seasonal += r["seasonal_milli"] < 0
+        by_type.setdefault(r["event_type"], []).append(r["seasonal_milli"])
+    # below-trend hours exist, so some seasonal components are negative
+    # (the offset-DIV path is live, not vacuous)
+    assert neg_seasonal > 0
+    for etype, seas in by_type.items():
+        assert abs(sum(seas)) / len(seas) < 1000, etype  # ~mean-zero
