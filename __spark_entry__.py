@@ -53,6 +53,11 @@ _REPO = pathlib.Path(__file__).resolve().parent
 # remaining never-checked extras, rows-only smokes last (weakest
 # signal). Back block: everything proven in r1/r2, cheapest-first.
 _PRIORITY = [
+    # -- promoted r6: gained a real oracle (wire-serialization
+    # loopback) after it was first slotted in the rows-only back
+    # block; fronted so the driver can hash-certify it (it is
+    # hash-green in tools/driver_sim.py).
+    "stream_kafka_smoke",
     # -- SURVEY §2 batch keys, never driver-checked after r2
     "win_moving", "win_range_frame", "win_first_last", "win_topk_group",
     "sort_multi", "set_union_distinct", "set_intersect", "set_except",
@@ -128,7 +133,7 @@ _PRIORITY = [
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
-    "ext_compression_ratio", "stream_kafka_smoke", "stream_rate_smoke",
+    "ext_compression_ratio", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first
     "stream_stream_join", "agg_percentile", "agg_collect_sorted",
     "fn_split_array", "fn_map", "ext_text_fingerprint",
