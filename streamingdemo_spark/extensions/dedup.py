@@ -1259,12 +1259,88 @@ WINNOW_W = 10  # winnowing window (grams per window)
 WINNOW_K = 40  # gram length (chars)
 WINNOW_SEL = 12  # selection-hash prefix length (chars)
 
+_INV31 = pow(31, POLY_MOD - 2, POLY_MOD)  # 31⁻¹ mod P (P prime)
+
+
+def _pow_mod_table(base: int, n: int):
+    """``base**i % POLY_MOD`` for i in 0..n-1 as int64, built by
+    vectorized doubling (log₂ n numpy passes, no per-element Python);
+    every product of two residues stays < (2^30)² < 2^63."""
+    import numpy as np
+
+    out = np.ones(max(n, 1), dtype=np.int64)
+    if n > 1:
+        out[1] = base
+    filled = min(n, 2)
+    while filled < n:
+        take = min(filled, n - filled)
+        step = out[filled - 1] * base % POLY_MOD
+        out[filled : filled + take] = out[:take] * step % POLY_MOD
+        filled += take
+    return out[:n]
+
+
+def winnow_positions(text: str) -> list[int]:
+    """1-based start positions of the winnow-SELECTED WINNOW_K-grams
+    of ``text`` — the per-document half of :func:`_winnowed_grams`,
+    exposed as a pure numpy function so tests can pin it against the
+    oracle's explode+window CTE without a Spark session.
+
+    Selection hash h(p) = poly_hash of the first WINNOW_SEL chars of
+    the gram at p, computed for ALL positions in O(len) via modular
+    prefix hashes: with t_j = code_j·31⁻ʲ and S(i) = Σ_{j≤i} t_j, the
+    prefix fold P(i) = S(i)·31ⁱ and h(p) = P(p+SEL-1) − P(p-1)·31^SEL
+    (all mod 1e9+7; operands < (2^30)², so int64-exact). Codepoints
+    come from the UTF-32 encoding — the same per-codepoint model as
+    Spark's ``split('')``+``ascii`` and DuckDB's ``string_split``
+    (tests/test_portable_hash.py pins the three-way agreement).
+
+    Then the two winnowing passes as vectorized sliding windows:
+      mn(p) = MIN(h) over [p, p+W-1]   (doc-end windows clip short →
+                                        pad with POLY_MOD sentinel)
+      mx(p) = MAX(mn) over [p-W+1, p]  (doc-start clips → pad −1)
+      selected(p) ⟺ mx(p) == h(p)
+    identical row arithmetic to the oracle's two ROWS-frame windows,
+    including the tie rule (all tied positions select) and the
+    clipped frames at document edges.
+    """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    length = len(text)
+    n = length - (WINNOW_K - 1)
+    if n < 1:
+        return []
+    codes = np.frombuffer(
+        text.encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int64)
+    inv = _pow_mod_table(_INV31, length + 1)
+    pw = _pow_mod_table(31, length + 1)
+    terms = codes * inv[1:] % POLY_MOD
+    acc = np.empty(length + 1, dtype=np.int64)
+    acc[0] = 0
+    np.cumsum(terms, out=acc[1:])  # terms < 1e9+7 → exact below ~9e9 chars
+    acc %= POLY_MOD
+    pref = acc * pw % POLY_MOD
+    h = (pref[WINNOW_SEL : WINNOW_SEL + n] - pref[:n] * pw[WINNOW_SEL]) \
+        % POLY_MOD
+    fwd = np.concatenate(
+        [h, np.full(WINNOW_W - 1, POLY_MOD, dtype=np.int64)]
+    )
+    mn = sliding_window_view(fwd, WINNOW_W).min(axis=1)
+    bwd = np.concatenate(
+        [np.full(WINNOW_W - 1, -1, dtype=np.int64), mn]
+    )
+    mx = sliding_window_view(bwd, WINNOW_W).max(axis=1)
+    return (np.nonzero(mx == h)[0] + 1).tolist()
+
 
 def _winnowed_grams(d: DataFrame) -> DataFrame:
-    """Winnowed 40-gram fingerprints of each document: (doc_id, s, e,
-    gram) — the content-defined sampling shared by the three exact
-    substring-dedup keys (Schleimer/Wilkerson/Aiken, "Winnowing:
-    Local Algorithms for Document Fingerprinting", SIGMOD'03).
+    """Winnowed WINNOW_K-gram fingerprints of each document: (doc_id,
+    s, e, gram) — the content-defined sampling shared by the three
+    exact substring-dedup keys (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03).
 
     Every gram position is a candidate (stride 1); a position is
     SELECTED iff its hash achieves the minimum of at least one window
@@ -1273,63 +1349,43 @@ def _winnowed_grams(d: DataFrame) -> DataFrame:
     documents sharing any run of >= W + K - 1 = 49 chars share a full
     window of identical grams and therefore select the same gram in
     both — the deterministic, alignment-free guarantee fixed-stride
-    sampling cannot give (stride-10 at positions p≡1 (mod 10)
-    deterministically missed runs whose start offsets differ mod 10,
-    no matter how long).
+    sampling cannot give. Ties select every tied position (a superset
+    of rightmost-rule winnowing — still >= 1 per window, pure
+    h-arithmetic, so both engines agree exactly).
 
-    Mechanism (two stacked windows, one shuffle):
-      mn(p) = MIN(h) over [p, p+W-1]   — min of the window STARTING at p
-      mx(p) = MAX(mn) over [p-W+1, p]  — best window-min among windows
-                                          CONTAINING p
-      selected(p) ⟺ mx(p) == h(p)      — p achieves some window's min
-    Ties select every tied position (a superset of rightmost-rule
-    winnowing — still >= 1 per window, pure h-arithmetic, so both
-    engines agree exactly). Trailing sub-W windows at doc end add a
-    few extra fingerprints; harmless and replayed identically.
-
-    The selection hash folds only the first WINNOW_SEL chars of each
-    gram (selection needs content-determinism, not collision
-    resistance; a 12-char portable fold is 3.3× cheaper than hashing
-    the full gram at every position). Shuffle rows are (doc_id, p, h)
-    triples — the document text is NOT carried through the window
-    (that would duplicate each doc len/1 times); full grams are
-    extracted by one doc_id join-back for the ~2/(W+1) selected
-    positions only. Expected fingerprint density 2/(W+1) ≈ 0.18/char
-    vs stride-10's fixed 0.10 — the ~1.8× volume is the price of the
-    recall guarantee.
+    Plan shape (round-6 rewrite): selection runs ENTIRELY MAP-SIDE
+    inside the document row — one Arrow-batched pandas UDF
+    (:func:`winnow_positions`, vectorized numpy over modular prefix
+    hashes, O(len) per doc) returns the selected positions as an
+    array, and only those ~2/(W+1) ≈ 0.18/char positions explode.
+    Zero shuffles, zero per-position HOF folds: the previous plan
+    exploded one (doc_id, p, h) row PER CHARACTER through two
+    Window.partitionBy(doc_id) passes — a corpus-sized shuffle and a
+    12-char poly fold at every position — even though each document
+    already sat whole in one row; that cost 4.1× box-normalized at
+    sf0.1 and would have shuffled ~100 TB of position rows at scale.
+    The oracle (:func:`_winnow_sql`) still replays selection as
+    explode + two window CTEs — same SEMANTICS, engine-appropriate
+    plan on each side.
     """
-    from pyspark.sql.window import Window as W
+    from pyspark.sql.functions import pandas_udf
 
-    pos = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("text") - 39, F.lit(1))
-                )
-            ).alias("p"),
-            "text",
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint parser rejects the strings; the decorator
+    # argument alone fixes the eval type (scalar pandas UDF)
+    @pandas_udf("array<long>")
+    def winnow_pos(texts):
+        return texts.map(
+            lambda t: winnow_positions(t) if t is not None else []
         )
-        .filter(F.length("text") >= F.col("p") + 39)
-        .select(
-            "doc_id",
-            "p",
-            poly_hash(F.expr(f"substring(text, p, {WINNOW_SEL})")).alias("h"),
-        )
-    )
-    w_fwd = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
-    w_bwd = W.partitionBy("doc_id").orderBy("p").rowsBetween(1 - WINNOW_W, 0)
-    sel = (
-        pos.withColumn("mn", F.min("h").over(w_fwd))
-        .withColumn("mx", F.max("mn").over(w_bwd))
-        .filter(F.col("mx") == F.col("h"))
-        .select("doc_id", "p")
-    )
-    return sel.join(d.select("doc_id", "text"), "doc_id").select(
+
+    return d.select(
+        "doc_id", "text", F.explode(winnow_pos("text")).alias("p")
+    ).select(
         "doc_id",
-        F.col("p").cast("long").alias("s"),
-        (F.col("p").cast("long") + 39).alias("e"),
-        F.expr("substring(text, p, 40)").alias("gram"),
+        F.col("p").alias("s"),
+        (F.col("p") + (WINNOW_K - 1)).alias("e"),
+        F.expr(f"substring(text, CAST(p AS INT), {WINNOW_K})").alias("gram"),
     )
 
 
@@ -1338,13 +1394,14 @@ def _winnow_sql() -> str:
     ends with ``grams(doc_id, s, e, gram)``; callers append their
     downstream CTEs/SELECT."""
     h = opoly(f"substr(text, CAST(p AS INT), {WINNOW_SEL})")
+    km1 = WINNOW_K - 1
     return f"""
     pos AS (
       SELECT doc_id, CAST(p AS BIGINT) AS p, {h} AS h
       FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, GREATEST(len(text) - 39, 1), 1)) AS p
+                   unnest(generate_series(1, GREATEST(len(text) - {km1}, 1), 1)) AS p
             FROM documents)
-      WHERE len(text) >= p + 39
+      WHERE len(text) >= p + {km1}
     ),
     fwd AS (
       SELECT doc_id, p, h,
@@ -1363,8 +1420,8 @@ def _winnow_sql() -> str:
       WHERE mx = h
     ),
     grams AS (
-      SELECT s.doc_id, s.p AS s, s.p + 39 AS e,
-             substr(d.text, CAST(s.p AS INT), 40) AS gram
+      SELECT s.doc_id, s.p AS s, s.p + {km1} AS e,
+             substr(d.text, CAST(s.p AS INT), {WINNOW_K}) AS gram
       FROM sel s JOIN documents d ON d.doc_id = s.doc_id
     )"""
 
@@ -1400,13 +1457,15 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable poly_hash fingerprint of the span (collisions can only
     merge *reported ids*, never create a false span match).
 
-    Scale shape: the winnow explode is linear (one (doc,p,h) triple
-    per char, text never duplicated through the shuffle); ONE shuffle
-    groups the surviving grams (at 100 TB pre-aggregate on
-    xxhash64(gram) to shrink shuffle rows to 8-byte keys, then verify
-    the surviving buckets by string equality — same two-phase
-    discipline as ext_dedup_minhash's banding); output is bounded by
-    the duplicated-span count. No all-pairs stage exists.
+    Scale shape: winnow selection is map-side within the document row
+    (one Arrow pandas UDF, O(len) numpy per doc — see
+    :func:`_winnowed_grams`), so the ONLY shuffle in the whole key is
+    the final gram groupBy over the ~0.18 selected grams/char (at
+    100 TB pre-aggregate on xxhash64(gram) to shrink shuffle rows to
+    8-byte keys, then verify the surviving buckets by string equality
+    — same two-phase discipline as ext_dedup_minhash's banding);
+    output is bounded by the duplicated-span count. No all-pairs
+    stage exists.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     grams = _winnowed_grams(d).select("doc_id", "gram")

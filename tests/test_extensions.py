@@ -1311,6 +1311,52 @@ def test_winnowing_catches_misaligned_runs(spark):
         assert shared >= 1, f"offset {off}: misaligned run missed"
 
 
+def test_winnow_positions_matches_naive_fold():
+    """The vectorized modular-prefix-hash selection (r6's map-side
+    rewrite of _winnowed_grams) must agree position-for-position with
+    a naive per-position poly fold + per-position window min/max —
+    i.e. with exactly the arithmetic the oracle's explode+window CTEs
+    replay. Random texts over tiny/ASCII/astral alphabets cover hash
+    ties, clipped edge windows, and the sub-K empty case."""
+    import random
+    import string
+
+    from streamingdemo_spark.extensions.dedup import (
+        POLY_MOD,
+        WINNOW_K,
+        WINNOW_SEL,
+        WINNOW_W,
+        winnow_positions,
+    )
+
+    def naive(text):
+        n = len(text) - (WINNOW_K - 1)
+        if n < 1:
+            return []
+
+        def ph(s):
+            acc = 0
+            for c in s:
+                acc = (acc * 31 + ord(c)) % POLY_MOD
+            return acc
+
+        h = [ph(text[p : p + WINNOW_SEL]) for p in range(n)]
+        mn = [min(h[p : min(p + WINNOW_W, n)]) for p in range(n)]
+        mx = [
+            max(mn[max(0, p - WINNOW_W + 1) : p + 1]) for p in range(n)
+        ]
+        return [p + 1 for p in range(n) if mx[p] == h[p]]
+
+    rng = random.Random(42)
+    for _ in range(200):
+        length = rng.randint(0, 300)
+        alphabet = (
+            string.ascii_lowercase[: rng.choice([2, 4, 26])] + "é😀"
+        )
+        text = "".join(rng.choice(alphabet) for _ in range(length))
+        assert winnow_positions(text) == naive(text), text
+
+
 def test_substring_mask_consistent_with_span_coverage(spark, sf_dir):
     """Cross-key consistency between the two independent consumers of
     the island pipeline: the set of masked docs must equal the docs
