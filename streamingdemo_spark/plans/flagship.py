@@ -296,37 +296,67 @@ def flagship_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth flagship (TPC-H-Q21 shape): suppliers who kept orders
     waiting — the sole late supplier on multi-supplier finished
-    orders. THE stress test for correlated-subquery planning: an
-    EXISTS and a NOT EXISTS, both correlated to the same fact table
-    the outer query scans ('late' = shipped >60 days after the order
-    date, standing in for the reference fixture's missing
-    receipt/commit dates).
+    orders ('late' = shipped >60 days after the order date, standing
+    in for the reference fixture's missing receipt/commit dates).
 
-    Catalyst compiles the pair into one left-semi and one left-anti
-    join against lineitem re-scans — three passes over the fact,
-    NEVER a per-row re-execution; all three join on l_orderkey, so at
-    100 TB bucketing lineitem by orderkey makes every pass
-    co-partitioned (``join_bucketed``'s layout), and the supplier dim
-    broadcasts. Identical SQL runs on both engines.
+    Single-pass plan (round-6 rewrite, replacing the naive
+    EXISTS + NOT EXISTS form the oracle still runs): the correlated
+    pair decorrelates by hand into per-order conditional aggregates —
+    ONE scan of lineitem instead of the three (base + left-semi +
+    left-anti re-scans) Catalyst compiled the subquery form into,
+    which made this the worst key in the sf10 sweep (41× wall at
+    100× data).
+
+      1. lineitem ⋈ orders(status='F') on orderkey — the only
+         fact-sized shuffle; both sides bucketable by orderkey at
+         100 TB (``join_bucketed``'s layout).
+      2. groupBy (orderkey, suppkey): n_late = late-line count
+         (map-side partial agg shrinks the fact to supplier-order
+         grain before the exchange).
+      3. Two order-grain window aggregates over the tiny supplier-
+         order table: n_supp (EXISTS l2 ⟺ n_supp ≥ 2) and
+         n_late_supp (NOT EXISTS l3 ⟺ this supplier is the ONLY
+         late one, n_late_supp = 1 with n_late > 0).
+      4. Qualifying rows contribute their n_late line count (the
+         original COUNT(*) counts l1 ROWS, not suppliers), broadcast-
+         join supplier for the name, sum per s_name.
     """
-    register_views(spark, sf_dir, ("supplier", "orders", "lineitem"))
-    return spark.sql(
-        """
-        SELECT s.s_name, COUNT(*) AS numwait
-        FROM supplier s
-        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
-        JOIN orders o ON o.o_orderkey = l1.l_orderkey
-        WHERE o.o_orderstatus = 'F'
-          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-        GROUP BY s.s_name
-        """
+    t = load_tables(spark, sf_dir, ("supplier", "orders", "lineitem"))
+    from pyspark.sql.window import Window as W
+
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_so = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late.cast("long")).alias("n_late"))
+    )
+    wo = W.partitionBy("l_orderkey")
+    waiting = (
+        per_so.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late") > 0).cast("long")).over(wo),
+        )
+        .filter(
+            (F.col("n_late") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.sum("n_late").alias("numwait"))
     )
 
 
