@@ -1355,7 +1355,9 @@ SAMPLE_WEIGHTED_K = 100
     WITH keyed AS (
       SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
              CAST(FLOOR(-ln(
-               CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+               CAST(((doc_id % 65536) * 2654435761 % 4294967296
+                     + ((doc_id % 4294967296) // 65536) * 2041643008)
+                    % 4294967296 + 1 AS DOUBLE)
                / 4294967297.0) * 1000000 + 0.5) AS BIGINT) AS lnu_micro
       FROM documents
     )
@@ -1376,11 +1378,18 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-to-run and engine-to-engine.
 
     Portability chain: u_i comes from the integer Knuth-hash PRNG
-    (``(doc_id * 2654435761) mod 2^32 + 1`` over 2^32+1 — never 0 or
-    1, so ln is finite); ``-ln(u)`` quantizes to integer micro-nats
-    (the ``ext_unigram_surprisal`` convention, absorbing the ln ulp);
-    the rank key closes with ONE double division by the weight on a
-    shared 1e-6 rounding grid, and ties break on doc_id.
+    (``(doc_id · 2654435761) mod 2^32 + 1`` over 2^32+1 — never 0 or
+    1, so ln is finite), evaluated as a split modmul over 16-bit
+    limbs of ``doc_id mod 2^32`` (lo·A + hi·(2^16·A mod 2^32), every
+    operand < 2^48) so the int64 product can NEVER wrap — the raw
+    ``doc_id * 2654435761`` form wrapped silently on Spark / raised
+    on DuckDB once doc_id exceeded ~3.47e9 (the ext_negative_sampling
+    bug class); bit-identical to the raw form below that bound, and
+    now correct for all int64 doc_ids. ``-ln(u)`` quantizes to
+    integer micro-nats (the ``ext_unigram_surprisal`` convention,
+    absorbing the ln ulp); the rank key closes with ONE double
+    division by the weight on a shared 1e-6 rounding grid, and ties
+    break on doc_id.
 
     Scale shape: NO window anywhere — the global k-smallest is
     ORDER BY + LIMIT, which Spark executes as TakeOrdered (per-
@@ -1392,12 +1401,12 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned window instead.
     """
     d = _docs(spark, sf_dir)
+    u32 = (
+        (F.col("doc_id") % 65536) * F.lit(2654435761) % F.lit(4294967296)
+        + F.expr("(doc_id % 4294967296) DIV 65536") * F.lit(2041643008)
+    ) % F.lit(4294967296)
     lnu_micro = F.floor(
-        -F.log(
-            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1)
-            .cast("double")
-            / F.lit(4294967297.0)
-        )
+        -F.log((u32 + 1).cast("double") / F.lit(4294967297.0))
         * 1000000
         + F.lit(0.5)
     ).cast("long")

@@ -373,10 +373,67 @@ def ext_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_QT = 3  # rarest corpus terms drawn from each query document
 
 
-@query(
-    "ext_sim_rrf_ann",
-    oracle=None,  # built below (needs the ANN CTE import)
-)
+def _rrf_ann_oracle() -> str:
+    from streamingdemo_spark.extensions.similarity import ANN_LSH_CTE
+
+    return f"""
+    WITH {ANN_LSH_CTE},
+    dtk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl FROM dtk),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM d),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM dtk),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dfa AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qt AS (
+      SELECT q_id, term, df FROM (
+        SELECT t.doc_id AS q_id, t.term, dfa.df,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY dfa.df ASC, t.term ASC) AS trk
+        FROM (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < 8) t
+        JOIN dfa ON dfa.term = t.term
+        WHERE dfa.df >= 2)
+      WHERE trk <= {N_QT}
+    ),
+    contrib AS (
+      SELECT qt.q_id, tf.doc_id,
+             CAST(FLOOR(
+               ln(1 + (tot.n_docs - qt.df + 0.5) / (qt.df + 0.5))
+               * ((tf.tf * {K1 + 1.0}) /
+                  (tf.tf + {K1} * (({1.0 - B}) + {B} *
+                   (CAST(d.dl * tot.n_docs AS DOUBLE) / tot.dl_sum))))
+               * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM qt
+      JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.q_id
+      JOIN d ON d.doc_id = tf.doc_id
+      CROSS JOIN tot
+    ),
+    lex AS (
+      SELECT q_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY bm25_micro DESC, doc_id) AS INT) AS lex_rank
+      FROM (SELECT q_id, doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
+            FROM contrib GROUP BY q_id, doc_id)
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, dn.q_id) AS q_id,
+             COALESCE(l.doc_id, dn.vec_id) AS doc_id,
+             l.lex_rank, dn.rank AS dense_rank,
+             COALESCE(1000000000 // ({RRF_K} + l.lex_rank), 0)
+             + COALESCE(1000000000 // ({RRF_K} + dn.rank), 0) AS rrf_nano
+      FROM lex l
+      FULL OUTER JOIN (SELECT * FROM ann_ranked WHERE rank <= 5) dn
+        ON l.q_id = dn.q_id AND l.doc_id = dn.vec_id
+    )
+    SELECT q_id, doc_id, lex_rank, dense_rank, rrf_nano,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= {TOP_N}
+    """
+
+
+@query("ext_sim_rrf_ann", oracle=_rrf_ann_oracle())
 def ext_sim_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION hybrid retrieval — the scale-path sibling of
     ``ext_sim_rrf``, which ranks the ENTIRE corpus per query on its
@@ -493,73 +550,6 @@ def ext_sim_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_N)
     )
-
-
-def _rrf_ann_oracle() -> str:
-    from streamingdemo_spark.extensions.similarity import ANN_LSH_CTE
-
-    return f"""
-    WITH {ANN_LSH_CTE},
-    dtk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    d AS (SELECT doc_id, len(toks) AS dl FROM dtk),
-    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM d),
-    toks AS (SELECT doc_id, unnest(toks) AS term FROM dtk),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-           GROUP BY doc_id, term),
-    dfa AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    qt AS (
-      SELECT q_id, term, df FROM (
-        SELECT t.doc_id AS q_id, t.term, dfa.df,
-               ROW_NUMBER() OVER (PARTITION BY t.doc_id
-                                  ORDER BY dfa.df ASC, t.term ASC) AS trk
-        FROM (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < 8) t
-        JOIN dfa ON dfa.term = t.term
-        WHERE dfa.df >= 2)
-      WHERE trk <= {N_QT}
-    ),
-    contrib AS (
-      SELECT qt.q_id, tf.doc_id,
-             CAST(FLOOR(
-               ln(1 + (tot.n_docs - qt.df + 0.5) / (qt.df + 0.5))
-               * ((tf.tf * {K1 + 1.0}) /
-                  (tf.tf + {K1} * (({1.0 - B}) + {B} *
-                   (CAST(d.dl * tot.n_docs AS DOUBLE) / tot.dl_sum))))
-               * 1000000 + 0.5) AS BIGINT) AS micro
-      FROM qt
-      JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.q_id
-      JOIN d ON d.doc_id = tf.doc_id
-      CROSS JOIN tot
-    ),
-    lex AS (
-      SELECT q_id, doc_id,
-             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                  ORDER BY bm25_micro DESC, doc_id) AS INT) AS lex_rank
-      FROM (SELECT q_id, doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro
-            FROM contrib GROUP BY q_id, doc_id)
-    ),
-    fused AS (
-      SELECT COALESCE(l.q_id, dn.q_id) AS q_id,
-             COALESCE(l.doc_id, dn.vec_id) AS doc_id,
-             l.lex_rank, dn.rank AS dense_rank,
-             COALESCE(1000000000 // ({RRF_K} + l.lex_rank), 0)
-             + COALESCE(1000000000 // ({RRF_K} + dn.rank), 0) AS rrf_nano
-      FROM lex l
-      FULL OUTER JOIN (SELECT * FROM ann_ranked WHERE rank <= 5) dn
-        ON l.q_id = dn.q_id AND l.doc_id = dn.vec_id
-    )
-    SELECT q_id, doc_id, lex_rank, dense_rank, rrf_nano,
-           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
-    FROM fused
-    QUALIFY rank <= {TOP_N}
-    """
-
-
-from streamingdemo_spark.registry import ORACLES  # noqa: E402
-
-ORACLES["ext_sim_rrf_ann"] = _rrf_ann_oracle()
-
-
 MMR_CAND = 10  # relevance candidates per query entering the greedy loop
 MMR_K = 5      # diversified picks per query
 # lambda = 0.7 as the exact integer pair (7, 3): score = 7*rel - 3*redund
