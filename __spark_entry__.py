@@ -130,6 +130,8 @@ _PRIORITY = [
     "agg_markov_transitions", "ext_sample_weighted",
     "join_interval_overlap", "ext_dp_noise_count",
     "ext_graph_bfs_distance", "ext_ts_decompose",
+    # -- round-6 additions
+    "stream_dedup_substring",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",

@@ -1365,3 +1365,61 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(outer, output_mode="append")
+
+
+def _stream_dedup_substring_oracle() -> str:
+    from streamingdemo_spark.extensions.dedup import _winnow_sql
+    from streamingdemo_spark.registry import opoly
+
+    return f"""
+    WITH {_winnow_sql()}
+    SELECT {opoly("gram")} AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """
+
+
+@query("stream_dedup_substring", oracle=_stream_dedup_substring_oracle())
+def stream_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level substring dedup in the continuous-ingest shape
+    the reference's container implies (OpContainer.java:47-49's
+    always-on micro-batch loop): documents arrive as a stream, each
+    micro-batch fingerprints its documents MAP-SIDE with the same
+    winnowed 40-grams as the batch key (``ext_dedup_substring`` —
+    the r6 Arrow-UDF selection, stateless, so it runs unchanged on an
+    unbounded relation), and ONE stateful aggregate carries
+    gram -> (doc_id set, occurrence count) across batches. After the
+    deterministic availableNow replay the complete-mode table equals
+    the batch key exactly, so the SAME DuckDB oracle hash-checks a
+    real multi-batch streaming execution.
+
+    State bound: one entry per distinct winnowed gram (~0.18 per
+    corpus char) with its doc_id set — the honest cost of EXACT
+    streaming substring dedup. At 100 TB, bound it the way the
+    document-level sibling does: swap the doc_id set for the
+    carried Bloom/count sketch of ``ext_dedup_incremental_bloom``
+    (reports new-vs-seen per batch instead of exact doc lists) or
+    age gram state out with a watermark on ingest time; the map-side
+    winnowing stage is identical in all three variants.
+    """
+    from streamingdemo_spark.extensions.dedup import _winnowed_grams
+    from streamingdemo_spark.registry import poly_hash
+    from streamingdemo_spark.streaming.sources import documents_stream
+
+    stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
+    agg = (
+        _winnowed_grams(stream)
+        .groupBy("gram")
+        .agg(
+            F.size(F.collect_set("doc_id")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            poly_hash(F.col("gram")).alias("span_hash"), "n_docs", "n_occ"
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")

@@ -134,6 +134,42 @@ def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
     return out_dir
 
 
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """A streaming DataFrame replaying the documents fixture in doc_id
+    order — the continuous-ingest shape of a crawl feed. Only
+    (doc_id, text) stream: the dedup/fingerprint consumers are
+    content-driven, and a narrow replay keeps the chunk files small.
+    Same deterministic chunked-parquet mechanism as
+    :func:`events_stream` (mod-time-ordered files, one trigger per
+    file by default)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        _CACHE_ROOT, f"v{_CACHE_VERSION}", tag, f"docs-{n_chunks}"
+    )
+    if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t = (
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+            .sort_by([("doc_id", "ascending")])
+        )
+        _write_chunks(t, out_dir, n_chunks)
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    return reader.parquet(out_dir)
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -361,3 +361,21 @@ def test_incremental_agg_resumes_and_equals_batch(spark, sf_dir):
     assert sorted(per_epoch) == [0, 1, 2, 3]
     assert all(abs(n - n_total / 4) <= n_total / 4 for n in per_epoch.values())
     assert sum(per_epoch.values()) == n_total
+
+
+def test_stream_dedup_substring_equals_batch(spark, sf_dir):
+    """The streaming winnowed-substring dedup must emit exactly the
+    batch key's rows after its deterministic multi-batch replay — the
+    stream/batch unification contract for the character-level dedup
+    modality (same map-side winnow UDF, state carried across 4
+    micro-batches)."""
+    from streamingdemo_spark.registry import QUERIES
+
+    stream_rows = sorted(
+        map(tuple, QUERIES["stream_dedup_substring"](spark, sf_dir).collect())
+    )
+    batch_rows = sorted(
+        map(tuple, QUERIES["ext_dedup_substring"](spark, sf_dir).collect())
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0  # fixture plants shared boilerplate
