@@ -132,12 +132,15 @@ _PRIORITY = [
     "ext_graph_bfs_distance", "ext_ts_decompose",
     # -- round-6 additions
     "stream_dedup_substring",
+    # -- oracle upgraded in r6 (previously rows-only): re-certify as
+    #    hash rows first among proven keys once the fresh block drains
+    "agg_percentile", "agg_approx_distinct",
     # -- rows-only smokes (no oracle possible; weakest driver signal)
     "ext_embedding_pca_project",
     "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
     "ext_compression_ratio", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first
-    "stream_stream_join", "agg_percentile", "agg_collect_sorted",
+    "stream_stream_join", "agg_collect_sorted",
     "fn_split_array", "fn_map", "ext_text_fingerprint",
     "ext_ngram_stats", "ext_length_bucket", "ext_chunk_dedup",
     "ext_doc_shuffle", "agg_median_mode", "subq_lateral",
@@ -168,7 +171,7 @@ _PRIORITY = [
     "join_left", "agg_cube", "agg_rollup",
     "agg_count_distinct", "join_full", "agg_skew_salted",
     "agg_groupby", "src_csv_scan", "src_orc_scan",
-    "src_parquet_scan", "agg_approx_distinct", "join_multikey",
+    "src_parquet_scan", "join_multikey",
     "join_asof", "src_view_scan", "join_star3",
     "snk_ctas", "join_theta_range", "snk_parquet_write",
     "flagship_q3",

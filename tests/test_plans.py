@@ -446,14 +446,15 @@ def test_session_new_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
         assert plan.count("SortMergeJoin") <= max_smj, (key, plan)
 
 
-def test_flagship_q21_decorrelates_to_semi_and_anti_joins(spark, sf_dir):
-    """Q21's correlated EXISTS / NOT EXISTS pair must compile to
-    semi- and anti-joins on l_orderkey (no per-row re-execution, no
-    cartesian) and the result must be non-empty on the fixture."""
+def test_flagship_q21_single_pass_over_lineitem(spark, sf_dir):
+    """Q21's round-6 hand-decorrelated plan must scan lineitem ONCE
+    (the EXISTS/NOT EXISTS pair is folded into order-grain window
+    aggregates, not compiled to semi/anti re-scans of the fact), with
+    no cartesian, and stay non-empty on the fixture."""
     df = QUERIES["flagship_q21"](spark, sf_dir)
     plan = _plan(df)
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
     assert "CartesianProduct" not in plan
     assert df.count() > 0
 
