@@ -1516,3 +1516,130 @@ def ext_dp_noise_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_noised"),
         )
     )
+
+
+# DSIR hashed-feature space: small enough that the per-bucket score
+# relation broadcasts (fixed size regardless of corpus scale), large
+# enough that fixture vocabulary (~60 distinct tokens) rarely collides.
+DSIR_V = 512
+
+
+@query(
+    "ext_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {opoly('unnest(string_split(text, chr(32)))')} % {DSIR_V}
+               AS bucket
+      FROM documents
+    ),
+    src AS (SELECT bucket, COUNT(*) AS c_s FROM toks GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS c_t FROM toks
+            WHERE lang = 'en' GROUP BY bucket),
+    ns AS (SELECT COUNT(*) AS n_s FROM toks),
+    nt AS (SELECT COUNT(*) AS n_t FROM toks WHERE lang = 'en'),
+    buckets AS (
+      SELECT src.bucket,
+             CAST(FLOOR((
+               ln(CAST(COALESCE(c_t, 0) + 1 AS DOUBLE)
+                  / (n_t + {DSIR_V}))
+               - ln(CAST(c_s + 1 AS DOUBLE) / (n_s + {DSIR_V}))
+             ) * 1000000 + 0.5) AS BIGINT) AS delta_micro
+      FROM src LEFT JOIN tgt ON src.bucket = tgt.bucket
+      CROSS JOIN ns CROSS JOIN nt
+    ),
+    docs AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(delta_micro) AS logw_micro
+      FROM toks JOIN buckets USING (bucket)
+      GROUP BY doc_id
+    ),
+    thr AS (SELECT quantile_cont(CAST(logw_micro AS DOUBLE), 0.75) AS q
+            FROM docs)
+    SELECT doc_id, n_tokens, logw_micro,
+           CAST(logw_micro AS DOUBLE) >= q AS selected
+    FROM docs CROSS JOIN thr
+    """,
+)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw document by how much
+    more likely its hashed-unigram features are under a target-domain
+    LM (here: the ``lang='en'`` slice) than under the raw-corpus LM,
+    then keep the top quartile — the published recipe for targeting a
+    pretraining mix at a domain without a neural scorer.
+
+    log w(x) = sum over tokens of [ln p_tgt(h(tok)) - ln p_src(h(tok))]
+    with add-1-smoothed unigram LMs over a {DSIR_V}-bucket hashed
+    feature space (the paper's hashed n-gram trick: the LM relation has
+    FIXED size no matter the corpus).
+
+    Shape: one tokenize scan; two bucket-count aggregates over a
+    {DSIR_V}-row key space plus two 1-row totals (all broadcast back);
+    one per-doc integer-sum aggregate. No corpus-sized shuffle except
+    the per-doc agg (map-side partial), no window: the selection
+    threshold is a 1-row exact-percentile aggregate, so at 100 TB this
+    is two linear passes and a broadcast — the same shape DSIR runs at
+    trillion-token scale.
+
+    Portability: per-bucket score quantized to integer micro-nats
+    BEFORE the per-doc sum (exact int64, order-insensitive); the
+    quartile threshold compares doubles that are exact images of int64
+    values, and Spark ``percentile`` == DuckDB ``quantile_cont``
+    (linear interpolation, pinned by ``agg_percentile``).
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # materialize the hash before reuse (HOF re-evaluation gotcha)
+    toks = toks.select(
+        "doc_id", "lang", (poly_hash(F.col("tok")) % DSIR_V).alias("bucket")
+    )
+    src = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    ns = toks.agg(F.count(F.lit(1)).alias("n_s"))
+    nt = toks.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    delta = F.floor(
+        (
+            F.log(
+                (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_t") + DSIR_V)
+            )
+            - F.log((F.col("c_s") + 1).cast("double") / (F.col("n_s") + DSIR_V))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    buckets = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+        .select("bucket", delta.alias("delta_micro"))
+    )
+    docs = (
+        toks.join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("delta_micro").alias("logw_micro"),
+        )
+    )
+    thr = docs.agg(
+        F.expr("percentile(CAST(logw_micro AS DOUBLE), 0.75)").alias("q")
+    )
+    return docs.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "logw_micro",
+        (F.col("logw_micro").cast("double") >= F.col("q")).alias("selected"),
+    )

@@ -1569,3 +1569,27 @@ def test_ts_decompose_additivity_and_negative_path(spark, sf_dir):
     assert neg_seasonal > 0
     for etype, seas in by_type.items():
         assert abs(sum(seas)) / len(seas) < 1000, etype  # ~mean-zero
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """DSIR's whole point: documents from the target domain (lang='en')
+    must score a higher mean importance weight than out-of-domain docs,
+    and the selected set must be the top quartile by weight."""
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    df = QUERIES["ext_dsir_weights"](spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    joined = df.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    en = [r["logw_micro"] for r in joined if r["lang"] == "en"]
+    other = [r["logw_micro"] for r in joined if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+    n_sel = sum(1 for r in joined if r["selected"])
+    # top quartile by construction (ties at the threshold may add rows)
+    assert len(joined) // 4 <= n_sel <= len(joined) // 2
+    # selected docs are exactly those at/above the weight threshold
+    thr = min(r["logw_micro"] for r in joined if r["selected"])
+    assert all(
+        (r["logw_micro"] >= thr) == r["selected"] for r in joined
+    )

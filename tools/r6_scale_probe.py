@@ -59,6 +59,7 @@ KEYS = [
     "ext_dedup_minhash",
     "ext_sim_ann_lsh",
     "ext_sim_rrf_ann",
+    "ext_dsir_weights",
 ]
 
 
