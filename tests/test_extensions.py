@@ -1593,3 +1593,31 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     assert all(
         (r["logw_micro"] >= thr) == r["selected"] for r in joined
     )
+
+
+def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
+    """The two-stage PQ serving layout must actually retrieve. These
+    fixture embeddings are structure-free random vectors — PQ's worst
+    case — so like test_ann_recall_against_exact the bound is
+    "well above chance": top-10 of 500 by chance is 2%, the 8-byte
+    codes + exact re-rank must hit >=20% (measured: 0.3 at sf0.001,
+    0.7 at sf0.01). Re-rank distances must also be exact (monotone
+    with true L2)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from streamingdemo_spark.extensions.similarity import PQ_QUERY
+
+    rows = QUERIES["ext_sim_pq_adc"](spark, sf_dir).collect()
+    got = [r["vec_id"] for r in rows]
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = emb[list(ids).index(PQ_QUERY)]
+    d2 = ((emb - q) ** 2).sum(1)
+    exact = [int(i) for dd, i in sorted(zip(d2, ids)) if i != PQ_QUERY][:10]
+    assert len(set(got) & set(exact)) >= 2, (got, exact)
+    # dist2 column is the true distance (rounded), so it must be
+    # non-decreasing in rank order
+    dists = [r["dist2"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert dists == sorted(dists)

@@ -60,6 +60,7 @@ KEYS = [
     "ext_sim_ann_lsh",
     "ext_sim_rrf_ann",
     "ext_dsir_weights",
+    "ext_sim_pq_adc",
 ]
 
 
