@@ -405,3 +405,50 @@ def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer WHERE c_acctbal > ? GROUP BY c_mktsegment'"""
     )
     return spark.sql("EXECUTE IMMEDIATE seg_query USING 5000.0")
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue,
+           SUM(CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END) AS n_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (CREATE FUNCTION ... RETURN expr,
+    Spark 4): business logic named once in the catalog and reused
+    across queries — the migration target for warehouse UDF libraries.
+    Unlike Python UDFs (``udf_scalar_py``), a SQL UDF's body is
+    INLINED into the calling plan by Catalyst, so it optimizes,
+    prunes, and codegens exactly like hand-written expressions: zero
+    serialization boundary, full whole-stage codegen, identical plan
+    to the oracle's inline form at any scale. ``disc_revenue`` bakes
+    in the integer-unit exact-sum discipline; ``is_bulk`` shows a
+    predicate UDF feeding a conditional aggregate.
+    """
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_revenue_units(
+               p DOUBLE, d DOUBLE) RETURNS BIGINT
+           RETURN CAST(FLOOR(p * (1.0 - d) * 100 + 0.5) AS BIGINT)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE)
+           RETURNS BOOLEAN RETURN q >= 30.0"""
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(SUM(disc_revenue_units(l_extendedprice, l_discount))
+                    AS DOUBLE) / 100.0 AS revenue,
+               SUM(CASE WHEN is_bulk(l_quantity) THEN 1 ELSE 0 END)
+                 AS n_bulk
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -694,3 +694,17 @@ def test_session_batch3_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
         plan = _plan(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
         assert plan.count("SortMergeJoin") <= bound, (key, plan)
+
+
+def test_sql_scalar_udf_inlines_into_codegen(spark, sf_dir):
+    """The docstring's core claim: a SQL UDF body is inlined by
+    Catalyst — no Python evaluation boundary appears in the physical
+    plan (unlike udf_scalar_py) and the aggregate stays inside
+    whole-stage codegen."""
+    df = QUERIES["sql_scalar_udf"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+    # the UDF body appears as a plain expression inside the partial
+    # aggregate — proof it was inlined, not called through a boundary
+    assert "partial_sum(FLOOR" in plan, plan
+    assert df.count() > 0
