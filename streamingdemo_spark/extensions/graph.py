@@ -412,3 +412,96 @@ def ext_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("supplier"), F.col("dist").cast("int").alias("dist")
     )
+
+
+_LPA_ITERS = 3
+
+
+@query(
+    "ext_graph_label_prop",
+    oracle=f"""
+    WITH {_BACKBONE_CTE},
+    edges AS (
+      SELECT ea AS node, eb AS nbr FROM mut
+      UNION ALL SELECT eb, ea FROM mut
+    ),
+    l0 AS (SELECT DISTINCT node, node AS lbl FROM edges),
+    c1 AS (SELECT e.node, l.lbl, COUNT(*) AS c
+           FROM edges e JOIN l0 l ON e.nbr = l.node GROUP BY e.node, l.lbl),
+    l1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.node, l.lbl, COUNT(*) AS c
+           FROM edges e JOIN l1 l ON e.nbr = l.node GROUP BY e.node, l.lbl),
+    l2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c2) WHERE rn = 1),
+    c3 AS (SELECT e.node, l.lbl, COUNT(*) AS c
+           FROM edges e JOIN l2 l ON e.nbr = l.node GROUP BY e.node, l.lbl),
+    l3 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c3) WHERE rn = 1)
+    SELECT node AS supplier, lbl AS community,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS n_members
+    FROM l3
+    """,
+)
+def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the mutual-top-k co-purchase backbone: every node
+    starts as its own community and repeatedly adopts the most frequent
+    label among its neighbors (ties -> smallest label), here unrolled
+    to a fixed {_LPA_ITERS} synchronous rounds so the computation is a
+    pure dataflow both engines replay exactly — the deterministic
+    variant of the usually-randomized LPA sweep.
+
+    Shape per round: one edges⋈labels join (both sides keyed by
+    node id), one (node, label) count aggregate, one per-node argmax
+    window — all shuffles on the node key, state is one row per node,
+    and ``localCheckpoint`` truncates lineage between rounds exactly
+    like ``ext_graph_pagerank``. The backbone bounds degree at
+    {_KNN_K}, so each round moves at most k·n rows — at 100 TB the
+    rounds are k·n-shuffle-bounded, never edge-quadratic; synchronous
+    update keeps results independent of partitioning (asynchronous
+    LPA is faster to converge but schedule-dependent).
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    from pyspark.sql.window import Window
+
+    mut = _backbone(spark, sf_dir)
+    edges = mut.select(
+        F.col("ea").alias("node"), F.col("eb").alias("nbr")
+    ).unionAll(mut.select(F.col("eb").alias("node"), F.col("ea").alias("nbr")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    wa = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(_LPA_ITERS):
+        counted = (
+            edges.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    wc = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("node").alias("supplier"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+    )

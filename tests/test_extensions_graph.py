@@ -38,3 +38,21 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
     top = df.orderBy(F.desc("rank_nano")).limit(1).collect()[0]
     assert top["node_type"] == "supplier"
     assert df.filter(F.col("rank_nano") <= 0).count() == 0
+
+
+def test_label_prop_forms_real_communities(spark, sf_dir):
+    """Propagation must actually coarsen: strictly fewer communities
+    than nodes, every community label is itself a graph node, every
+    node appears exactly once, and n_members is consistent with the
+    community assignment."""
+    df = QUERIES["ext_graph_label_prop"](spark, sf_dir)
+    rows = df.collect()
+    nodes = {r["supplier"] for r in rows}
+    comms = {r["community"] for r in rows}
+    assert len(rows) == len(nodes)  # one row per node
+    assert comms <= nodes  # labels are node ids
+    assert len(comms) < len(nodes)  # merging happened
+    import collections
+
+    size = collections.Counter(r["community"] for r in rows)
+    assert all(r["n_members"] == size[r["community"]] for r in rows)
