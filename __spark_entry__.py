@@ -132,7 +132,7 @@ _PRIORITY = [
     "ext_graph_bfs_distance", "ext_ts_decompose",
     # -- round-6 additions
     "stream_dedup_substring", "ext_dsir_weights", "ext_sim_pq_adc",
-    "sql_scalar_udf", "ext_graph_label_prop",
+    "sql_scalar_udf", "ext_graph_label_prop", "ext_ngram_pmi",
     # -- oracle upgraded in r6 (previously rows-only): re-certify as
     #    hash rows first among proven keys once the fresh block drains
     "agg_percentile", "agg_approx_distinct",

@@ -1643,3 +1643,126 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logw_micro",
         (F.col("logw_micro").cast("double") >= F.col("q")).alias("selected"),
     )
+
+
+PMI_TOPK = 5
+PMI_MIN_COUNT = 5  # collocation support floor: kills one-off pairs
+
+
+@query(
+    "ext_ngram_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM tok
+    ),
+    ucnt AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+    utot AS (SELECT COUNT(*) AS nu FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i])) AS wa,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i + 1])) AS wb
+      FROM tok
+    ),
+    bcnt AS (SELECT bigram, wa, wb, COUNT(*) AS cab
+             FROM bg GROUP BY bigram, wa, wb),
+    btot AS (SELECT COUNT(*) AS nb FROM bg),
+    scored AS (
+      SELECT bigram, cab,
+             CAST(FLOOR(ln(
+               (CAST(cab AS DOUBLE) / nb)
+               / ((CAST(a.cw AS DOUBLE) / nu) * (CAST(b.cw AS DOUBLE) / nu))
+             ) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+      FROM bcnt
+      JOIN ucnt a ON bcnt.wa = a.w
+      JOIN ucnt b ON bcnt.wb = b.w
+      CROSS JOIN utot CROSS JOIN btot
+      WHERE cab >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, cab, pmi_micro, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, bigram) AS rk
+      FROM scored)
+    WHERE rk <= {PMI_TOPK}
+    """,
+)
+def ext_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: rank
+    bigrams by PMI = ln(p(ab) / (p(a)·p(b))) — the classic phrase
+    detector (word2vec's phrase pass, NLTK collocations) LLM pipelines
+    run to decide which token pairs deserve vocabulary entries, next
+    to frequency-ranked ``ext_ngram_stats`` (PMI surfaces *sticky*
+    pairs, frequency surfaces merely common ones).
+
+    Shape: one tokenize scan feeds both the unigram and bigram counts
+    (vocabulary-sized aggregates with map-side partials); the PMI join
+    keys bigrams to two unigram-count relations — vocabulary-sized,
+    broadcastable at any corpus scale — with totals as 1-row cross
+    joins. The support floor (cab >= {PMI_MIN_COUNT}) kills the
+    PMI-loves-rare-pairs pathology AND bounds the scored relation.
+    Top-k is a window over the tiny scored set.
+
+    Portability: one double expression per bigram, written in the
+    identical shape on both engines, quantized to integer micro-nats
+    at the end; counts and ranks are pure integers.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    with_toks = (
+        _docs(spark, sf_dir)
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    uni = with_toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    utot = uni.agg(F.count(F.lit(1)).alias("nu"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    bg = with_toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    ).alias("bigram"),
+                    F.element_at(t, i).alias("wa"),
+                    F.element_at(t, i + 1).alias("wb"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.bigram", "s.wa", "s.wb")
+    bcnt = bg.groupBy("bigram", "wa", "wb").agg(
+        F.count(F.lit(1)).alias("cab")
+    )
+    btot = bg.agg(F.count(F.lit(1)).alias("nb"))
+    pmi = F.floor(
+        F.log(
+            (F.col("cab").cast("double") / F.col("nb"))
+            / (
+                (F.col("a.cw").cast("double") / F.col("nu"))
+                * (F.col("b.cw").cast("double") / F.col("nu"))
+            )
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        bcnt.filter(F.col("cab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ucnt.alias("a")), F.col("wa") == F.col("a.w"))
+        .join(F.broadcast(ucnt.alias("b")), F.col("wb") == F.col("b.w"))
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select("bigram", "cab", pmi.alias("pmi_micro"))
+    )
+    wr = Window.orderBy(F.desc("pmi_micro"), F.asc("bigram"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= PMI_TOPK)
+    )

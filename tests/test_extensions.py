@@ -1621,3 +1621,39 @@ def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
     # non-decreasing in rank order
     dists = [r["dist2"] for r in sorted(rows, key=lambda r: r["rk"])]
     assert dists == sorted(dists)
+
+
+def test_ngram_pmi_surfaces_sticky_pairs(spark, sf_dir):
+    """PMI must rank by stickiness, not raw frequency: every top-k
+    bigram's observed count must exceed its independence expectation
+    (pmi > 0 at these support levels), and the micro-nat floor must
+    sit safely away from its rounding boundary (the cross-engine ulp
+    guard used by the surprisal keys)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["ext_ngram_pmi"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["pmi_micro"] > 0 for r in rows)
+    # replay PMI in python and check boundary margins
+    texts = pq.read_table(f"{sf_dir}/documents.parquet")["text"].to_pylist()
+    uni, bg = {}, {}
+    nu = nb = 0
+    for s in texts:
+        t = s.split(" ")
+        if len(t) < 2:
+            continue
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            nu += 1
+        for a, b in zip(t, t[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            nb += 1
+    for r in rows:
+        a, b = r["bigram"].split(" ")
+        x = math.log(
+            (bg[(a, b)] / nb) / ((uni[a] / nu) * (uni[b] / nu))
+        ) * 1e6 + 0.5
+        assert abs(x - round(x)) > 1e-3 or x == round(x), (r["bigram"], x)
+        assert math.floor(x) == r["pmi_micro"]
