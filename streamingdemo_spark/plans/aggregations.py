@@ -1355,3 +1355,74 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * s / (n * tot)) - ((n + F.lit(1.0)) / n)
         ).alias("gini"),
     )
+
+
+BOTTOMK = 20
+
+
+@query(
+    "agg_sample_bottomk",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT o_orderkey, o_totalprice,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(CAST(o_orderkey AS VARCHAR) || '|bottomk', ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM orders
+    ),
+    bot AS (SELECT * FROM hashed ORDER BY h, o_orderkey LIMIT {BOTTOMK}),
+    kth AS (SELECT MAX(h) AS hk FROM bot)
+    SELECT o_orderkey, o_totalprice, h,
+           ROW_NUMBER() OVER (ORDER BY h, o_orderkey) AS rk,
+           CAST(({BOTTOMK} - 1) AS BIGINT) * 1000000007 // hk AS n_est
+    FROM bot CROSS JOIN kth
+    """,
+)
+def agg_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch sampling: the k rows whose portable key hash is
+    smallest — a uniform-without-replacement sample that is MERGEABLE
+    (bottom-k of a union is the merge of per-shard bottom-ks), which
+    is what makes it the 100 TB sampling primitive: every shard ships
+    only k rows, coordinator-free, and the same k rows come back no
+    matter how the data is partitioned — unlike rand()-based sampling,
+    which is neither stable nor replayable. The k-th smallest hash
+    also yields the classic cardinality estimate n ≈ (k-1)·M / h_(k)
+    (the bottom-k / KMV estimator), exposed as ``n_est``.
+
+    Plan shape: Spark compiles orderBy(h).limit(k) to
+    TakeOrderedAndProject — per-partition bottom-k then a k-row merge,
+    which IS the mergeable sketch evaluated distributedly; no global
+    sort, no full shuffle. The portable ``poly_hash`` keeps the oracle
+    exact; production swaps in ``xxhash64`` without changing shape.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    from streamingdemo_spark.registry import poly_hash
+
+    # the '|bottomk' salt pads short numeric keys so the polynomial
+    # fold wraps the modulus many times — without it, hashes of small
+    # ids are far from uniform and the KMV estimate is meaningless
+    hashed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        poly_hash(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit("|bottomk"))
+        ).alias("h"),
+    )
+    bot = hashed.orderBy("h", "o_orderkey").limit(BOTTOMK)
+    kth = bot.agg(F.max("h").alias("hk"))
+    w = Window.orderBy("h", "o_orderkey")
+    return (
+        bot.crossJoin(F.broadcast(kth))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "h",
+            "rk",
+            F.expr(f"CAST({BOTTOMK} - 1 AS BIGINT) * 1000000007 DIV hk").alias(
+                "n_est"
+            ),
+        )
+    )

@@ -708,3 +708,22 @@ def test_sql_scalar_udf_inlines_into_codegen(spark, sf_dir):
     # aggregate — proof it was inlined, not called through a boundary
     assert "partial_sum(FLOOR" in plan, plan
     assert df.count() > 0
+
+
+def test_bottomk_sample_is_mergeable_topk_not_global_sort(spark, sf_dir):
+    """The bottom-k sketch must evaluate as per-partition top-k + k-row
+    merge (TakeOrderedAndProject) — never a full sort — and its KMV
+    cardinality estimate must land within 3x of the true count (k=20
+    gives ~22% relative error; 3x is a regression guard, not a CI)."""
+    df = QUERIES["agg_sample_bottomk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    from streamingdemo_spark.io import load_tables
+
+    n = load_tables(spark, sf_dir, ("orders",))["orders"].count()
+    est = rows[0]["n_est"]
+    assert n / 3 <= est <= 3 * n, (est, n)
+    # ranks are 1..k on distinct hashes, ascending
+    hs = [r["h"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert hs == sorted(hs) and len(rows) == 20
