@@ -658,3 +658,98 @@ def snk_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_price"], m["n_finished"])],
         "n_rows bigint, sum_price double, n_finished bigint",
     )
+
+
+def _spread_sql(col: str, shl) -> str:
+    """16-bit Morton 'spread' (insert a zero between consecutive bits)
+    via the standard mask-and-shift ladder — pure non-negative integer
+    ops, identical on both engines; ``shl`` formats the engine's
+    shift-left."""
+    v = f"(CAST({col} AS BIGINT) & 65535)"
+    for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459),
+                        (1, 1431655765)):
+        v = f"(({v} | {shl(v, shift)}) & {mask})"
+    return v
+
+
+def _zorder_sql(xb: str, yb: str, shl) -> str:
+    return f"({_spread_sql(xb, shl)} | {shl(_spread_sql(yb, shl), 1)})"
+
+
+_SPARK_SHL = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+_DUCK_SHL = lambda e, n: f"({e} << {n})"  # noqa: E731
+
+# box query demonstrating 2-d locality: the middle quadrant of both
+# bucket spaces (selectivity ~1/16)
+_Z_BOX = (16384, 32767)
+
+_LAST_ZORDER: dict[str, str] = {}
+
+
+@query(
+    "snk_zorder_write",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(l_orderkey) AS mo, MAX(l_partkey) AS mp FROM lineitem
+    ),
+    b AS (
+      SELECT l_orderkey, l_partkey, l_quantity,
+             (l_orderkey * 65536) // (mo + 1) AS xb,
+             (l_partkey * 65536) // (mp + 1) AS yb
+      FROM lineitem CROSS JOIN mx
+    )
+    SELECT l_orderkey, l_partkey, l_quantity, xb, yb,
+           {_zorder_sql('xb', 'yb', _DUCK_SHL)} AS z
+    FROM b
+    WHERE xb BETWEEN {_Z_BOX[0]} AND {_Z_BOX[1]}
+      AND yb BETWEEN {_Z_BOX[0]} AND {_Z_BOX[1]}
+    """,
+)
+def snk_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered write: interleave the bits of
+    two 16-bit bucketed dimensions and range-partition + sort the
+    table by the resulting z-value before writing — the multi-
+    dimensional clustering layout (Delta/Iceberg OPTIMIZE ZORDER) that
+    makes parquet min-max stats skip row groups for predicates on
+    EITHER dimension. A single-dim sort gives perfect pruning on one
+    column and none on the other; the Morton curve bounds every file's
+    span on BOTH (each of the 8 files covers roughly half of each
+    bucket range — the test pins this against footer stats, plus that
+    whole files fall outside the 2-d box query).
+
+    The returned result is the box query read back FROM the z-ordered
+    files with the 2-d predicate pushed to the scan (PushedFilters on
+    xb/yb → row-group pruning); the oracle replays bucketing, Morton
+    interleave (the same mask-and-shift ladder in DuckDB's operator
+    syntax), and the box on the logical table, proving the layout
+    changed nothing about content. At 100 TB this is the write-side
+    answer to multi-dimensional slicing: cluster once, skip forever,
+    no index structure to maintain.
+
+    Reference parity: sink-side extension of the CTAS surface
+    (src/sparkSQL/SparkSQLOperator.java:21-22), SURVEY §2.F.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    mx = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    )
+    b = li.crossJoin(F.broadcast(mx)).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        F.expr("(l_orderkey * 65536) DIV (mo + 1)").alias("xb"),
+        F.expr("(l_partkey * 65536) DIV (mp + 1)").alias("yb"),
+    )
+    z = b.withColumn("z", F.expr(_zorder_sql("xb", "yb", _SPARK_SHL)))
+    out = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "clustered")
+    (
+        z.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _LAST_ZORDER["path"] = out
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("xb").between(*_Z_BOX) & F.col("yb").between(*_Z_BOX)
+    )

@@ -727,3 +727,45 @@ def test_bottomk_sample_is_mergeable_topk_not_global_sort(spark, sf_dir):
     # ranks are 1..k on distinct hashes, ascending
     hs = [r["h"] for r in sorted(rows, key=lambda r: r["rk"])]
     assert hs == sorted(hs) and len(rows) == 20
+
+
+def test_zorder_write_bounds_both_dims_and_skips_files(spark, sf_dir):
+    """The Morton layout's whole value: parquet footer stats must
+    bound EVERY file on the second dimension too (a single-dim sort
+    leaves yb spanning ~the full range in every file), and whole files
+    must be skippable for the 2-d box query. The 2-d predicate must
+    also reach the scan as pushed filters."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from streamingdemo_spark.plans.storage import _LAST_ZORDER, _Z_BOX
+
+    df = QUERIES["snk_zorder_write"](spark, sf_dir)
+    assert df.count() > 0
+    assert "PushedFilters: [" in _plan(df)
+    n_disjoint = 0
+    wide_xb = 0
+    for f in sorted(glob.glob(os.path.join(_LAST_ZORDER["path"], "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        spans: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in ("xb", "yb"):
+                    st = col.statistics
+                    lo, hi = spans.get(col.path_in_schema, (1 << 30, -1))
+                    spans[col.path_in_schema] = (
+                        min(lo, st.min), max(hi, st.max)
+                    )
+        xs, ys = spans["xb"], spans["yb"]
+        # every file bounded on the SECOND sort dimension
+        assert ys[1] - ys[0] <= 0.6 * 65536, (f, ys)
+        wide_xb += (xs[1] - xs[0]) > 0.7 * 65536
+        lo, hi = _Z_BOX
+        if xs[1] < lo or xs[0] > hi or ys[1] < lo or ys[0] > hi:
+            n_disjoint += 1
+    # a range-partition boundary can straddle xb once; never twice
+    assert wide_xb <= 1
+    assert n_disjoint >= 3  # the box query skips whole files
