@@ -158,3 +158,35 @@ def flt_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("closed").eqNullSafe("F").alias("closed_f"),
         )
     )
+
+
+@query(
+    "flt_sargable_rewrite",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND o_totalprice >= 50000.0
+    """,
+)
+def flt_sargable_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sargability rewrite every 100 TB scan depends on:
+    ``year(o_orderdate) = 1996`` wraps the COLUMN in a function, which
+    no format pushdown can see through — Spark reads every row group
+    and evaluates year() per row. Rewriting it as the equivalent
+    half-open range puts bare-column comparisons in the filter, so
+    they reach the parquet scan as PushedFilters and row groups whose
+    min/max stats exclude 1996 are never read. Same rows, radically
+    different I/O at scale; the plan test pins BOTH directions (the
+    rewrite pushes, the naive form provably does not)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_totalprice") >= 50000.0)
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )

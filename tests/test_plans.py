@@ -769,3 +769,29 @@ def test_zorder_write_bounds_both_dims_and_skips_files(spark, sf_dir):
     # a range-partition boundary can straddle xb once; never twice
     assert wide_xb <= 1
     assert n_disjoint >= 3  # the box query skips whole files
+
+
+def test_sargable_rewrite_pushes_naive_year_does_not(spark, sf_dir):
+    """Both directions of the sargability claim: the half-open range
+    form reaches the parquet scan as pushed filters; the
+    semantically-identical year() form provably does not (the column
+    is wrapped in a function), and both return the same rows."""
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    df = QUERIES["flt_sargable_rewrite"](spark, sf_dir)
+    plan = _plan(df)
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    naive = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .filter(F.year("o_orderdate") == 1996)
+        .filter(F.col("o_totalprice") >= 50000.0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    nplan = _plan(naive)
+    assert "GreaterThanOrEqual(o_orderdate" not in nplan
+    assert "LessThan(o_orderdate" not in nplan
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
