@@ -1455,3 +1455,116 @@ def ext_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rer.orderBy("dist2", "vec_id").limit(PQ_TOPK)
     wr = Window.orderBy("dist2", "vec_id")
     return top.withColumn("rk", F.row_number().over(wr))
+
+
+MRL_DIMS = (8, 16, 32, 64)
+MRL_TOPK = 10
+
+
+@query(
+    "ext_embedding_matryoshka",
+    oracle=f"""
+    WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT d, q_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.e[1:d], q.qe[1:d]), 4) AS cosine
+      FROM e CROSS JOIN q CROSS JOIN dims
+      WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT d, q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY d, q_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {MRL_TOPK}),
+    fulld AS (SELECT q_id, vec_id, rk FROM top WHERE d = 64)
+    SELECT t.d AS dim, t.q_id,
+           SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_overlap,
+           MAX(CASE WHEN t.rk = 1 AND f.rk = 1 THEN 1 ELSE 0 END) = 1
+             AS top1_same
+    FROM top t LEFT JOIN fulld f
+      ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY t.d, t.q_id
+    """,
+)
+def ext_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation sweep (MRL, Kusupati et al. 2022): score
+    retrieval with only the first d dimensions for d ∈ {MRL_DIMS} and
+    report, per query, how much of the full-dimension top-{MRL_TOPK}
+    survives — the evaluation a pipeline runs to pick the cheapest
+    serving dimension before truncating a 100 TB embedding store
+    (cosine renormalizes per-prefix, so no re-embedding is needed).
+
+    Shape: ONE corpus scan crossed with the broadcast (query × dim)
+    grid — prefixes are sliced per row, so the 4-dim sweep multiplies
+    compute, never I/O or shuffle; per-(dim, query) top-k is a
+    partitioned window and the overlap join touches only
+    {MRL_TOPK}-row relations. Run it on a corpus sample at scale: the
+    verdict (dim-vs-recall curve) is what matters, not full coverage.
+
+    Portability: the cosine convention of ``ext_sim_cosine_topk``
+    (double cast before any math, ROUND 4, vec_id tiebreak) applied
+    per prefix; overlap counts and the top-1 flag are pure integers.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    dims = spark.createDataFrame([(d,) for d in MRL_DIMS], "d int")
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .crossJoin(F.broadcast(dims))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "d",
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(
+                    F.expr("slice(embedding, 1, d)"), F.expr("slice(q_emb, 1, d)")
+                )
+                / (
+                    _norm(F.expr("slice(embedding, 1, d)"))
+                    * _norm(F.expr("slice(q_emb, 1, d)"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("d", "q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MRL_TOPK)
+        .select("d", "q_id", "vec_id", "rk")
+    )
+    fulld = top.filter(F.col("d") == 64).select(
+        F.col("q_id").alias("fq"), F.col("vec_id").alias("fv"),
+        F.col("rk").alias("frk"),
+    )
+    return (
+        top.join(
+            F.broadcast(fulld),
+            (F.col("q_id") == F.col("fq")) & (F.col("vec_id") == F.col("fv")),
+            "left",
+        )
+        .groupBy(F.col("d").alias("dim"), "q_id")
+        .agg(
+            F.sum(
+                F.when(F.col("fv").isNotNull(), 1).otherwise(0)
+            ).alias("n_overlap"),
+            (
+                F.max(
+                    F.when((F.col("rk") == 1) & (F.col("frk") == 1), 1)
+                    .otherwise(0)
+                )
+                == 1
+            ).alias("top1_same"),
+        )
+    )

@@ -1657,3 +1657,23 @@ def test_ngram_pmi_surfaces_sticky_pairs(spark, sf_dir):
         ) * 1e6 + 0.5
         assert abs(x - round(x)) > 1e-3 or x == round(x), (r["bigram"], x)
         assert math.floor(x) == r["pmi_micro"]
+
+
+def test_matryoshka_overlap_monotone_in_dim(spark, sf_dir):
+    """The sweep's verdict must be coherent: at d=64 overlap is
+    exactly top-k with itself (10, top1_same), and mean overlap must
+    not DECREASE as the prefix grows (longer prefixes approximate the
+    full metric at least as well, on average across queries)."""
+    rows = QUERIES["ext_embedding_matryoshka"](spark, sf_dir).collect()
+    by_dim: dict = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r)
+    assert set(by_dim) == {8, 16, 32, 64}
+    assert all(
+        r["n_overlap"] == 10 and r["top1_same"] for r in by_dim[64]
+    )
+    means = {
+        d: sum(r["n_overlap"] for r in v) / len(v)
+        for d, v in by_dim.items()
+    }
+    assert means[8] <= means[16] <= means[32] <= means[64], means
