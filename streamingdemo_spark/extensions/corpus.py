@@ -1766,3 +1766,145 @@ def ext_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= PMI_TOPK)
     )
+
+
+HEAPS_PREFIXES = 5
+
+
+@query(
+    "ext_heaps_law",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tok
+      FROM tok
+    ),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    ks AS (SELECT unnest(generate_series(1, {HEAPS_PREFIXES})) AS k),
+    thr AS (SELECT k, ((m + 1) * k) // {HEAPS_PREFIXES} AS t
+            FROM ks CROSS JOIN mx),
+    firsts AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+    pts AS (
+      SELECT thr.k,
+             (SELECT COUNT(*) FROM toks WHERE doc_id < thr.t) AS n_tokens,
+             (SELECT COUNT(*) FROM firsts WHERE fd < thr.t) AS vocab
+      FROM thr
+    ),
+    xy AS (
+      SELECT k, n_tokens, vocab,
+             CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS y
+      FROM pts
+    ),
+    fit AS (
+      SELECT ROUND(
+               CAST({HEAPS_PREFIXES} * SUM(x * y) - SUM(x) * SUM(y)
+                    AS DOUBLE)
+               / ({HEAPS_PREFIXES} * SUM(x * x) - SUM(x) * SUM(x)), 6)
+               + 0.0 AS beta
+      FROM xy
+    )
+    SELECT k, n_tokens, vocab, beta AS heaps_beta
+    FROM xy CROSS JOIN fit
+    """,
+)
+def ext_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: type growth V ≈ c·N^β estimated from cumulative
+    corpus prefixes — the scaling-law measurement an LLM pipeline runs
+    to predict tokenizer vocabulary coverage and dedup-value at
+    10×/100× more data (β well below 1 means new data buys few new
+    types; β near 1 flags synthetic/ID-heavy text). The type unit is
+    the word TRIGRAM: the fixture's ~60-word unigram vocabulary
+    saturates in the first prefix (β = 0 exactly — a correct but
+    degenerate measurement), while trigram types show the law at work
+    (β ≈ 0.78 at sf0.01) AND its collapse under saturation (β ≈ 0.10
+    at sf0.1, where the 60³ type space exhausts) — both readings are
+    the point of running the probe.
+
+    Prefixes are doc_id ranges (no global sort or window — the
+    threshold is pure integer arithmetic on max(doc_id), so the same
+    definition shards at any scale); cumulative vocabulary comes from
+    each token's FIRST doc_id (one vocabulary-sized aggregate), never
+    a per-prefix re-scan, and both curves fall out of ONE conditional
+    aggregation against the broadcast threshold grid. The OLS slope on
+    the ln-ln points is computed from micro-nat-quantized coordinates,
+    so every sum in the fit is exact int64 and the single closing
+    division follows the one-double-division rule.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    d = _docs(spark, sf_dir)
+    with_t = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    t = F.col("t")
+    toks = with_t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
+            )
+        ).alias("tok"),
+    )
+    mx = d.agg(F.max("doc_id").alias("m"))
+    ks = spark.createDataFrame(
+        [(k,) for k in range(1, HEAPS_PREFIXES + 1)], "k int"
+    )
+    thr = ks.crossJoin(F.broadcast(mx)).select(
+        "k", F.expr(f"((m + 1) * k) DIV {HEAPS_PREFIXES}").alias("t")
+    )
+    n_tok = (
+        toks.crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_id") < F.col("t"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    vocab = (
+        firsts.crossJoin(F.broadcast(thr))
+        .filter(F.col("fd") < F.col("t"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    xy = (
+        n_tok.join(vocab, "k")
+        .select(
+            "k",
+            "n_tokens",
+            "vocab",
+            F.floor(F.log(F.col("n_tokens").cast("double")) * 1000000
+                    + F.lit(0.5)).cast("long").alias("x"),
+            F.floor(F.log(F.col("vocab").cast("double")) * 1000000
+                    + F.lit(0.5)).cast("long").alias("y"),
+        )
+    )
+    n = HEAPS_PREFIXES
+    fit = xy.agg(
+        (
+            F.round(
+                (n * F.sum(F.col("x") * F.col("y"))
+                 - F.sum("x") * F.sum("y")).cast("double")
+                / (n * F.sum(F.col("x") * F.col("x"))
+                   - F.sum("x") * F.sum("x")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("beta")
+    )
+    return xy.crossJoin(F.broadcast(fit)).select(
+        "k", "n_tokens", "vocab", F.col("beta").alias("heaps_beta")
+    )

@@ -1677,3 +1677,29 @@ def test_matryoshka_overlap_monotone_in_dim(spark, sf_dir):
         for d, v in by_dim.items()
     }
     assert means[8] <= means[16] <= means[32] <= means[64], means
+
+
+def test_heaps_law_curves_are_cumulative_and_beta_sublinear(spark, sf_dir):
+    """Prefixes are cumulative, so both curves must be non-decreasing
+    with vocab <= tokens at every point; on natural-ish text the
+    fitted exponent must be sublinear (0 < beta < 1), and it must
+    equal the closed-form OLS replayed in python from the same
+    points."""
+    import math
+
+    rows = sorted(
+        QUERIES["ext_heaps_law"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    ns = [r["n_tokens"] for r in rows]
+    vs = [r["vocab"] for r in rows]
+    assert ns == sorted(ns) and vs == sorted(vs)
+    assert all(v <= n for v, n in zip(vs, ns))
+    beta = rows[0]["heaps_beta"]
+    assert 0.0 < beta < 1.0
+    xs = [math.floor(math.log(n) * 1e6 + 0.5) for n in ns]
+    ys = [math.floor(math.log(v) * 1e6 + 0.5) for v in vs]
+    k = len(xs)
+    num = k * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = k * sum(x * x for x in xs) - sum(xs) ** 2
+    assert abs(beta - num / den) < 1e-6
