@@ -90,6 +90,10 @@ HEADLINE = [
     "ext_dedup_substring",  # exact duplicated-span detection
     # round-5 additions
     "ext_sim_rrf_ann",    # candidate-bounded hybrid fusion (production RRF)
+    # round-6 additions
+    "stream_dedup_substring",  # winnowed substring dedup as a stream
+    "ext_dsir_weights",   # DSIR importance weights (hashed-LM broadcast)
+    "ext_sim_pq_adc",     # PQ codes + ADC + exact re-rank serving path
 ]
 
 
