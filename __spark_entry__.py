@@ -134,7 +134,7 @@ _PRIORITY = [
     "stream_dedup_substring", "ext_dsir_weights", "ext_sim_pq_adc",
     "sql_scalar_udf", "ext_graph_label_prop", "ext_ngram_pmi",
     "agg_sample_bottomk", "snk_zorder_write", "flt_sargable_rewrite",
-    "ext_embedding_matryoshka", "ext_heaps_law",
+    "ext_embedding_matryoshka", "ext_heaps_law", "src_txn_log_snapshot",
     # -- oracle upgraded in r6 (previously rows-only): re-certify as
     #    hash rows first among proven keys once the fresh block drains
     "agg_percentile", "agg_approx_distinct",

@@ -484,3 +484,62 @@ def src_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
         out
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "src_txn_log_snapshot",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 != 0
+    """,
+)
+def src_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal lakehouse table format: an ordered transaction log of
+    JSON commits carrying add/remove file actions (the Delta-protocol
+    shape), replayed to resolve the current snapshot — the mechanism
+    that gives object-store tables atomic commits, deletes, and time
+    travel without ever mutating data files.
+
+    Staged history: commit 0 adds parts 0-2; commit 1 adds part 3 and
+    REMOVES part 0 (a delete rewritten as file replacement — the only
+    kind of delete an immutable store supports). Replay keeps the
+    live set {{1,2,3}}, so the snapshot must equal the logical table
+    minus part 0's rows — which is exactly what the oracle asserts:
+    format mechanics, zero content drift. Only file PATHS flow through
+    the driver (the log is metadata, tiny by design — this is how
+    every lakehouse reader works); row data moves entirely through the
+    parquet scan of the live files. Snapshot isolation falls out:
+    readers that listed the log before commit 1 keep reading part 0's
+    still-present file.
+    """
+    import json
+
+    base = tempfile.mkdtemp(prefix="txnlog_")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for part in range(4):
+        o.filter(F.col("o_orderkey") % 4 == part).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"part{part}"))
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    commits = [
+        [{"add": "part0"}, {"add": "part1"}, {"add": "part2"}],
+        [{"add": "part3"}, {"remove": "part0"}],
+    ]
+    for i, actions in enumerate(commits):
+        with open(os.path.join(log_dir, f"{i:08d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    # replay: ordered commit files -> live file set (metadata only)
+    live: set[str] = set()
+    for name in sorted(os.listdir(log_dir)):
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"])
+                if "remove" in a:
+                    live.discard(a["remove"])
+    return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))

@@ -795,3 +795,35 @@ def test_sargable_rewrite_pushes_naive_year_does_not(spark, sf_dir):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_txn_log_snapshot_is_immutable_delete(spark, sf_dir):
+    """The delete is logical: the snapshot must exclude part 0's rows
+    while part 0's parquet files remain untouched on disk (time travel
+    / snapshot isolation depends on that immutability), and
+    add-then-remove replay order must not matter for the live set."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    df = QUERIES["src_txn_log_snapshot"](spark, sf_dir)
+    assert df.filter(F.col("o_orderkey") % 4 == 0).count() == 0
+    n_all = load_tables(spark, sf_dir, ("orders",))["orders"].count()
+    n_part0 = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .count()
+    )
+    assert df.count() == n_all - n_part0
+    # the removed file set still exists on disk — find the staged base
+    # from the snapshot's input files
+    a_file = df.inputFiles()[0]
+    base = os.path.dirname(os.path.dirname(a_file.replace("file:", "")))
+    removed = glob.glob(os.path.join(base, "part0", "*.parquet"))
+    assert removed, base
+    # reading the pre-delete version (commits 0 only) restores part 0
+    v0 = spark.read.parquet(*[os.path.join(base, f"part{p}") for p in (0, 1, 2)])
+    assert v0.filter(F.col("o_orderkey") % 4 == 0).count() == n_part0
