@@ -505,3 +505,108 @@ def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         F.count(F.lit(1)).over(wc).alias("n_members"),
     )
+
+
+LINKPRED_TOPK = 20
+
+
+@query(
+    "ext_graph_link_predict",
+    oracle=f"""
+    WITH {_BACKBONE_CTE},
+    edges AS (
+      SELECT ea AS node, eb AS nbr FROM mut
+      UNION ALL SELECT eb, ea FROM mut
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM edges GROUP BY node),
+    wedge AS (
+      SELECT e1.nbr AS a, e2.nbr AS c, COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2
+        ON e1.node = e2.node AND e1.nbr < e2.nbr
+      GROUP BY e1.nbr, e2.nbr
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.cn FROM wedge w
+      LEFT JOIN mut m ON m.ea = w.a AND m.eb = w.c
+      WHERE m.ea IS NULL
+    ),
+    scored AS (
+      SELECT a, c, cn,
+             (cn * 1000000) // (da.d + dc.d - cn) AS jac_micro
+      FROM cand
+      JOIN deg da ON cand.a = da.node
+      JOIN deg dc ON cand.c = dc.node
+    )
+    SELECT a AS supplier_a, c AS supplier_b, cn AS common_nbrs,
+           jac_micro, rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jac_micro DESC, a, c)
+                    AS rk
+          FROM scored)
+    WHERE rk <= {LINKPRED_TOPK}
+    """,
+)
+def ext_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003): rank NON-edges of the mutual-top-k backbone by
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the classic "suppliers that should be
+    co-purchased but aren't yet" recommendation, and the fourth member
+    of the graph family (PageRank = importance, triangles = cohesion,
+    BFS = reach, this = missing structure).
+
+    Shape: common neighbors come from ONE wedge join over the
+    degree-bounded edge list (each node's neighbor list ≤ {_KNN_K}, so
+    wedges ≤ k²·n — never quadratic in nodes), existing edges drop via
+    an anti join against the backbone, degrees join from a node-sized
+    relation, and the score is pure integer arithmetic
+    (cn·1e6 div (da+db−cn)) so both engines rank identically. Top-k
+    over the candidate relation. At 100 TB the same degree bound is
+    what keeps social-scale link prediction tractable.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    from pyspark.sql.window import Window
+
+    mut = _backbone(spark, sf_dir)
+    edges = mut.select(
+        F.col("ea").alias("node"), F.col("eb").alias("nbr")
+    ).unionAll(mut.select(F.col("eb").alias("node"), F.col("ea").alias("nbr")))
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    wedge = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e1.node") == F.col("e2.node"))
+            & (F.col("e1.nbr") < F.col("e2.nbr")),
+        )
+        .groupBy(F.col("e1.nbr").alias("a"), F.col("e2.nbr").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(
+        mut,
+        (F.col("a") == F.col("ea")) & (F.col("c") == F.col("eb")),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("c"), F.col("d").alias("dc")), "c")
+        .select(
+            "a",
+            "c",
+            "cn",
+            F.expr("(cn * 1000000) DIV (da + dc - cn)").alias("jac_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("jac_micro"), F.asc("a"), F.asc("c"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LINKPRED_TOPK)
+        .select(
+            F.col("a").alias("supplier_a"),
+            F.col("c").alias("supplier_b"),
+            F.col("cn").alias("common_nbrs"),
+            "jac_micro",
+            "rk",
+        )
+    )

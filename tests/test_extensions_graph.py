@@ -56,3 +56,31 @@ def test_label_prop_forms_real_communities(spark, sf_dir):
 
     size = collections.Counter(r["community"] for r in rows)
     assert all(r["n_members"] == size[r["community"]] for r in rows)
+
+
+def test_link_predict_returns_true_nonedges_with_shared_structure(
+    spark, sf_dir
+):
+    """Every predicted link must be a genuine NON-edge of the backbone
+    whose endpoints really share the claimed number of neighbors, and
+    the Jaccard ordering must be consistent with the integer score."""
+    from streamingdemo_spark.extensions.graph import _backbone
+
+    preds = QUERIES["ext_graph_link_predict"](spark, sf_dir).collect()
+    assert preds
+    edges = {
+        (r["ea"], r["eb"]) for r in _backbone(spark, sf_dir).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in preds:
+        a, b = r["supplier_a"], r["supplier_b"]
+        assert (a, b) not in edges and (b, a) not in edges
+        cn = len(adj[a] & adj[b])
+        assert cn == r["common_nbrs"]
+        expect = cn * 1000000 // (len(adj[a]) + len(adj[b]) - cn)
+        assert expect == r["jac_micro"]
+    scores = [r["jac_micro"] for r in sorted(preds, key=lambda r: r["rk"])]
+    assert scores == sorted(scores, reverse=True)
