@@ -496,6 +496,35 @@ class TestExampleSpecs:
         assert 0 < n_docs_total <= corpus
         assert all(r["total_tokens"] > 0 for r in rows)
 
+
+    def test_domain_targeting_spec_concentrates_target_lang(
+        self, spark, sf_dir
+    ):
+        """The DSIR example must actually target: composed through the
+        container, the selected set's language mix must put 'en' (the
+        target slice) in the majority, and the per-lang totals must
+        reconcile with running the registry key directly."""
+        ports = self._run_example(spark, sf_dir, "domain_targeting.yaml")
+        rows = {r["lang"]: r for r in ports["mix.out"].collect()}
+        assert rows
+        en = rows.get("en")
+        assert en is not None
+        # targeting is directional on this near-shared-vocabulary
+        # synthetic corpus: the selected set must over-represent the
+        # target slice vs its corpus base rate, and 'en' must be the
+        # largest selected language
+        n_sel = sum(r["n_docs"] for r in rows.values())
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_en = corpus.filter("lang = 'en'").count()
+        assert en["n_docs"] / n_sel > n_en / corpus.count()
+        assert en["n_docs"] == max(r["n_docs"] for r in rows.values())
+        direct = (
+            QUERIES["ext_dsir_weights"](spark, sf_dir)
+            .filter("selected")
+            .count()
+        )
+        assert direct == sum(r["n_docs"] for r in rows.values())
+
     def test_hybrid_search_spec_equals_direct_fusion(self, spark, sf_dir):
         """The hybrid-search spec's hit list must carry exactly the
         ext_sim_rrf ranking (same doc per rank), joined metadata must
