@@ -90,3 +90,57 @@ def test_sqrt_micro_quantization_is_engine_free(n):
     ).fetchone()[0]
     want = math.floor(math.sqrt(n) * 1e6 + 0.5)
     assert got == want, n
+
+
+def _py_spread16(v: int) -> int:
+    v &= 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_matches_duckdb_and_is_injective(x, y):
+    """snk_zorder_write's z-value: the DuckDB operator-syntax ladder
+    must equal the independent python bit-twiddle, and the interleave
+    must be a true bijection (bits recoverable), so distinct bucket
+    pairs can never collide to one z-value."""
+    from streamingdemo_spark.plans.storage import _DUCK_SHL, _zorder_sql
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_zorder_sql(str(x), str(y), _DUCK_SHL)}"
+    ).fetchone()[0]
+    want = _py_spread16(x) | (_py_spread16(y) << 1)
+    assert got == want, (x, y)
+    # invert: even bits -> x, odd bits -> y
+    def unspread(v: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((v >> (2 * i)) & 1) << i
+        return out
+
+    assert unspread(got) == x and unspread(got >> 1) == y
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=200),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_bottomk_sketch_is_mergeable(values, n_parts):
+    """agg_sample_bottomk's scale claim: the bottom-k of a union must
+    equal the merge of per-partition bottom-ks, for every way of
+    partitioning the data — the property that lets every shard ship
+    only k rows."""
+    k = 20
+    parts = [values[i::n_parts] for i in range(n_parts)]
+    merged = sorted(h for p in parts for h in sorted(p)[:k])[:k]
+    assert merged == sorted(values)[:k]
