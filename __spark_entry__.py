@@ -135,7 +135,7 @@ _PRIORITY = [
     "sql_scalar_udf", "ext_graph_label_prop", "ext_ngram_pmi",
     "agg_sample_bottomk", "snk_zorder_write", "flt_sargable_rewrite",
     "ext_embedding_matryoshka", "ext_heaps_law", "src_txn_log_snapshot",
-    "ext_graph_link_predict",
+    "ext_graph_link_predict", "ext_sim_ivf_partitioned",
     # -- oracle upgraded in r6 (previously rows-only): re-certify as
     #    hash rows first among proven keys once the fresh block drains
     "agg_percentile", "agg_approx_distinct",

@@ -824,9 +824,7 @@ def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2
 
 
-@query(
-    "ext_sim_ivf_probe_topk",
-    oracle="""
+_IVF_PROBE_ORACLE = """
     WITH {cte},
     cent AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec
              FROM cmeans GROUP BY label),
@@ -851,7 +849,7 @@ N_PROBE = 2
       SELECT vec_id AS q_id, e AS q_emb, cl AS cell FROM
         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d, cl) AS rn
-         FROM vd WHERE vec_id < 8)
+         FROM vd WHERE vec_id < {qmax})
       WHERE rn <= {nprobe}
     ),
     cand AS (
@@ -865,8 +863,11 @@ N_PROBE = 2
                       ORDER BY cosine DESC, vec_id) AS INT) AS rank
        FROM cand)
     WHERE rank <= 5
-    """.format(cte=_CENTROID_CTE, nprobe=N_PROBE),
-)
+    """.format(cte=_CENTROID_CTE, nprobe=N_PROBE, qmax="{qmax}")
+
+
+@query("ext_sim_ivf_probe_topk",
+       oracle=_IVF_PROBE_ORACLE.format(qmax=8))
 def ext_sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search, oracle-exact: the search half of the IVF
     index whose build half is ``ext_sim_ivf_assign``. Each query
@@ -887,33 +888,7 @@ def ext_sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ext_sim_cosine_topk``). Recall against that exact baseline is
     pinned in tests/test_extensions.py.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    cmeans = _centroid_means(e).select(F.col("label").alias("cl"), "pos", "c")
-    cent = cmeans.groupBy("cl").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("cvec")
-    )
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    d = F.aggregate(
-        F.zip_with("e", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    vd = v.crossJoin(F.broadcast(cent)).select("vec_id", "e", "cl", d.alias("d"))
-    w_cell = Window.partitionBy("vec_id").orderBy("d", "cl")
-    ranked = vd.withColumn("rn", F.row_number().over(w_cell))
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "e", F.col("cl").alias("cell")
-    )
-    qcells = (
-        ranked.filter((F.col("vec_id") < 8) & (F.col("rn") <= N_PROBE))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("e").alias("q_emb"),
-            F.col("cl").alias("cell"),
-        )
-    )
+    assigned, qcells = _ivf_assigned_and_qcells(spark, sf_dir)
     cosine = F.round(
         _dot("e", "q_emb") / (_norm("e") * _norm("q_emb")), 4
     )
@@ -1567,4 +1542,87 @@ def ext_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == 1
             ).alias("top1_same"),
         )
+    )
+
+
+def _ivf_assigned_and_qcells(
+    spark: SparkSession, sf_dir: str, qmax: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, qcells): home-cell assignment for every vector and
+    the N_PROBE probe cells per query — the shared front half of
+    ``ext_sim_ivf_probe_topk`` and ``ext_sim_ivf_partitioned``."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cmeans = _centroid_means(e).select(F.col("label").alias("cl"), "pos", "c")
+    cent = cmeans.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    d = F.aggregate(
+        F.zip_with("e", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    vd = v.crossJoin(F.broadcast(cent)).select("vec_id", "e", "cl", d.alias("d"))
+    w_cell = Window.partitionBy("vec_id").orderBy("d", "cl")
+    ranked = vd.withColumn("rn", F.row_number().over(w_cell))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "e", F.col("cl").alias("cell")
+    )
+    qcells = (
+        ranked.filter((F.col("vec_id") < qmax) & (F.col("rn") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("q_emb"),
+            F.col("cl").alias("cell"),
+        )
+    )
+    return assigned, qcells
+
+
+@query("ext_sim_ivf_partitioned",
+       oracle=_IVF_PROBE_ORACLE.format(qmax=2))
+def ext_sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index AS A TABLE: home-cell assignments written
+    ``partitionBy(cell)`` to parquet, then probed by reading ONLY the
+    queries' probe-cell partitions — the on-disk serving layout every
+    distributed vector store converges on (build once, write
+    partitioned, prune partitions at query time). Same semantics and
+    oracle as the in-memory ``ext_sim_ivf_probe_topk``; what this key
+    adds is the I/O claim, pinned by the plan test: the scan carries
+    ``PartitionFilters`` on cell and reads files ONLY under the probed
+    ``cell=`` directories (at 100 TB that is the difference between
+    touching ~nprobe/k of the corpus and all of it).
+
+    The probed cell ids flow through the driver as METADATA (a
+    ≤ queries×nprobe-element literal IN-list — exactly what an ANN
+    serving system's router holds); vector data itself moves only
+    through the pruned parquet scan. Static literal pruning beats
+    runtime DPP here because the cell list is known before the scan is
+    planned.
+
+    Reference parity: sink+search extension of the CTAS surface
+    (src/sparkSQL/SparkSQLOperator.java:21-22), SURVEY §2.F.
+    """
+    import os
+    import tempfile
+
+    assigned, qcells = _ivf_assigned_and_qcells(spark, sf_dir, qmax=2)
+    out = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
+    probe_cells = sorted(
+        r["cell"] for r in qcells.select("cell").distinct().collect()
+    )
+    back = spark.read.parquet(out).filter(F.col("cell").isin(probe_cells))
+    cosine = F.round(_dot("e", "q_emb") / (_norm("e") * _norm("q_emb")), 4)
+    cand = (
+        back.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )

@@ -827,3 +827,26 @@ def test_txn_log_snapshot_is_immutable_delete(spark, sf_dir):
     # reading the pre-delete version (commits 0 only) restores part 0
     v0 = spark.read.parquet(*[os.path.join(base, f"part{p}") for p in (0, 1, 2)])
     assert v0.filter(F.col("o_orderkey") % 4 == 0).count() == n_part0
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, sf_dir):
+    """The on-disk IVF claim: the probe scan must carry
+    PartitionFilters on cell, every file it actually reads must live
+    under a probed cell= directory (a strict subset of cells), and the
+    result must equal the in-memory probe key row-for-row."""
+    import re
+
+    df = QUERIES["ext_sim_ivf_partitioned"](spark, sf_dir)
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    cells_read = {int(c) for c in m.group(1).split(",")}
+    # 2 queries x N_PROBE=2 cells: a strict subset of the 10 cells
+    assert cells_read and len(cells_read) <= 4
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["ext_sim_ivf_probe_topk"](spark, sf_dir).collect()
+        if r["q_id"] < 2
+    )
+    assert got == want
