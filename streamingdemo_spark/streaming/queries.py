@@ -1423,3 +1423,139 @@ def stream_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+_BOTTOMK_STREAM_K = 20
+
+
+@query(
+    "stream_sample_bottomk",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(CAST(event_id AS VARCHAR) || '|bottomk', ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM events
+    ),
+    bot AS (SELECT * FROM hashed
+            ORDER BY h, event_id LIMIT {_BOTTOMK_STREAM_K}),
+    kth AS (SELECT MAX(h) AS hk FROM bot)
+    SELECT event_id, h,
+           ROW_NUMBER() OVER (ORDER BY h, event_id) AS rk,
+           CAST(({_BOTTOMK_STREAM_K} - 1) AS BIGINT) * 1000000007 // hk
+             AS n_est
+    FROM bot CROSS JOIN kth
+    """,
+)
+def stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom-k sketch of ``agg_sample_bottomk`` maintained over a
+    STREAM: each micro-batch's hashed rows merge with the persisted
+    ≤ k-row sketch and the bottom-k survives — run across TWO separate
+    ``availableNow`` runs sharing one checkpoint (run 2 consumes only
+    files that landed after run 1), after which the sketch must
+    hash-equal the batch bottom-k over the full events table.
+
+    Why this shape matters at 100 TB: the sketch is a uniform
+    reservoir-equivalent sample of EVERYTHING ever streamed, in k
+    rows of state, with no watermark and no state-store growth — and
+    the merge is IDEMPOTENT (merging the same batch twice is a no-op,
+    since duplicate hashes collapse in the bottom-k), so at-least-once
+    delivery after a crash needs no epoch bookkeeping at all — a
+    strictly simpler recovery story than ``stream_incremental_agg``'s
+    epoch-keyed overwrite. Sketch state rides through the driver
+    (k rows — sketch state IS metadata); row data only ever moves
+    through the per-batch aggregation.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from streamingdemo_spark.registry import poly_hash
+    from streamingdemo_spark.streaming.sources import EVENTS_SCHEMA, _build
+
+    built = _build(sf_dir, "ordered", 4)
+    files = sorted(f for f in os.listdir(built) if f.endswith(".parquet"))
+    src = tempfile.mkdtemp(prefix="botk_src_")
+    sketch_dir = os.path.join(tempfile.mkdtemp(prefix="botk_tgt_"), "sketch")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_botk_")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_bot = (
+            batch_df.select(
+                "event_id",
+                poly_hash(
+                    F.concat(F.col("event_id").cast("string"),
+                             F.lit("|bottomk"))
+                ).alias("h"),
+            )
+            .orderBy("h", "event_id")
+            .limit(_BOTTOMK_STREAM_K)
+        )
+        if os.path.isdir(sketch_dir):
+            # previous sketch is <= k driver-sized rows: merge via
+            # union + re-take; collect-free would re-read the dir we
+            # are about to overwrite, so the k rows hop the driver
+            prev = spark.read.parquet(sketch_dir).collect()
+            merged = spark.createDataFrame(
+                prev, "event_id bigint, h bigint"
+            ).unionAll(batch_bot)
+        else:
+            merged = batch_bot
+        (
+            # dropDuplicates BEFORE the take: without it, re-delivery
+            # of an already-merged batch would double its rows and
+            # evict genuine tail entries — the dedup is precisely what
+            # makes the merge idempotent under at-least-once delivery
+            merged.dropDuplicates(["event_id"])
+            .orderBy("h", "event_id")
+            .limit(_BOTTOMK_STREAM_K)
+            .write.mode("overwrite")
+            .parquet(sketch_dir + "_next")
+        )
+        shutil.rmtree(sketch_dir, ignore_errors=True)
+        os.rename(sketch_dir + "_next", sketch_dir)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    for f in files[: len(files) // 2]:
+        shutil.copy(os.path.join(built, f), src)
+    run_once()
+    for f in files[len(files) // 2 :]:
+        shutil.copy(os.path.join(built, f), src)
+    run_once()
+
+    bot = spark.read.parquet(sketch_dir)
+    kth = bot.agg(F.max("h").alias("hk"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("h", "event_id")
+    return (
+        bot.crossJoin(F.broadcast(kth))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "event_id",
+            "h",
+            "rk",
+            F.expr(
+                f"CAST({_BOTTOMK_STREAM_K} - 1 AS BIGINT) * 1000000007 DIV hk"
+            ).alias("n_est"),
+        )
+    )

@@ -379,3 +379,37 @@ def test_stream_dedup_substring_equals_batch(spark, sf_dir):
     )
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0  # fixture plants shared boilerplate
+
+
+def test_stream_bottomk_equals_batch_and_remerge_is_noop(spark, sf_dir):
+    """The sketch maintained across two checkpointed availableNow runs
+    must equal the batch bottom-k of the full events table, and
+    re-merging the final sketch into itself must change nothing (the
+    idempotence that makes at-least-once delivery safe)."""
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.registry import QUERIES, poly_hash
+
+    got = QUERIES["stream_sample_bottomk"](spark, sf_dir).collect()
+    assert len(got) == 20
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        ev.select(
+            "event_id",
+            poly_hash(
+                F.concat(F.col("event_id").cast("string"), F.lit("|bottomk"))
+            ).alias("h"),
+        )
+        .orderBy("h", "event_id")
+        .limit(20)
+        .collect()
+    )
+    assert sorted((r["event_id"], r["h"]) for r in got) == sorted(
+        (r["event_id"], r["h"]) for r in want
+    )
+    # idempotence: re-merging the sketch into itself (at-least-once
+    # re-delivery) must reproduce the sketch exactly — dedup on
+    # event_id collapses the duplicates before the take
+    pairs = sorted((r["h"], r["event_id"]) for r in got)
+    remerged = sorted(set(pairs + pairs))[:20]
+    assert remerged == pairs
