@@ -1271,7 +1271,13 @@ def ext_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8
 PQ_DSUB = 8
 PQ_QUERY = 7  # query = this vec_id's embedding (retrieval.QUERY_DOC)
-PQ_CAND = 40  # ADC candidate pool re-ranked against exact vectors
+# ADC candidate pool re-ranked against exact vectors. This is PQ's
+# recall knob: serving systems size it as a corpus FRACTION (1-10%);
+# 40 is ~8% of the 500-vector fixtures (recall@10 ≈ 0.7 at sf0.01) —
+# at the 2000-vector sf0.1 corpus the same absolute pool is 2% and
+# recall drops accordingly, exactly as the fraction predicts. Pinned
+# as a literal (not a fraction) so the oracle's LIMIT replays it.
+PQ_CAND = 40
 PQ_TOPK = 10
 
 
