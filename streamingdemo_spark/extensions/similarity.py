@@ -1281,6 +1281,43 @@ PQ_CAND = 40
 PQ_TOPK = 10
 
 
+def _pq_scored_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(v, scored): double-cast vectors and their per-(subspace,
+    codeword) squared distances against the deterministic class-mean
+    PQ codebook — the shared front half of ``ext_sim_pq_adc`` and
+    ``ext_sim_ivfpq_topk``."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = (
+        _centroid_means(e)
+        .withColumn("m", F.expr(f"pos DIV {PQ_DSUB}"))
+        .groupBy("m", F.col("label").alias("cw"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.expr(f"slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB})"),
+            F.col("cvec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "label", "m", "cw", d.alias("d")
+    )
+    return v, scored
+
+
 @query(
     "ext_sim_pq_adc",
     oracle=f"""
@@ -1369,33 +1406,7 @@ def ext_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    cb = (
-        _centroid_means(e)
-        .withColumn("m", F.expr(f"pos DIV {PQ_DSUB}"))
-        .groupBy("m", F.col("label").alias("cw"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cvec")
-        )
-    )
-    v = e.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    d = F.aggregate(
-        F.zip_with(
-            F.expr(f"slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB})"),
-            F.col("cvec"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = v.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "label", "m", "cw", d.alias("d")
-    )
+    v, scored = _pq_scored_frames(spark, sf_dir)
     wc = Window.partitionBy("vec_id", "m").orderBy("d", "cw")
     codes = (
         scored.withColumn("rn", F.row_number().over(wc))
@@ -1632,3 +1643,160 @@ def ext_sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH {_CENTROID_CTE},
+    cent AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec
+             FROM cmeans GROUP BY label),
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+    vd AS (
+      SELECT v.vec_id, cent.cl,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(generate_series(1, len(e)),
+                                i -> (e[i] - cvec[i]) * (e[i] - cvec[i]))),
+               (a, b) -> a + b) AS d
+      FROM v CROSS JOIN cent
+    ),
+    home AS (
+      SELECT vec_id, cl AS cell FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn FROM vd)
+      WHERE rn = 1
+    ),
+    qc AS (
+      SELECT cl AS cell FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cl) AS rn
+         FROM vd WHERE vec_id = {{q}})
+      WHERE rn <= {{nprobe}}
+    ),
+    cb AS (
+      SELECT pos // {{dsub}} AS m, label AS cw,
+             list(c ORDER BY pos) AS cvec
+      FROM cmeans GROUP BY pos // {{dsub}}, label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, cb.m, cb.cw,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(generate_series(1, {{dsub}}),
+                   i -> (e[m * {{dsub}} + i] - cvec[i])
+                        * (e[m * {{dsub}} + i] - cvec[i]))),
+               (a, b) -> a + b) AS d
+      FROM v CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, label, m, cw FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, cw) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    t AS (
+      SELECT m, cw, CAST(FLOOR(d * 1000000 + 0.5) AS BIGINT) AS t_micro
+      FROM scored WHERE vec_id = {{q}}
+    ),
+    adc AS (
+      SELECT c.vec_id, c.label, SUM(t_micro) AS adc_micro
+      FROM codes c JOIN t USING (m, cw)
+      JOIN home h ON c.vec_id = h.vec_id
+      WHERE h.cell IN (SELECT cell FROM qc) AND c.vec_id != {{q}}
+      GROUP BY c.vec_id, c.label
+    ),
+    cand AS (SELECT * FROM adc
+             ORDER BY adc_micro, vec_id LIMIT {{cand}}),
+    qv AS (SELECT e AS qe FROM v WHERE vec_id = {{q}}),
+    rer AS (
+      SELECT cand.vec_id, cand.label, cand.adc_micro,
+             ROUND(list_reduce(
+               list_prepend(0.0,
+                 list_transform(generate_series(1, len(e)),
+                   i -> (e[i] - qe[i]) * (e[i] - qe[i]))),
+               (a, b) -> a + b), 6) + 0.0 AS dist2
+      FROM cand JOIN v USING (vec_id) CROSS JOIN qv
+    )
+    SELECT vec_id, label, adc_micro, dist2,
+           ROW_NUMBER() OVER (ORDER BY dist2, vec_id) AS rk
+    FROM rer ORDER BY dist2, vec_id LIMIT {{topk}}
+""".format(
+    q="{q}", nprobe="{nprobe}", dsub="{dsub}", cand="{cand}", topk="{topk}"
+)
+
+
+@query(
+    "ext_sim_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE.format(
+        q=PQ_QUERY, nprobe=N_PROBE, dsub=PQ_DSUB, cand=PQ_CAND, topk=PQ_TOPK
+    ),
+)
+def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + ADC composed — the FAISS IVFADC serving pipeline built
+    from this module's two proven halves: route the query to its
+    N_PROBE nearest coarse cells (``ext_sim_ivf_assign``'s codebook),
+    rank ONLY the vectors homed in those cells by PQ lookup-table
+    distance (``ext_sim_pq_adc``'s codes and T table), then re-rank
+    the candidate pool against exact vectors. Simplification vs full
+    IVFPQ, stated honestly: codes are built on RAW vectors, not
+    per-cell residuals (residual codebooks need a second training
+    stage; the routing/ADC/re-rank dataflow — what this key pins — is
+    identical either way).
+
+    Why this is THE 100 TB ANN shape: the coarse index prunes the
+    candidate set to ~nprobe/k of the corpus BEFORE any distance work
+    (on disk that is partition pruning — ``ext_sim_ivf_partitioned``),
+    ADC touches only 8-byte codes for what remains, and full vectors
+    load for just the final pool. Every stage's relation shrinks:
+    corpus → cells → codes → pool → top-k.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    assigned, qcells = _ivf_assigned_and_qcells(spark, sf_dir, qmax=8)
+    probe = qcells.filter(F.col("q_id") == PQ_QUERY).select("cell")
+    in_cells = assigned.select("vec_id", "cell").join(
+        F.broadcast(probe), "cell"
+    )
+    v, scored = _pq_scored_frames(spark, sf_dir)
+    wc = Window.partitionBy("vec_id", "m").orderBy("d", "cw")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "cw")
+    )
+    t = scored.filter(F.col("vec_id") == PQ_QUERY).select(
+        F.col("m").alias("tm"),
+        F.col("cw").alias("tcw"),
+        F.floor(F.col("d") * 1000000 + F.lit(0.5)).cast("long").alias("t_micro"),
+    )
+    adc = (
+        codes.join(in_cells.select("vec_id"), "vec_id")
+        .filter(F.col("vec_id") != PQ_QUERY)
+        .join(
+            F.broadcast(t),
+            (F.col("m") == F.col("tm")) & (F.col("cw") == F.col("tcw")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t_micro").alias("adc_micro"))
+    )
+    cand = adc.orderBy("adc_micro", "vec_id").limit(PQ_CAND)
+    qv = v.filter(F.col("vec_id") == PQ_QUERY).select(F.col("e").alias("qe"))
+    exact = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t2: acc + t2,
+    )
+    rer = (
+        cand.join(v.select("vec_id", "e"), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "adc_micro",
+            (F.round(exact, 6) + F.lit(0.0)).alias("dist2"),
+        )
+    )
+    top = rer.orderBy("dist2", "vec_id").limit(PQ_TOPK)
+    wr = Window.orderBy("dist2", "vec_id")
+    return top.withColumn("rk", F.row_number().over(wr))

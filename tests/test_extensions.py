@@ -1703,3 +1703,27 @@ def test_heaps_law_curves_are_cumulative_and_beta_sublinear(spark, sf_dir):
     num = k * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
     den = k * sum(x * x for x in xs) - sum(xs) ** 2
     assert abs(beta - num / den) < 1e-6
+
+
+def test_ivfpq_candidates_come_only_from_probed_cells(spark, sf_dir):
+    """The composed pipeline's routing claim: every returned neighbor
+    must be homed in one of the query's N_PROBE coarse cells, and the
+    re-ranked distances must be non-decreasing in rank."""
+    from streamingdemo_spark.extensions.similarity import (
+        N_PROBE,
+        PQ_QUERY,
+        _ivf_assigned_and_qcells,
+    )
+
+    rows = QUERIES["ext_sim_ivfpq_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    assigned, qcells = _ivf_assigned_and_qcells(spark, sf_dir, qmax=8)
+    probe = {
+        r["cell"]
+        for r in qcells.filter(f"q_id = {PQ_QUERY}").collect()
+    }
+    assert len(probe) == N_PROBE
+    home = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert all(home[r["vec_id"]] in probe for r in rows)
+    dists = [r["dist2"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert dists == sorted(dists)
