@@ -525,6 +525,24 @@ class TestExampleSpecs:
         )
         assert direct == sum(r["n_docs"] for r in rows.values())
 
+    def test_ann_serving_eval_spec_reconciles(self, spark, sf_dir):
+        """The ANN-eval example's report must reconcile with running
+        the two registry keys directly: 10 approx results, and the
+        exact-top-5 hit count matches a direct set intersection."""
+        ports = self._run_example(spark, sf_dir, "ann_serving_eval.yaml")
+        row = ports["report.out"].collect()[0]
+        assert row["n_approx"] == 10
+        approx = {
+            r["vec_id"]
+            for r in QUERIES["ext_sim_ivfpq_topk"](spark, sf_dir).collect()
+        }
+        exact7 = {
+            r["vec_id"]
+            for r in QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect()
+            if r["q_id"] == 7
+        }
+        assert row["n_exact_hits"] == len(approx & exact7)
+
     def test_hybrid_search_spec_equals_direct_fusion(self, spark, sf_dir):
         """The hybrid-search spec's hit list must carry exactly the
         ext_sim_rrf ranking (same doc per rank), joined metadata must
