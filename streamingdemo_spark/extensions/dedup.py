@@ -1732,3 +1732,161 @@ def ext_dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans",
         )
     )
+
+
+# Content-defined chunking: boundary = rolling CDC_W-gram hash hitting
+# the mask (avg chunk ~CDC_MASK chars on random text). Production CDC
+# (FastCDC) adds min/max clamps via a sequential pass; the unclamped
+# predicate keeps every boundary a pure per-position function, which
+# is what lets the DuckDB oracle replay it.
+CDC_W = 8
+CDC_MASK = 32
+
+
+def cdc_cut_positions(text: str) -> list[int]:
+    """1-based end positions p (CDC_W ≤ p ≤ len) whose trailing
+    CDC_W-gram hash satisfies the boundary mask — the content-defined
+    cut set of ``ext_chunk_cdc``, O(len) via the same modular
+    prefix-hash machinery as :func:`winnow_positions`."""
+    import numpy as np
+
+    length = len(text)
+    n = length - (CDC_W - 1)
+    if n < 1:
+        return []
+    codes = np.frombuffer(
+        text.encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int64)
+    inv = _pow_mod_table(_INV31, length + 1)
+    pw = _pow_mod_table(31, length + 1)
+    terms = codes * inv[1:] % POLY_MOD
+    acc = np.empty(length + 1, dtype=np.int64)
+    acc[0] = 0
+    np.cumsum(terms, out=acc[1:])
+    acc %= POLY_MOD
+    pref = acc * pw % POLY_MOD
+    h = (pref[CDC_W : CDC_W + n] - pref[:n] * pw[CDC_W]) % POLY_MOD
+    return (np.nonzero(h % CDC_MASK == 0)[0] + CDC_W).tolist()
+
+
+@query(
+    "ext_chunk_cdc",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             {opoly(f"substr(text, CAST(p - {CDC_W - 1} AS INT), {CDC_W})")}
+               AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series({CDC_W}, len(text), 1)) AS p
+            FROM documents)
+    ),
+    cuts AS (SELECT doc_id, p FROM pos WHERE h % {CDC_MASK} = 0),
+    spans AS (
+      SELECT doc_id,
+             COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+               AS s,
+             p AS e
+      FROM cuts
+      UNION ALL
+      SELECT d.doc_id, COALESCE(mx.mp, 0) + 1 AS s, len(d.text) AS e
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, MAX(p) AS mp FROM cuts GROUP BY doc_id) mx
+        USING (doc_id)
+      WHERE COALESCE(mx.mp, 0) < len(d.text)
+    ),
+    chunks AS (
+      SELECT spans.doc_id, s, e,
+             {opoly("substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))")}
+               AS dig
+      FROM spans JOIN documents USING (doc_id)
+    ),
+    freq AS (SELECT dig, COUNT(DISTINCT doc_id) AS nd
+             FROM chunks GROUP BY dig)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN e - s + 1 ELSE 0 END) AS BIGINT)
+             AS dup_chars
+    FROM chunks JOIN freq USING (dig)
+    GROUP BY doc_id
+    """,
+)
+def ext_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS family):
+    chunk boundaries are set by the CONTENT (a rolling-hash mask hit),
+    not by byte offsets — so inserting one character early in a
+    document shifts only the chunk it lands in, while fixed-width
+    chunking (``ext_chunk_dedup``) re-cuts everything after the edit
+    and loses all dedup downstream of it. The boundary-shift
+    resistance is pinned by a property test; this key reports, per
+    document, its chunk count and how many of its chunks (and chars)
+    also appear in other documents — the storage-dedup ratio.
+
+    Shape: cut positions come from one Arrow pandas UDF computing the
+    rolling hash map-side within the document row (the
+    ``_winnowed_grams`` lesson: never explode per character on the
+    Spark side), chunk spans are in-row array arithmetic, and the only
+    corpus-sized shuffles are the digest-frequency aggregate and the
+    per-doc rollup — both map-side-combining. The oracle replays the
+    same boundary predicate as an explode + window CTE.
+
+    Honest simplification: no min/max chunk clamps (production CDC
+    adds them with a sequential scan, which is cheap in the UDF but
+    not SQL-replayable); on this corpus the unclamped mask gives
+    ~CDC_MASK-char average chunks either way.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def cdc_cuts(texts):
+        return texts.map(
+            lambda t: cdc_cut_positions(t) if t is not None else []
+        )
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_cuts = d.select(
+        "doc_id", "text", cdc_cuts("text").alias("cuts"),
+        F.length("text").cast("long").alias("len"),
+    )
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("cuts"), lambda x: x + 1),
+    )
+    ends = F.concat(F.col("cuts"), F.array(F.col("len")))
+    spans = F.filter(
+        F.arrays_zip(starts.alias("s"), ends.alias("e")),
+        lambda z: z["s"] <= z["e"],
+    )
+    chunks = (
+        with_cuts.select(
+            "doc_id", "text", F.explode(spans).alias("z")
+        )
+        .select(
+            "doc_id",
+            F.col("z.s").alias("s"),
+            F.col("z.e").alias("e"),
+            poly_hash(
+                F.expr("substring(text, CAST(z.s AS INT), "
+                       "CAST(z.e - z.s + 1 AS INT))")
+            ).alias("dig"),
+        )
+    )
+    freq = chunks.groupBy("dig").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(freq, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("e") - F.col("s") + 1)
+                .otherwise(0)
+            ).cast("long").alias("dup_chars"),
+        )
+    )

@@ -1727,3 +1727,39 @@ def test_ivfpq_candidates_come_only_from_probed_cells(spark, sf_dir):
     assert all(home[r["vec_id"]] in probe for r in rows)
     dists = [r["dist2"] for r in sorted(rows, key=lambda r: r["rk"])]
     assert dists == sorted(dists)
+
+
+def test_cdc_chunks_survive_prefix_edit(sf_dir):
+    """The reason content-defined chunking exists: prepending one
+    character must leave all chunks after the first content-anchored
+    cut identical, while fixed-width chunking re-cuts everything.
+    Pure-python check against the same cut function the Spark UDF
+    uses, over every fixture document."""
+    import pyarrow.parquet as pq
+
+    from streamingdemo_spark.extensions.dedup import cdc_cut_positions
+
+    def chunks(t):
+        cuts = cdc_cut_positions(t)
+        starts = [1] + [c + 1 for c in cuts]
+        ends = cuts + [len(t)]
+        return [t[s - 1 : e] for s, e in zip(starts, ends) if s <= e]
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet")["text"].to_pylist()
+    tot_cdc = tot_fixed = tot_chunks = 0
+    for text in texts:
+        orig, edited = chunks(text), chunks("X" + text)
+        tot_chunks += len(orig)
+        tot_cdc += len(set(orig) & set(edited))
+        fixed = {text[i : i + 32] for i in range(0, len(text), 32)}
+        fixed_e = {
+            ("X" + text)[i : i + 32]
+            for i in range(0, len(text) + 1, 32)
+        }
+        tot_fixed += len(fixed & fixed_e)
+    # content-defined: at most the leading chunks are disturbed (the
+    # first cut itself can vanish when the edit reaches its gram, so
+    # up to 2 per doc)
+    assert tot_cdc >= tot_chunks - 2 * len(texts)
+    # and it must beat fixed-width chunking by a wide margin
+    assert tot_cdc > 5 * max(tot_fixed, 1)
