@@ -11,6 +11,8 @@ import random
 import string
 
 import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from streamingdemo_spark.registry import opoly, poly_hash
@@ -254,3 +256,39 @@ def test_bigram_micro_nat_floor_boundary_margin():
         frac = (-math.log(c / cp) * 1e6 + 0.5) % 1.0
         margin = min(frac, 1.0 - frac)
         assert margin >= 1e-6, (c, cp, margin)
+
+
+@given(
+    st.text(
+        # exclude the surrogate block: lone surrogates are not valid
+        # Unicode scalar values (no real corpus contains them) and
+        # cannot round-trip through the UDF's utf-32 view
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0x2FFFF,
+            blacklist_categories=("Cs",),
+        ),
+        max_size=300,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_cdc_cuts_match_naive_per_gram_fold(text):
+    """cdc_cut_positions' O(len) modular prefix-hash trick must equal
+    the naive per-gram polynomial fold at every position, for all of
+    Unicode including astral codepoints."""
+    from streamingdemo_spark.extensions.dedup import (
+        CDC_MASK,
+        CDC_W,
+        cdc_cut_positions,
+    )
+
+    def naive(t):
+        out = []
+        for p in range(CDC_W, len(t) + 1):
+            acc = 0
+            for ch in t[p - CDC_W : p]:
+                acc = (acc * 31 + ord(ch)) % 1000000007
+            if acc % CDC_MASK == 0:
+                out.append(p)
+        return out
+
+    assert cdc_cut_positions(text) == naive(text)
