@@ -1763,3 +1763,63 @@ def test_cdc_chunks_survive_prefix_edit(sf_dir):
     assert tot_cdc >= tot_chunks - 2 * len(texts)
     # and it must beat fixed-width chunking by a wide margin
     assert tot_cdc > 5 * max(tot_fixed, 1)
+
+
+def test_setjoin_prefix_filter_prunes_and_is_lossless(spark, sf_dir):
+    """The prefix filter must PRUNE (candidate pairs well below the
+    share-any-shingle pair count) yet stay LOSSLESS (every true
+    tau-similar pair is a candidate — also proven corpus-wide by the
+    key's hash equality with the exhaustive oracle). Replayed in pure
+    python from the same global rarity order."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    sets = {}
+    for did, text in zip(
+        t["doc_id"].to_pylist(), t["text"].to_pylist()
+    ):
+        w = text.split(" ")
+        if len(w) >= 3:
+            sets[did] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    df: dict = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    order = lambda g: (df[g], g)  # noqa: E731
+    prefixes = {
+        did: set(
+            sorted(s, key=order)[: len(s) - ((len(s) + 1) // 2) + 1]
+        )
+        for did, s in sets.items()
+    }
+    # candidates: prefix tokens joined against full sets
+    by_tok: dict = {}
+    for did, s in sets.items():
+        for g in s:
+            by_tok.setdefault(g, []).append(did)
+    cand = set()
+    for did, pre in prefixes.items():
+        for g in pre:
+            for other in by_tok[g]:
+                if other != did:
+                    cand.add((min(did, other), max(did, other)))
+    share_any = set()
+    for docs in by_tok.values():
+        for a, b in itertools.combinations(sorted(docs), 2):
+            share_any.add((a, b))
+    assert len(cand) < 0.25 * len(share_any), (len(cand), len(share_any))
+    true_pairs = {
+        (a, b)
+        for a, b in share_any
+        if 2 * len(sets[a] & sets[b]) >= len(sets[a] | sets[b])
+    }
+    assert true_pairs <= cand  # losslessness
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["ext_dedup_setjoin"](spark, sf_dir).collect()
+    }
+    assert got == true_pairs
