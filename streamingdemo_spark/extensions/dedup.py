@@ -1976,7 +1976,11 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    sh = sh.localCheckpoint(eager=True)  # reused by 4 branches below
+    # sh is reused by 4 branches but NOT checkpointed: it is the
+    # exploded corpus-sized relation, and pinning those in executor
+    # memory is the r4 langid OOM pattern — recomputing a codegen'd
+    # explode per branch is cheap and O(1) in memory (only the tiny
+    # dfreq/sz aggregates would be worth materializing at scale).
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "s").select(
         "doc_id", F.struct("df", "s").alias("o")
