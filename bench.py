@@ -94,6 +94,7 @@ HEADLINE = [
     "stream_dedup_substring",  # winnowed substring dedup as a stream
     "ext_dsir_weights",   # DSIR importance weights (hashed-LM broadcast)
     "ext_sim_pq_adc",     # PQ codes + ADC + exact re-rank serving path
+    "ext_dedup_setjoin",  # exact prefix-filtered set-similarity join
 ]
 
 
