@@ -452,3 +452,41 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_reuse_exchange",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      GROUP BY o_orderstatus
+    ),
+    mx AS (SELECT MAX(n) AS mx FROM agg)
+    SELECT o_orderstatus, n,
+           n * 1000000 // mx AS share_of_max_micro
+    FROM agg CROSS JOIN mx
+    """,
+)
+def sql_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange reuse: an aggregate consumed twice (once as rows, once
+    reduced to its max) must SHUFFLE ONCE — AQE recognizes the two
+    identical exchanges at runtime and wires the second consumer to
+    the first's output (``ReusedExchange`` in the executed plan,
+    pinned by the plan test). This is the free multi-consumer
+    optimization every share-of-total / pct-of-max query depends on at
+    100 TB: without it the fact table is scanned and shuffled once per
+    consumer. Note the check must run on the POST-execution plan —
+    AQE decides reuse at runtime, so the static plan shows two
+    exchanges (the gotcha documented in SCALE.md's ReusedExchange
+    note). The share itself is integer arithmetic on both engines.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    agg = t["orders"].groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mx = agg.agg(F.max("n").alias("mx"))
+    return agg.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        "n",
+        F.expr("n * 1000000 DIV mx").alias("share_of_max_micro"),
+    )

@@ -850,3 +850,15 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, sf_dir):
         if r["q_id"] < 2
     )
     assert got == want
+
+
+def test_reuse_exchange_shuffles_once(spark, sf_dir):
+    """The twice-consumed aggregate must shuffle once: after
+    execution, AQE's plan wires the second consumer to the first
+    exchange's output (ReusedExchange). The static plan cannot show
+    this — reuse is a runtime decision — so the assertion runs on the
+    post-execution plan."""
+    df = QUERIES["sql_reuse_exchange"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan during execution
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan
