@@ -862,3 +862,14 @@ def test_reuse_exchange_shuffles_once(spark, sf_dir):
     df.collect()  # AQE finalizes the plan during execution
     plan = _plan(df)
     assert "ReusedExchange" in plan, plan
+
+
+def test_setjoin_never_goes_quadratic(spark, sf_dir):
+    """The exact set-similarity join must stay candidate-bounded: all
+    joins are hash-keyed equi-joins (no cartesian, no nested loop), no
+    single-partition funnel, and the whole pipeline stays JVM-side."""
+    plan = _plan(QUERIES["ext_dedup_setjoin"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
