@@ -645,11 +645,17 @@ class TestRetrieval:
             if r["dense_rank"] is not None:
                 want += 1_000_000_000 // (RRF_K + r["dense_rank"])
             assert r["rrf_nano"] == want, r
-        # the fused winner sits in the top tier of at least one ranking
+        # the fused winner either tops one ranking or — RRF's whole
+        # point — appears in BOTH (consensus at moderate ranks beats a
+        # single list's head; at sf0.01 the winner is lex 9 + dense 24)
         top = out[0]
-        assert min(
+        in_both = (
+            top["lex_rank"] is not None and top["dense_rank"] is not None
+        )
+        best_single = min(
             x for x in (top["lex_rank"], top["dense_rank"]) if x is not None
-        ) <= 3
+        )
+        assert in_both or best_single <= 3
 
 
 def test_split_assign_ratios_and_determinism(spark, sf_dir):
