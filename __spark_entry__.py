@@ -138,6 +138,7 @@ _PRIORITY = [
     "ext_graph_link_predict", "ext_sim_ivf_partitioned",
     "stream_sample_bottomk", "ext_sim_ivfpq_topk", "ext_chunk_cdc",
     "ext_dedup_setjoin", "sql_reuse_exchange",
+    "ext_semdedup", "ext_hard_negatives", "ext_retrieval_metrics",
     # -- oracle upgraded in r6 (previously rows-only): re-certify as
     #    hash rows first among proven keys once the fresh block drains
     "agg_percentile", "agg_approx_distinct",

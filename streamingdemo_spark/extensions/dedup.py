@@ -2041,3 +2041,167 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "inter", "l_a", "l_b", jac.alias("jac_micro"))
         .filter(F.col("jac_micro") >= SETJOIN_TAU_MICRO)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication over embeddings.
+
+SEMDEDUP_TAU = (7, 20)  # cosine threshold 7/20 = 0.35 as an exact rational
+
+
+def _semdedup_oracle() -> str:
+    from streamingdemo_spark.extensions.similarity import _CENTROID_CTE
+
+    num, den = SEMDEDUP_TAU
+    return f"""
+    WITH {_CENTROID_CTE},
+    cent AS (SELECT label AS cl, list(c ORDER BY pos) AS cvec
+             FROM cmeans GROUP BY label),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                   AS qv
+          FROM embeddings),
+    vd AS (SELECT v.vec_id, v.qv, cent.cl,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(generate_series(1, len(ev)),
+                                i -> (ev[i] - cvec[i]) * (ev[i] - cvec[i]))),
+               (a, b) -> a + b) AS d
+           FROM v CROSS JOIN cent),
+    asg AS (SELECT vec_id, qv, cl AS cell, d,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, len(qv)),
+                               i -> qv[i] * qv[i])),
+                (a, b) -> a + b) AS nrm
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d, cl) AS rn FROM vd)
+            WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS dom_id, b.d AS bd,
+             a.nrm AS an, b.nrm AS bn,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(a.qv)),
+                              i -> a.qv[i] * b.qv[i])),
+               (x, y) -> x + y) AS g
+      FROM asg a JOIN asg b
+        ON a.cell = b.cell
+       AND (b.d > a.d OR (b.d = a.d AND b.vec_id < a.vec_id))
+    ),
+    dom AS (
+      SELECT vec_id, dom_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY bd DESC, dom_id ASC) AS rn
+      FROM pairs
+      WHERE g > 0 AND {den * den} * g * g > {num * num} * an * bn
+    )
+    SELECT asg.vec_id, asg.cell, ROUND(asg.d, 6) + 0.0 AS dist2,
+           (dom.dom_id IS NOT NULL) AS is_dup,
+           COALESCE(dom.dom_id, CAST(-1 AS BIGINT)) AS dup_of
+    FROM asg LEFT JOIN (SELECT vec_id, dom_id FROM dom WHERE rn = 1) dom
+      USING (vec_id)
+    """
+
+
+@query("ext_semdedup", oracle=_semdedup_oracle())
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark semantic duplicates WITHIN each cluster
+    — a vector is a duplicate if some cluster-mate that ranks earlier
+    in keep-priority sits above the cosine threshold. Keep-priority is
+    the paper's policy: keep the example FARTHEST from its centroid
+    (priority = dist2 DESC, vec_id ASC tiebreak), so prototypical
+    near-copies collapse onto the cluster's most marginal exemplar.
+
+    Clustering reuses the deterministic label-mean codebook of
+    ``ext_sim_ivf_assign`` (the engine-specific KMeans fit stays in
+    ``ext_sim_ivf_topk`` by design); assignment distances follow the
+    proven double-fold convention, so cells and priorities are
+    bit-identical across engines.
+
+    The within-cell similarity test is INTEGER-exact: vectors quantize
+    to int64 milli-units (the ``ANN_LSH_CTE`` convention) and
+    ``cos > 7/20`` evaluates as ``g > 0 AND 400*g^2 > 49*nrm_a*nrm_b``
+    — no float dot product anywhere, so the numpy matmul on the Spark
+    side and DuckDB's list folds agree exactly. Overflow bound:
+    ``400*g^2`` stays inside int64 while max|x| <= 2.7 (observed 0.58;
+    unit-norm embeddings bound it at 1).
+
+    Scale shape: the codebook is a broadcast k-row table; assignment
+    is one map-side pass; the quadratic term is per-cell and the paper
+    scales k WITH the corpus (they use k=50000 at LAION scale) so
+    cells stay O(corpus/k) — the same bucket-bounding discipline as
+    the LSH keys. Per cell, the pairwise test runs as ONE Arrow-batch
+    int64 matmul (``applyInPandas`` on the cell key — vectorized,
+    never a per-pair Python loop).
+
+    Distinct from ``ext_dedup_embedding`` (LSH-bucketed near-dup PAIR
+    mining): SemDeDup is cluster-scoped with a keep-policy, emitting a
+    per-vector keep/drop verdict and the dominating exemplar.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    from pyspark.sql.window import Window
+
+    from streamingdemo_spark.extensions.similarity import _centroid_means
+
+    num, den = SEMDEDUP_TAU
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cmeans = _centroid_means(e).select(F.col("label").alias("cl"), "pos", "c")
+    cent = cmeans.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    d = F.aggregate(
+        F.zip_with("ev", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cl")
+    qv = F.transform(
+        "ev", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "ev", "cl", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", F.col("cl").alias("cell"), "d", qv.alias("qv")
+        )
+    )
+
+    def _cell_dedup(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["d", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        g = q @ q.T
+        nrm = np.diag(g).copy()
+        sim = (g > 0) & (den * den * (g * g) > num * num * np.outer(nrm, nrm))
+        low = np.tril(sim, k=-1)  # dominators = strictly earlier rows
+        isdup = low.any(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        first = np.where(isdup, low.argmax(axis=1), 0)
+        pdf["is_dup"] = isdup
+        pdf["dup_of"] = np.where(isdup, ids[first], -1)
+        return pdf[["vec_id", "cell", "d", "is_dup", "dup_of"]]
+
+    out = assigned.groupBy("cell").applyInPandas(
+        _cell_dedup,
+        schema="vec_id long, cell int, d double, is_dup boolean, dup_of long",
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        (F.round("d", 6) + F.lit(0.0)).alias("dist2"),
+        "is_dup",
+        "dup_of",
+    )

@@ -737,3 +737,129 @@ def ext_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel_u",
         F.col("mmr_rank").cast("int").alias("mmr_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics: the offline eval harness for the ANN keys.
+
+EVAL_K = 10  # judge the top-10 of the run against top-10 exact relevance
+
+# Per-position DCG gains on the integer micro-unit grid:
+# gain[i] = floor(1e6 / log2(i + 1) + 0.5), i = 1..10 — precomputed as
+# LITERALS so neither engine evaluates log2 at query time (a libm
+# transcendental whose last ulp is engine-specific); both engines index
+# the same constant table, making DCG an exact int64 sum.
+_DCG_GAINS = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_IDCG_MICRO = sum(_DCG_GAINS)  # all EVAL_K judged docs relevant
+_GAINS_SQL = "[" + ", ".join(str(g) for g in _DCG_GAINS) + "]"
+
+
+def _retrieval_metrics_oracle() -> str:
+    from streamingdemo_spark.extensions.similarity import ANN_LSH_CTE
+
+    return f"""
+    WITH {ANN_LSH_CTE},
+    exact10 AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(c.emb, q.emb), 4)
+                          DESC, c.vec_id ASC) AS rnk
+        FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8)
+      WHERE rnk <= {EVAL_K}
+    ),
+    run10 AS (
+      SELECT q_id, vec_id, rank FROM ann_ranked WHERE rank <= {EVAL_K}
+    ),
+    hitjoin AS (
+      SELECT r.q_id, r.rank, (e.vec_id IS NOT NULL) AS hit
+      FROM run10 r LEFT JOIN exact10 e
+        ON r.q_id = e.q_id AND r.vec_id = e.vec_id
+    ),
+    perq AS (
+      SELECT q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ret,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             MIN(CASE WHEN hit THEN rank END) AS fr,
+             CAST(SUM(CASE WHEN hit THEN {_GAINS_SQL}[rank]
+                           ELSE 0 END) AS BIGINT) AS dcg_micro
+      FROM hitjoin GROUP BY q_id
+    )
+    SELECT q_id, n_ret, hits,
+           ROUND(hits / 10.0, 4) AS recall_at10,
+           COALESCE(CAST(1000000 AS BIGINT) // fr,
+                    CAST(0 AS BIGINT)) AS mrr_micro,
+           dcg_micro,
+           ROUND(CAST(dcg_micro AS DOUBLE) / {_IDCG_MICRO}, 6) AS ndcg
+    FROM perq
+    """
+
+
+@query("ext_retrieval_metrics", oracle=_retrieval_metrics_oracle())
+def ext_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval-quality evaluation (the TREC-style harness a
+    production ANN index ships with): run the LSH index
+    (``similarity.ann_lsh_ranked``) for the standing query set, judge
+    its top-10 against exact-cosine top-10 as binary relevance, and
+    report per-query recall@10, MRR and nDCG@10 — the numbers that
+    decide whether an index rebuild / parameter change may ship.
+
+    Exactness: MRR is ``1e6 DIV first_hit_rank`` (pure integer); DCG
+    uses a precomputed integer gain table (``_DCG_GAINS`` — no runtime
+    log2), so both are exact int64 sums; recall and nDCG each close
+    with ONE double division replayed identically by the oracle. The
+    whole pipeline (sketch, buckets, re-rank, judgments, metrics) is
+    deterministic, so the "approximate" index's quality report is
+    itself hash-certified.
+
+    Scale shape: both legs are one-corpus-scan pipelines (broadcast
+    query side); the metric join touches |Q| x k rows — nothing after
+    candidate generation grows with the corpus. At 100 TB the exact
+    leg runs on a fixed stratified sample of queries (judgments are
+    |Q| x k, never corpus-sized) — the standard offline-eval shape.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    from streamingdemo_spark.extensions.similarity import (
+        ann_lsh_ranked,
+        exact_cosine_ranked,
+    )
+
+    run = ann_lsh_ranked(spark, sf_dir).filter(F.col("rank") <= EVAL_K)
+    rel = (
+        exact_cosine_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= EVAL_K)
+        .select("q_id", "vec_id", F.lit(1).alias("rel"))
+    )
+    hit = F.col("rel").isNotNull()
+    gains = F.array(*[F.lit(g) for g in _DCG_GAINS])
+    perq = (
+        run.join(F.broadcast(rel), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ret"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("hits"),
+            F.min(F.when(hit, F.col("rank"))).alias("fr"),
+            F.sum(
+                F.when(hit, F.element_at(gains, F.col("rank"))).otherwise(0)
+            ).alias("dcg_micro"),
+        )
+    )
+    return perq.select(
+        "q_id",
+        "n_ret",
+        "hits",
+        F.round(F.col("hits") / 10.0, 4).alias("recall_at10"),
+        F.coalesce(F.expr("1000000 DIV fr"), F.lit(0).cast("long")).alias(
+            "mrr_micro"
+        ),
+        "dcg_micro",
+        F.round(F.col("dcg_micro").cast("double") / _IDCG_MICRO, 6).alias(
+            "ndcg"
+        ),
+    )

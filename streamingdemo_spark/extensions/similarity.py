@@ -76,6 +76,14 @@ def ext_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus,
     compute cosine JVM-side, keep k best per query with a partitioned
     window. One corpus scan, no shuffle of the corpus itself."""
+    return exact_cosine_ranked(spark, sf_dir).filter(F.col("rank") <= TOP_K)
+
+
+def exact_cosine_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full exact-cosine ranking (q_id, vec_id, cosine, rank) for the
+    standing query set — the brute-force scoring shared by
+    ``ext_sim_cosine_topk`` (rank <= k slice) and the retrieval-quality
+    judgments of ``retrieval.ext_retrieval_metrics``."""
     corpus, queries = _corpus_and_queries(spark, sf_dir)
     scored = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("q_id")
@@ -87,7 +95,6 @@ def ext_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("q_id", "vec_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
     )
 
 
@@ -207,6 +214,15 @@ def ext_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 200k-vector corpus, SCALE.md). Width is chosen from the parquet
     row count (a metadata-only read) targeting ~64 vectors per bucket.
     """
+    return ann_lsh_ranked(spark, sf_dir).filter(F.col("rank") <= TOP_K)
+
+
+def ann_lsh_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH-candidate ranking (q_id, vec_id, cosine, rank) — the
+    pipeline behind ``ext_sim_ann_lsh`` (rank <= k slice), reused as
+    the "system under evaluation" by ``retrieval.ext_retrieval_metrics``
+    and as the dense leg of ``retrieval.ext_sim_rrf_ann``'s shape.
+    Mirrors the oracle-side ``ANN_LSH_CTE`` ending in ``ann_ranked``."""
     n_tables = 4
     corpus, queries = _corpus_and_queries(spark, sf_dir)
     n_corpus = corpus.count()  # parquet metadata count — no data scan
@@ -238,7 +254,6 @@ def ext_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("q_id", "vec_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
     )
 
 
@@ -1800,3 +1815,107 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rer.orderBy("dist2", "vec_id").limit(PQ_TOPK)
     wr = Window.orderBy("dist2", "vec_id")
     return top.withColumn("rk", F.row_number().over(wr))
+
+
+N_HARDNEG = 5  # mined negatives per query (DPR used 1-7 BM25/ANN negs)
+
+
+@query(
+    "ext_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.q_emb), 4) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ),
+    pos AS (
+      SELECT q_id, vec_id AS pos_id, cosine AS pos_cos FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id ASC) AS rn
+         FROM scored WHERE label = q_label)
+      WHERE rn = 1
+    ),
+    neg AS (
+      SELECT q_id, vec_id AS neg_id, cosine AS neg_cos,
+             CAST(rn AS INT) AS neg_rank FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id ASC) AS rn
+         FROM scored WHERE label <> q_label)
+      WHERE rn <= {N_HARDNEG}
+    )
+    SELECT n.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.neg_rank,
+           ROUND(p.pos_cos - n.neg_cos, 4) AS margin
+    FROM neg n JOIN pos p USING (q_id)
+    """,
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020): for each query vector, the positive is its
+    best same-label neighbor and the hard negatives are the top-n most
+    cosine-similar vectors of a DIFFERENT label — the confusable
+    examples that random sampling (``ext_negative_sampling``) almost
+    never draws and that contribute most of the contrastive gradient.
+    Emits (query, positive, negative) triplets with the score margin
+    the triplet loss would see.
+
+    Scale shape: the query set is tiny and broadcast; ONE corpus scan
+    feeds a single window ranked within (q_id, same-vs-diff label) —
+    the corpus itself is never shuffled (the window partitions on the
+    broadcast side's key after the map-side cross). At 100 TB the
+    brute-force scoring leg swaps for the LSH/IVF candidate generators
+    (``ann_lsh_ranked``, ``ext_sim_ivf_probe_topk``) feeding the same
+    triplet assembly, and the per-(q, branch) window survives as-is.
+
+    Float discipline: cosines are ROUND(.,4) per the module convention;
+    the margin subtracts two such doubles (identical bit patterns on
+    both engines) and re-rounds — deterministic cross-engine.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cosine = F.round(
+        _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 4
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("is_pos"),
+            cosine.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("is_pos") & (F.col("rn") == 1)).select(
+        "q_id",
+        F.col("vec_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    neg = ranked.filter(~F.col("is_pos") & (F.col("rn") <= N_HARDNEG)).select(
+        "q_id",
+        F.col("vec_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+        F.col("rn").alias("neg_rank"),
+    )
+    return neg.join(F.broadcast(pos), "q_id").select(
+        "q_id", "pos_id", "pos_cos", "neg_id", "neg_cos", "neg_rank",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
+    )

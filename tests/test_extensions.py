@@ -1896,3 +1896,175 @@ def test_setjoin_prefix_filter_prunes_and_is_lossless(spark, sf_dir):
         for r in QUERIES["ext_dedup_setjoin"](spark, sf_dir).collect()
     }
     assert got == true_pairs
+
+
+class TestSemDeDup:
+    """ext_semdedup: cluster-scoped dedup verdicts are self-consistent."""
+
+    def test_semdedup_verdicts_check_out(self, spark, sf_dir):
+        import numpy as np
+
+        from streamingdemo_spark.extensions.dedup import SEMDEDUP_TAU
+
+        num, den = SEMDEDUP_TAU
+        out = QUERIES["ext_semdedup"](spark, sf_dir).collect()
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .collect()
+        }
+        rows = {r["vec_id"]: r for r in out}
+        assert len(rows) == len(emb)  # verdict for every vector
+        dups = [r for r in out if r["is_dup"]]
+        keeps = [r for r in out if not r["is_dup"]]
+        assert dups and keeps  # non-vacuous both ways
+        qv = {k: np.floor(v * 1000 + 0.5).astype(np.int64)
+              for k, v in emb.items()}
+        for r in dups:
+            d = rows[r["dup_of"]]
+            # dominator exists, same cell, earlier keep-priority
+            assert d["cell"] == r["cell"]
+            assert (d["dist2"], d["vec_id"]) >= (r["dist2"], -1) or (
+                d["dist2"] > r["dist2"]
+                or (d["dist2"] == r["dist2"] and d["vec_id"] < r["vec_id"])
+            )
+            # quantized cosine really above tau = num/den
+            a, b = qv[r["vec_id"]], qv[r["dup_of"]]
+            g = int(a @ b)
+            assert g > 0 and den * den * g * g > num * num * int(a @ a) * int(
+                b @ b
+            )
+        # kept vectors: spot-check a handful have NO dominator above tau
+        by_cell: dict = {}
+        for r in out:
+            by_cell.setdefault(r["cell"], []).append(r)
+        checked = 0
+        for r in keeps[:20]:
+            mates = [
+                m
+                for m in by_cell[r["cell"]]
+                if (m["dist2"], m["vec_id"]) != (r["dist2"], r["vec_id"])
+                and (
+                    m["dist2"] > r["dist2"]
+                    or (m["dist2"] == r["dist2"] and m["vec_id"] < r["vec_id"])
+                )
+            ]
+            a = qv[r["vec_id"]]
+            for m in mates:
+                b = qv[m["vec_id"]]
+                g = int(a @ b)
+                assert not (
+                    g > 0
+                    and den * den * g * g
+                    > num * num * int(a @ a) * int(b @ b)
+                )
+                checked += 1
+        assert checked  # the spot-check actually exercised pairs
+
+
+class TestHardNegatives:
+    """ext_hard_negatives: DPR-style triplet mining invariants."""
+
+    def test_triplets_are_label_consistent_top_ranked(self, spark, sf_dir):
+        import numpy as np
+
+        from streamingdemo_spark.extensions.similarity import (
+            N_HARDNEG,
+            N_QUERIES,
+        )
+
+        out = QUERIES["ext_hard_negatives"](spark, sf_dir).collect()
+        emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        label = {r["vec_id"]: r["label"] for r in emb_rows}
+        vec = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb_rows
+        }
+        by_q: dict = {}
+        for r in out:
+            by_q.setdefault(r["q_id"], []).append(r)
+        assert set(by_q) == set(range(N_QUERIES))
+        for q_id, rows in by_q.items():
+            assert len(rows) == N_HARDNEG
+            assert sorted(r["neg_rank"] for r in rows) == list(
+                range(1, N_HARDNEG + 1)
+            )
+            for r in rows:
+                # supervision: positive shares the query's label,
+                # negatives don't; margin is the score difference
+                assert label[r["pos_id"]] == label[q_id]
+                assert label[r["neg_id"]] != label[q_id]
+                assert abs(r["margin"] - round(r["pos_cos"] - r["neg_cos"], 4)) < 1e-12
+
+        # brute-force re-derivation for one query
+        q_id = 0
+        qv = vec[q_id]
+        cos = {
+            v: round(
+                float(qv @ x / (np.linalg.norm(qv) * np.linalg.norm(x))), 4
+            )
+            for v, x in vec.items()
+            if v != q_id
+        }
+        diff = sorted(
+            ((c, v) for v, c in cos.items() if label[v] != label[q_id]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect = [v for _, v in diff[:N_HARDNEG]]
+        got = [
+            r["neg_id"] for r in sorted(by_q[0], key=lambda r: r["neg_rank"])
+        ]
+        assert got == expect
+
+
+class TestRetrievalMetrics:
+    """ext_retrieval_metrics: IR metrics agree with a re-derivation
+    from the two ranked legs they evaluate."""
+
+    def test_metrics_match_rederivation(self, spark, sf_dir):
+        from streamingdemo_spark.extensions.retrieval import (
+            _DCG_GAINS,
+            _IDCG_MICRO,
+            EVAL_K,
+        )
+        from streamingdemo_spark.extensions.similarity import (
+            ann_lsh_ranked,
+            exact_cosine_ranked,
+        )
+
+        out = {r["q_id"]: r for r in
+               QUERIES["ext_retrieval_metrics"](spark, sf_dir).collect()}
+        run = [
+            (r["q_id"], r["vec_id"], r["rank"])
+            for r in ann_lsh_ranked(spark, sf_dir)
+            .filter(F.col("rank") <= EVAL_K)
+            .collect()
+        ]
+        rel = {
+            (r["q_id"], r["vec_id"])
+            for r in exact_cosine_ranked(spark, sf_dir)
+            .filter(F.col("rank") <= EVAL_K)
+            .collect()
+        }
+        per: dict = {}
+        for q, v, rk in run:
+            st = per.setdefault(q, {"n": 0, "hits": 0, "fr": None, "dcg": 0})
+            st["n"] += 1
+            if (q, v) in rel:
+                st["hits"] += 1
+                st["dcg"] += _DCG_GAINS[rk - 1]
+                if st["fr"] is None or rk < st["fr"]:
+                    st["fr"] = rk
+        assert set(out) == set(per)
+        for q, st in per.items():
+            r = out[q]
+            assert r["n_ret"] == st["n"] and r["hits"] == st["hits"]
+            assert r["dcg_micro"] == st["dcg"]
+            assert r["mrr_micro"] == (
+                1000000 // st["fr"] if st["fr"] else 0
+            )
+            assert 0.0 <= r["ndcg"] <= 1.0
+            assert abs(r["ndcg"] - round(st["dcg"] / _IDCG_MICRO, 6)) < 1e-12
+        # the eval is non-degenerate: the index finds something, and
+        # the harness can tell an index from an exact scan
+        assert any(r["hits"] > 0 for r in out.values())

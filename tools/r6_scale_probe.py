@@ -61,6 +61,9 @@ KEYS = [
     "ext_sim_rrf_ann",
     "ext_dsir_weights",
     "ext_sim_pq_adc",
+    "ext_semdedup",
+    "ext_hard_negatives",
+    "ext_retrieval_metrics",
 ]
 
 
