@@ -95,6 +95,8 @@ HEADLINE = [
     "ext_dsir_weights",   # DSIR importance weights (hashed-LM broadcast)
     "ext_sim_pq_adc",     # PQ codes + ADC + exact re-rank serving path
     "ext_dedup_setjoin",  # exact prefix-filtered set-similarity join
+    "ext_semdedup",       # cluster-scoped semantic dedup (per-cell matmul)
+    "ext_retrieval_metrics",  # index-vs-exact IR eval harness
 ]
 
 
