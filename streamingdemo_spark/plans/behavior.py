@@ -2010,3 +2010,109 @@ def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("det_milli") - F.col("seasonal_milli")).alias("resid_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend smoothing: sequential recursion as an
+# order-pinned fold.
+
+HOLT_ALPHA = 0.3  # level smoothing
+HOLT_BETA = 0.1   # trend smoothing
+
+
+@query(
+    "ext_ts_holt",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t,
+             value AS x
+      FROM events
+    ),
+    nper AS (SELECT user_id, MAX(t) AS n_obs FROM seq GROUP BY user_id),
+    init AS (
+      SELECT a.user_id, CAST(2 AS BIGINT) AS t,
+             b.x AS l, b.x - a.x AS b
+      FROM seq a JOIN seq b
+        ON a.user_id = b.user_id AND a.t = 1 AND b.t = 2
+    ),
+    rec AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT r.user_id, r.t + 1,
+             {HOLT_ALPHA} * v.x + {1 - HOLT_ALPHA} * (r.l + r.b) AS l,
+             {HOLT_BETA} * (({HOLT_ALPHA} * v.x
+                             + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - HOLT_BETA} * r.b AS b
+      FROM rec r JOIN seq v
+        ON v.user_id = r.user_id AND v.t = r.t + 1
+    )
+    SELECT r.user_id, nper.n_obs,
+           ROUND(r.l, 6) + 0.0 AS level,
+           ROUND(r.b, 6) + 0.0 AS trend,
+           ROUND(r.l + r.b, 6) + 0.0 AS forecast
+    FROM rec r JOIN nper ON nper.user_id = r.user_id AND r.t = nper.n_obs
+    """,
+)
+def ext_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per series:
+    ``l_t = a*x_t + (1-a)*(l+b)``, ``b_t = B*(l_t - l) + (1-B)*b``,
+    init ``l_2 = x_2, b_2 = x_2 - x_1`` — the classic coupled
+    recursion behind short-horizon forecasting, emitting each user's
+    final level/trend state and one-step forecast.
+
+    Portability: a sequential recursion has no closed form the
+    ``win_ewma`` truncation trick covers (level and trend are mutually
+    recursive), so the contract is an ORDER-PINNED FOLD: Spark runs
+    ``F.aggregate`` left-to-right over the (ts, event_id)-sorted value
+    array with a struct accumulator; the oracle replays the identical
+    IEEE-754 op sequence via a recursive CTE (one iteration per step,
+    all series advancing in lockstep). Same doubles, same op order →
+    bit-identical states, so ROUND(.,6) is collision-free. (A DuckDB
+    ``list_reduce`` struct fold would be shorter but its 1.0.0
+    evaluation updates accumulator fields SEQUENTIALLY within a step —
+    later fields see already-updated earlier fields — so the recursive
+    CTE, whose semantics are standard SQL, is the replay vehicle.)
+
+    Scale shape: one groupBy(user) building each series' value array
+    (map-side partial collect, one shuffle keyed by series), then the
+    fold runs map-side per row — state is O(1) per series and NOTHING
+    iterates driver-side; 10^9 series parallelize as ordinary rows. A
+    series too long for one array (not the case here: <=99 points)
+    folds incrementally batch-over-batch exactly like
+    ``stream_incremental_agg`` carries state.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    per = ev.groupBy("user_id").agg(xs.alias("xs"))
+    x1 = F.element_at("xs", 1)
+    x2 = F.element_at("xs", 2)
+    acc0 = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
+    a, b_ = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+
+    def step(acc, x):
+        l_new = a * x + F.lit(1 - HOLT_ALPHA) * (acc["l"] + acc["b"])
+        b_new = b_ * (l_new - acc["l"]) + F.lit(1 - HOLT_BETA) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    n = F.size("xs")
+    fitted = per.select(
+        "user_id",
+        n.cast("long").alias("n_obs"),
+        F.aggregate(F.slice("xs", 3, n - 2), acc0, step).alias("st"),
+    )
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return fitted.select(
+        "user_id",
+        "n_obs",
+        rnd(F.col("st.l")).alias("level"),
+        rnd(F.col("st.b")).alias("trend"),
+        rnd(F.col("st.l") + F.col("st.b")).alias("forecast"),
+    )

@@ -2068,3 +2068,37 @@ class TestRetrievalMetrics:
         # the eval is non-degenerate: the index finds something, and
         # the harness can tell an index from an exact scan
         assert any(r["hits"] > 0 for r in out.values())
+
+
+class TestTsHolt:
+    """ext_ts_holt: the order-pinned fold matches a plain-Python
+    replay of Holt's recursion bit-for-bit."""
+
+    def test_holt_matches_python_replay(self, spark, sf_dir):
+        from streamingdemo_spark.plans.behavior import HOLT_ALPHA, HOLT_BETA
+
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["ext_ts_holt"](spark, sf_dir).collect()
+        }
+        ev = sorted(
+            spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        series: dict = {}
+        for r in ev:
+            series.setdefault(r["user_id"], []).append(r["value"])
+        assert set(out) == set(series)
+        for uid, xs in series.items():
+            l, b = xs[1], xs[1] - xs[0]
+            for x in xs[2:]:
+                l_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+                b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+                l = l_new
+            r = out[uid]
+            assert r["n_obs"] == len(xs)
+            assert r["level"] == round(l, 6) + 0.0
+            assert r["trend"] == round(b, 6) + 0.0
+            assert r["forecast"] == round(l + b, 6) + 0.0
+        # the fit is non-degenerate: trends differ across series
+        assert len({r["trend"] for r in out.values()}) > 1

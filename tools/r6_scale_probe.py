@@ -64,6 +64,7 @@ KEYS = [
     "ext_semdedup",
     "ext_hard_negatives",
     "ext_retrieval_metrics",
+    "ext_ts_holt",
 ]
 
 
@@ -122,6 +123,23 @@ def build() -> None:
         )
     pq.write_table(
         pa.concat_tables(eparts), os.path.join(DST, "embeddings.parquet")
+    )
+    # events 10x: replicas are fresh user populations (user_id offset)
+    # with event_ids offset to stay unique — 10x series, same lengths,
+    # the growth shape for per-series state keys (ext_ts_holt).
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    vparts = []
+    for k in range(REPLICAS):
+        cols = {n: ev[n] for n in ev.column_names}
+        cols["user_id"] = pa.array(
+            ev["user_id"].to_numpy() + k * DOC_OFFSET, pa.int64()
+        )
+        cols["event_id"] = pa.array(
+            ev["event_id"].to_numpy() + k * DOC_OFFSET, pa.int64()
+        )
+        vparts.append(pa.table(cols))
+    pq.write_table(
+        pa.concat_tables(vparts), os.path.join(DST, "events.parquet")
     )
 
 
