@@ -2019,10 +2019,10 @@ def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOLT_ALPHA = 0.3  # level smoothing
 HOLT_BETA = 0.1   # trend smoothing
 
-
-@query(
-    "ext_ts_holt",
-    oracle=f"""
+# Shared by ext_ts_holt and the streaming leg (stream_ts_holt): both
+# must converge to the same final per-series state, so they replay
+# against the same recursive-CTE oracle.
+HOLT_ORACLE_SQL = f"""
     WITH RECURSIVE seq AS (
       SELECT user_id,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -2053,8 +2053,10 @@ HOLT_BETA = 0.1   # trend smoothing
            ROUND(r.b, 6) + 0.0 AS trend,
            ROUND(r.l + r.b, 6) + 0.0 AS forecast
     FROM rec r JOIN nper ON nper.user_id = r.user_id AND r.t = nper.n_obs
-    """,
-)
+    """
+
+
+@query("ext_ts_holt", oracle=HOLT_ORACLE_SQL)
 def ext_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend (double exponential) smoothing per series:
     ``l_t = a*x_t + (1-a)*(l+b)``, ``b_t = B*(l_t - l) + (1-B)*b``,

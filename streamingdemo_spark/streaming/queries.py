@@ -1559,3 +1559,91 @@ def stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_est"),
         )
     )
+
+
+def _holt_oracle() -> str:
+    from streamingdemo_spark.plans.behavior import HOLT_ORACLE_SQL
+
+    return HOLT_ORACLE_SQL
+
+
+@query("stream_ts_holt", oracle=_holt_oracle())
+def stream_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing maintained INCREMENTALLY over the
+    event stream: per-user (level, trend) state carried across
+    micro-batches via ``applyInPandasWithState`` — the continuous
+    forecasting shape of ``plans.behavior.ext_ts_holt`` (same
+    recursion, same init, same oracle).
+
+    Unlike ``stream_stateful_custom``'s commutative count/sum state,
+    Holt state is ORDER-SENSITIVE: correctness relies on the replay
+    source's contract that chunks are (ts, event_id)-sorted and the
+    file source processes them in order, so each user's points arrive
+    in global time order; within a batch the UDF re-sorts its slice.
+    The state machine handles the init straddle (a user's first two
+    points may land in different batches): n=0 holds x1 only, n=1
+    seeds (l, b) = (x2, x2 - x1), n>=2 applies the coupled update.
+    The recursion runs on plain Python floats — IEEE doubles with the
+    same literals and op order as the batch fold and the oracle's
+    recursive CTE, so the final state is bit-identical and the
+    STREAMING key hash-certifies against the same SQL.
+
+    At 100 TB: state is one 4-field struct per active series (add a
+    ProcessingTimeTimeout to retire idle series); each micro-batch
+    touches only arriving keys. The update-mode emission log reduces
+    to the final state per key by the monotone n_obs max — the same
+    atomic struct-max trick as ``stream_stateful_custom``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from streamingdemo_spark.plans.behavior import HOLT_ALPHA, HOLT_BETA
+
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, l, b, x1 = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].tolist():
+                if n == 0:
+                    x1 = x
+                elif n == 1:
+                    l = x
+                    b = x - x1
+                else:
+                    l_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+                    b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+                    l = l_new
+                n += 1
+        state.update((n, l, b, x1))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_obs": [n],
+                "level": [l],
+                "trend": [b],
+            }
+        )
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_obs long, level double, trend double",
+        stateStructType="n long, l double, b double, x1 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(updates, output_mode="update")
+    last = F.max(F.struct("n_obs", "level", "trend")).alias("s")
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        mem.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.n_obs").alias("n_obs"),
+            rnd(F.col("s.level")).alias("level"),
+            rnd(F.col("s.trend")).alias("trend"),
+            rnd(F.col("s.level") + F.col("s.trend")).alias("forecast"),
+        )
+    )

@@ -413,3 +413,27 @@ def test_stream_bottomk_equals_batch_and_remerge_is_noop(spark, sf_dir):
     pairs = sorted((r["h"], r["event_id"]) for r in got)
     remerged = sorted(set(pairs + pairs))[:20]
     assert remerged == pairs
+
+
+class TestStreamTsHolt:
+    """stream_ts_holt: incremental Holt state across micro-batches
+    converges to exactly the batch fold's final state."""
+
+    def test_stream_equals_batch(self, spark, sf_dir):
+        batch = {
+            r["user_id"]: r
+            for r in QUERIES["ext_ts_holt"](spark, sf_dir).collect()
+        }
+        stream = {
+            r["user_id"]: r
+            for r in QUERIES["stream_ts_holt"](spark, sf_dir).collect()
+        }
+        assert set(stream) == set(batch)
+        for uid, s in stream.items():
+            bt = batch[uid]
+            assert (
+                s["n_obs"],
+                s["level"],
+                s["trend"],
+                s["forecast"],
+            ) == (bt["n_obs"], bt["level"], bt["trend"], bt["forecast"]), uid
