@@ -1919,3 +1919,135 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "pos_id", "pos_cos", "neg_id", "neg_cos", "neg_rank",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (farthest-point sampling).
+
+KCENTER_K = 8
+
+_QV_SQL = (
+    "list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+)
+
+
+def _d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [f"""
+    v AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+    nv AS (SELECT vec_id, qv,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(qv)),
+                              i -> qv[i] * qv[i])), (x, y) -> x + y) AS nrm
+           FROM v),
+    c1 AS (SELECT vec_id, qv FROM nv ORDER BY nrm DESC, vec_id LIMIT 1),
+    m1 AS MATERIALIZED (SELECT v.vec_id, v.qv,
+             {_d2_sql("v.qv", "c1.qv")} AS mind
+           FROM v, c1)"""]
+    for t in range(2, KCENTER_K + 1):
+        parts.append(f"""
+    c{t} AS (SELECT vec_id, qv FROM m{t - 1}
+             ORDER BY mind DESC, vec_id LIMIT 1),
+    m{t} AS MATERIALIZED (SELECT m.vec_id, m.qv,
+               LEAST(m.mind, {_d2_sql("m.qv", f"c{t}.qv")}) AS mind
+             FROM m{t - 1} m, c{t})""")
+    rows = ", ".join(
+        f"(CAST({t} AS INT), (SELECT vec_id FROM c{t}), "
+        f"(SELECT MAX(mind) FROM m{t}))"
+        for t in range(1, KCENTER_K + 1)
+    )
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT * FROM (VALUES {rows}) AS t(sel_rank, vec_id, radius2)
+    """
+    )
+
+
+@query("ext_coreset_kcenter", oracle=_kcenter_oracle())
+def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling, the
+    2-approximation of Gonzalez 1985 used for diversity-maximizing
+    data selection / active-learning coresets): seed with the
+    largest-norm vector, then repeatedly pick the point FARTHEST from
+    the current center set, emitting each pick with the coverage
+    radius (max over the corpus of distance-to-nearest-center) after
+    it joins — the objective curve a curator reads to choose k.
+
+    Integer-exact end to end: vectors quantize to int64 milli-units
+    (the ``ANN_LSH_CTE`` convention) and every distance is an integer
+    squared-L2, so argmax ties break identically everywhere and the
+    oracle (an unrolled CTE chain, one argmax per step — the
+    ``ext_sim_mmr`` discipline) replays every pick bit-for-bit.
+
+    Scale shape: the classic k-pass algorithm — each step is ONE
+    corpus scan that (a) updates each point's min-distance with the
+    single newly added center and (b) reduces to the next argmax via
+    an all-in-one ``max(struct(mind, -vec_id, qv))`` aggregate (the
+    struct max carries the winning row's vector to the driver, so a
+    step is exactly one job, no lookup join). Driver state is k
+    centers — O(k·dim), never corpus-sized; at 100 TB this is k
+    scans, each map-side + a tree-reduce, the textbook distributed
+    FPS. The min-distance column composes lazily across the k steps
+    (no per-step checkpoint — recompute of the k×dim fold is cheaper
+    than materializing, per the graph-loop cadence rule).
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+    )
+    v = e.select("vec_id", qv.alias("qv"))
+    nrm = F.aggregate(
+        F.zip_with("qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def d2_to(center_qv: list[int]):
+        c = F.array(*[F.lit(int(x)) for x in center_qv])
+        return F.aggregate(
+            F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # seed: argmax norm, vec_id-asc tiebreak via negated id in the
+    # struct max (one job)
+    seed = v.select(
+        F.max(F.struct(nrm.alias("key"), (-F.col("vec_id")).alias("nid"),
+                       F.col("qv").alias("qv"))).alias("s")
+    ).collect()[0]["s"]
+    picks = [(1, -seed["nid"])]
+    cur = v.withColumn("mind", d2_to(seed["qv"]))
+    radii = []
+    for t in range(2, KCENTER_K + 1):
+        m = cur.select(
+            F.max(
+                F.struct(F.col("mind").alias("key"),
+                         (-F.col("vec_id")).alias("nid"),
+                         F.col("qv").alias("qv"))
+            ).alias("s")
+        ).collect()[0]["s"]
+        radii.append(m["key"])  # radius after t-1 centers
+        picks.append((t, -m["nid"]))
+        cur = cur.withColumn("mind", F.least("mind", d2_to(m["qv"])))
+    radii.append(cur.agg(F.max("mind")).collect()[0][0])
+    rows = [
+        (rank, int(vid), int(r)) for (rank, vid), r in zip(picks, radii)
+    ]
+    return spark.createDataFrame(
+        rows, "sel_rank int, vec_id long, radius2 long"
+    )

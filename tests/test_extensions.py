@@ -2102,3 +2102,44 @@ class TestTsHolt:
             assert r["forecast"] == round(l + b, 6) + 0.0
         # the fit is non-degenerate: trends differ across series
         assert len({r["trend"] for r in out.values()}) > 1
+
+
+class TestCoresetKCenter:
+    """ext_coreset_kcenter: the greedy chain matches a numpy replay
+    and the coverage radius is monotone non-increasing."""
+
+    def test_kcenter_matches_numpy_replay(self, spark, sf_dir):
+        import numpy as np
+
+        from streamingdemo_spark.extensions.similarity import KCENTER_K
+
+        out = sorted(
+            QUERIES["ext_coreset_kcenter"](spark, sf_dir).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["sel_rank"] for r in out] == list(range(1, KCENTER_K + 1))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ids = np.array([r["vec_id"] for r in emb])
+        q = np.floor(
+            np.array([r["embedding"] for r in emb], dtype=np.float64) * 1000
+            + 0.5
+        ).astype(np.int64)
+        order = np.argsort(ids)
+        ids, q = ids[order], q[order]
+        nrm = (q * q).sum(axis=1)
+        # seed: max norm, min vec_id tiebreak
+        i = np.lexsort((ids, -nrm))[0]
+        picks, radii = [ids[i]], []
+        mind = ((q - q[i]) ** 2).sum(axis=1)
+        for _ in range(2, KCENTER_K + 1):
+            j = np.lexsort((ids, -mind))[0]
+            radii.append(int(mind[j]))
+            picks.append(ids[j])
+            mind = np.minimum(mind, ((q - q[j]) ** 2).sum(axis=1))
+        radii.append(int(mind.max()))
+        assert [r["vec_id"] for r in out] == [int(p) for p in picks]
+        assert [r["radius2"] for r in out] == radii
+        # greedy k-center property: radius never increases with k
+        rs = [r["radius2"] for r in out]
+        assert all(a >= b for a, b in zip(rs, rs[1:]))
+        assert len({r["vec_id"] for r in out}) == KCENTER_K

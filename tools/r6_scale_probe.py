@@ -65,6 +65,7 @@ KEYS = [
     "ext_hard_negatives",
     "ext_retrieval_metrics",
     "ext_ts_holt",
+    "ext_coreset_kcenter",
 ]
 
 
