@@ -2051,3 +2051,168 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "sel_rank int, vec_id long, radius2 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means: the iterative heart of the IVF family,
+# hash-certified (unlike ext_sim_ivf_topk, whose KMeans fit is the
+# rows-only rationale) by pinning seeds, integer geometry, and the
+# centroid floor-division.
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+
+
+def _kmeans_oracle() -> str:
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+      SELECT vec_id, qv, cid, d2 FROM (
+        SELECT s.vec_id, s.qv, c.cid, {_d2_sql("s.qv", "c.qv")} AS d2
+        FROM {src} s, {cents} c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) = 1)"""
+
+    def update(asg: str, prev: str) -> str:
+        # Python // floors; DuckDB // truncates toward zero (measured:
+        # sum=-146, cnt=4 -> -37 vs -36), so shift the numerator
+        # positive before dividing — trunc == floor there — and shift
+        # back (the ext_ts_decompose offset trick)
+        return f"""(
+      SELECT p.cid, COALESCE(u.qv, p.qv) AS qv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid,
+               list((s + 1000000000 * cnt) // cnt - 1000000000
+                    ORDER BY i) AS qv
+        FROM (SELECT a.cid, g.i, SUM(a.qv[g.i]) AS s, COUNT(*) AS cnt
+              FROM {asg} a CROSS JOIN
+                   (SELECT unnest(generate_series(1, (SELECT MAX(len(qv))
+                                                      FROM v))) AS i) g
+              GROUP BY a.cid, g.i)
+        GROUP BY cid) u ON u.cid = p.cid)"""
+
+    parts = [
+        f"v AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings)",
+        f"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                        AS INT) AS cid, qv
+             FROM v ORDER BY vec_id LIMIT {KMEANS_K})""",
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        parts.append(f"a{r} AS MATERIALIZED {assign('v', f'c{r - 1}')}")
+        parts.append(f"c{r} AS MATERIALIZED {update(f'a{r}', f'c{r - 1}')}")
+    parts.append(f"af AS {assign('v', f'c{KMEANS_ROUNDS}')}")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT c.cid AS cluster_id,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(a.inertia, 0) AS BIGINT) AS inertia,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(c.qv, x -> abs(x))),
+                  (x, y) -> x + y) AS BIGINT) AS cent_l1
+    FROM c{KMEANS_ROUNDS} c LEFT JOIN (
+      SELECT cid, COUNT(*) AS n, SUM(d2) AS inertia
+      FROM af GROUP BY cid) a ON a.cid = c.cid
+    """
+    )
+
+
+@query("ext_cluster_kmeans", oracle=_kmeans_oracle())
+def ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the corpus embeddings,
+    hash-certified end to end — the iterative fit that backs every
+    IVF-style index (``ext_sim_ivf_*`` use deterministic class-mean
+    codebooks, and ``ext_sim_ivf_topk``'s MLlib KMeans is rows-only,
+    precisely because a seeded float Lloyd isn't replayable): per
+    cluster after R rounds, the member count, the exact integer
+    inertia (sum of squared L2 to the final centroids), and the
+    centroid's L1 mass.
+
+    Determinism contract: vectors quantize to int64 milli-units (the
+    ``ANN_LSH_CTE`` convention); seeds are the K lowest vec_ids
+    (pluggable in production — ``ext_coreset_kcenter`` is the quality
+    seeding; id-order is pinned here so the oracle replays it);
+    assignment argmin ties break on cluster id (lexicographic
+    ``array_min`` over (d2, cid) structs); centroid update is
+    element-wise floor division ``sum // count`` (Python floors;
+    DuckDB ``//`` truncates toward zero on negatives — measured one
+    ulp apart on every negative dim — so the oracle shifts the
+    numerator positive first, the ``ext_ts_decompose`` offset trick);
+    empty clusters carry their previous centroid.
+    Every quantity is integer, so the oracle replays the whole fit
+    bit-for-bit.
+
+    Scale shape: each round is (a) a map-side assignment — the K
+    centroids are plan literals (O(K*dim) constants; at larger K,
+    a broadcast join against the codebook, same plan family as
+    ``ext_sim_pq_adc``), and (b) ONE shuffle from n*dim posexploded
+    rows to K*dim partial sums (map-side combine does the heavy
+    lifting). Driver state is K*dim ints per round — never
+    corpus-sized. Fixed R rounds -> O(R) jobs; convergence-length
+    variants add the ``ext_dedup_cluster`` probe pattern. Wrap bound:
+    d2 <= dim * (2 * 526)^2 ~ 7.1e7 per vector, so int64 inertia holds
+    to ~1.3e11 vectors per cluster — headroom >> 100 TB.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+    )
+    v = e.select("vec_id", qv.alias("qv"))
+
+    def d2_to(center: list[int]) -> Column:
+        c = F.array(*[F.lit(int(x)) for x in center])
+        return F.aggregate(
+            F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents: dict[int, list[int]]) -> DataFrame:
+        opts = F.array(*[
+            F.struct(d2_to(c).alias("d2"), F.lit(cid).alias("cid"))
+            for cid, c in sorted(cents.items())
+        ])
+        m = F.array_min(opts)
+        return v.select(
+            "vec_id", "qv", m["cid"].alias("cid"), m["d2"].alias("d2")
+        )
+
+    seeds = v.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = {i: [int(x) for x in r["qv"]] for i, r in enumerate(seeds)}
+    for _ in range(KMEANS_ROUNDS):
+        sums = (
+            assign(cents)
+            .select("cid", F.posexplode("qv").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault(r["cid"], {})[r["i"]] = r["s"] // r["cnt"]
+        cents = {
+            cid: [d[i] for i in sorted(d)] if (d := upd.get(cid)) else old
+            for cid, old in cents.items()
+        }
+    stats = {
+        r["cid"]: r
+        for r in assign(cents)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("inertia"))
+        .collect()
+    }
+    rows = [
+        (
+            cid,
+            int(stats[cid]["n"]) if cid in stats else 0,
+            int(stats[cid]["inertia"]) if cid in stats else 0,
+            sum(abs(x) for x in c),
+        )
+        for cid, c in sorted(cents.items())
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id int, n_vecs long, inertia long, cent_l1 long"
+    )

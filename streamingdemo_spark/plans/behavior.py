@@ -2118,3 +2118,145 @@ def ext_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("st.b")).alias("trend"),
         rnd(F.col("st.l") + F.col("st.b")).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing: the triple recursion
+# (level, trend, m-slot seasonal queue) as an order-pinned fold.
+
+HW_ALPHA = 0.3   # level smoothing
+HW_BETA = 0.1    # trend smoothing
+HW_GAMMA = 0.2   # seasonal smoothing
+HW_PERIOD = 4    # pinned season length (every fixture series has >= 45 obs)
+
+# The inline l_t expression, reused inside b_t and s_t exactly as the
+# Spark fold recomputes it (same tree -> same double).
+_HW_L = (
+    f"{HW_ALPHA} * (v.x - r.seas[1]) + {1 - HW_ALPHA} * (r.l + r.b)"
+)
+
+HW_ORACLE_SQL = f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t,
+             value AS x
+      FROM events
+    ),
+    arr AS (
+      SELECT user_id, list(x ORDER BY t) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM seq GROUP BY user_id
+    ),
+    lb AS (
+      SELECT user_id, n_obs, xs,
+             (xs[1] + xs[2] + xs[3] + xs[4]) / 4 AS l,
+             ((xs[5] - xs[1]) + (xs[6] - xs[2])
+              + (xs[7] - xs[3]) + (xs[8] - xs[4])) / 16 AS b
+      FROM arr
+    ),
+    init AS (
+      SELECT user_id, CAST({HW_PERIOD} AS BIGINT) AS t, l, b,
+             [xs[1] - l, xs[2] - l, xs[3] - l, xs[4] - l] AS seas
+      FROM lb
+    ),
+    rec AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT r.user_id, r.t + 1,
+             {_HW_L} AS l,
+             {HW_BETA} * (({_HW_L}) - r.l) + {1 - HW_BETA} * r.b AS b,
+             r.seas[2:]
+               || [{HW_GAMMA} * (v.x - ({_HW_L}))
+                   + {1 - HW_GAMMA} * r.seas[1]] AS seas
+      FROM rec r JOIN seq v
+        ON v.user_id = r.user_id AND v.t = r.t + 1
+    )
+    SELECT r.user_id, a.n_obs,
+           ROUND(r.l, 6) + 0.0 AS level,
+           ROUND(r.b, 6) + 0.0 AS trend,
+           ROUND(r.seas[1], 6) + 0.0 AS seasonal_next,
+           ROUND(r.l + r.b + r.seas[1], 6) + 0.0 AS forecast
+    FROM rec r JOIN arr a
+      ON a.user_id = r.user_id AND r.t = a.n_obs
+    """
+
+
+@query("ext_ts_holt_winters", oracle=HW_ORACLE_SQL)
+def ext_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing per series — the
+    triple recursion extending ``ext_ts_holt`` with an m-slot seasonal
+    queue: ``l_t = a*(x_t - s_{{t-m}}) + (1-a)*(l+b)``,
+    ``b_t = B*(l_t - l) + (1-B)*b``,
+    ``s_t = G*(x_t - l_t) + (1-G)*s_{{t-m}}``; init from the first two
+    periods (``l = mean(x_1..x_m)``, ``b`` = the classic two-period
+    trend estimate, ``s_i = x_i - l``), fold from ``t = m+1``. Emits
+    each series' final level/trend, the next-step seasonal, and the
+    one-step forecast ``l + b + s_{{n+1-m}}``.
+
+    Portability: same ORDER-PINNED FOLD contract as ``ext_ts_holt``
+    (see that docstring for why a recursive CTE, not a DuckDB
+    ``list_reduce``, is the replay vehicle) — the accumulator here
+    additionally carries the seasonal queue as an ``array<double>``
+    rotated one slot per step (``slice(seas, 2, m-1) || [s_t]``), and
+    the oracle's list state replays the identical rotation. The
+    inline ``l_t`` expression is deliberately duplicated inside the
+    ``b_t``/``s_t`` terms in BOTH engines (same tree, same doubles),
+    so ROUND(.,6) is collision-free. ``HW_PERIOD`` is pinned at 4;
+    the contract needs ``n >= 2m`` (every fixture series has >= 45
+    obs at all sfs — documented bound, no filter).
+
+    Scale shape: identical to ``ext_ts_holt`` — one shuffle keyed by
+    series to build the sorted value array, then the fold is map-side
+    with O(m) state per series; 10^9 series parallelize as rows.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    per = ev.groupBy("user_id").agg(xs.alias("xs"))
+    e = lambda i: F.element_at("xs", i)  # noqa: E731
+    l0 = (e(1) + e(2) + e(3) + e(4)) / F.lit(4)
+    b0 = ((e(5) - e(1)) + (e(6) - e(2)) + (e(7) - e(3)) + (e(8) - e(4))) / F.lit(16)
+    acc0 = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        F.array(e(1) - l0, e(2) - l0, e(3) - l0, e(4) - l0).alias("seas"),
+    )
+    a, b_, g = F.lit(HW_ALPHA), F.lit(HW_BETA), F.lit(HW_GAMMA)
+
+    def step(acc, x):
+        s_old = F.element_at(acc["seas"], 1)
+        l_new = a * (x - s_old) + F.lit(1 - HW_ALPHA) * (acc["l"] + acc["b"])
+        b_new = b_ * (l_new - acc["l"]) + F.lit(1 - HW_BETA) * acc["b"]
+        s_new = g * (x - l_new) + F.lit(1 - HW_GAMMA) * s_old
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                F.slice(acc["seas"], 2, HW_PERIOD - 1), F.array(s_new)
+            ).alias("seas"),
+        )
+
+    n = F.size("xs")
+    fitted = per.select(
+        "user_id",
+        n.cast("long").alias("n_obs"),
+        F.aggregate(
+            F.slice("xs", HW_PERIOD + 1, n - HW_PERIOD), acc0, step
+        ).alias("st"),
+    )
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    s_next = F.element_at("st.seas", 1)
+    return fitted.select(
+        "user_id",
+        "n_obs",
+        rnd(F.col("st.l")).alias("level"),
+        rnd(F.col("st.b")).alias("trend"),
+        rnd(s_next).alias("seasonal_next"),
+        rnd(F.col("st.l") + F.col("st.b") + s_next).alias("forecast"),
+    )

@@ -2104,6 +2104,97 @@ class TestTsHolt:
         assert len({r["trend"] for r in out.values()}) > 1
 
 
+class TestTsHoltWinters:
+    """ext_ts_holt_winters: the triple (level, trend, seasonal-queue)
+    fold matches a plain-Python replay bit-for-bit."""
+
+    def test_holt_winters_matches_python_replay(self, spark, sf_dir):
+        from streamingdemo_spark.plans.behavior import (
+            HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD,
+        )
+
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["ext_ts_holt_winters"](spark, sf_dir).collect()
+        }
+        ev = sorted(
+            spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        series: dict = {}
+        for r in ev:
+            series.setdefault(r["user_id"], []).append(r["value"])
+        assert set(out) == set(series)
+        m = HW_PERIOD
+        for uid, xs in series.items():
+            assert len(xs) >= 2 * m  # documented contract bound
+            l = (xs[0] + xs[1] + xs[2] + xs[3]) / 4
+            b = (
+                (xs[4] - xs[0]) + (xs[5] - xs[1])
+                + (xs[6] - xs[2]) + (xs[7] - xs[3])
+            ) / 16
+            seas = [x - l for x in xs[:m]]
+            for x in xs[m:]:
+                s_old = seas[0]
+                l_new = HW_ALPHA * (x - s_old) + (1 - HW_ALPHA) * (l + b)
+                b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+                s_new = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * s_old
+                l = l_new
+                seas = seas[1:] + [s_new]
+            r = out[uid]
+            assert r["n_obs"] == len(xs)
+            assert r["level"] == round(l, 6) + 0.0
+            assert r["trend"] == round(b, 6) + 0.0
+            assert r["seasonal_next"] == round(seas[0], 6) + 0.0
+            assert r["forecast"] == round(l + b + seas[0], 6) + 0.0
+        # the seasonal component is non-degenerate
+        assert len({r["seasonal_next"] for r in out.values()}) > 1
+
+
+class TestClusterKMeans:
+    """ext_cluster_kmeans: the deterministic Lloyd fit matches a
+    numpy replay exactly (seeds, assignments, floor-div centroids)."""
+
+    def test_kmeans_matches_numpy_replay(self, spark, sf_dir):
+        import numpy as np
+
+        from streamingdemo_spark.extensions.similarity import (
+            KMEANS_K, KMEANS_ROUNDS,
+        )
+
+        out = {
+            r["cluster_id"]: r
+            for r in QUERIES["ext_cluster_kmeans"](spark, sf_dir).collect()
+        }
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        order = sorted(range(len(emb)), key=lambda i: emb[i]["vec_id"])
+        q = np.floor(
+            np.array(
+                [emb[i]["embedding"] for i in order], dtype=np.float64
+            ) * 1000 + 0.5
+        ).astype(np.int64)
+        cents = q[:KMEANS_K].copy()
+        for _ in range(KMEANS_ROUNDS):
+            d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            asg = d2.argmin(axis=1)  # ties -> lowest cid, as the key
+            cents = np.array([
+                np.floor_divide(q[asg == j].sum(axis=0), (asg == j).sum())
+                if (asg == j).any() else cents[j]
+                for j in range(KMEANS_K)
+            ])
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        asg = d2.argmin(axis=1)
+        assert set(out) == set(range(KMEANS_K))
+        for j in range(KMEANS_K):
+            r = out[j]
+            assert r["n_vecs"] == int((asg == j).sum())
+            assert r["inertia"] == int(d2[asg == j, j].sum())
+            assert r["cent_l1"] == int(np.abs(cents[j]).sum())
+        # structural sanity: a partition of the corpus, non-degenerate
+        assert sum(r["n_vecs"] for r in out.values()) == len(emb)
+        assert sum(1 for r in out.values() if r["n_vecs"] > 0) > 1
+
+
 class TestCoresetKCenter:
     """ext_coreset_kcenter: the greedy chain matches a numpy replay
     and the coverage radius is monotone non-increasing."""

@@ -66,6 +66,8 @@ KEYS = [
     "ext_retrieval_metrics",
     "ext_ts_holt",
     "ext_coreset_kcenter",
+    "ext_ts_holt_winters",
+    "ext_cluster_kmeans",
 ]
 
 
