@@ -97,6 +97,8 @@ HEADLINE = [
     "ext_dedup_setjoin",  # exact prefix-filtered set-similarity join
     "ext_semdedup",       # cluster-scoped semantic dedup (per-cell matmul)
     "ext_retrieval_metrics",  # index-vs-exact IR eval harness
+    "ext_coreset_kcenter",    # k-scan farthest-point selection chain
+    "ext_cluster_kmeans",     # deterministic Lloyd rounds (IVF fit shape)
 ]
 
 
