@@ -2013,30 +2013,34 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
-        )
-        .join(
-            sh.select(
-                F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
-            ),
-            "doc_b",
-        )
-        .filter(F.col("s") == F.col("sb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verify with ONE in-row array_intersect per candidate pair against
+    # the per-doc token arrays that already exist for the prefix step —
+    # NOT by re-joining candidates against the exploded corpus relation
+    # (the original plan produced one row per (pair, shingle) on each
+    # side, i.e. a pair-length-quadratic shuffle, and paid a 4th corpus
+    # explode for set sizes that per_doc.l already holds). Candidates
+    # are the small side; AQE broadcasts them when they fit.
+    pd_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("l").alias("l_a"),
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pd_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("l").alias("l_b"),
+    )
     jac = F.expr("inter * 1000000 DIV (l_a + l_b - inter)")
     return (
-        inter.join(
-            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("l_a")),
+        cand.join(pd_a, "doc_a")
+        .join(pd_b, "doc_b")
+        .select(
             "doc_a",
-        )
-        .join(
-            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("l_b")),
             "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long").alias("inter"),
+            "l_a",
+            "l_b",
         )
         .select("doc_a", "doc_b", "inter", "l_a", "l_b", jac.alias("jac_micro"))
         .filter(F.col("jac_micro") >= SETJOIN_TAU_MICRO)
