@@ -1999,17 +1999,24 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, each map-side + a tree-reduce, the textbook distributed
     FPS. The min-distance column composes lazily across the k steps
     (no per-step checkpoint — recompute of the k×dim fold is cheaper
-    than materializing, per the graph-loop cadence rule).
+    than materializing, per the graph-loop cadence rule), but the
+    quantized corpus itself IS cached across the k scans
+    (MEMORY_AND_DISK, released before return) — the MLlib convention
+    for iterative fits: decode/quantize once, not k times.
 
     Reference parity: north-star extension beyond the reference's SQL
     entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
     """
+    from pyspark import StorageLevel
+
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
     )
-    v = e.select("vec_id", qv.alias("qv"))
+    v = e.select("vec_id", qv.alias("qv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nrm = F.aggregate(
         F.zip_with("qv", "qv", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -2045,6 +2052,7 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks.append((t, -m["nid"]))
         cur = cur.withColumn("mind", F.least("mind", d2_to(m["qv"])))
     radii.append(cur.agg(F.max("mind")).collect()[0][0])
+    v.unpersist()
     rows = [
         (rank, int(vid), int(r)) for (rank, vid), r in zip(picks, radii)
     ]
@@ -2155,12 +2163,18 @@ def ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
     """
+    from pyspark import StorageLevel
+
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
     )
-    v = e.select("vec_id", qv.alias("qv"))
+    # cache the quantized corpus across the R+2 passes (seeds, R
+    # updates, final stats) — the MLlib convention for iterative fits
+    v = e.select("vec_id", qv.alias("qv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def d2_to(center: list[int]) -> Column:
         c = F.array(*[F.lit(int(x)) for x in center])
@@ -2204,6 +2218,7 @@ def ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("inertia"))
         .collect()
     }
+    v.unpersist()
     rows = [
         (
             cid,
