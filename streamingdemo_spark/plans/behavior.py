@@ -2135,6 +2135,23 @@ _HW_L = (
     f"{HW_ALPHA} * (v.x - r.seas[1]) + {1 - HW_ALPHA} * (r.l + r.b)"
 )
 
+# Init terms derived from HW_PERIOD in BOTH engines (no frozen 4/16
+# literals): l = mean of the first period, b = the classic two-period
+# trend estimate, s_i = x_i - l.
+_HW_L0 = (
+    "(" + " + ".join(f"xs[{i}]" for i in range(1, HW_PERIOD + 1))
+    + f") / {HW_PERIOD}"
+)
+_HW_B0 = (
+    "(" + " + ".join(
+        f"(xs[{HW_PERIOD + i}] - xs[{i}])" for i in range(1, HW_PERIOD + 1)
+    )
+    + f") / {HW_PERIOD * HW_PERIOD}"
+)
+_HW_SEAS0 = (
+    "[" + ", ".join(f"xs[{i}] - l" for i in range(1, HW_PERIOD + 1)) + "]"
+)
+
 HW_ORACLE_SQL = f"""
     WITH RECURSIVE seq AS (
       SELECT user_id,
@@ -2150,14 +2167,13 @@ HW_ORACLE_SQL = f"""
     ),
     lb AS (
       SELECT user_id, n_obs, xs,
-             (xs[1] + xs[2] + xs[3] + xs[4]) / 4 AS l,
-             ((xs[5] - xs[1]) + (xs[6] - xs[2])
-              + (xs[7] - xs[3]) + (xs[8] - xs[4])) / 16 AS b
+             {_HW_L0} AS l,
+             {_HW_B0} AS b
       FROM arr
     ),
     init AS (
       SELECT user_id, CAST({HW_PERIOD} AS BIGINT) AS t, l, b,
-             [xs[1] - l, xs[2] - l, xs[3] - l, xs[4] - l] AS seas
+             {_HW_SEAS0} AS seas
       FROM lb
     ),
     rec AS (
@@ -2220,12 +2236,16 @@ def ext_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = ev.groupBy("user_id").agg(xs.alias("xs"))
     e = lambda i: F.element_at("xs", i)  # noqa: E731
-    l0 = (e(1) + e(2) + e(3) + e(4)) / F.lit(4)
-    b0 = ((e(5) - e(1)) + (e(6) - e(2)) + (e(7) - e(3)) + (e(8) - e(4))) / F.lit(16)
+    m = HW_PERIOD
+    # left-assoc sums, matching the oracle's parse of `a + b + c + ...`
+    l0 = sum((e(i) for i in range(2, m + 1)), e(1)) / F.lit(m)
+    b0 = sum(
+        ((e(m + i) - e(i)) for i in range(2, m + 1)), e(m + 1) - e(1)
+    ) / F.lit(m * m)
     acc0 = F.struct(
         l0.alias("l"),
         b0.alias("b"),
-        F.array(e(1) - l0, e(2) - l0, e(3) - l0, e(4) - l0).alias("seas"),
+        F.array(*[e(i) - l0 for i in range(1, m + 1)]).alias("seas"),
     )
     a, b_, g = F.lit(HW_ALPHA), F.lit(HW_BETA), F.lit(HW_GAMMA)
 
