@@ -1574,13 +1574,15 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature space (the paper's hashed n-gram trick: the LM relation has
     FIXED size no matter the corpus).
 
-    Shape: one tokenize scan; two bucket-count aggregates over a
-    {DSIR_V}-row key space plus two 1-row totals (all broadcast back);
-    one per-doc integer-sum aggregate. No corpus-sized shuffle except
-    the per-doc agg (map-side partial), no window: the selection
-    threshold is a 1-row exact-percentile aggregate, so at 100 TB this
-    is two linear passes and a broadcast — the same shape DSIR runs at
-    trillion-token scale.
+    Shape: TWO corpus passes total — (1) one tokenize scan feeding a
+    single conditional aggregate that builds both LMs at once (c_s and
+    the target slice's c_t per bucket, {DSIR_V} keys; the totals then
+    reduce from that 512-row relation, not the corpus), (2) one
+    per-doc integer-sum aggregate against the broadcast bucket scores.
+    No corpus-sized shuffle except the per-doc agg (map-side partial),
+    no window: the selection threshold is a 1-row exact-percentile
+    aggregate, so at 100 TB this is two linear passes and a broadcast —
+    the same shape DSIR runs at trillion-token scale.
 
     Portability: per-bucket score quantized to integer micro-nats
     BEFORE the per-doc sum (exact int64, order-insensitive); the
@@ -1599,15 +1601,19 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = toks.select(
         "doc_id", "lang", (poly_hash(F.col("tok")) % DSIR_V).alias("bucket")
     )
-    src = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
-    tgt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # ONE conditional-aggregation pass builds both LMs (c_s plus the
+    # lang='en' slice's c_t per bucket) — not separate src/tgt/ns/nt
+    # branches, which would re-run the tokenize+hash explode once per
+    # consumer (5 corpus passes; the flagship_q21 lesson). The totals
+    # reduce from the 512-row bucket relation, not the corpus.
+    bucket_counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("c_t"),
     )
-    ns = toks.agg(F.count(F.lit(1)).alias("n_s"))
-    nt = toks.filter(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).alias("n_t")
+    totals = bucket_counts.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
     )
     delta = F.floor(
         (
@@ -1621,9 +1627,7 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     buckets = (
-        src.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(ns))
-        .crossJoin(F.broadcast(nt))
+        bucket_counts.crossJoin(F.broadcast(totals))
         .select("bucket", delta.alias("delta_micro"))
     )
     docs = (
