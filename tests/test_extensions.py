@@ -2234,3 +2234,51 @@ class TestCoresetKCenter:
         rs = [r["radius2"] for r in out]
         assert all(a >= b for a, b in zip(rs, rs[1:]))
         assert len({r["vec_id"] for r in out}) == KCENTER_K
+
+
+class TestBootstrapCI:
+    """ext_bootstrap_ci: the Poisson-weight PRNG matches a Python
+    replay exactly, and the interval behaves like a bootstrap CI."""
+
+    def test_bootstrap_matches_python_replay(self, spark, sf_dir):
+        from streamingdemo_spark.extensions.corpus import (
+            BOOT_B, _BOOT_CDF, _BOOT_MIX, _BOOT_P,
+        )
+
+        out = sorted(
+            QUERIES["ext_bootstrap_ci"](spark, sf_dir).collect(),
+            key=lambda r: r["replicate"],
+        )
+        assert [r["replicate"] for r in out] == list(range(BOOT_B))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        means = []
+        for r in range(BOOT_B):
+            n_w = sum_w = 0
+            for d in docs:
+                m = ((d["doc_id"] % _BOOT_P) * 1000003
+                     + (r + 1) * _BOOT_MIX) % _BOOT_P
+                h = (m * _BOOT_MIX) % _BOOT_P
+                w = 7
+                for k, t in enumerate(_BOOT_CDF):
+                    if h < t:
+                        w = k
+                        break
+                n_w += w
+                sum_w += w * d["n_chars"]
+            row = out[r]
+            assert row["n_w"] == n_w and row["sum_w"] == sum_w
+            means.append(sum_w / n_w)
+            assert row["mean_rep"] == round(sum_w / n_w, 6) + 0.0
+        # CI sanity: lo <= hi, and the interval brackets the replicate
+        # spread (it is computed FROM these means)
+        lo, hi = out[0]["boot_lo"], out[0]["boot_hi"]
+        assert all(r["boot_lo"] == lo and r["boot_hi"] == hi for r in out)
+        assert lo <= hi
+        assert min(means) <= lo and hi <= max(means)
+        # Poisson(1) weights resample ~n rows per replicate; Var(w)=1
+        # so |sum(w) - n| concentrates at ~sqrt(n) — gate at 5 sigma
+        n = len(docs)
+        assert all(abs(r["n_w"] - n) < 5 * n ** 0.5 for r in out)
+        # the true corpus mean falls inside the 95% interval here
+        true_mean = sum(d["n_chars"] for d in docs) / n
+        assert lo <= true_mean <= hi

@@ -68,6 +68,7 @@ KEYS = [
     "ext_coreset_kcenter",
     "ext_ts_holt_winters",
     "ext_cluster_kmeans",
+    "ext_bootstrap_ci",
 ]
 
 
