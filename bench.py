@@ -99,6 +99,7 @@ HEADLINE = [
     "ext_retrieval_metrics",  # index-vs-exact IR eval harness
     "ext_coreset_kcenter",    # k-scan farthest-point selection chain
     "ext_cluster_kmeans",     # deterministic Lloyd rounds (IVF fit shape)
+    "ext_bootstrap_ci",       # one-pass Poisson bootstrap CI
 ]
 
 

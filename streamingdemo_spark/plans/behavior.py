@@ -2280,3 +2280,181 @@ def ext_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(s_next).alias("seasonal_next"),
         rnd(F.col("st.l") + F.col("st.b") + s_next).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley data-driven attribution: exact coalition values over
+# sessionized journeys.
+
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+_SHAP_SCALE = 1_000_000
+
+
+def _shapley_terms() -> list[tuple[str, int, str, str]]:
+    """(channel, coef, with_key, without_key) for every subset S of
+    the other channels: coef = |S|! * (k-1-|S|)! — the Shapley weight
+    numerator over the common denominator k!."""
+    from math import factorial
+
+    k = len(SHAPLEY_CHANNELS)
+    terms = []
+    for ch in SHAPLEY_CHANNELS:
+        rest = [c for c in SHAPLEY_CHANNELS if c != ch]
+        for mask in range(2 ** len(rest)):
+            s = [c for j, c in enumerate(rest) if mask >> j & 1]
+            coef = factorial(len(s)) * factorial(k - 1 - len(s))
+            terms.append(
+                (ch, coef, ",".join(sorted(s + [ch])), ",".join(sorted(s)))
+            )
+    return terms
+
+
+def _shapley_oracle() -> str:
+    from math import factorial
+
+    kfact = factorial(len(SHAPLEY_CHANNELS))
+
+    def vref(key: str) -> str:
+        return (
+            f"COALESCE((SELECT v_micro FROM v WHERE setkey = '{key}'), 0)"
+        )
+
+    rows = []
+    for ch in SHAPLEY_CHANNELS:
+        acc = " + ".join(
+            f"{coef} * ({vref(k1)} - {vref(k0)})"
+            for c, coef, k1, k0 in _shapley_terms()
+            if c == ch
+        )
+        rows.append(f"SELECT '{ch}' AS channel, CAST({acc} AS BIGINT) AS phi_scaled")
+    union = "\n      UNION ALL ".join(rows)
+    return f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    j AS (
+      SELECT user_id, sid,
+             array_to_string(list_sort(list_distinct(
+               list(event_type) FILTER (WHERE event_type != 'purchase'))),
+               ',') AS setkey,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM sess GROUP BY user_id, sid
+    ),
+    v AS (
+      SELECT setkey,
+             (SUM(conv) * {_SHAP_SCALE}) // COUNT(*) AS v_micro
+      FROM j WHERE setkey IS NOT NULL AND setkey != ''
+      GROUP BY setkey
+    ),
+    phi AS ({union})
+    SELECT channel, phi_scaled,
+           ROUND(CAST(phi_scaled AS DOUBLE) / {kfact * _SHAP_SCALE}.0, 6)
+             + 0.0 AS phi
+    FROM phi
+    """
+
+
+@query("ext_attribution_shapley", oracle=_shapley_oracle())
+def ext_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley data-driven attribution (the GA360 'data-driven' model;
+    Shapley 1953 applied to channel coalitions): each channel's credit
+    is its average marginal contribution to session conversion across
+    all coalition orderings — phi_i = sum over subsets S of
+    |S|!(k-1-|S|)!/k! * (v(S + i) - v(S)) with v(S) the conversion
+    rate of sessions whose distinct channel set is exactly S.
+
+    Semantics pinned for replay: sessions are the ``win_sessionize``
+    lag-gap 30-minute windows; a session's journey is its distinct
+    non-purchase event types; purchase-only sessions are excluded
+    (direct conversions get no channel credit — standard for
+    data-driven models) and unobserved coalitions take v = 0;
+    v is an integer-micro conversion rate ((conv * 1e6) DIV cnt,
+    non-negative so Spark DIV == DuckDB // == floor); phi_scaled sums
+    integer coefficient-weighted deltas over the k! common
+    denominator, and the closing division is ONE double division
+    rounded in Spark (F.round half-up == DuckDB ROUND). The efficiency
+    property sum(phi) = v(full) - v(empty) is pinned by pytest.
+
+    Scale shape: one user-keyed shuffle for the session window, one
+    (user, session)-grain aggregate, then the v relation is at most
+    2^k rows — collected to the driver where the 2^(k-1) * k Shapley
+    terms are exact integer arithmetic (k is the CHANNEL count, never
+    data-sized; k=10 is 5k terms). Nothing pairwise in the data path.
+
+    Reference parity: north-star extension beyond the reference's SQL
+    entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
+    """
+    from math import factorial
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn("sid", F.sum(is_start).over(run))
+    j = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(
+                            F.col("event_type") != "purchase",
+                            F.col("event_type"),
+                        )
+                    )
+                )
+            ),
+            ",",
+        ).alias("setkey"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    v_rows = (
+        j.filter(F.col("setkey") != "")
+        .groupBy("setkey")
+        .agg(
+            F.expr(f"(SUM(conv) * {_SHAP_SCALE}) DIV COUNT(*)").alias(
+                "v_micro"
+            )
+        )
+        .collect()
+    )
+    v = {r["setkey"]: int(r["v_micro"]) for r in v_rows}
+    phi: dict[str, int] = {c: 0 for c in SHAPLEY_CHANNELS}
+    for ch, coef, k1, k0 in _shapley_terms():
+        phi[ch] += coef * (v.get(k1, 0) - v.get(k0, 0))
+    kfact = factorial(len(SHAPLEY_CHANNELS))
+    out = spark.createDataFrame(
+        [(c, phi[c]) for c in SHAPLEY_CHANNELS],
+        "channel string, phi_scaled long",
+    )
+    return out.select(
+        "channel",
+        "phi_scaled",
+        (
+            F.round(
+                F.col("phi_scaled").cast("double")
+                / F.lit(float(kfact * _SHAP_SCALE)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("phi"),
+    )

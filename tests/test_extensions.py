@@ -2282,3 +2282,60 @@ class TestBootstrapCI:
         # the true corpus mean falls inside the 95% interval here
         true_mean = sum(d["n_chars"] for d in docs) / n
         assert lo <= true_mean <= hi
+
+
+class TestAttributionShapley:
+    """ext_attribution_shapley: exact replay of the coalition values
+    and the Shapley efficiency property."""
+
+    def test_shapley_matches_replay_and_is_efficient(self, spark, sf_dir):
+        from math import factorial
+
+        from streamingdemo_spark.plans.behavior import (
+            SHAPLEY_CHANNELS, _SHAP_SCALE, _shapley_terms,
+        )
+
+        out = {
+            r["channel"]: r
+            for r in QUERIES["ext_attribution_shapley"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(out) == set(SHAPLEY_CHANNELS)
+        # rebuild v from raw events with an independent sessionizer
+        ev = sorted(
+            spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        sessions: dict = {}
+        last = {}
+        sid = {}
+        for r in ev:
+            u = r["user_id"]
+            if u not in last or (r["ts"] - last[u]).total_seconds() > 1800:
+                sid[u] = sid.get(u, -1) + 1
+            last[u] = r["ts"]
+            sessions.setdefault((u, sid[u]), []).append(r["event_type"])
+        stats: dict = {}
+        for types in sessions.values():
+            key = ",".join(sorted(set(t for t in types if t != "purchase")))
+            if not key:
+                continue
+            cnt, conv = stats.get(key, (0, 0))
+            stats[key] = (cnt + 1, conv + ("purchase" in types))
+        v = {
+            k: (conv * _SHAP_SCALE) // cnt for k, (cnt, conv) in stats.items()
+        }
+        phi = {c: 0 for c in SHAPLEY_CHANNELS}
+        for ch, coef, k1, k0 in _shapley_terms():
+            phi[ch] += coef * (v.get(k1, 0) - v.get(k0, 0))
+        for c in SHAPLEY_CHANNELS:
+            assert out[c]["phi_scaled"] == phi[c]
+        # efficiency: sum(phi) == v(full coalition) - v(empty) exactly
+        kfact = factorial(len(SHAPLEY_CHANNELS))
+        full = ",".join(sorted(SHAPLEY_CHANNELS))
+        assert sum(r["phi_scaled"] for r in out.values()) == kfact * v.get(
+            full, 0
+        )
+        # non-degenerate: some channel carries credit
+        assert any(r["phi_scaled"] != 0 for r in out.values())

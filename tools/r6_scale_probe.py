@@ -69,6 +69,7 @@ KEYS = [
     "ext_ts_holt_winters",
     "ext_cluster_kmeans",
     "ext_bootstrap_ci",
+    "ext_attribution_shapley",
 ]
 
 
