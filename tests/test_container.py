@@ -657,6 +657,26 @@ class TestExampleSpecs:
         assert sum(k * v for k, v in got.items()) == docs.count()
 
 
+    def test_embedding_audit_spec_reconciles(self, spark, sf_dir):
+        """The embedding-audit example's report must reconcile field by
+        field with running the three registry keys directly, and the
+        CI must bracket sanely."""
+        ports = self._run_example(spark, sf_dir, "embedding_audit.yaml")
+        row = ports["report.out"].collect()[0]
+        km = QUERIES["ext_cluster_kmeans"](spark, sf_dir).collect()
+        assert row["n_live_clusters"] == sum(1 for r in km if r["n_vecs"] > 0)
+        assert row["total_inertia"] == sum(r["inertia"] for r in km)
+        ns = [r["n_vecs"] for r in km]
+        assert row["cluster_spread"] == max(ns) - min(ns)
+        kc = QUERIES["ext_coreset_kcenter"](spark, sf_dir).collect()
+        last = max(kc, key=lambda r: r["sel_rank"])
+        assert row["coverage_radius2"] == last["radius2"]
+        ci = QUERIES["ext_bootstrap_ci"](spark, sf_dir).collect()[0]
+        assert row["mean_len_lo"] == ci["boot_lo"]
+        assert row["mean_len_hi"] == ci["boot_hi"]
+        assert row["mean_len_lo"] <= row["mean_len_hi"]
+
+
 class TestTpchReportSpec:
     def test_tpch_report_spec_equals_direct_queries(self, spark, sf_dir):
         """The report spec's growth port must carry exactly the
@@ -720,3 +740,4 @@ class TestFeatureStoreSpec:
         assert summary["n_campaigns"] == len(att)
         assert summary["total_purchases"] == sum(r["n_purchases"] for r in att)
         assert summary["total_purchases"] == len(direct)
+
