@@ -1935,9 +1935,11 @@ def _boot_weight_sql(h: str) -> str:
     return f"(CASE {cases} ELSE 7 END)"
 
 
-@query(
-    "ext_bootstrap_ci",
-    oracle=f"""
+# Shared by ext_bootstrap_ci and the streaming leg
+# (streaming.queries.stream_bootstrap_ci): the per-row Poisson weights
+# are additive across any partitioning of the corpus, so both converge
+# to the same per-replicate totals and replay the same oracle.
+BOOT_ORACLE_SQL = f"""
     WITH rep AS (
       SELECT r.r, d.doc_id, d.n_chars,
              ((((d.doc_id % {_BOOT_P}) * 1000003
@@ -1964,8 +1966,10 @@ def _boot_weight_sql(h: str) -> str:
            ROUND(c.lo, 6) + 0.0 AS boot_lo,
            ROUND(c.hi, 6) + 0.0 AS boot_hi
     FROM per_rep p CROSS JOIN ci c
-    """,
-)
+    """
+
+
+@query("ext_bootstrap_ci", oracle=BOOT_ORACLE_SQL)
 def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap (Chamandy et al., Google 2012) for the mean
     document length: every (document, replicate) pair draws a

@@ -1647,3 +1647,111 @@ def stream_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("s.level") + F.col("s.trend")).alias("forecast"),
         )
     )
+
+
+def _boot_oracle() -> str:
+    from streamingdemo_spark.extensions.corpus import BOOT_ORACLE_SQL
+
+    return BOOT_ORACLE_SQL
+
+
+@query("stream_bootstrap_ci", oracle=_boot_oracle())
+def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming leg of ``ext_bootstrap_ci``: Poisson-bootstrap
+    replicate counters maintained over a live document feed. Each
+    micro-batch contributes per-replicate PARTIAL sums (sum of Poisson
+    weights, sum of weight * length) — the weights are row-local and
+    additive across ANY partitioning of the corpus, so the partials
+    fold to exactly the batch key's per-replicate totals and the SAME
+    oracle hash-certifies both legs. This is continuous uncertainty
+    monitoring: a curation feed keeps B live counters and can report a
+    fresh CI for the corpus mean after every batch, never re-scanning
+    history.
+
+    Mechanics mirror ``stream_incremental_agg``: a ``foreachBatch``
+    sink appends epoch-partitioned partials (dynamic partition
+    overwrite = per-epoch idempotence on re-delivery) with one
+    checkpointed ``availableNow`` run over the chunked document
+    replay; the read-back folds partials and closes the CI with the
+    batch key's interpolated percentile. State is B counters per
+    epoch — O(B), never corpus-sized. The stream computes
+    ``length(text)`` (== the fixture's n_chars, asserted in pytest),
+    so both legs score the identical statistic.
+    """
+    import os
+    import tempfile
+
+    from streamingdemo_spark.extensions.corpus import (
+        BOOT_B, _BOOT_CDF, _BOOT_MIX, _BOOT_P,
+    )
+    from streamingdemo_spark.streaming.sources import documents_stream
+
+    target = os.path.join(tempfile.mkdtemp(prefix="boot_tgt_"), "partials")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_boot_")
+
+    def partials(batch_df: DataFrame, epoch_id: int) -> None:
+        rep = batch_df.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+        )
+        m = (
+            (F.col("doc_id") % _BOOT_P) * 1000003
+            + (F.col("r").cast("long") + 1) * F.lit(_BOOT_MIX)
+        ) % _BOOT_P
+        rep = rep.select(
+            "r", "n_chars", ((m * F.lit(_BOOT_MIX)) % _BOOT_P).alias("h")
+        )
+        w = F.lit(7)
+        for k in range(len(_BOOT_CDF) - 1, -1, -1):
+            w = F.when(F.col("h") < _BOOT_CDF[k], F.lit(k)).otherwise(w)
+        (
+            rep.select("r", "n_chars", w.alias("w"))
+            .groupBy("r")
+            .agg(
+                F.sum("w").alias("p_n"),
+                F.sum(F.col("w") * F.col("n_chars")).alias("p_sum"),
+            )
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target)
+        )
+
+    q = (
+        documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(partials)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    per_rep = (
+        spark.read.parquet(target)
+        .groupBy("r")
+        .agg(F.sum("p_n").alias("n_w"), F.sum("p_sum").alias("sum_w"))
+        .select(
+            "r",
+            "n_w",
+            "sum_w",
+            (F.col("sum_w").cast("double") / F.col("n_w")).alias("mean_rep"),
+        )
+    )
+    ci = per_rep.agg(
+        F.expr("percentile(mean_rep, 0.025)").alias("lo"),
+        F.expr("percentile(mean_rep, 0.975)").alias("hi"),
+    )
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return per_rep.crossJoin(F.broadcast(ci)).select(
+        F.col("r").alias("replicate"),
+        "n_w",
+        "sum_w",
+        rnd("mean_rep").alias("mean_rep"),
+        rnd("lo").alias("boot_lo"),
+        rnd("hi").alias("boot_hi"),
+    )

@@ -437,3 +437,25 @@ class TestStreamTsHolt:
                 s["trend"],
                 s["forecast"],
             ) == (bt["n_obs"], bt["level"], bt["trend"], bt["forecast"]), uid
+
+
+class TestStreamBootstrapCI:
+    """stream_bootstrap_ci: per-batch Poisson-weight partials fold to
+    exactly the batch key's replicate totals and CI (the weights are
+    row-local, so additivity across micro-batches is exact)."""
+
+    def test_stream_equals_batch(self, spark, sf_dir):
+        batch = {
+            r["replicate"]: r
+            for r in QUERIES["ext_bootstrap_ci"](spark, sf_dir).collect()
+        }
+        stream = {
+            r["replicate"]: r
+            for r in QUERIES["stream_bootstrap_ci"](spark, sf_dir).collect()
+        }
+        assert set(stream) == set(batch)
+        for rep, s in stream.items():
+            bt = batch[rep]
+            assert tuple(s) == tuple(bt), rep
+        # the stream scored length(text); the batch scored n_chars —
+        # their equality above proves the fixture invariant holds
