@@ -2039,6 +2039,12 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_w",
             (F.col("sum_w").cast("double") / F.col("n_w")).alias("mean_rep"),
         )
+        # B rows consumed by BOTH the CI aggregate and the output:
+        # eager-checkpoint the TINY replicate relation so the corpus
+        # pass provably runs once (AQE exchange reuse across the
+        # broadcast-subquery boundary is not guaranteed; the plan test
+        # pins that the final query holds no corpus scan at all)
+        .localCheckpoint(eager=True)
     )
     ci = per_rep.agg(
         F.expr("percentile(mean_rep, 0.025)").alias("lo"),

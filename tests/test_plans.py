@@ -873,3 +873,38 @@ def test_setjoin_never_goes_quadratic(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_reuses_the_scoring_aggregate(spark, sf_dir):
+    """The DSIR plan must build both LMs in ONE conditional aggregate
+    (no separate filtered tgt branch) and share the per-doc scoring
+    aggregate between the percentile threshold and the output — the
+    late-r6 rewrite collapsed 5 corpus passes to 2; the runtime
+    ReusedExchange on the shared scoring aggregate pins it. (Static
+    plan text duplicates DAG subtrees per consumer, so scan-count
+    strings are not a valid proxy; this asserts on the post-execution
+    adaptive plan, the sql_reuse_exchange discipline.)"""
+    df = QUERIES["ext_dsir_weights"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # all JVM-side
+
+
+def test_bootstrap_final_query_holds_no_corpus_scan(spark, sf_dir):
+    """The Poisson bootstrap's corpus pass must run exactly once: the
+    B-row replicate relation is eagerly checkpointed, so the returned
+    query's plan contains NO documents scan at all — the CI aggregate
+    and the output both read the checkpointed B rows."""
+    plan = _plan(QUERIES["ext_bootstrap_ci"](spark, sf_dir))
+    assert "documents.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_setjoin_verify_stage_uses_in_row_intersect(spark, sf_dir):
+    """The set-similarity verify stage must intersect per-doc token
+    ARRAYS in-row (array_intersect), not re-join candidates against
+    the exploded corpus relation — the late-r6 rewrite; this pins it."""
+    plan = _plan(QUERIES["ext_dedup_setjoin"](spark, sf_dir))
+    assert "array_intersect" in plan, plan
