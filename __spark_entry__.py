@@ -142,6 +142,7 @@ _PRIORITY = [
     "ext_ts_holt", "stream_ts_holt", "ext_coreset_kcenter",
     "ext_ts_holt_winters", "ext_cluster_kmeans", "ext_bootstrap_ci",
     "ext_attribution_shapley", "stream_bootstrap_ci",
+    "snk_vacuum_retention",
     # -- oracle upgraded in r6 (previously rows-only): re-certify as
     #    hash rows first among proven keys once the fresh block drains
     "agg_percentile", "agg_approx_distinct",

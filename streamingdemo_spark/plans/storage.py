@@ -753,3 +753,84 @@ def snk_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         F.col("xb").between(*_Z_BOX) & F.col("yb").between(*_Z_BOX)
     )
+
+
+# test introspection for snk_vacuum_retention: base dir + live set of
+# the last run, so the test can assert physical deletion + the
+# time-travel boundary
+_LAST_VACUUM: dict[str, object] = {}
+
+
+@query(
+    "snk_vacuum_retention",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (2, 3)
+    """,
+)
+def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a retention window over the minimal lakehouse
+    format of ``src_txn_log_snapshot`` (plans/scans.py): physically
+    delete data files whose REMOVE action is older than the retention
+    horizon, keeping newer tombstones on disk so recent snapshots stay
+    time-travelable — the Delta/Iceberg `VACUUM` / `expire_snapshots`
+    contract that bounds object-store cost without breaking readers
+    inside the window.
+
+    Staged history (orders in 4 hash parts): c0 adds parts 0-2; c1
+    adds part 3 and removes part 0; c2 removes part 1. With
+    ``retain_last=1`` commit, vacuum deletes files removed at or
+    before commit latest-1 — part 0 goes (its tombstone aged out),
+    part 1 survives on disk (still inside the window, so the c1
+    snapshot {1,2,3} remains readable) — and the CURRENT snapshot
+    replay yields live set {2,3}, which must hash-equal the logical
+    table at ``o_orderkey % 4 IN (2, 3)``: retention mechanics, zero
+    content drift. Vacuum is metadata-driven (log scan + file
+    deletes); no data file is ever rewritten, and at 100 TB it runs as
+    a driver-side listing diff exactly like this.
+    """
+    import json
+    import shutil
+
+    retain_last = 1
+    base = tempfile.mkdtemp(prefix="vacuum_")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for part in range(4):
+        o.filter(F.col("o_orderkey") % 4 == part).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"part{part}"))
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    commits = [
+        [{"add": "part0"}, {"add": "part1"}, {"add": "part2"}],
+        [{"add": "part3"}, {"remove": "part0"}],
+        [{"remove": "part1"}],
+    ]
+    for i, actions in enumerate(commits):
+        with open(os.path.join(log_dir, f"{i:08d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    # vacuum: replay the log tracking (file, remove_commit); delete
+    # files whose tombstone is at or before the horizon
+    live: set[str] = set()
+    removed_at: dict[str, int] = {}
+    names = sorted(os.listdir(log_dir))
+    latest = len(names) - 1
+    for seq, name in enumerate(names):
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"])
+                    removed_at.pop(a["add"], None)
+                if "remove" in a:
+                    live.discard(a["remove"])
+                    removed_at[a["remove"]] = seq
+    horizon = latest - retain_last
+    vacuumed = sorted(p for p, seq in removed_at.items() if seq <= horizon)
+    for p in vacuumed:
+        shutil.rmtree(os.path.join(base, p), ignore_errors=True)
+    _LAST_VACUUM.update(base=base, live=sorted(live), vacuumed=vacuumed)
+    return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))

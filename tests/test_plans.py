@@ -908,3 +908,43 @@ def test_setjoin_verify_stage_uses_in_row_intersect(spark, sf_dir):
     the exploded corpus relation — the late-r6 rewrite; this pins it."""
     plan = _plan(QUERIES["ext_dedup_setjoin"](spark, sf_dir))
     assert "array_intersect" in plan, plan
+
+
+def test_vacuum_deletes_aged_tombstones_only(spark, sf_dir):
+    """VACUUM semantics: files whose remove-commit aged out of the
+    retention window are physically gone, tombstones inside the window
+    keep their files (so the previous snapshot stays time-travelable),
+    and the current snapshot's content is exact."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import load_tables
+    from streamingdemo_spark.plans.storage import _LAST_VACUUM
+
+    df = QUERIES["snk_vacuum_retention"](spark, sf_dir)
+    rows = df.count()
+    base = _LAST_VACUUM["base"]
+    assert _LAST_VACUUM["vacuumed"] == ["part0"]
+    assert _LAST_VACUUM["live"] == ["part2", "part3"]
+    # part0 physically deleted; part1 (tombstone in-window) survives
+    assert not os.path.exists(os.path.join(base, "part0"))
+    assert os.path.isdir(os.path.join(base, "part1"))
+    # time travel to the c1 snapshot {1,2,3} still works
+    v1 = spark.read.parquet(
+        *[os.path.join(base, f"part{p}") for p in (1, 2, 3)]
+    )
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    n_123 = orders.filter(F.col("o_orderkey") % 4 != 0).count()
+    assert v1.count() == n_123
+    # time travel beyond the horizon (c0 snapshot needs part0) fails
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(
+            *[os.path.join(base, f"part{p}") for p in (0, 1, 2)]
+        ).count()
+    # current snapshot content is exact
+    assert rows == orders.filter(
+        F.col("o_orderkey") % 4 >= 2
+    ).count()
