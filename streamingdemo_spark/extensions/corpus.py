@@ -1935,6 +1935,47 @@ def _boot_weight_sql(h: str) -> str:
     return f"(CASE {cases} ELSE 7 END)"
 
 
+def boot_weight_partials(df: DataFrame) -> DataFrame:
+    """Per-replicate Poisson-weight partial sums (r, p_n, p_sum) for a
+    (doc_id, n_chars) relation — the ONE implementation of the
+    bootstrap draw, shared by ``ext_bootstrap_ci`` and the streaming
+    leg (``streaming.queries.stream_bootstrap_ci``) so the mixer and
+    CDF lookup cannot drift between the legs (both replay
+    ``BOOT_ORACLE_SQL``).
+
+    The draw: r comes out of ``sequence()`` as int32, so widen BEFORE
+    the mixer multiply (654M * r overflows int at r >= 4 under ANSI);
+    TWO multiplicative rounds mod p — the affine first round alone
+    leaves small doc_ids in a narrow band of [0, p) (no wrap), which
+    skews the CDF lookup; the second multiply wraps ~1e9 times and
+    uniformizes (worst replicate deviation measured 3.6% at n=500,
+    ~sqrt(n) noise). Weights are additive per row, so these partials
+    merge exactly across any partitioning of the corpus."""
+    rep = df.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+    )
+    m = (
+        (F.col("doc_id") % _BOOT_P) * 1000003
+        + (F.col("r").cast("long") + 1) * F.lit(_BOOT_MIX)
+    ) % _BOOT_P
+    h = (m * F.lit(_BOOT_MIX)) % _BOOT_P
+    # materialize h before the CASE chain reuses it 7 times
+    rep = rep.select("r", "n_chars", h.alias("h"))
+    w = F.lit(7)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(F.col("h") < _BOOT_CDF[k], F.lit(k)).otherwise(w)
+    return (
+        rep.select("r", "n_chars", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum("w").alias("p_n"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("p_sum"),
+        )
+    )
+
+
 # Shared by ext_bootstrap_ci and the streaming leg
 # (streaming.queries.stream_bootstrap_ci): the per-row Poisson weights
 # are additive across any partitioning of the corpus, so both converge
@@ -2005,34 +2046,10 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    rep = d.select(
-        "doc_id",
-        "n_chars",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
-    )
-    # r comes out of sequence() as int32: widen BEFORE the mixer
-    # multiply (654M * r overflows int at r >= 4). TWO multiplicative
-    # rounds: the affine first round alone leaves small doc_ids in a
-    # narrow band of [0, p) (no wrap), which skews the CDF lookup —
-    # the second multiply wraps ~m times and uniformizes (worst
-    # replicate deviation measured 3.6% at n=500, ~sqrt(n) noise).
-    m = (
-        (F.col("doc_id") % _BOOT_P) * 1000003
-        + (F.col("r").cast("long") + 1) * F.lit(_BOOT_MIX)
-    ) % _BOOT_P
-    h = (m * F.lit(_BOOT_MIX)) % _BOOT_P
-    # materialize h before the CASE chain reuses it 7 times
-    rep = rep.select("r", "n_chars", h.alias("h"))
-    w = F.lit(7)
-    for k in range(len(_BOOT_CDF) - 1, -1, -1):
-        w = F.when(F.col("h") < _BOOT_CDF[k], F.lit(k)).otherwise(w)
     per_rep = (
-        rep.select("r", "n_chars", w.alias("w"))
-        .groupBy("r")
-        .agg(
-            F.sum("w").alias("n_w"),
-            F.sum(F.col("w") * F.col("n_chars")).alias("sum_w"),
-        )
+        boot_weight_partials(d.select("doc_id", "n_chars"))
+        .withColumnRenamed("p_n", "n_w")
+        .withColumnRenamed("p_sum", "sum_w")
         .select(
             "r",
             "n_w",

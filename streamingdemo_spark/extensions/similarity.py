@@ -1941,6 +1941,36 @@ def _d2_sql(a: str, b: str) -> str:
     )
 
 
+def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv) with vectors quantized to int64 milli-units (the
+    Spark mirror of ``_QV_SQL``), persisted MEMORY_AND_DISK for the
+    duration of an iterative fit — the MLlib convention: decode and
+    quantize once, not once per scan. Callers unpersist when the last
+    corpus pass is done. Shared by ``ext_coreset_kcenter`` and
+    ``ext_cluster_kmeans`` so the two keys' geometry cannot drift."""
+    from pyspark import StorageLevel
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+    )
+    return e.select("vec_id", qv.alias("qv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
+def _d2_to_center(center: list[int]) -> Column:
+    """Integer squared-L2 from the in-row ``qv`` array to a fixed
+    center (plan-literal array) — the Spark mirror of ``_d2_sql``."""
+    c = F.array(*[F.lit(int(x)) for x in center])
+    return F.aggregate(
+        F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _kcenter_oracle() -> str:
     parts = [f"""
     v AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
@@ -2007,29 +2037,13 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
     """
-    from pyspark import StorageLevel
-
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    qv = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
-    )
-    v = e.select("vec_id", qv.alias("qv")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    v = _quantized_corpus(spark, sf_dir)
     nrm = F.aggregate(
         F.zip_with("qv", "qv", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-
-    def d2_to(center_qv: list[int]):
-        c = F.array(*[F.lit(int(x)) for x in center_qv])
-        return F.aggregate(
-            F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    d2_to = _d2_to_center
 
     # seed: argmax norm, vec_id-asc tiebreak via negated id in the
     # struct max (one job)
@@ -2163,30 +2177,12 @@ def ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
     """
-    from pyspark import StorageLevel
-
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    qv = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
-    )
-    # cache the quantized corpus across the R+2 passes (seeds, R
-    # updates, final stats) — the MLlib convention for iterative fits
-    v = e.select("vec_id", qv.alias("qv")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    def d2_to(center: list[int]) -> Column:
-        c = F.array(*[F.lit(int(x)) for x in center])
-        return F.aggregate(
-            F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # cached across the R+2 passes (seeds, R updates, final stats)
+    v = _quantized_corpus(spark, sf_dir)
 
     def assign(cents: dict[int, list[int]]) -> DataFrame:
         opts = F.array(*[
-            F.struct(d2_to(c).alias("d2"), F.lit(cid).alias("cid"))
+            F.struct(_d2_to_center(c).alias("d2"), F.lit(cid).alias("cid"))
             for cid, c in sorted(cents.items())
         ])
         m = F.array_min(opts)

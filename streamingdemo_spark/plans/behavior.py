@@ -2399,16 +2399,10 @@ def ext_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from math import factorial
 
+    from streamingdemo_spark.plans.windows import sessionized_events
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(order)
-    is_start = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTE")),
-        1,
-    ).otherwise(0)
-    run = order.rowsBetween(Window.unboundedPreceding, 0)
-    sess = ev.withColumn("sid", F.sum(is_start).over(run))
+    sess = sessionized_events(ev).withColumnRenamed("session_id", "sid")
     j = sess.groupBy("user_id", "sid").agg(
         F.array_join(
             F.array_sort(

@@ -797,10 +797,24 @@ def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    # stage all 4 hash parts in ONE scan via a partitioned write (a
+    # per-part filter loop would re-scan orders 4 times), then rename
+    # the pk= leaf dirs to the log's part names — the partition column
+    # is layout-only and not part of the table schema
+    staged = os.path.join(base, "_staging")
+    (
+        o.withColumn("pk", F.col("o_orderkey") % 4)
+        .write.partitionBy("pk")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    import shutil as _sh
+
     for part in range(4):
-        o.filter(F.col("o_orderkey") % 4 == part).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, f"part{part}"))
+        _sh.move(
+            os.path.join(staged, f"pk={part}"),
+            os.path.join(base, f"part{part}"),
+        )
     log_dir = os.path.join(base, "_txn_log")
     os.makedirs(log_dir)
     commits = [

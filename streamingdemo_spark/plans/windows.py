@@ -225,6 +225,24 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionized_events(ev: DataFrame) -> DataFrame:
+    """The events relation plus a per-user ``session_id`` from the
+    30-minute lag-gap rule (break when the gap from the previous event
+    exceeds 30 minutes, (ts, event_id)-ordered) — THE batch session
+    boundary definition, shared by ``win_sessionize`` and
+    ``ext_attribution_shapley`` so the rule cannot drift between
+    keys."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.withColumn("session_id", F.sum(is_start).over(run))
+
+
 @query(
     "win_sessionize",
     oracle="""
@@ -255,19 +273,8 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamingdemo_spark.io import load_tables
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(order)
-    is_start = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTE")),
-        1,
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     return (
-        ev.withColumn("is_start", is_start)
-        .withColumn("session_id", F.sum("is_start").over(run))
+        sessionized_events(ev)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -1649,13 +1649,10 @@ def stream_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _boot_oracle() -> str:
-    from streamingdemo_spark.extensions.corpus import BOOT_ORACLE_SQL
-
-    return BOOT_ORACLE_SQL
+from streamingdemo_spark.extensions.corpus import BOOT_ORACLE_SQL  # noqa: E402
 
 
-@query("stream_bootstrap_ci", oracle=_boot_oracle())
+@query("stream_bootstrap_ci", oracle=BOOT_ORACLE_SQL)
 def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming leg of ``ext_bootstrap_ci``: Poisson-bootstrap
     replicate counters maintained over a live document feed. Each
@@ -1681,36 +1678,18 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from streamingdemo_spark.extensions.corpus import (
-        BOOT_B, _BOOT_CDF, _BOOT_MIX, _BOOT_P,
-    )
+    from streamingdemo_spark.extensions.corpus import boot_weight_partials
     from streamingdemo_spark.streaming.sources import documents_stream
 
     target = os.path.join(tempfile.mkdtemp(prefix="boot_tgt_"), "partials")
     ckpt = tempfile.mkdtemp(prefix="ckpt_boot_")
 
     def partials(batch_df: DataFrame, epoch_id: int) -> None:
-        rep = batch_df.select(
-            "doc_id",
-            F.length("text").alias("n_chars"),
-            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
-        )
-        m = (
-            (F.col("doc_id") % _BOOT_P) * 1000003
-            + (F.col("r").cast("long") + 1) * F.lit(_BOOT_MIX)
-        ) % _BOOT_P
-        rep = rep.select(
-            "r", "n_chars", ((m * F.lit(_BOOT_MIX)) % _BOOT_P).alias("h")
-        )
-        w = F.lit(7)
-        for k in range(len(_BOOT_CDF) - 1, -1, -1):
-            w = F.when(F.col("h") < _BOOT_CDF[k], F.lit(k)).otherwise(w)
         (
-            rep.select("r", "n_chars", w.alias("w"))
-            .groupBy("r")
-            .agg(
-                F.sum("w").alias("p_n"),
-                F.sum(F.col("w") * F.col("n_chars")).alias("p_sum"),
+            boot_weight_partials(
+                batch_df.select(
+                    "doc_id", F.length("text").alias("n_chars")
+                )
             )
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")

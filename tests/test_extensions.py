@@ -2128,11 +2128,10 @@ class TestTsHoltWinters:
         m = HW_PERIOD
         for uid, xs in series.items():
             assert len(xs) >= 2 * m  # documented contract bound
-            l = (xs[0] + xs[1] + xs[2] + xs[3]) / 4
-            b = (
-                (xs[4] - xs[0]) + (xs[5] - xs[1])
-                + (xs[6] - xs[2]) + (xs[7] - xs[3])
-            ) / 16
+            l = sum(xs[1:m], xs[0]) / m  # left-assoc, as both engines
+            b = sum(
+                (xs[m + i] - xs[i] for i in range(1, m)), xs[m] - xs[0]
+            ) / (m * m)
             seas = [x - l for x in xs[:m]]
             for x in xs[m:]:
                 s_old = seas[0]
