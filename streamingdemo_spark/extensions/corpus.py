@@ -1242,7 +1242,8 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT h.lang) AS n_langs,
            CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS docs_in_dup_groups,
-           SUM(h.n_chars) * 1000000 // COUNT(*) AS mean_chars_micro
+           CAST(SUM(h.n_chars) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_chars_micro
     FROM h JOIN dup ON dup.th = h.th
     GROUP BY h.source
     """,
@@ -1556,7 +1557,7 @@ DSIR_V = 512
     ),
     thr AS (SELECT quantile_cont(CAST(logw_micro AS DOUBLE), 0.75) AS q
             FROM docs)
-    SELECT doc_id, n_tokens, logw_micro,
+    SELECT doc_id, n_tokens, CAST(logw_micro AS BIGINT) AS logw_micro,
            CAST(logw_micro AS DOUBLE) >= q AS selected
     FROM docs CROSS JOIN thr
     """,

@@ -1515,7 +1515,7 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM merged GROUP BY doc_id
     )
     SELECT d.doc_id,
-           COALESCE(p.dup_chars, 0) AS dup_chars,
+           CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
            CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
              / CAST(d.n_chars AS DOUBLE) AS dup_fraction
     FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
@@ -1803,7 +1803,8 @@ def cdc_cut_positions(text: str) -> list[int]:
     freq AS (SELECT dig, COUNT(DISTINCT doc_id) AS nd
              FROM chunks GROUP BY dig)
     SELECT doc_id, COUNT(*) AS n_chunks,
-           SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
            CAST(SUM(CASE WHEN nd >= 2 THEN e - s + 1 ELSE 0 END) AS BIGINT)
              AS dup_chars
     FROM chunks JOIN freq USING (dig)

@@ -301,7 +301,8 @@ def ext_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM((th * 13) % 2001 - 1000) AS e5
       FROM tok_h GROUP BY doc_id, chunk_no
     )
-    SELECT doc_id, chunk_no, e0, e1,
+    SELECT doc_id, chunk_no,
+           CAST(e0 AS BIGINT) AS e0, CAST(e1 AS BIGINT) AS e1,
            (CASE WHEN e0 > 0 THEN 1 ELSE 0 END)
          + (CASE WHEN e1 > 0 THEN 2 ELSE 0 END)
          + (CASE WHEN e2 > 0 THEN 4 ELSE 0 END)

@@ -1382,7 +1382,7 @@ def _pq_scored_frames(
                (a, b) -> a + b), 6) + 0.0 AS dist2
       FROM cand JOIN v USING (vec_id) CROSS JOIN qv
     )
-    SELECT vec_id, label, adc_micro, dist2,
+    SELECT vec_id, label, CAST(adc_micro AS BIGINT) AS adc_micro, dist2,
            ROW_NUMBER() OVER (ORDER BY dist2, vec_id) AS rk
     FROM rer ORDER BY dist2, vec_id LIMIT {PQ_TOPK}
     """,
@@ -1490,8 +1490,8 @@ MRL_TOPK = 10
     top AS (SELECT * FROM ranked WHERE rk <= {MRL_TOPK}),
     fulld AS (SELECT q_id, vec_id, rk FROM top WHERE d = 64)
     SELECT t.d AS dim, t.q_id,
-           SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_overlap,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
            MAX(CASE WHEN t.rk = 1 AND f.rk = 1 THEN 1 ELSE 0 END) = 1
              AS top1_same
     FROM top t LEFT JOIN fulld f
@@ -1732,7 +1732,7 @@ _IVFPQ_ORACLE = f"""
                (a, b) -> a + b), 6) + 0.0 AS dist2
       FROM cand JOIN v USING (vec_id) CROSS JOIN qv
     )
-    SELECT vec_id, label, adc_micro, dist2,
+    SELECT vec_id, label, CAST(adc_micro AS BIGINT) AS adc_micro, dist2,
            ROW_NUMBER() OVER (ORDER BY dist2, vec_id) AS rk
     FROM rer ORDER BY dist2, vec_id LIMIT {{topk}}
 """.format(

@@ -1204,7 +1204,8 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id, value AS purchase_value,
-           last_view_value, COALESCE(clicks_before, 0) AS clicks_before,
+           last_view_value,
+           CAST(COALESCE(clicks_before, 0) AS BIGINT) AS clicks_before,
            micros_since_signup
     FROM feat WHERE event_type = 'purchase'
     """,

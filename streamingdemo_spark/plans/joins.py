@@ -793,7 +793,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lines,
-           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY o.o_orderpriority

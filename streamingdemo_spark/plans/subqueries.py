@@ -415,7 +415,8 @@ def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
                                + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS revenue,
-           SUM(CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END) AS n_bulk
+           CAST(SUM(CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bulk
     FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -28,6 +28,29 @@ def test_rows_only_smoke(key, spark, sf_dir):
     assert df.count() >= 0
 
 
+def test_no_hugeint_oracle_columns(duck):
+    """Registration-time oracle-typing gate (round-6 judge finding):
+    DuckDB widens SUM over integer columns to HUGEINT, and
+    ``duckdb.df()`` converts HUGEINT to float64 — so the driver's
+    canonicalization renders ``3.0`` where Spark's BIGINT renders
+    ``3`` and the value hash flips with rows/schema still matching.
+    That single mechanism caused all 6 round-6 driver FAILs. Every
+    oracle must therefore emit NO HUGEINT (or unsigned-exotic) output
+    column; wrap the offending aggregate in CAST(... AS BIGINT)."""
+    banned = ("HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+    offenders = {}
+    for key in ORACLE_KEYS:
+        desc = duck.execute(f"DESCRIBE ({ORACLES[key]})").fetchall()
+        hits = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if any(b in typ.upper() for b in banned)
+        ]
+        if hits:
+            offenders[key] = hits
+    assert not offenders, f"HUGEINT-typed oracle columns: {offenders}"
+
+
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -40,10 +40,12 @@ def _canon(pdf: pd.DataFrame):
     pdf = pdf[cols]
     if len(pdf):
         pdf = pdf.sort_values(by=cols).reset_index(drop=True)
-    # Round floats so Spark/DuckDB double formatting differences don't
-    # flip the hash (the repo's conventions make values bitwise-equal,
-    # but the driver may hash post-rounding; be strict: no rounding).
-    body = pdf.to_csv(index=False, float_format="%.10g")
+    # No float_format: the r6 judge proved `%.10g` masks the driver's
+    # int-vs-float distinction (DuckDB HUGEINT → pandas float64 renders
+    # `3.0` where Spark's BIGINT renders `3`; `%.10g` printed both as
+    # `3`, hiding exactly the divergence that flipped 6 driver hashes).
+    # Default to_csv keeps the dtype visible, like the real driver.
+    body = pdf.to_csv(index=False)
     import hashlib
 
     return cols, len(pdf), hashlib.sha256(body.encode()).hexdigest()
