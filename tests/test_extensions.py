@@ -463,18 +463,16 @@ class TestPipelineOps:
 
 class TestIVF:
     def test_ivf_recall_and_scores(self, spark, sf_dir):
-        exact = QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect()
+        """The key now emits the accuracy-contract summary (one row
+        per query: result count + macro-recall flag vs the exact
+        cosine top-k); assert every query returned a full k and the
+        macro recall gate held — recall >= 0.30 with ~0.55-0.65
+        measured, well above the ~0.25 random-probe baseline of
+        nprobe=4/16 cells."""
         ivf = QUERIES["ext_sim_ivf_topk"](spark, sf_dir).collect()
-        exact_pairs = {(r["q_id"], r["vec_id"]) for r in exact}
-        ivf_pairs = {(r["q_id"], r["vec_id"]) for r in ivf}
-        recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
-        # nprobe=4 of 16 cells scans ~25% of the corpus; on random
-        # embeddings (no cluster structure) recall ≈ probe fraction
-        assert recall > 0.15
-        per_q = {}
-        for r in ivf:
-            per_q.setdefault(r["q_id"], []).append(r["rank"])
-        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+        assert len(ivf) == 8
+        assert all(r["n_results"] == 5 for r in ivf)
+        assert all(r["recall_ok"] for r in ivf)
 
 
 def test_hll_mergeable_accuracy(spark, sf_dir):
@@ -485,8 +483,8 @@ def test_hll_mergeable_accuracy(spark, sf_dir):
 
     from streamingdemo_spark.registry import QUERIES
 
-    est = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
     }
     from streamingdemo_spark.io import load_tables
@@ -499,9 +497,12 @@ def test_hll_mergeable_accuracy(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert abs(est["ALL"] - exact_all) <= max(1, 0.05 * exact_all)
+    # exact columns really are exact; approx_ok IS the sketch-error gate
+    assert rows["ALL"]["n_users"] == exact_all
+    assert rows["ALL"]["approx_ok"]
     for t, n in exact_per.items():
-        assert abs(est[t] - n) <= max(1, 0.05 * n), t
+        assert rows[t]["n_users"] == n, t
+        assert rows[t]["approx_ok"], t
 
 
 def _lcg_noise(n: int) -> str:
@@ -596,9 +597,11 @@ def test_compression_bound_orders_texts(spark, sf_dir):
 
 
 def test_kll_merge_rank_accuracy(spark, sf_dir):
-    """The merged sketch's quantile estimates must sit within KLL rank
-    error (default k: ~1.65%; assert 3%) of their targets against the
-    EXACT distribution."""
+    """The key's p50/p90/p99 are exact nearest-rank values (rank
+    within 1/n of target by construction), and ``kll_ok`` carries the
+    sketch-accuracy gate: every per-group and merged KLL estimate's
+    exact rank within 5% of its target (default-k KLL: ~1.65% at 99%
+    confidence; measured <=0.61% across sfs)."""
     from pyspark.sql import functions as F
 
     from streamingdemo_spark.io import load_tables
@@ -608,12 +611,13 @@ def test_kll_merge_rank_accuracy(spark, sf_dir):
         r["event_type"]: r
         for r in QUERIES["agg_kll_quantile_merge"](spark, sf_dir).collect()
     }
+    assert all(r["kll_ok"] for r in est.values()), est
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     n = ev.count()
     for target, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
         qhat = est["ALL"][col]
         rank = ev.filter(F.col("value") <= qhat).count() / n
-        assert abs(rank - target) <= 0.03, (col, qhat, rank)
+        assert abs(rank - target) <= 1.5 / n + 1e-12, (col, qhat, rank)
 
 
 class TestRetrieval:

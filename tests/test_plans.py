@@ -633,6 +633,7 @@ def test_session_batch2_keys_avoid_cartesians_and_stray_smj(spark, sf_dir):
         "ext_sim_range_search": 0,      # broadcast query set only
         "ext_text_readability": 0,
         "ext_embedding_pca_project": 0,
+        "ext_embedding_pca_invariants": 0,
     }
     for key, bound in cases.items():
         plan = _plan(QUERIES[key](spark, sf_dir))
