@@ -549,6 +549,35 @@ def test_flagship_q1_pushes_date_and_partial_aggregates(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_flagship_q12_pushes_filters_and_single_pass_agg(spark, sf_dir):
+    """Q12's docstring claims must hold in the plan: the shipdate range
+    AND the returnflag exclusion push into the lineitem parquet scan
+    (the fact side never scans unfiltered), and both conditional counts
+    come from ONE partial-combined aggregate pass — two HashAggregate
+    phases around one exchange, no second scan or join of lineitem.
+    Uses the formatted explain: ``executedPlan().toString()`` elides
+    q12's 6-entry pushed-filter list mid-string."""
+    df = QUERIES["flagship_q12"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_scans = [l for l in scan_lines if "l_shipdate" in l]
+    assert len(li_scans) == 1, plan  # lineitem scanned exactly once
+    pushed = li_scans[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_shipdate" in pushed, pushed
+    assert "Not(EqualTo(l_returnflag,A))" in pushed, pushed
+    import re
+
+    # formatted explain names each node once in the tree and once in
+    # the detail section — count the numbered detail headers
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
+    assert n_agg == 2, plan  # one partial+final pass
+    assert "CartesianProduct" not in plan
+
+
 def test_flagship_q6_pushes_all_three_predicates(spark, sf_dir):
     """Q6 is the pushdown litmus test: date range, discount band and
     quantity cap must ALL appear as pushed parquet filters, and the
