@@ -151,6 +151,8 @@ _PRIORITY = [
     #    sibling that hash-certifies the pca_project pipeline
     "agg_hll_mergeable", "agg_kll_quantile_merge", "ext_sim_ivf_topk",
     "ext_embedding_pca_invariants",
+    # -- round-7 additions
+    "src_txn_log_time_travel", "ext_quality_gopher_rules",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

@@ -121,6 +121,104 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOP_SQL = "', '".join(STOPWORDS)
+
+
+@query(
+    "ext_quality_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_wchars,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x LIKE '%#%' OR x LIKE '%...%')) AS BIGINT) AS n_sym,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> lower(x) <> upper(x))) AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                  ['{_GOPHER_STOP_SQL}'])) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000 AS ok_wordcount,
+           3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+             AS ok_meanlen,
+           10 * n_sym < n_words AS ok_symbol,
+           5 * n_alpha >= 4 * n_words AS ok_alpha,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+             AND 10 * n_sym < n_words
+             AND 5 * n_alpha >= 4 * n_words
+             AND n_stop >= 2 AS gopher_ok
+    FROM m
+    """,
+)
+def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter ruleset (Rae et al. 2021, Appendix A
+    — the rule battery MassiveText/RefinedWeb/FineWeb descend from),
+    evaluated per document with every threshold as a PURE INTEGER
+    inequality so both engines decide each rule identically:
+
+    - ok_wordcount: 50 ≤ word count ≤ 100,000;
+    - ok_meanlen: mean word length in [3, 10] chars, tested as
+      3·n_words ≤ word_chars ≤ 10·n_words — no division;
+    - ok_symbol: '#'/'…'-bearing words under 10% (10·n_sym < n_words);
+    - ok_alpha: ≥80% of words contain an alphabetic character, tested
+      portably as lower(w) ≠ upper(w) (no regex — engines' regex
+      classes differ, case mapping on ASCII doesn't);
+    - ok_stopwords: ≥2 distinct function words present (the module's
+      STOPWORDS list — the fixture adaptation of Gopher's canonical
+      {{the, be, to, of, and, …}}, whose live members here are
+      'the'/'a'; measured mixed true/false across the corpus so the
+      rule is non-vacuous);
+    - gopher_ok: the conjunction — the keep/drop bit the pipeline
+      consumes.
+
+    One JVM-side projection over the scan, no shuffle, no UDF — at
+    100 TB this runs at parquet-read speed and composes with
+    ``ext_quality_prune``'s percentile cuts and ``ext_train_mix``
+    downstream, exactly where the published pipelines place it.
+    """
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_wchars"),
+        F.size(
+            F.filter(toks, lambda x: x.like("%#%") | x.like("%...%"))
+        ).cast("bigint").alias("n_sym"),
+        F.size(
+            F.filter(toks, lambda x: F.lower(x) != F.upper(x))
+        ).cast("bigint").alias("n_alpha"),
+        F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    ok_wordcount = F.col("n_words").between(50, 100000)
+    ok_meanlen = (3 * F.col("n_words") <= F.col("n_wchars")) & (
+        F.col("n_wchars") <= 10 * F.col("n_words")
+    )
+    ok_symbol = 10 * F.col("n_sym") < F.col("n_words")
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        ok_wordcount.alias("ok_wordcount"),
+        ok_meanlen.alias("ok_meanlen"),
+        ok_symbol.alias("ok_symbol"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wordcount & ok_meanlen & ok_symbol & ok_alpha & ok_stop).alias(
+            "gopher_ok"
+        ),
+    )
+
+
 @query(
     "ext_token_count",
     oracle="""

@@ -543,3 +543,68 @@ def src_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if "remove" in a:
                     live.discard(a["remove"])
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
+
+
+@query(
+    "src_txn_log_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (1, 2)
+    """,
+)
+def src_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the minimal lakehouse format of
+    ``src_txn_log_snapshot``: resolve the table AS OF an EARLIER
+    version by replaying the transaction log only through that
+    commit — the Delta `VERSION AS OF` / Iceberg snapshot-id read
+    that makes immutable-file tables auditable and lets a training
+    run pin the exact dataset version it consumed (the
+    reproducibility contract every dataset card cites).
+
+    Staged history (one commit further than the snapshot key so the
+    traveled-to state differs from BOTH endpoints): commit 0 adds
+    parts 0-1; commit 1 adds part 2 and removes part 0; commit 2 adds
+    part 3 and removes part 1. Latest = {2,3}; AS OF version 1 =
+    {1,2} — which is what the oracle asserts, so a reader that
+    accidentally replays the full log (the classic time-travel bug:
+    filtering files by mtime instead of cutting the LOG) fails the
+    hash. Replay stays metadata-only through the driver exactly like
+    the snapshot key; commit 2's data files exist on disk and must
+    not be touched by the scan.
+    """
+    import json
+
+    base = tempfile.mkdtemp(prefix="txnlog_tt_")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for part in range(4):
+        o.filter(F.col("o_orderkey") % 4 == part).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"part{part}"))
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    commits = [
+        [{"add": "part0"}, {"add": "part1"}],
+        [{"add": "part2"}, {"remove": "part0"}],
+        [{"add": "part3"}, {"remove": "part1"}],
+    ]
+    for i, actions in enumerate(commits):
+        with open(os.path.join(log_dir, f"{i:08d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    # AS OF version 1: replay commits 0..1 only — the version cut is a
+    # filename comparison on the ordered log, nothing else changes
+    as_of = 1
+    live: set[str] = set()
+    for name in sorted(os.listdir(log_dir)):
+        if int(name.split(".")[0]) > as_of:
+            break
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"])
+                if "remove" in a:
+                    live.discard(a["remove"])
+    return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))

@@ -859,6 +859,47 @@ def test_txn_log_snapshot_is_immutable_delete(spark, sf_dir):
     assert v0.filter(F.col("o_orderkey") % 4 == 0).count() == n_part0
 
 
+def test_txn_log_time_travel_reads_the_log_cut_not_latest(spark, sf_dir):
+    """AS OF version 1 must surface exactly the {1,2} partitions —
+    different from BOTH the initial commit ({0,1}) and the latest
+    snapshot ({2,3}) — and commit 2's part3 files, though present on
+    disk, must not be among the scan's inputs (the classic bug is
+    listing files instead of cutting the log)."""
+    import pyspark.sql.functions as F
+
+    df = QUERIES["src_txn_log_time_travel"](spark, sf_dir)
+    parts = {
+        r["p"]
+        for r in df.select(
+            (F.col("o_orderkey") % 4).alias("p")
+        ).distinct().collect()
+    }
+    assert parts == {1, 2}, parts
+    assert not any("part3" in f or "part0" in f for f in df.inputFiles())
+
+
+def test_gopher_rules_are_non_vacuous_and_consistent(spark, sf_dir):
+    """Every rule flag must actually vary across the corpus is too
+    strong for the synthetic fixture (it contains no '#'/'...' words
+    and only alphabetic tokens), so: the word-count and stopword rules
+    must each have BOTH outcomes, the conjunction must equal the AND
+    of its parts on every row, and the overall filter must keep a
+    strict, non-empty subset."""
+    rows = QUERIES["ext_quality_gopher_rules"](spark, sf_dir).collect()
+    assert {r["ok_wordcount"] for r in rows} == {True, False}
+    assert {r["ok_stopwords"] for r in rows} == {True, False}
+    for r in rows:
+        assert r["gopher_ok"] == (
+            r["ok_wordcount"]
+            and r["ok_meanlen"]
+            and r["ok_symbol"]
+            and r["ok_alpha"]
+            and r["ok_stopwords"]
+        )
+    kept = sum(1 for r in rows if r["gopher_ok"])
+    assert 0 < kept < len(rows)
+
+
 def test_ivf_partitioned_probe_prunes_partitions(spark, sf_dir):
     """The on-disk IVF claim: the probe scan must carry
     PartitionFilters on cell, every file it actually reads must live

@@ -64,6 +64,8 @@ KEYS = [
     "agg_kll_quantile_merge",
     "ext_sim_ivf_topk",
     "ext_embedding_pca_invariants",
+    "src_txn_log_time_travel",
+    "ext_quality_gopher_rules",
 ]
 
 
@@ -141,8 +143,23 @@ def build() -> None:
     pq.write_table(pa.concat_tables(oparts), os.path.join(DST, "orders.parquet"))
     pq.write_table(pa.concat_tables(lparts), os.path.join(DST, "lineitem.parquet"))
 
+    # documents 10x: plain id-offset replicas (no KEYS entry here is
+    # dup-structure-sensitive; the cipher derivation lives in the r6
+    # probe for those)
+    dt = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    dparts = []
+    for r in range(REPLICAS):
+        dc = {n: dt[n] for n in dt.column_names}
+        dc["doc_id"] = pa.array(
+            dt["doc_id"].to_numpy() + r * KEY_OFFSET, pa.int64()
+        )
+        dparts.append(pa.table(dc))
+    pq.write_table(
+        pa.concat_tables(dparts), os.path.join(DST, "documents.parquet")
+    )
+
     # small dims referenced by load_tables callers: symlink unscaled
-    for t in ("region", "nation", "customer", "supplier", "part", "documents"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = os.path.join(DST, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
