@@ -348,29 +348,26 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
 
-    # Exact cosine top-k ground truth (the ext_sim_cosine_topk plan):
-    # brute-force over the corpus, broadcast queries — the baseline an
-    # ANN index is graded against.
-    exact_scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+    # Exact cosine top-k ground truth: the ext_sim_cosine_topk plan
+    # itself (shared exact_cosine_ranked helper, so the recall gate
+    # grades against the exact same baseline that key ships).
+    exact_topk = (
+        exact_cosine_ranked(spark, sf_dir)
         .filter(F.col("rank") <= TOP_K)
-        .select("q_id", F.col("vec_id").alias("true_vec_id"))
+        .select("q_id", "vec_id", F.lit(1).alias("is_true"))
     )
     per_q = (
-        ivf_hits.join(
-            exact_scored.withColumnRenamed("true_vec_id", "vec_id")
-            .withColumn("is_true", F.lit(1)),
-            ["q_id", "vec_id"],
-            "left",
-        )
+        ivf_hits.join(exact_topk, ["q_id", "vec_id"], "left")
         .groupBy("q_id")
         .agg(
             F.count(F.lit(1)).alias("n_results"),
             F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hits"),
         )
+        # 8-row relation consumed by TWO branches (macro flag + final
+        # projection): materialize once or the candidate join AND the
+        # brute-force exact ranking re-execute per consumer (the
+        # two-branch lineage rule)
+        .localCheckpoint(eager=True)
     )
     macro = per_q.agg(
         (
@@ -1075,6 +1072,20 @@ def _pca_top4(spark: SparkSession, sf_dir: str):
     return q, wq, explained
 
 
+def _pca_proj_cols(wq: list[list[int]]) -> list:
+    """The exact-integer projection columns (qv · component, nano
+    units) — ONE construction shared by both PCA keys so the
+    invariants key provably grades the identical pipeline."""
+    return [
+        F.aggregate(
+            F.zip_with("qv", F.array(*[F.lit(w) for w in wk]), lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias(f"pc{k + 1}_nano")
+        for k, wk in enumerate(wq)
+    ]
+
+
 @query("ext_embedding_pca_project")
 def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-4 principal
@@ -1110,19 +1121,7 @@ def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not expressible in SQL); correctness is pinned by that test.
     """
     q, wq, _ = _pca_top4(spark, sf_dir)
-    proj_cols = [
-        F.aggregate(
-            F.zip_with(
-                "qv",
-                F.array(*[F.lit(w) for w in wk]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ).alias(f"pc{k + 1}_nano")
-        for k, wk in enumerate(wq)
-    ]
-    return q.select("vec_id", "label", *proj_cols)
+    return q.select("vec_id", "label", *_pca_proj_cols(wq))
 
 
 @query(
@@ -1160,14 +1159,7 @@ def ext_embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       across runs and partitionings.
     """
     q, wq, explained = _pca_top4(spark, sf_dir)
-    proj = [
-        F.aggregate(
-            F.zip_with("qv", F.array(*[F.lit(w) for w in wk]), lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ).alias(f"pc{k + 1}_nano")
-        for k, wk in enumerate(wq)
-    ]
+    proj = _pca_proj_cols(wq)
     norm2 = F.aggregate(
         F.zip_with("qv", F.col("qv"), lambda x, y: x * y),
         F.lit(0).cast("long"),

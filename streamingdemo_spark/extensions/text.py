@@ -121,9 +121,6 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_STOP_SQL = "', '".join(STOPWORDS)
-
-
 @query(
     "ext_quality_gopher_rules",
     oracle=f"""
@@ -136,7 +133,7 @@ _GOPHER_STOP_SQL = "', '".join(STOPWORDS)
              CAST(len(list_filter(string_split(text, ' '),
                   x -> lower(x) <> upper(x))) AS BIGINT) AS n_alpha,
              CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-                  ['{_GOPHER_STOP_SQL}'])) AS BIGINT) AS n_stop
+                  ['{_STOP_SQL}'])) AS BIGINT) AS n_stop
       FROM documents
     )
     SELECT doc_id, n_words,

@@ -486,6 +486,52 @@ def src_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _txn_log_stage(
+    spark: SparkSession, sf_dir: str, prefix: str, commits: list[list[dict]]
+) -> tuple[str, str]:
+    """Stage the minimal lakehouse fixture shared by the txn-log keys:
+    orders hash-partitioned into part0..part3 data directories plus an
+    ordered JSON commit log of add/remove actions. Returns
+    (table base dir, log dir)."""
+    import json
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for part in range(4):
+        o.filter(F.col("o_orderkey") % 4 == part).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"part{part}"))
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    for i, actions in enumerate(commits):
+        with open(os.path.join(log_dir, f"{i:08d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    return base, log_dir
+
+
+def _txn_log_replay(log_dir: str, as_of: int | None = None) -> set[str]:
+    """Replay the ordered commit log into the live file set — metadata
+    only, never row data. ``as_of`` cuts the LOG at that version (the
+    time-travel read); None replays to the latest snapshot."""
+    import json
+
+    live: set[str] = set()
+    for name in sorted(os.listdir(log_dir)):
+        if as_of is not None and int(name.split(".")[0]) > as_of:
+            break
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"])
+                if "remove" in a:
+                    live.discard(a["remove"])
+    return live
+
+
 @query(
     "src_txn_log_snapshot",
     oracle="""
@@ -512,36 +558,16 @@ def src_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers that listed the log before commit 1 keep reading part 0's
     still-present file.
     """
-    import json
-
-    base = tempfile.mkdtemp(prefix="txnlog_")
-    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    base, log_dir = _txn_log_stage(
+        spark,
+        sf_dir,
+        "txnlog_",
+        [
+            [{"add": "part0"}, {"add": "part1"}, {"add": "part2"}],
+            [{"add": "part3"}, {"remove": "part0"}],
+        ],
     )
-    for part in range(4):
-        o.filter(F.col("o_orderkey") % 4 == part).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, f"part{part}"))
-    log_dir = os.path.join(base, "_txn_log")
-    os.makedirs(log_dir)
-    commits = [
-        [{"add": "part0"}, {"add": "part1"}, {"add": "part2"}],
-        [{"add": "part3"}, {"remove": "part0"}],
-    ]
-    for i, actions in enumerate(commits):
-        with open(os.path.join(log_dir, f"{i:08d}.json"), "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
-    # replay: ordered commit files -> live file set (metadata only)
-    live: set[str] = set()
-    for name in sorted(os.listdir(log_dir)):
-        with open(os.path.join(log_dir, name)) as f:
-            for line in f:
-                a = json.loads(line)
-                if "add" in a:
-                    live.add(a["add"])
-                if "remove" in a:
-                    live.discard(a["remove"])
+    live = _txn_log_replay(log_dir)
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
 
 
@@ -572,39 +598,17 @@ def src_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the snapshot key; commit 2's data files exist on disk and must
     not be touched by the scan.
     """
-    import json
-
-    base = tempfile.mkdtemp(prefix="txnlog_tt_")
-    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    base, log_dir = _txn_log_stage(
+        spark,
+        sf_dir,
+        "txnlog_tt_",
+        [
+            [{"add": "part0"}, {"add": "part1"}],
+            [{"add": "part2"}, {"remove": "part0"}],
+            [{"add": "part3"}, {"remove": "part1"}],
+        ],
     )
-    for part in range(4):
-        o.filter(F.col("o_orderkey") % 4 == part).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, f"part{part}"))
-    log_dir = os.path.join(base, "_txn_log")
-    os.makedirs(log_dir)
-    commits = [
-        [{"add": "part0"}, {"add": "part1"}],
-        [{"add": "part2"}, {"remove": "part0"}],
-        [{"add": "part3"}, {"remove": "part1"}],
-    ]
-    for i, actions in enumerate(commits):
-        with open(os.path.join(log_dir, f"{i:08d}.json"), "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
     # AS OF version 1: replay commits 0..1 only — the version cut is a
     # filename comparison on the ordered log, nothing else changes
-    as_of = 1
-    live: set[str] = set()
-    for name in sorted(os.listdir(log_dir)):
-        if int(name.split(".")[0]) > as_of:
-            break
-        with open(os.path.join(log_dir, name)) as f:
-            for line in f:
-                a = json.loads(line)
-                if "add" in a:
-                    live.add(a["add"])
-                if "remove" in a:
-                    live.discard(a["remove"])
+    live = _txn_log_replay(log_dir, as_of=1)
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))

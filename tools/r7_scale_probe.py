@@ -35,7 +35,6 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -49,6 +48,11 @@ from streamingdemo_spark.registry import QUERIES  # noqa: E402
 from streamingdemo_spark.session import get_spark  # noqa: E402
 
 from bench import ANCHOR_KEYS, _anchor_ratios  # noqa: E402
+from tools.r6_scale_probe import (  # noqa: E402 — shared derivations
+    replicate_embeddings,
+    replicate_events,
+    warm_wall,
+)
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/r7_scale_x10"
@@ -71,48 +75,9 @@ KEYS = [
 
 def build() -> None:
     os.makedirs(DST, exist_ok=True)
-    # events 10x: fresh user populations (r6 derivation)
-    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
-    vparts = []
-    for k in range(REPLICAS):
-        cols = {n: ev[n] for n in ev.column_names}
-        cols["user_id"] = pa.array(
-            ev["user_id"].to_numpy() + k * KEY_OFFSET, pa.int64()
-        )
-        cols["event_id"] = pa.array(
-            ev["event_id"].to_numpy() + k * KEY_OFFSET, pa.int64()
-        )
-        vparts.append(pa.table(cols))
-    pq.write_table(pa.concat_tables(vparts), os.path.join(DST, "events.parquet"))
-
-    # embeddings 10x: jittered replicas (r6/ann derivation)
-    e = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
-    base_n = e.num_rows
-    emb = np.array(
-        [np.asarray(v, dtype=np.float32) for v in e["embedding"].to_pylist()]
-    )
-    rng = np.random.default_rng(42)
-    eparts = []
-    for k in range(REPLICAS):
-        vecs = (
-            emb
-            if k == 0
-            else emb + rng.normal(0, 0.02, emb.shape).astype(np.float32)
-        )
-        eparts.append(
-            pa.table(
-                {
-                    "vec_id": pa.array(
-                        e["vec_id"].to_numpy() + k * base_n, pa.int64()
-                    ),
-                    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-                    "label": e["label"],
-                }
-            )
-        )
-    pq.write_table(
-        pa.concat_tables(eparts), os.path.join(DST, "embeddings.parquet")
-    )
+    # events + embeddings 10x: the r6 probe's derivations, imported
+    replicate_events(SRC, DST, REPLICAS, KEY_OFFSET)
+    replicate_embeddings(SRC, DST, REPLICAS)
 
     # orders + lineitem 10x: key offset + disjoint date ranges
     o = pq.read_table(os.path.join(SRC, "orders.parquet"))
@@ -165,13 +130,6 @@ def build() -> None:
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
 
 
-def _warm_wall(spark, key: str, d: str) -> tuple[float, int]:
-    QUERIES[key](spark, d).count()
-    t0 = time.perf_counter()
-    n = QUERIES[key](spark, d).count()
-    return time.perf_counter() - t0, n
-
-
 if __name__ == "__main__":
     spark = get_spark(app_name="r7-scale-probe")
     if "--skip-build" not in sys.argv or not os.path.isdir(DST):
@@ -182,7 +140,7 @@ if __name__ == "__main__":
     QUERIES["src_parquet_scan"](spark, SRC).collect()
     anchor_walls = {}
     for key in ANCHOR_KEYS:
-        anchor_walls[key], _ = _warm_wall(spark, key, SRC)
+        anchor_walls[key], _ = warm_wall(spark, key, SRC)
     anchors = _anchor_ratios(anchor_walls, 0.1)
 
     out: dict = {"sf": "0.1 -> 10x", "anchors": anchors, "keys": {}}
@@ -192,8 +150,8 @@ if __name__ == "__main__":
     print("| key | sf0.1 | 10x corpus | ratio | rows sf0.1 -> 10x |")
     print("|---|---|---|---|---|")
     for key in KEYS:
-        w01, r01 = _warm_wall(spark, key, SRC)
-        w10, r10 = _warm_wall(spark, key, DST)
+        w01, r01 = warm_wall(spark, key, SRC)
+        w10, r10 = warm_wall(spark, key, DST)
         out["keys"][key] = {
             "sf0.1_s": round(w01, 2),
             "x10_s": round(w10, 2),
