@@ -606,6 +606,27 @@ class TestExampleSpecs:
             v[0] for v in got.values()
         )
 
+    def test_quality_gate_spec_equals_direct_query(self, spark, sf_dir):
+        """The Gopher-gate spec must conserve the corpus through its
+        funnel (keep + drop = |documents|), keep exactly the docs the
+        registry key flags gopher_ok, and the per-source budget must
+        count exactly the survivors."""
+        from streamingdemo_spark.registry import QUERIES
+
+        ports = self._run_example(spark, sf_dir, "quality_gate_pipeline.yaml")
+        funnel = {r["gopher_ok"]: r["n_docs"] for r in ports["funnel.out"].collect()}
+        n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(funnel.values()) == n_corpus
+        direct_kept = (
+            QUERIES["ext_quality_gopher_rules"](spark, sf_dir)
+            .filter("gopher_ok")
+            .count()
+        )
+        assert funnel[True] == direct_kept
+        budget = ports["budget.out"].collect()
+        assert sum(r["n_docs"] for r in budget) == direct_kept
+        assert all(r["total_words"] > 0 for r in budget)
+
     def test_web_dedup_spec_equals_direct_query(self, spark, sf_dir):
         """The URL-dedup spec's duplication profile must equal the
         direct canonicalize → group → profile computation, and the
