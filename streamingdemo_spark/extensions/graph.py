@@ -56,12 +56,12 @@ _CHECKPOINT_EVERY = 8
              CAST({_UNIT} AS BIGINT) // nn.n AS r
       FROM deg d CROSS JOIN nn
     ),
-    s1 AS (SELECT e.dst AS node, CAST(SUM(r.r // r.outdeg) AS BIGINT) AS s
+    s1 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.r // r.outdeg) AS BIGINT) AS s
            FROM edges e JOIN base r ON e.src = r.node GROUP BY e.dst),
     r1 AS (SELECT b.node, b.outdeg, b.b,
                   b.b + (85 * COALESCE(s1.s, 0)) // 100 AS r
            FROM base b LEFT JOIN s1 ON b.node = s1.node),
-    s2 AS (SELECT e.dst AS node, CAST(SUM(r.r // r.outdeg) AS BIGINT) AS s
+    s2 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.r // r.outdeg) AS BIGINT) AS s
            FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
     r2 AS (SELECT b.node, b.outdeg, b.b,
                   b.b + (85 * COALESCE(s2.s, 0)) // 100 AS r
@@ -171,9 +171,9 @@ _KNN_K = 8  # backbone degree bound: top-k strongest co-occurrence edges
 # CTE chain building the mutual-top-k co-purchase backbone; ends in
 # ``mut(ea, eb)`` with ea < eb. Shared by ext_graph_triangles and
 # ext_graph_bfs_distance.
-_BACKBONE_CTE = f"""os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+_BACKBONE_CTE = f"""os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
                 FROM lineitem),
-    co AS (
+    co AS MATERIALIZED (
       SELECT a.s AS pa, b.s AS pb, COUNT(*) AS w
       FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
       GROUP BY a.s, b.s
@@ -183,7 +183,7 @@ _BACKBONE_CTE = f"""os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
       UNION ALL
       SELECT pb AS node, pa AS nbr, w FROM co
     ),
-    topk AS (
+    topk AS MATERIALIZED (
       SELECT node, nbr FROM (
         SELECT node, nbr,
                ROW_NUMBER() OVER (PARTITION BY node
@@ -191,7 +191,7 @@ _BACKBONE_CTE = f"""os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
         FROM sym)
       WHERE rk <= {_KNN_K}
     ),
-    mut AS (
+    mut AS MATERIALIZED (
       SELECT t1.node AS ea, t1.nbr AS eb
       FROM topk t1 JOIN topk t2
         ON t1.node = t2.nbr AND t1.nbr = t2.node
@@ -351,18 +351,18 @@ _BFS_SEED_MOD = 50  # seed set: suppliers with id % 50 == 0
     "ext_graph_bfs_distance",
     oracle=f"""
     WITH {_BACKBONE_CTE},
-    e AS (SELECT ea AS u, eb AS v FROM mut
+    e AS MATERIALIZED (SELECT ea AS u, eb AS v FROM mut
           UNION ALL SELECT eb AS u, ea AS v FROM mut),
     nodes AS (SELECT DISTINCT u AS node FROM e),
-    s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+    s0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
            WHERE node % {_BFS_SEED_MOD} = 0),
-    s1 AS (SELECT node, MIN(dist) AS dist FROM (
+    s1 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
              SELECT node, dist FROM s0
              UNION ALL
              SELECT e.v AS node, s0.dist + 1 AS dist
              FROM s0 JOIN e ON e.u = s0.node)
            GROUP BY node),
-    s2 AS (SELECT node, MIN(dist) AS dist FROM (
+    s2 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
              SELECT node, dist FROM s1
              UNION ALL
              SELECT e.v AS node, s1.dist + 1 AS dist
@@ -434,7 +434,7 @@ _LPA_ITERS = 3
     "ext_graph_label_prop",
     oracle=f"""
     WITH {_BACKBONE_CTE},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT ea AS node, eb AS nbr FROM mut
       UNION ALL SELECT eb, ea FROM mut
     ),
@@ -530,7 +530,7 @@ LINKPRED_TOPK = 20
     "ext_graph_link_predict",
     oracle=f"""
     WITH {_BACKBONE_CTE},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT ea AS node, eb AS nbr FROM mut
       UNION ALL SELECT eb, ea FROM mut
     ),

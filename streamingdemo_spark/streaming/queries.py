@@ -661,7 +661,14 @@ def _anomaly_screen(key, pdf_iter, state):
     # require).
     chunks = list(pdf_iter)
     if chunks:
-        pdf = pd.concat(chunks).sort_values("event_id")
+        # (ts, event_id), not event_id alone: the screen's window is
+        # defined over ARRIVAL order, and the replay contract orders
+        # arrival by (ts, event_id). The two coincide only while
+        # event ids happen to be ts-monotone — true of the pristine
+        # fixture, broken by any id-assignment scheme that isn't
+        # globally time-ordered (sharded ingestion, the sf1 probe's
+        # replica offsets). The oracle windows by the same pair.
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
         vals = pdf["value"].to_numpy(dtype=np.float64)
         if np.isnan(vals).any():
             # NaN would astype() into undefined int64 garbage and
@@ -724,7 +731,7 @@ def apply_anomaly_screen(stream: DataFrame) -> DataFrame:
     "stream_anomaly",
     oracle="""
     WITH u AS (
-      SELECT event_id, event_type,
+      SELECT event_id, event_type, ts,
              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
       FROM events
     ),
@@ -734,7 +741,7 @@ def apply_anomaly_screen(stream: DataFrame) -> DataFrame:
              CAST(COALESCE(SUM(x) OVER w, 0) AS BIGINT) AS su,
              CAST(COALESCE(SUM(x * x) OVER w, 0) AS BIGINT) AS sq
       FROM u
-      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, event_type,
@@ -1603,8 +1610,17 @@ def stream_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     def track(key, pdf_iter, state: GroupState):
         (user_id,) = key
         n, l, b, x1 = state.get if state.exists else (0, 0.0, 0.0, 0.0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concatenate ALL Arrow chunks before sorting (the
+        # _anomaly_screen rule): a group whose micro-batch slice
+        # exceeds arrow.maxRecordsPerBatch arrives as several chunks
+        # in arbitrary post-shuffle order, and a per-chunk sort feeds
+        # the ORDER-SENSITIVE Holt fold out of time order. Caught by
+        # the sf1 differential probe (87/15000 users straddled the
+        # 10k-row chunk boundary and diverged); invisible at sf0.1
+        # where no group slice spans a chunk.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for x in pdf["value"].tolist():
                 if n == 0:
                     x1 = x
