@@ -669,7 +669,7 @@ def _cluster_oracle() -> str:
     """
 
 
-def min_label_components(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+def min_label_components(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     """Connected components of an undirected edge list
     ``(doc_a, doc_b)`` via min-label propagation with pointer doubling:
     each round (a) labels flow one hop across edges and every node
@@ -687,8 +687,13 @@ def min_label_components(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     already-checkpointed label table and converts that silent
     mislabeling into either a correct result or a loud error. If the
     probe still sees changes after ``max_rounds`` (diameter beyond
-    ~2^max_rounds — structurally implausible for a dedup graph), raises
-    RuntimeError rather than returning under-merged components.
+    ~2^max_rounds), raises RuntimeError rather than returning
+    under-merged components. The default covers diameter ~65k; since
+    the fixpoint probe exits the loop the round after convergence,
+    headroom rounds cost NOTHING on graphs that converge early — the
+    r7 sf1 probe raised the default from 8 after a derived corpus
+    produced a legitimate >2^8-diameter phash component (chained
+    near-identical signatures), which the old cap rejected loudly.
 
     Each round ends in an eager ``localCheckpoint``: iterative
     self-referencing plans double in size per round without lineage

@@ -487,8 +487,12 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
     SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           arg_max(o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                     * 8589934592 - o_orderkey) AS biggest_order,
+           arg_min(o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                     * 8589934592 + o_orderkey) AS smallest_order,
            CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
            CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
     FROM orders GROUP BY o_orderpriority
@@ -497,12 +501,26 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin aggregation (max_by/min_by): the key of the
     extreme row, not the extreme value — one pass, no self-join.
-    (o_totalprice is unique per priority group in the fixture, so the
-    argmax is well-defined on both engines.)"""
+
+    Tie discipline (r7 sf1-probe fix): the ordering value is the
+    integer encoding ``cents · 2^33 ∓ o_orderkey`` — price decides,
+    and among equal prices the SMALLEST orderkey wins for both
+    extremes. The original form ordered by raw price and leaned on
+    the pristine fixture's per-group price uniqueness; the moment two
+    rows share the extreme price (any real corpus; the probe's
+    replicated orders), bare max_by is implementation-pick and the
+    engines legitimately disagree. Encoding bounds: cents ≤ 6e7 and
+    orderkey < 2^33 keep the product within int64 (~5e17).
+    """
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
     return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.expr(
+            f"max_by(o_orderkey, {cents} * 8589934592 - o_orderkey)"
+        ).alias("biggest_order"),
+        F.expr(
+            f"min_by(o_orderkey, {cents} * 8589934592 + o_orderkey)"
+        ).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )

@@ -201,8 +201,8 @@ def _hourly_spine_join(ev, agg):
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 10000.0 AS sum_value
+             CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS units
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -219,17 +219,18 @@ def _hourly_spine_join(ev, agg):
     j AS (
       SELECT s.event_type, s.bucket,
              COALESCE(a.n_events, 0) AS n_events,
-             COALESCE(a.sum_value, 0.0) AS sum_value,
+             CAST(COALESCE(a.units, 0) AS DOUBLE) / 10000.0 AS sum_value,
              CASE WHEN a.n_events > 0
-                  THEN a.sum_value / a.n_events END AS avg0
+                  THEN (2 * a.units * 100 + a.n_events)
+                       // (2 * a.n_events) END AS avg_micro
       FROM spine s LEFT JOIN agg a
         ON s.event_type = a.event_type AND s.bucket = a.bucket
     )
     SELECT event_type, bucket, n_events, sum_value,
-           ROUND(LAST_VALUE(avg0 IGNORE NULLS) OVER (
+           CAST(LAST_VALUE(avg_micro IGNORE NULLS) OVER (
                    PARTITION BY event_type ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 6) + 0.0 AS ffill_avg
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 1000000.0 AS ffill_avg
     FROM j
     """,
 )
@@ -250,25 +251,40 @@ def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     series so no single reducer sees more than one series' grid.
 
     Portability: sums go through the integer-unit convention
-    (events.value is exactly 4-decimal), the forward-filled average is
-    rounded to 1e-6 on both engines, and leading buckets before the
-    first observation stay NULL (nothing to carry) on both engines.
+    (events.value is exactly 4-decimal), and the carried average is
+    computed ENTIRELY on the integer micro grid — round-half-up via
+    ``(2·units·100 + n) div (2n)``, all operands non-negative —
+    before ONE exact display division by 1e6. The earlier form
+    rounded a double quotient to 6 decimals, and the sf1 differential
+    probe caught the classic failure: a bucket whose exact average
+    sits ON the 1e-6 midpoint (13911.3/320 = 43.4728125) rounds
+    differently per engine (2 rows in 3600 flipped). Integer
+    arithmetic has no midpoint ambiguity. Overflow headroom:
+    2·units·100 per (series, bucket) stays under 2^63 until a single
+    hourly bucket holds ~9e13 value-units (~2500× the 100 TB bucket
+    estimate). Leading buckets before the first observation stay NULL
+    (nothing to carry) on both engines.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
         "bucket", F.date_trunc("hour", F.col("ts"))
     )
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        dsum("value", 4).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+            "units"
+        ),
     )
     j = _hourly_spine_join(ev, agg).select(
         "event_type",
         "bucket",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
-        F.when(F.col("n_events") > 0, F.col("sum_value") / F.col("n_events")).alias(
-            "avg0"
+        (F.coalesce("units", F.lit(0)).cast("double") / 10000.0).alias(
+            "sum_value"
         ),
+        F.when(
+            F.col("n_events") > 0,
+            F.expr("(2 * units * 100 + n_events) div (2 * n_events)"),
+        ).alias("avg_micro"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -280,9 +296,10 @@ def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n_events",
         "sum_value",
-        (F.round(F.last("avg0", ignorenulls=True).over(w), 6) + F.lit(0.0)).alias(
-            "ffill_avg"
-        ),
+        (
+            F.last("avg_micro", ignorenulls=True).over(w).cast("double")
+            / 1000000.0
+        ).alias("ffill_avg"),
     )
 
 
@@ -679,8 +696,8 @@ def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 10000.0 AS sum_value
+             CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS units
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -699,33 +716,38 @@ def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(epoch(s.bucket)) AS BIGINT) // 3600 AS bi,
              COALESCE(a.n_events, 0) AS n_events,
              CASE WHEN a.n_events > 0
-                  THEN a.sum_value / a.n_events END AS avg0
+                  THEN (2 * a.units * 100 + a.n_events)
+                       // (2 * a.n_events) END AS avg_micro
       FROM spine s LEFT JOIN agg a
         ON s.event_type = a.event_type AND s.bucket = a.bucket
     ),
     br AS (
       SELECT *,
-             LAST_VALUE(avg0 IGNORE NULLS) OVER (
+             LAST_VALUE(avg_micro IGNORE NULLS) OVER (
                PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-             LAST_VALUE(CASE WHEN avg0 IS NOT NULL THEN bi END IGNORE NULLS)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+             LAST_VALUE(CASE WHEN avg_micro IS NOT NULL THEN bi END
+                        IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY bucket
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-             FIRST_VALUE(avg0 IGNORE NULLS) OVER (
+             FIRST_VALUE(avg_micro IGNORE NULLS) OVER (
                PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-             FIRST_VALUE(CASE WHEN avg0 IS NOT NULL THEN bi END IGNORE NULLS)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm,
+             FIRST_VALUE(CASE WHEN avg_micro IS NOT NULL THEN bi END
+                         IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY bucket
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
       FROM j
     )
     SELECT event_type, bucket, n_events,
-           CASE WHEN avg0 IS NOT NULL THEN ROUND(avg0, 6) + 0.0
-                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-                  ROUND(pv + (nv - pv) *
-                        (CAST(bi - pb AS DOUBLE) / (nb - pb)), 6) + 0.0
+           CASE WHEN avg_micro IS NOT NULL
+                THEN CAST(avg_micro AS DOUBLE) / 1000000.0
+                WHEN pm IS NOT NULL AND nm IS NOT NULL THEN
+                  CAST((2 * (pm * (nb - bi) + nm * (bi - pb)) + (nb - pb))
+                       // (2 * (nb - pb)) AS DOUBLE) / 1000000.0
                 END AS interp_avg,
-           (avg0 IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS filled
+           (avg_micro IS NULL AND pm IS NOT NULL AND nm IS NOT NULL)
+             AS filled
     FROM br
     """,
 )
@@ -736,11 +758,16 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed average before and the first after, weighted by integer
     bucket distance; buckets outside the observed bracket stay NULL.
 
-    Portability: the bracket values derive from exact integer-unit
-    sums (one correctly-rounded division each), bucket indices are
-    exact integer epoch-hours, and the interpolation is written in
-    the identical operation order on both engines, so the doubles
-    agree before the shared ROUND(…, 6) grid.
+    Portability: the ENTIRE computation is integer until one display
+    division by 1e6 — bucket averages round half-up on the micro grid
+    (``(2·units·100 + n) div (2n)``), bucket indices are exact
+    integer epoch-hours, and the interpolated value is the integer
+    convex combination ``(pm·(nb−bi) + nm·(bi−pb)) / (nb−pb)`` with
+    the same half-up rule (all operands non-negative, so truncating
+    div IS floor on both engines). The earlier form rounded double
+    quotients to 6 decimals; the sf1 probe caught an exact-midpoint
+    bucket average rounding differently per engine — integers have
+    no midpoints to disagree on.
 
     Scale shape: same as the resample — one fact aggregate, a
     broadcast-bounds spine, and now FOUR per-series ordered window
@@ -752,7 +779,9 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        dsum("value", 4).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+            "units"
+        ),
     )
     j = _hourly_spine_join(ev, agg).select(
         "event_type",
@@ -762,8 +791,9 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bi"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.when(
-            F.col("n_events") > 0, F.col("sum_value") / F.col("n_events")
-        ).alias("avg0"),
+            F.col("n_events") > 0,
+            F.expr("(2 * units * 100 + n_events) div (2 * n_events)"),
+        ).alias("avg_micro"),
     )
     wb = (
         Window.partitionBy("event_type")
@@ -775,36 +805,34 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    bi_obs = F.when(F.col("avg0").isNotNull(), F.col("bi"))
+    bi_obs = F.when(F.col("avg_micro").isNotNull(), F.col("bi"))
     br = (
-        j.withColumn("pv", F.last("avg0", ignorenulls=True).over(wb))
+        j.withColumn("pm", F.last("avg_micro", ignorenulls=True).over(wb))
         .withColumn("pb", F.last(bi_obs, ignorenulls=True).over(wb))
-        .withColumn("nv", F.first("avg0", ignorenulls=True).over(wf))
+        .withColumn("nm", F.first("avg_micro", ignorenulls=True).over(wf))
         .withColumn("nb", F.first(bi_obs, ignorenulls=True).over(wf))
     )
-    interp = (
-        F.round(
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * (
-                (F.col("bi") - F.col("pb")).cast("double")
-                / (F.col("nb") - F.col("pb"))
-            ),
-            6,
-        )
-        + F.lit(0.0)
+    interp_micro = F.expr(
+        "(2 * (pm * (nb - bi) + nm * (bi - pb)) + (nb - pb))"
+        " div (2 * (nb - pb))"
     )
     return br.select(
         "event_type",
         "bucket",
         "n_events",
-        F.when(F.col("avg0").isNotNull(), F.round("avg0", 6) + F.lit(0.0))
-        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        F.when(
+            F.col("avg_micro").isNotNull(),
+            F.col("avg_micro").cast("double") / 1000000.0,
+        )
+        .when(
+            F.col("pm").isNotNull() & F.col("nm").isNotNull(),
+            interp_micro.cast("double") / 1000000.0,
+        )
         .alias("interp_avg"),
         (
-            F.col("avg0").isNull()
-            & F.col("pv").isNotNull()
-            & F.col("nv").isNotNull()
+            F.col("avg_micro").isNull()
+            & F.col("pm").isNotNull()
+            & F.col("nm").isNotNull()
         ).alias("filled"),
     )
 
