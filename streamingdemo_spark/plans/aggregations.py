@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import dsum, osum, query
+from streamingdemo_spark.registry import dsum, osum, query, usum
 
 
 @query(
@@ -510,9 +510,25 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows share the extreme price (any real corpus; the probe's
     replicated orders), bare max_by is implementation-pick and the
     engines legitimately disagree. Encoding bounds: cents ≤ 6e7 and
-    orderkey < 2^33 keep the product within int64 (~5e17).
+    orderkey < 2^33 keep the product within int64 (~5e17); beyond
+    them the encoding would silently mis-order, so a per-row
+    ``assert_true`` fails the QUERY loudly instead (the
+    min_label_components discipline: convert silent corruption into
+    an error naming the remedy — widen the encoding split).
     """
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    guard = F.assert_true(
+        (F.col("o_orderkey") >= 0)
+        & (F.col("o_orderkey") < F.lit(8589934592))
+        & (F.col("o_totalprice") >= 0)
+        & (F.col("o_totalprice") < F.lit(1.0e7)),
+        F.lit(
+            "agg_minmax_by: row outside the cents*2^33 -/+ orderkey "
+            "encoding bounds (orderkey < 2^33, price < 1e7); widen "
+            "the encoding split"
+        ),
+    )
+    o = o.where(guard.isNull())
     cents = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
     return o.groupBy("o_orderpriority").agg(
         F.expr(
@@ -997,7 +1013,7 @@ def agg_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))).alias("units"),
+        usum("value").alias("units"),
     )
     return (
         hourly.groupBy(

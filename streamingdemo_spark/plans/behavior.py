@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import dsum, query
+from streamingdemo_spark.registry import dsum, half_up_micro_avg, query, usum
 
 _EPOCH = "2024-01-01"
 
@@ -197,7 +197,7 @@ def _hourly_spine_join(ev, agg):
 
 @query(
     "ext_ts_resample",
-    oracle="""
+    oracle=f"""
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n_events,
@@ -221,8 +221,8 @@ def _hourly_spine_join(ev, agg):
              COALESCE(a.n_events, 0) AS n_events,
              CAST(COALESCE(a.units, 0) AS DOUBLE) / 10000.0 AS sum_value,
              CASE WHEN a.n_events > 0
-                  THEN (2 * a.units * 100 + a.n_events)
-                       // (2 * a.n_events) END AS avg_micro
+                  THEN {half_up_micro_avg("a.units", "a.n_events", sql=True)}
+                  END AS avg_micro
       FROM spine s LEFT JOIN agg a
         ON s.event_type = a.event_type AND s.bucket = a.bucket
     )
@@ -270,9 +270,7 @@ def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
-            "units"
-        ),
+        usum("value").alias("units"),
     )
     j = _hourly_spine_join(ev, agg).select(
         "event_type",
@@ -283,7 +281,7 @@ def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(
             F.col("n_events") > 0,
-            F.expr("(2 * units * 100 + n_events) div (2 * n_events)"),
+            F.expr(half_up_micro_avg("units", "n_events")),
         ).alias("avg_micro"),
     )
     w = (
@@ -361,7 +359,7 @@ def ext_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_ts_anomaly",
     oracle="""
     WITH u AS (
-      SELECT event_id, event_type,
+      SELECT event_id, event_type, ts,
              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
       FROM events
     ),
@@ -371,7 +369,7 @@ def ext_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COALESCE(SUM(x) OVER w, 0) AS BIGINT) AS su,
              CAST(COALESCE(SUM(x * x) OVER w, 0) AS BIGINT) AS sq
       FROM u
-      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, event_type,
@@ -407,11 +405,16 @@ def ext_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.select(
         "event_id",
         "event_type",
+        "ts",
         F.floor(F.col("value") * 10000 + F.lit(0.5)).alias("x"),
     )
+    # (ts, event_id), matching the stream twin's r7 fix: the trailing
+    # window is defined over TIME order, and id order coincides only
+    # while ids are ts-monotone — the twin keys must screen the same
+    # window on any corpus
     w = (
         Window.partitionBy("event_type")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(-24, -1)
     )
     win = u.select(
@@ -611,7 +614,7 @@ def ext_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_ts_twa",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT user_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
@@ -629,8 +632,8 @@ def ext_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     )
     SELECT user_id, n_events, sum_dt,
-           ROUND((CAST(sum_w AS DOUBLE) / sum_dt) / 10000.0, 6) + 0.0
-             AS twa_value
+           CAST({half_up_micro_avg("sum_w", "sum_dt", sql=True)}
+                AS DOUBLE) / 1000000.0 AS twa_value
     FROM agg WHERE sum_dt > 0
     """,
 )
@@ -644,9 +647,15 @@ def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: epoch seconds and 1e-4 value units are integers, so
     every weight and weighted term is an exact int64 product
     (|v_units·Δt| ≪ 2^63 for any realistic gauge/timespan) and the
-    per-user sums are order-insensitive; the single double division
-    happens once at the end, identically parenthesized in both
-    engines. Intervals are closed-open: the last observation of a user
+    per-user sums are order-insensitive; the average itself rounds
+    half-up ON THE INTEGER MICRO GRID (``(2·sum_w·100 + sum_dt) div
+    (2·sum_dt)``, operands non-negative) before one exact display
+    division by 1e6 — the same r7 rewrite as ``ext_ts_resample``,
+    whose ROUND(double, 6) idiom the sf1 probe proved flips per
+    engine when a rational quotient lands on a 1e-6 midpoint; this
+    key's quotients are the same small-denominator rationals, so the
+    idiom was retired here too rather than waiting for the midpoint.
+    Intervals are closed-open: the last observation of a user
     carries no weight (no successor) — users whose events share one
     second (sum_dt = 0) are excluded rather than divided by zero.
 
@@ -684,15 +693,15 @@ def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_dt",
         (
-            F.round((F.col("sum_w").cast("double") / F.col("sum_dt")) / 10000.0, 6)
-            + F.lit(0.0)
+            F.expr(half_up_micro_avg("sum_w", "sum_dt")).cast("double")
+            / 1000000.0
         ).alias("twa_value"),
     )
 
 
 @query(
     "ext_ts_interp",
-    oracle="""
+    oracle=f"""
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n_events,
@@ -716,8 +725,8 @@ def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(epoch(s.bucket)) AS BIGINT) // 3600 AS bi,
              COALESCE(a.n_events, 0) AS n_events,
              CASE WHEN a.n_events > 0
-                  THEN (2 * a.units * 100 + a.n_events)
-                       // (2 * a.n_events) END AS avg_micro
+                  THEN {half_up_micro_avg("a.units", "a.n_events", sql=True)}
+                  END AS avg_micro
       FROM spine s LEFT JOIN agg a
         ON s.event_type = a.event_type AND s.bucket = a.bucket
     ),
@@ -779,9 +788,7 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
-            "units"
-        ),
+        usum("value").alias("units"),
     )
     j = _hourly_spine_join(ev, agg).select(
         "event_type",
@@ -792,7 +799,7 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.when(
             F.col("n_events") > 0,
-            F.expr("(2 * units * 100 + n_events) div (2 * n_events)"),
+            F.expr(half_up_micro_avg("units", "n_events")),
         ).alias("avg_micro"),
     )
     wb = (

@@ -102,6 +102,29 @@ def dsum(col: Column | str, scale: int = 2, *, wide: bool = False) -> Column:
     return F.sum(F.floor(c * k + F.lit(0.5))).cast("double") / F.lit(float(k))
 
 
+def usum(col: Column | str, scale: int = 4) -> Column:
+    """Exact integer-unit sum (LONG) of a fixed-point double column —
+    the integer half of :func:`dsum`, for keys that keep computing ON
+    the unit grid (half-up averages, interpolation) instead of casting
+    back to double. Same quantization (``floor(x·10^s + 0.5)``), same
+    overflow bound as dsum's fast path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * 10**scale + F.lit(0.5)).cast("long"))
+
+
+def half_up_micro_avg(units: str, n: str, *, sql: bool = False) -> str:
+    """Round-half-up integer average on the micro (1e-6) grid from
+    1e-4-unit sums: ``(2·units·100 + n) div (2n)`` — all operands must
+    be non-negative so truncating division IS floor on both engines
+    (Spark ``div`` / DuckDB ``//``). One expression, two dialects, so
+    the Spark plan and the DuckDB oracle can never disagree on the
+    rounding rule (the r7 sf1 probe retired the ROUND(double, 6)
+    idiom this replaces: exact 1e-6 midpoints round differently per
+    engine)."""
+    op = "//" if sql else "div"
+    return f"(2 * {units} * 100 + {n}) {op} (2 * {n})"
+
+
 def osum(expr: str, scale: int = 2, *, wide: bool = False) -> str:
     """Oracle-SQL fragment matching :func:`dsum` term-for-term.
 

@@ -1593,7 +1593,13 @@ def stream_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursion runs on plain Python floats — IEEE doubles with the
     same literals and op order as the batch fold and the oracle's
     recursive CTE, so the final state is bit-identical and the
-    STREAMING key hash-certifies against the same SQL.
+    STREAMING key hash-certifies against the same SQL. (The final
+    ROUND(…, 6) presentation carries the engines' known midpoint
+    divergence — see ext_ts_resample's r7 note — but unlike that
+    key's small-denominator rational averages, a 50-step smoothing
+    recursion lands within an ulp of an exact 1e-6 midpoint with
+    ~2^-32 probability per value; the integer-grid rewrite is not
+    worth replacing the documented plain-float recursion here.)
 
     At 100 TB: state is one 4-field struct per active series (add a
     ProcessingTimeTimeout to retire idle series); each micro-batch

@@ -72,15 +72,22 @@ def build() -> None:
             parts.append(pa.table(cols))
         pq.write_table(pa.concat_tables(parts), os.path.join(DST, f"{t}.parquet"))
     # documents (cipher replicas) + embeddings + events via the r6
-    # probe's build, then link its outputs here
-    if not os.path.isdir(r6_scale_probe.DST) or not os.path.exists(
-        os.path.join(r6_scale_probe.DST, "documents.parquet")
+    # probe's build, then link its outputs here. Guard on ALL three
+    # outputs (an interrupted build can leave only documents behind),
+    # and replace links via lexists (exists() follows a dangling
+    # symlink and reports False, which would wedge re-runs on
+    # FileExistsError).
+    r6_tables = ("documents", "embeddings", "events")
+    if not all(
+        os.path.exists(os.path.join(r6_scale_probe.DST, f"{t}.parquet"))
+        for t in r6_tables
     ):
         r6_scale_probe.build()
-    for t in ("documents", "embeddings", "events"):
+    for t in r6_tables:
         dst = os.path.join(DST, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(r6_scale_probe.DST, f"{t}.parquet"), dst)
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(os.path.join(r6_scale_probe.DST, f"{t}.parquet"), dst)
 
 
 if __name__ == "__main__":
