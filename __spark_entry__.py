@@ -11,8 +11,12 @@ plans/streaming/extensions packages populates it.
 
 from __future__ import annotations
 
+import functools
 import json
 import pathlib
+import re
+import subprocess
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,8 +147,9 @@ _PRIORITY = [
     "ext_ts_holt_winters", "ext_cluster_kmeans", "ext_bootstrap_ci",
     "ext_attribution_shapley", "stream_bootstrap_ci",
     "snk_vacuum_retention",
-    # -- oracle upgraded in r6 (previously rows-only): re-certify as
-    #    hash rows first among proven keys once the fresh block drains
+    # -- oracle upgraded in r6 (previously rows-only): _derive_order
+    #    treats oracle-backed keys without a hash row as fresh, so
+    #    these run in the front block until their hash rows land
     "agg_percentile", "agg_approx_distinct",
     # -- oracle upgraded in r7 (exact value + deterministic tolerance
     #    flag, the r6 agg_percentile pattern) + the new PCA-invariants
@@ -199,15 +204,19 @@ _PRIORITY = [
 ]
 
 
-def driver_proven() -> frozenset[str]:
-    """Keys with a green hard-signal row in any CORRECTNESS_r*.json.
+def _correctness_history() -> dict[str, dict]:
+    """Per key: ``{"hash": bool, "green_round": int | None}``.
 
-    Green = hash_match is true, or the row ran clean under the
-    rows-only contract (err == "no_oracle"). A FAIL/error row does NOT
-    prove a key — the (presumably fixed) key re-runs next round.
+    ``hash`` = some round's row has hash_match true; ``green_round`` =
+    the LAST round with a green row (hash_match true, or a clean run
+    under the rows-only contract, err == "no_oracle"). A FAIL/error row
+    does NOT prove a key — the (presumably fixed) key re-runs next
+    round.
     """
-    proven: set[str] = set()
+    hist: dict[str, dict] = {}
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -215,23 +224,108 @@ def driver_proven() -> frozenset[str]:
         for key, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                proven.add(key)
-    return frozenset(proven)
+            rec = hist.setdefault(key, {"hash": False, "green_round": None})
+            if row.get("hash_match") is True:
+                rec["hash"] = True
+                rec["green_round"] = rnd
+            elif row.get("err") == "no_oracle":
+                rec["green_round"] = rnd
+    return hist
+
+
+def driver_proven() -> frozenset[str]:
+    """Keys with a green hard-signal row in any CORRECTNESS_r*.json."""
+    hist = _correctness_history()
+    return frozenset(k for k, rec in hist.items() if rec["green_round"] is not None)
+
+
+def driver_uncertified() -> frozenset[str]:
+    """Registered keys the driver still owes a row at their CURRENT
+    contract strength: never any green row, OR oracle-backed but never
+    hash-matched (an oracle upgraded after a rows-only row re-opens
+    certification — the r7 verdict found agg_percentile & co. stranded
+    at DRIVER_ORDER 243+ because a stale no_oracle row counted as proof
+    forever)."""
+    hist = _correctness_history()
+
+    def uncert(k: str) -> bool:
+        rec = hist.get(k)
+        if rec is None or rec["green_round"] is None:
+            return True
+        return k in ORACLES and not rec["hash"]
+
+    return frozenset(k for k in QUERIES if uncert(k))
+
+
+@functools.lru_cache(maxsize=None)
+def _change_ts(relpath: str) -> float:
+    """Last-change time of a repo file: its last git commit timestamp,
+    falling back to the filesystem mtime for uncommitted/untracked
+    files (the driver commits pending work before verify, so git is
+    normally current)."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(_REPO), "log", "-1", "--format=%ct", "--", relpath],
+            capture_output=True, text=True, timeout=15, check=False,
+        ).stdout.strip()
+        if out:
+            return float(out)
+    except Exception:
+        pass
+    try:
+        return (_REPO / relpath).stat().st_mtime
+    except OSError:
+        return 0.0
+
+
+def _module_relpath(key: str) -> str | None:
+    """Repo-relative path of the module implementing ``key``."""
+    fn = QUERIES.get(key)
+    if fn is None:
+        return None
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    path = getattr(mod, "__file__", None)
+    if not path:
+        return None
+    try:
+        return str(pathlib.Path(path).resolve().relative_to(_REPO))
+    except ValueError:
+        return None
 
 
 def _derive_order() -> list[str]:
-    proven = driver_proven()
+    hist = _correctness_history()
+    uncertified = driver_uncertified()
     # Capability-gated keys (e.g. stream_tws_custom without protobuf,
     # multimodal decode without PIL) may not register on this box;
     # DRIVER_ORDER tracks what actually registered, nothing more.
     priority = [k for k in _PRIORITY if k in QUERIES]
-    fresh = [k for k in priority if k not in proven]
-    old = [k for k in priority if k in proven]
+    fresh = [k for k in priority if k in uncertified]
+    old = [k for k in priority if k not in uncertified]
     # Registry keys missing from _PRIORITY (just-added ops) are by
     # definition never-checked: they run right after the known fresh
     # block, before anything proven.
     extra = [k for k in QUERIES if k not in set(_PRIORITY)]
+
+    # Proven block, ordered by regression risk: keys whose implementing
+    # module changed since the round that earned their last green row
+    # first, then oldest-green-first, priority order as the tiebreak —
+    # so the re-run budget lands where a regression could actually hide.
+    prio_idx = {k: i for i, k in enumerate(priority)}
+
+    def risk_key(k: str) -> tuple:
+        rec = hist[k]
+        rnd = rec["green_round"]
+        artifact = f"CORRECTNESS_r{rnd:02d}.json"
+        mod = _module_relpath(k)
+        changed = bool(
+            mod is not None
+            and (_REPO / artifact).exists()
+            and _change_ts(mod) > _change_ts(artifact)
+        )
+        return (0 if changed else 1, rnd, prio_idx.get(k, 10**6))
+
+    old.sort(key=risk_key)
     return fresh + extra + old
 
 

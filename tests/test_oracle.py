@@ -65,14 +65,29 @@ def test_entry_exports_cover_registry():
 
 def test_driver_order_in_sync_with_registry():
     """DRIVER_ORDER must name every registered key exactly once, and
-    every never-driver-proven key must come before every proven key
-    (derived from the CORRECTNESS_r*.json artifacts, so the order can
-    never go stale after a driver round)."""
+    every key the driver still owes a row at its current contract
+    strength (never proven, or oracle-backed without a hash row — the
+    r7 verdict's re-certification hole) must come before every
+    certified key (derived from the CORRECTNESS_r*.json artifacts, so
+    the order can never go stale after a driver round)."""
     assert sorted(entrymod.DRIVER_ORDER) == sorted(QUERIES)
     assert len(set(entrymod.DRIVER_ORDER)) == len(entrymod.DRIVER_ORDER)
-    proven = entrymod.driver_proven()
-    flags = [k in proven for k in entrymod.DRIVER_ORDER]
-    n_fresh = flags.count(False)
-    assert not any(flags[:n_fresh]), "a proven key precedes a fresh key"
-    assert all(flags[n_fresh:]), "a fresh key trails a proven key"
+    owed = entrymod.driver_uncertified()
+    flags = [k in owed for k in entrymod.DRIVER_ORDER]
+    n_fresh = flags.count(True)
+    assert all(flags[:n_fresh]), "a certified key precedes an owed key"
+    assert not any(flags[n_fresh:]), "an owed key trails a certified key"
     assert list(entrymod.queries()) == entrymod.DRIVER_ORDER
+
+
+def test_driver_order_fronts_recertification_keys():
+    """The r7 verdict's concrete stranding case: every oracle-backed
+    key whose only green rows predate its oracle must sit in the front
+    (uncertified) block, not at its original priority position."""
+    owed = entrymod.driver_uncertified()
+    proven = entrymod.driver_proven()
+    upgraded = {k for k in owed if k in proven and k in ORACLES}
+    n_front = len(owed)
+    for k in upgraded:
+        pos = entrymod.DRIVER_ORDER.index(k)
+        assert pos < n_front, f"{k} stranded at position {pos}"
