@@ -195,6 +195,25 @@ def _hourly_spine_join(ev, agg):
     )
 
 
+def _nonneg_value_guard(ev, key: str):
+    """``half_up_micro_avg``'s truncating-div-equals-floor identity
+    holds only for non-negative operands (registry.py): fail the query
+    loudly on a negative event value instead of silently rounding
+    toward zero — a divergence the hash-parity harness can't surface
+    because both engines would agree (the agg_minmax_by encoding-guard
+    discipline)."""
+    guard = F.assert_true(
+        F.col("value") >= 0,
+        F.lit(
+            f"{key}: negative event value violates half_up_micro_avg's"
+            " non-negative-operand precondition (truncating div is not"
+            " floor for negative operands); shift values upstream or"
+            " extend the formula to signed sums"
+        ),
+    )
+    return ev.where(guard.isNull())
+
+
 @query(
     "ext_ts_resample",
     oracle=f"""
@@ -265,9 +284,9 @@ def ext_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate). Leading buckets before the first observation stay NULL
     (nothing to carry) on both engines.
     """
-    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
-        "bucket", F.date_trunc("hour", F.col("ts"))
-    )
+    ev = _nonneg_value_guard(
+        load_tables(spark, sf_dir, ("events",))["events"], "ext_ts_resample"
+    ).withColumn("bucket", F.date_trunc("hour", F.col("ts")))
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
         usum("value").alias("units"),
@@ -664,7 +683,9 @@ def ext_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/agg exchanges into one. No spine join, no explode: cost is
     linear in events regardless of time span (contrast
     ``ext_ts_resample``, whose hourly spine grows with the window)."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _nonneg_value_guard(
+        load_tables(spark, sf_dir, ("events",))["events"], "ext_ts_twa"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ; the NTZ→LTZ cast is pinned safe by the
     # session's UTC timeZone (session.py), making unix_seconds the
@@ -783,9 +804,9 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (prev/next value and position). Spark computes all four
     over ONE exchange (same partitioning, two sort orders), so the
     extra carries cost sorts, not shuffles."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
-        "bucket", F.date_trunc("hour", F.col("ts"))
-    )
+    ev = _nonneg_value_guard(
+        load_tables(spark, sf_dir, ("events",))["events"], "ext_ts_interp"
+    ).withColumn("bucket", F.date_trunc("hour", F.col("ts")))
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
         usum("value").alias("units"),

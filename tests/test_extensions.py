@@ -616,8 +616,15 @@ def test_kll_merge_rank_accuracy(spark, sf_dir):
     n = ev.count()
     for target, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
         qhat = est["ALL"][col]
-        rank = ev.filter(F.col("value") <= qhat).count() / n
-        assert abs(rank - target) <= 1.5 / n + 1e-12, (col, qhat, rank)
+        # Tie-robust nearest-rank check: qhat is the nearest-rank value
+        # iff strictly-below count < ceil(target*n) <= at-or-below
+        # count. A plain |count(<=qhat)/n - target| band is tie-blind:
+        # at sf0.1 the median value occurs 10 times, so the <= count
+        # legitimately overshoots the target rank by 5.
+        want = -(-int(target * 1_000_000) * n // 1_000_000)  # ceil on ints
+        below = ev.filter(F.col("value") < qhat).count()
+        at_or_below = ev.filter(F.col("value") <= qhat).count()
+        assert below < want <= at_or_below, (col, qhat, below, want, at_or_below)
 
 
 class TestRetrieval:

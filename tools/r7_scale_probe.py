@@ -60,6 +60,12 @@ REPLICAS = 10
 KEY_OFFSET = 10_000_000  # % 32 == % 16 == 0: preserves sampling filters
 DAY_SHIFT_US = 20_000 * 86_400_000_000  # 20k days in microseconds
 
+# CONSTRAINT: the 10x build offsets orders.o_custkey by r*KEY_OFFSET
+# per replica but symlinks customer UNSCALED, so replicas r>0 reference
+# customers that don't exist. Harmless for the keys below (none joins
+# orders to customer) — but any added key that does would silently see
+# a 90%-empty join; replicate customer with the matching offset first
+# (the sf1_differential build does) before adding such a key.
 KEYS = [
     "stream_chained_windows",
     "agg_markov_transitions",
