@@ -142,6 +142,21 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    # Anchor walls + box metadata travel IN the artifact so a
+    # cross-round comparison can normalize mechanically instead of
+    # re-running old code (the r6->r7 similarity-family false alarm
+    # cost a git-worktree A/B because the artifact carried no anchor).
+    out["anchor_walls"] = {
+        k: timings[k] for k in ANCHOR_KEYS if k in timings
+    }
+    import platform
+
+    out["box"] = {
+        "cpus": os.cpu_count(),
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "platform": platform.platform(),
+        "python": platform.python_version(),
+    }
     anchors = _anchor_ratios(timings, float(sf))
     if anchors:
         # Same-key wall ratio vs the previous round's recorded bench.
