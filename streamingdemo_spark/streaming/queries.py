@@ -1412,12 +1412,26 @@ def stream_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     age gram state out with a watermark on ingest time; the map-side
     winnowing stage is identical in all three variants.
     """
-    from streamingdemo_spark.extensions.dedup import _winnowed_grams
-    from streamingdemo_spark.registry import poly_hash
     from streamingdemo_spark.streaming.sources import documents_stream
 
     stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
-    agg = (
+    return run_to_memory(
+        substring_dedup_agg(stream), output_mode="complete"
+    )
+
+
+def substring_dedup_agg(stream: DataFrame) -> DataFrame:
+    """The unbounded dedup relation behind ``stream_dedup_substring``:
+    map-side winnowing (stateless Arrow UDF + explode, below the
+    shuffle) feeding ONE stateful gram aggregate. Factored out so
+    tests/test_plans.py can pin the plan shape without running the
+    stream (map-side winnowing is the whole 100 TB story — a refactor
+    that shuffles raw per-position rows would still pass the value
+    hash)."""
+    from streamingdemo_spark.extensions.dedup import _winnowed_grams
+    from streamingdemo_spark.registry import poly_hash
+
+    return (
         _winnowed_grams(stream)
         .groupBy("gram")
         .agg(
@@ -1429,7 +1443,6 @@ def stream_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             poly_hash(F.col("gram")).alias("span_hash"), "n_docs", "n_occ"
         )
     )
-    return run_to_memory(agg, output_mode="complete")
 
 
 _BOTTOMK_STREAM_K = 20

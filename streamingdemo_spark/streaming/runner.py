@@ -24,6 +24,13 @@ CHECKPOINT_ROOT = os.environ.get(
 )
 
 
+# Executed physical plan of the most recent run_to_memory stream —
+# streaming DataFrames can't be explained before .start(), so this is
+# the hook tests/test_plans.py uses to pin streaming plan shapes
+# (map-side UDF placement, stateful-operator count) after a replay.
+LAST_STREAM_PLAN: str = ""
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",
@@ -63,6 +70,8 @@ def run_to_memory(
                     f"streaming replay exceeded {timeout_sec}s "
                     f"(query {name} stopped with partial results)"
                 )
+            global LAST_STREAM_PLAN
+            LAST_STREAM_PLAN = query._jsq.explainInternal(False)
         finally:
             query.stop()
     finally:
