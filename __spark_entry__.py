@@ -158,6 +158,8 @@ _PRIORITY = [
     "ext_embedding_pca_invariants",
     # -- round-7 additions
     "src_txn_log_time_travel", "ext_quality_gopher_rules",
+    # -- round-8 additions
+    "src_txn_log_incremental", "stream_quality_gopher_gate",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

@@ -121,9 +121,10 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ext_quality_gopher_rules",
-    oracle=f"""
+# Shared by the batch key below and its streaming twin
+# (streaming/queries.py stream_quality_gopher_gate): the ruleset is a
+# stateless projection, so one oracle certifies both legs.
+GOPHER_ORACLE = f"""
     WITH m AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -149,37 +150,18 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND 5 * n_alpha >= 4 * n_words
              AND n_stop >= 2 AS gopher_ok
     FROM m
-    """,
-)
-def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher quality-filter ruleset (Rae et al. 2021, Appendix A
-    — the rule battery MassiveText/RefinedWeb/FineWeb descend from),
-    evaluated per document with every threshold as a PURE INTEGER
-    inequality so both engines decide each rule identically:
-
-    - ok_wordcount: 50 ≤ word count ≤ 100,000;
-    - ok_meanlen: mean word length in [3, 10] chars, tested as
-      3·n_words ≤ word_chars ≤ 10·n_words — no division;
-    - ok_symbol: '#'/'…'-bearing words under 10% (10·n_sym < n_words);
-    - ok_alpha: ≥80% of words contain an alphabetic character, tested
-      portably as lower(w) ≠ upper(w) (no regex — engines' regex
-      classes differ, case mapping on ASCII doesn't);
-    - ok_stopwords: ≥2 distinct function words present (the module's
-      STOPWORDS list — the fixture adaptation of Gopher's canonical
-      {{the, be, to, of, and, …}}, whose live members here are
-      'the'/'a'; measured mixed true/false across the corpus so the
-      rule is non-vacuous);
-    - gopher_ok: the conjunction — the keep/drop bit the pipeline
-      consumes.
-
-    One JVM-side projection over the scan, no shuffle, no UDF — at
-    100 TB this runs at parquet-read speed and composes with
-    ``ext_quality_prune``'s percentile cuts and ``ext_train_mix``
-    downstream, exactly where the published pipelines place it.
     """
+
+
+def gopher_rules_projection(d: DataFrame) -> DataFrame:
+    """The Gopher rule battery as ONE stateless projection over any
+    (doc_id, text) relation — batch or unbounded. Factored out so the
+    batch key and the streaming gate share the exact expression tree
+    (the stream_ts_holt twin discipline: one rule source, two
+    execution modes)."""
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    m = _docs(spark, sf_dir).select(
+    m = d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_words"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -214,6 +196,36 @@ def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gopher_ok"
         ),
     )
+
+
+@query("ext_quality_gopher_rules", oracle=GOPHER_ORACLE)
+def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter ruleset (Rae et al. 2021, Appendix A
+    — the rule battery MassiveText/RefinedWeb/FineWeb descend from),
+    evaluated per document with every threshold as a PURE INTEGER
+    inequality so both engines decide each rule identically:
+
+    - ok_wordcount: 50 ≤ word count ≤ 100,000;
+    - ok_meanlen: mean word length in [3, 10] chars, tested as
+      3·n_words ≤ word_chars ≤ 10·n_words — no division;
+    - ok_symbol: '#'/'…'-bearing words under 10% (10·n_sym < n_words);
+    - ok_alpha: ≥80% of words contain an alphabetic character, tested
+      portably as lower(w) ≠ upper(w) (no regex — engines' regex
+      classes differ, case mapping on ASCII doesn't);
+    - ok_stopwords: ≥2 distinct function words present (the module's
+      STOPWORDS list — the fixture adaptation of Gopher's canonical
+      {{the, be, to, of, and, …}}, whose live members here are
+      'the'/'a'; measured mixed true/false across the corpus so the
+      rule is non-vacuous);
+    - gopher_ok: the conjunction — the keep/drop bit the pipeline
+      consumes.
+
+    One JVM-side projection over the scan, no shuffle, no UDF — at
+    100 TB this runs at parquet-read speed and composes with
+    ``ext_quality_prune``'s percentile cuts and ``ext_train_mix``
+    downstream, exactly where the published pipelines place it.
+    """
+    return gopher_rules_projection(_docs(spark, sf_dir))
 
 
 @query(

