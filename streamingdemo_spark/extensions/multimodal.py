@@ -240,7 +240,8 @@ PHASH_MUTANT_OFFSET = 2_000_000
 _N_BUCKETS = 64  # 63 adjacent-pair bits -> fits a positive int64
 _HAMMING_MAX = 8
 _N_BANDS = 8  # 8 bands x 8 bits: >=1 clean band unless flips hit all 8
-# The sf0.1 probe (tools/r4b_scale_probe.py) showed band-collision
+# The sf0.1 probe (r4b scale probe, git history; now
+# tools/scale_probe.py) showed band-collision
 # pairs growing ~80x at 10x docs on this low-entropy fixture — the
 # classic LSH hot-bucket blowup. Same guard as ext_dedup_minhash:
 # drop buckets above the cap (a bucket that big is boilerplate, not a

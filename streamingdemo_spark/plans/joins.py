@@ -441,7 +441,8 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap copies, lineitem hashes into S buckets) and both sides are
     explicitly repartitioned on (band, salt), which pins the task
     count and spreads candidate generation evenly. The wider-slice
-    probe (tools/r4_scale_probe.py) showed 16× intervals going
+    probe (r4 scale probe, git history; now tools/scale_probe.py)
+    showed 16× intervals going
     superlinear (58.7 s) without the salt and linear (≈wall × slice)
     with it.
     """

@@ -11,9 +11,10 @@ Derivation (into /tmp/sim_sf1; /root/testdata untouched; all tables
 single parquet FILES so DuckDB's read_parquet('<t>.parquet') works):
 - region/nation: shared (25 nations at any TPC-H sf) — copied.
 - customer/supplier/part/orders/lineitem: 10 key-offset replicas
-  (the sweep_sf1_probe offsets; dates unchanged, so join fan-outs
-  and date-filter selectivities scale realistically).
-- documents/embeddings/events: the r6_scale_probe derivations
+  (dates unchanged, so join fan-outs and date-filter selectivities
+  scale realistically — unlike the perf probe's date-shifted build,
+  this sweep WANTS the richer cross-replica predicate interactions).
+- documents/embeddings/events: the tools/scale_probe.py derivations
   (cipher-rotated docs keep per-replica duplicate structure without
   cross-replica 40-gram collisions; jittered embeddings; fresh-user
   events).
@@ -36,7 +37,7 @@ import pyarrow.parquet as pq
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from tools import r6_scale_probe  # noqa: E402
+from tools import scale_probe  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sim_sf1"
@@ -71,23 +72,11 @@ def build() -> None:
                 )
             parts.append(pa.table(cols))
         pq.write_table(pa.concat_tables(parts), os.path.join(DST, f"{t}.parquet"))
-    # documents (cipher replicas) + embeddings + events via the r6
-    # probe's build, then link its outputs here. Guard on ALL three
-    # outputs (an interrupted build can leave only documents behind),
-    # and replace links via lexists (exists() follows a dangling
-    # symlink and reports False, which would wedge re-runs on
-    # FileExistsError).
-    r6_tables = ("documents", "embeddings", "events")
-    if not all(
-        os.path.exists(os.path.join(r6_scale_probe.DST, f"{t}.parquet"))
-        for t in r6_tables
-    ):
-        r6_scale_probe.build()
-    for t in r6_tables:
-        dst = os.path.join(DST, f"{t}.parquet")
-        if os.path.lexists(dst):
-            os.remove(dst)
-        os.symlink(os.path.join(r6_scale_probe.DST, f"{t}.parquet"), dst)
+    # documents (cipher replicas) + embeddings + events: the shared
+    # derivations from tools/scale_probe.py, written DIRECTLY into
+    # this DST (the r7-era symlinks into the per-round probe dir, and
+    # their dangling-link re-run wedge, are gone with that probe).
+    scale_probe.build_text_corpus(SRC, DST, REPLICAS)
 
 
 if __name__ == "__main__":
