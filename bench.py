@@ -100,6 +100,9 @@ HEADLINE = [
     "ext_coreset_kcenter",    # k-scan farthest-point selection chain
     "ext_cluster_kmeans",     # deterministic Lloyd rounds (IVF fit shape)
     "ext_bootstrap_ci",       # one-pass Poisson bootstrap CI
+    # round-8 additions
+    "src_txn_log_incremental",     # commit-log stream + delta side-reads
+    "stream_quality_gopher_gate",  # stateless quality screen per micro-batch
 ]
 
 

@@ -759,3 +759,98 @@ def src_txn_log_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version bigint, n_added bigint, n_removed bigint, "
         "delta_cents bigint, net_rows bigint",
     )
+
+
+@query(
+    "src_txn_log_stats_prune",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders, b
+    WHERE o_orderkey
+      BETWEEN lo + ((hi - lo + 1) * 3) // 10
+          AND lo + ((hi - lo + 1) * 9) // 20
+    """,
+)
+def src_txn_log_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping via per-file min/max column stats carried IN the
+    transaction log — the data-skipping half of a lakehouse reader
+    (Delta's stats-based pruning / Iceberg's manifest ranges): the
+    writer records each data file's o_orderkey [min, max] in its add
+    action, and a point/range query consults ONLY the log (metadata,
+    driver-side by design) to drop every file whose range cannot
+    overlap the predicate — at 100 TB the difference between scanning
+    a table and scanning the 2 files that matter, before partition
+    pruning or parquet row-group stats even enter.
+
+    Staging: orders range-bucketed into 8 files by o_orderkey (so the
+    per-file ranges are tight and disjoint), one commit whose add
+    actions carry the REAL written min/max per file (computed by one
+    grouped aggregate — writer-side stats, the Delta convention).
+    Query: keys in the [30%, 45%] span of the key range (pure integer
+    arithmetic both engines replay: truncating division on
+    non-negative operands). The pruned scan reads exactly the
+    overlapping files — pinned by tests/test_plans.py via
+    ``df.inputFiles()``, which reflects the explicit path list — and
+    re-applies the predicate as the residual filter (stats skip files,
+    they don't subset rows). The oracle proves the pruned+filtered
+    result equals the logical table's answer: skipping must be
+    invisible to query semantics.
+    """
+    import json
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]  # 2 scalars — the driver edge every reader has
+    lo, hi = int(b["lo"]), int(b["hi"])
+    span = hi - lo + 1
+    n_files = 8
+    base = tempfile.mkdtemp(prefix="txnlog_stats_")
+    # integer DIV, not float division: the bucket split is part of the
+    # staged layout and should be bit-deterministic by construction
+    bucket = F.expr(f"((o_orderkey - {lo}) * {n_files}) DIV {span}")
+    stats = {
+        int(r["b"]): (int(r["mn"]), int(r["mx"]))
+        for r in o.groupBy(bucket.alias("b"))
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .collect()  # n_files rows — writer-side stats
+    }
+    for part in range(n_files):
+        o.filter(bucket == part).write.mode("overwrite").parquet(
+            os.path.join(base, f"part{part}")
+        )
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "00000000.json"), "w") as f:
+        for part in sorted(stats):
+            mn, mx = stats[part]
+            f.write(
+                json.dumps(
+                    {"add": f"part{part}", "min_key": mn, "max_key": mx}
+                )
+                + "\n"
+            )
+
+    qlo = lo + span * 3 // 10
+    qhi = lo + span * 9 // 20
+    # metadata-only pruning: the log, never the data files
+    live: list[tuple[str, int, int]] = []
+    with open(os.path.join(log_dir, "00000000.json")) as f:
+        for line in f:
+            a = json.loads(line)
+            live.append((a["add"], a["min_key"], a["max_key"]))
+    keep = [
+        os.path.join(base, p)
+        for p, mn, mx in sorted(live)
+        if not (mx < qlo or mn > qhi)
+    ]
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("o_orderkey").between(qlo, qhi))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )

@@ -1065,3 +1065,50 @@ def test_stream_dedup_substring_winnows_map_side(spark, sf_dir):
     # means the UDF runs below the shuffle — i.e. map-side
     assert exchange_at < udf_at, plan
     assert "CartesianProduct" not in plan
+
+
+def test_txn_log_stats_prune_skips_non_overlapping_files(spark, sf_dir):
+    """Stats-based file skipping must actually skip: the scan's input
+    files are a strict subset of the table's 8 range-bucketed files
+    (only ranges overlapping the [30%, 45%] key span survive), every
+    scanned file's bucket range overlaps the predicate, and the result
+    is exactly the logical table's answer for that range."""
+    import os
+    import re
+
+    import pyspark.sql.functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    df = QUERIES["src_txn_log_stats_prune"](spark, sf_dir)
+    files = df.inputFiles()
+    parts = {
+        int(m.group(1))
+        for f in files
+        for m in [re.search(r"part(\d+)", f)]
+        if m
+    }
+    assert 0 < len(parts) < 8, parts  # pruning happened, scan non-empty
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    span = hi - lo + 1
+    qlo, qhi = lo + span * 3 // 10, lo + span * 9 // 20
+    # the surviving buckets are exactly those whose range overlaps
+    want = {
+        part
+        for part in range(8)
+        if not (
+            lo + (part + 1) * span // 8 - 1 < qlo  # bucket upper bound
+            or lo + part * span // 8 > qhi          # bucket lower bound
+        )
+    }
+    # writer stats are TIGHT (real min/max), so the kept set can only
+    # be a subset of the geometric overlap set
+    assert parts <= want, (parts, want)
+    n_expected = orders.filter(
+        F.col("o_orderkey").between(qlo, qhi)
+    ).count()
+    assert df.count() == n_expected
