@@ -311,10 +311,26 @@ def _derive_order() -> list[str]:
     extra = [k for k in QUERIES if k not in set(_PRIORITY)]
 
     # Proven block, ordered by regression risk: keys whose implementing
-    # module changed since the round that earned their last green row
-    # first, then oldest-green-first, priority order as the tiebreak —
-    # so the re-run budget lands where a regression could actually hide.
+    # module — or any of the shared helper modules EVERY key flows
+    # through (registry's sum/hash helpers, the table loader, the
+    # session config, the streaming runner/sources) — changed since the
+    # round that earned their last green row first, then
+    # oldest-green-first, priority order as the tiebreak — so the
+    # re-run budget lands where a regression could actually hide. The
+    # shared modules matter: an edit to usum()/half_up_micro_avg()
+    # touches dozens of proven keys whose own modules stay untouched.
     prio_idx = {k: i for i, k in enumerate(priority)}
+    shared = [
+        "streamingdemo_spark/registry.py",
+        "streamingdemo_spark/io.py",
+        "streamingdemo_spark/session.py",
+        "streamingdemo_spark/streaming/runner.py",
+        "streamingdemo_spark/streaming/sources.py",
+    ]
+    shared_ts = max(
+        (_change_ts(p) for p in shared if (_REPO / p).exists()),
+        default=0.0,
+    )
 
     def risk_key(k: str) -> tuple:
         rec = hist[k]
@@ -322,9 +338,11 @@ def _derive_order() -> list[str]:
         artifact = f"CORRECTNESS_r{rnd:02d}.json"
         mod = _module_relpath(k)
         changed = bool(
-            mod is not None
-            and (_REPO / artifact).exists()
-            and _change_ts(mod) > _change_ts(artifact)
+            (_REPO / artifact).exists()
+            and (
+                (mod is not None and _change_ts(mod) > _change_ts(artifact))
+                or shared_ts > _change_ts(artifact)
+            )
         )
         return (0 if changed else 1, rnd, prio_idx.get(k, 10**6))
 

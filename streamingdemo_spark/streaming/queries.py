@@ -21,7 +21,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamingdemo_spark.extensions.text import GOPHER_ORACLE
 from streamingdemo_spark.io import load_tables
 from streamingdemo_spark.registry import dsum, osum, query
 from streamingdemo_spark.streaming.runner import run_to_memory
@@ -1424,11 +1423,13 @@ def stream_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_dedup_agg(stream: DataFrame) -> DataFrame:
     """The unbounded dedup relation behind ``stream_dedup_substring``:
     map-side winnowing (stateless Arrow UDF + explode, below the
-    shuffle) feeding ONE stateful gram aggregate. Factored out so
-    tests/test_plans.py can pin the plan shape without running the
-    stream (map-side winnowing is the whole 100 TB story — a refactor
-    that shuffles raw per-position rows would still pass the value
-    hash)."""
+    shuffle) feeding ONE stateful gram aggregate. Map-side winnowing
+    is the whole 100 TB story — a refactor that shuffles raw
+    per-position rows would still pass the value hash — so
+    tests/test_plans.py pins the executed plan shape (streaming plans
+    can't be explained pre-start; the test replays the key and asserts
+    on ``runner.LAST_STREAM_PLAN``). Factored out so a caller can
+    compose the same relation over any (doc_id, text) stream."""
     from streamingdemo_spark.extensions.dedup import _winnowed_grams
     from streamingdemo_spark.registry import poly_hash
 
@@ -1772,32 +1773,45 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_quality_gopher_gate", oracle=GOPHER_ORACLE)
-def stream_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher quality ruleset (``ext_quality_gopher_rules``,
-    text.py) as a CONTINUOUS-INGEST micro-batch screen — the place a
-    crawl pipeline actually runs it: documents arrive as a stream and
-    each micro-batch evaluates the full rule battery map-side (the
-    projection is stateless, so it runs unchanged on an unbounded
-    relation — Structured Streaming's batch/stream unification),
-    emitting the per-document keep/drop verdicts in append mode.
+# Import-guarded like __spark_entry__'s package guards: in a staged
+# build where the streaming package exists but extensions don't, only
+# this twin key vanishes — a module-level import would take every
+# streaming key down with it (the registry would silently shrink).
+try:
+    from streamingdemo_spark.extensions.text import GOPHER_ORACLE
+except ImportError:
+    GOPHER_ORACLE = None
 
-    The twin discipline (``stream_ts_holt`` pattern): the SAME
-    expression tree (``gopher_rules_projection``) and the SAME DuckDB
-    oracle certify both legs, so after the deterministic availableNow
-    replay this key's multi-batch output must hash-equal the batch
-    key — a real streaming execution earning a full value-hash row,
-    not a rows-only smoke.
+if GOPHER_ORACLE is not None:
 
-    100 TB/continuous shape: zero state, zero shuffle — the gate runs
-    at ingest speed on each micro-batch and composes upstream of the
-    stateful dedup stages (``stream_dedup_substring``), exactly where
-    the published pipelines place their quality filters (filter before
-    you fingerprint: the gate is O(chars) and cuts the dedup state for
-    every document it drops).
-    """
-    from streamingdemo_spark.extensions.text import gopher_rules_projection
-    from streamingdemo_spark.streaming.sources import documents_stream
+    @query("stream_quality_gopher_gate", oracle=GOPHER_ORACLE)
+    def stream_quality_gopher_gate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The Gopher quality ruleset (``ext_quality_gopher_rules``,
+        text.py) as a CONTINUOUS-INGEST micro-batch screen — the place a
+        crawl pipeline actually runs it: documents arrive as a stream and
+        each micro-batch evaluates the full rule battery map-side (the
+        projection is stateless, so it runs unchanged on an unbounded
+        relation — Structured Streaming's batch/stream unification),
+        emitting the per-document keep/drop verdicts in append mode.
 
-    stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
-    return run_to_memory(gopher_rules_projection(stream), output_mode="append")
+        The twin discipline (``stream_ts_holt`` pattern): the SAME
+        expression tree (``gopher_rules_projection``) and the SAME DuckDB
+        oracle certify both legs, so after the deterministic availableNow
+        replay this key's multi-batch output must hash-equal the batch
+        key — a real streaming execution earning a full value-hash row,
+        not a rows-only smoke.
+
+        100 TB/continuous shape: zero state, zero shuffle — the gate runs
+        at ingest speed on each micro-batch and composes upstream of the
+        stateful dedup stages (``stream_dedup_substring``), exactly where
+        the published pipelines place their quality filters (filter before
+        you fingerprint: the gate is O(chars) and cuts the dedup state for
+        every document it drops).
+        """
+        from streamingdemo_spark.extensions.text import gopher_rules_projection
+        from streamingdemo_spark.streaming.sources import documents_stream
+
+        stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
+        return run_to_memory(gopher_rules_projection(stream), output_mode="append")

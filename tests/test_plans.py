@@ -1085,7 +1085,7 @@ def test_txn_log_stats_prune_skips_non_overlapping_files(spark, sf_dir):
     parts = {
         int(m.group(1))
         for f in files
-        for m in [re.search(r"part(\d+)", f)]
+        for m in [re.search(r"b=(\d+)", f)]
         if m
     }
     assert 0 < len(parts) < 8, parts  # pruning happened, scan non-empty

@@ -60,7 +60,7 @@ import streamingdemo_spark.streaming.queries  # noqa: E402,F401
 from streamingdemo_spark.registry import QUERIES  # noqa: E402
 from streamingdemo_spark.session import get_spark  # noqa: E402
 
-from bench import ANCHOR_KEYS, _anchor_ratios  # noqa: E402
+from bench import ANCHOR_KEYS, _anchor_ratios, _drain  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 KEY_OFFSET = 10_000_000  # % 32 == % 16 == 0: preserves sampling filters
@@ -138,6 +138,16 @@ def cipher_documents(src: str, dst: str, replicas: int, offset: int) -> None:
     """documents N×: rotation-cipher replicas (see module docstring).
     Offsets clear MUTANT_OFFSET (1e6) so minhash mutant-planting stays
     per-replica."""
+    if replicas > len(COMMON):
+        # rotation r == len(COMMON) is the identity map: replicas 10+
+        # would be byte-identical twins of replicas 0-9, cross-replica
+        # shingle matches would explode, and the probe would report a
+        # spurious superlinear "regression". Fail loudly instead.
+        raise ValueError(
+            f"cipher derivation supports at most {len(COMMON)} replicas "
+            f"(rotation wraps to identity at r={len(COMMON)}); "
+            f"asked for {replicas}"
+        )
     t = pq.read_table(os.path.join(src, "documents.parquet"))
     texts = t["text"].to_pylist()
     parts = []
@@ -238,9 +248,20 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-probe")
     QUERIES["src_parquet_scan"](spark, SRC).collect()  # warm the JVM
+    # Anchor walls use bench.py's EXACT protocol (clearCache +
+    # full-column _drain, best-of-2) — the recorded BENCH_r*.json
+    # walls they are divided against came from that protocol, and a
+    # warm .count() would conflate protocol with box speed (the
+    # retired per-round probes had that flaw).
     anchor_walls = {}
     for key in ANCHOR_KEYS:
-        anchor_walls[key], _ = warm_wall(spark, key, SRC)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _drain(QUERIES[key](spark, SRC))
+            best = min(best, time.perf_counter() - t0)
+        anchor_walls[key] = round(best, 3)
     anchors = _anchor_ratios(anchor_walls, 0.1)
 
     out: dict = {
