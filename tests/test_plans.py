@@ -1028,7 +1028,13 @@ def test_minhash_is_aggregate_form_with_in_row_verify(spark, sf_dir):
     recomputation or a pair-level shuffle would drop partial_min),
     the skew guard's bucket-size window is present, the verify stage
     intersects token arrays IN-ROW, and nothing goes quadratic or
-    drops to Python."""
+    drops to Python.
+
+    clearCache first: the key caches its shingle/signature relations,
+    and a prior run in the same session (the oracle test) leaves
+    cached plans that print as InMemoryTableScan, hiding the
+    aggregate/explode structure this test pins."""
+    spark.catalog.clearCache()
     plan = _plan(QUERIES["ext_dedup_minhash"](spark, sf_dir))
     assert "partial_min" in plan, plan
     assert "array_intersect" in plan, plan
