@@ -160,7 +160,7 @@ _PRIORITY = [
     "src_txn_log_time_travel", "ext_quality_gopher_rules",
     # -- round-8 additions
     "src_txn_log_incremental", "stream_quality_gopher_gate",
-    "src_txn_log_stats_prune",
+    "src_txn_log_stats_prune", "snk_txn_log_commit", "snk_txn_log_merge",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

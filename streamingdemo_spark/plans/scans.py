@@ -799,6 +799,31 @@ def src_txn_log_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equals the logical table's answer: skipping must be
     invisible to query semantics.
     """
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    qlo = lo + span * 3 // 10
+    qhi = lo + span * 9 // 20
+    keep = [
+        os.path.join(base, p)
+        for p, mn, mx in _txn_log_stats_replay(log_dir)
+        if not (mx < qlo or mn > qhi)
+    ]
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("o_orderkey").between(qlo, qhi))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def _txn_log_stats_stage(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> tuple[str, str, int, int]:
+    """Stage orders as a stats-carrying txn-log table: n_files tight
+    range buckets written in ONE partitioned scan, plus commit 0 whose
+    add actions carry each bucket's REAL o_orderkey min/max
+    (writer-side stats, the Delta convention). Shared by the
+    stats-prune read key and the copy-on-write MERGE key. Returns
+    (base dir, log dir, key lo, key hi)."""
     import json
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
@@ -809,7 +834,6 @@ def src_txn_log_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]  # 2 scalars — the driver edge every reader has
     lo, hi = int(b["lo"]), int(b["hi"])
     span = hi - lo + 1
-    n_files = 8
     base = tempfile.mkdtemp(prefix="txnlog_stats_")
     # integer DIV, not float division: the bucket split is part of the
     # staged layout and should be bit-deterministic by construction
@@ -838,22 +862,189 @@ def src_txn_log_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + "\n"
             )
+    return base, log_dir, lo, hi
 
-    qlo = lo + span * 3 // 10
-    qhi = lo + span * 9 // 20
-    # metadata-only pruning: the log, never the data files
-    live: list[tuple[str, int, int]] = []
-    with open(os.path.join(log_dir, "00000000.json")) as f:
-        for line in f:
-            a = json.loads(line)
-            live.append((a["add"], a["min_key"], a["max_key"]))
-    keep = [
-        os.path.join(base, p)
-        for p, mn, mx in sorted(live)
-        if not (mx < qlo or mn > qhi)
-    ]
-    return (
-        spark.read.parquet(*keep)
-        .filter(F.col("o_orderkey").between(qlo, qhi))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+def _txn_log_stats_replay(log_dir: str) -> list[tuple[str, int, int]]:
+    """Replay a stats-carrying log into the live (path, min, max) set —
+    metadata only, add/remove actions in commit order."""
+    import json
+
+    live: dict[str, tuple[int, int]] = {}
+    for name in sorted(os.listdir(log_dir)):
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live[a["add"]] = (a["min_key"], a["max_key"])
+                if "remove" in a:
+                    live.pop(a["remove"], None)
+    return [(p, mn, mx) for p, (mn, mx) in sorted(live.items())]
+
+
+@query(
+    "snk_txn_log_commit",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def snk_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txn-log WRITE path: an atomic append commit under
+    optimistic concurrency — the protocol that gives immutable-file
+    tables multi-writer safety (Delta's commit protocol / Iceberg's
+    atomic swap): data files land first (invisible until committed),
+    then the writer claims the NEXT log version with an atomic
+    create-exclusive; losing the race means re-reading the log,
+    re-validating that the transaction still applies, and retrying at
+    the next version — never overwriting another writer's commit.
+
+    Staged race (deterministic): commit 0 holds parts 0-1; a
+    concurrent writer has already claimed version 1 (adding part 2)
+    by the time this writer — appending part 3 — tries it. The
+    create-exclusive MUST fail exactly once (asserted loudly), the
+    retry lands at version 2, and the final snapshot is the union of
+    everything: the oracle checks the full logical table, so a lost
+    commit (ours or the rival's — the classic last-writer-wins
+    overwrite bug) fails the hash. Blind appends commute, so the
+    conflict validation is trivially true here; a real engine would
+    re-check read-set overlap before retrying (the remove-vs-remove
+    case is ``snk_txn_log_merge``'s territory).
+
+    100 TB story: the commit is O(1) metadata regardless of table
+    size — writers never lock data, readers never see partial
+    commits (they list the log, not the directory), and contention
+    costs one log re-read per retry.
+    """
+    base, log_dir = _txn_log_stage(
+        spark,
+        sf_dir,
+        "txnlog_commit_",
+        [[{"add": "part0"}, {"add": "part1"}]],
     )
+    # the rival writer's commit is already durable at version 1
+    with open(os.path.join(log_dir, "00000001.json"), "w") as f:
+        f.write('{"add": "part2"}\n')
+
+    def try_commit(version: int, actions: list[str]) -> bool:
+        """Atomic claim of log version N: O_CREAT|O_EXCL is the swap —
+        exactly one writer can create the file."""
+        path = os.path.join(log_dir, f"{version:08d}.json")
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.writelines(actions)
+        return True
+
+    # our transaction: append part3 (data already on disk from the
+    # staging write — invisible until the commit lands)
+    conflicts = 0
+    version = len(os.listdir(log_dir))  # next version per OUR log read
+    # the rival committed after that read: version 1 is taken
+    version = 1
+    while not try_commit(version, ['{"add": "part3"}\n']):
+        conflicts += 1
+        assert conflicts < 10, "commit retry runaway"
+        # conflict: re-read the log, re-validate (appends commute —
+        # nothing to check for a blind insert), retry at the next free
+        # version
+        version = len(
+            [n for n in os.listdir(log_dir) if n.endswith(".json")]
+        )
+    assert conflicts == 1, f"expected exactly one staged conflict, got {conflicts}"
+    live = _txn_log_replay(log_dir)
+    assert live == {"part0", "part1", "part2", "part3"}, live
+    return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
+
+
+@query(
+    "snk_txn_log_merge",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey
+                     BETWEEN lo + ((hi - lo + 1) * 11) // 20
+                         AND lo + ((hi - lo + 1) * 13) // 20
+                THEN CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           * 11) // 10 AS DOUBLE) / 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders, b
+    """,
+)
+def snk_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (row-level UPDATE) over the stats-carrying
+    txn-log table — the Delta/Iceberg COW shape: immutable files can't
+    be updated in place, so the writer (1) prunes the update's key
+    range against the per-file stats in the log (only files that CAN
+    hold touched rows are read — ``src_txn_log_stats_prune``'s skip
+    logic on the write path), (2) rewrites exactly those files with
+    the update applied (untouched rows copied through), and (3)
+    commits remove(old)+add(new) atomically at the next version.
+    Readers of the old snapshot keep their files (time travel intact);
+    the new snapshot mixes rewritten and never-touched ORIGINAL files.
+
+    The update: +10% price for keys in the [55%, 65%] span of the key
+    range, computed on the cents grid (``(cents * 11) div 10``,
+    non-negative integer arithmetic, one exact display division by
+    100 — both engines bit-agree). The oracle applies the same update
+    to the logical table, so a MERGE that rewrote the wrong files,
+    dropped untouched rows, or double-applied the delta fails the
+    hash. tests/test_plans.py additionally pins that non-overlapping
+    buckets survive as their ORIGINAL paths (never rewritten).
+
+    100 TB story: MERGE cost is proportional to AFFECTED files, not
+    table size — the stats prune is what makes a 100-row update on a
+    100 TB table a 2-file job.
+    """
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    ulo = lo + span * 11 // 20
+    uhi = lo + span * 13 // 20
+    live = _txn_log_stats_replay(log_dir)
+    affected = [
+        (p, mn, mx) for p, mn, mx in live if not (mx < ulo or mn > uhi)
+    ]
+    # copy-on-write: read ONLY the affected files, apply the update,
+    # land the rewrite (invisible until committed)
+    updated_cents = F.expr(
+        "(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 11) DIV 10"
+    )
+    rewritten = (
+        spark.read.parquet(*(os.path.join(base, p) for p, _, _ in affected))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey").between(ulo, uhi),
+                updated_cents.cast("double") / 100.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    rewritten.write.mode("overwrite").parquet(os.path.join(base, "rewrite1"))
+    stats_r = rewritten.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    import json
+
+    with open(os.path.join(log_dir, "00000001.json"), "w") as f:
+        for p, _, _ in affected:
+            f.write(json.dumps({"remove": p}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "add": "rewrite1",
+                    "min_key": int(stats_r["mn"]),
+                    "max_key": int(stats_r["mx"]),
+                }
+            )
+            + "\n"
+        )
+    final = _txn_log_stats_replay(log_dir)
+    return spark.read.parquet(
+        *(os.path.join(base, p) for p, _, _ in final)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")

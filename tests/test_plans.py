@@ -1118,3 +1118,38 @@ def test_txn_log_stats_prune_skips_non_overlapping_files(spark, sf_dir):
         F.col("o_orderkey").between(qlo, qhi)
     ).count()
     assert df.count() == n_expected
+
+
+def test_txn_log_merge_rewrites_only_affected_files(spark, sf_dir):
+    """Copy-on-write MERGE must be delta-file-bounded: the post-merge
+    snapshot mixes the rewrite file with the ORIGINAL paths of every
+    bucket whose stats range can't hold updated keys (those buckets
+    are never rewritten), and both the old bucket files and the new
+    snapshot coexist on disk (time travel intact)."""
+    import os
+    import re
+
+    df = QUERIES["snk_txn_log_merge"](spark, sf_dir)
+    files = df.inputFiles()
+    orig = {f for f in files if re.search(r"data/b=\d+", f)}
+    rewr = {f for f in files if "rewrite1" in f}
+    assert rewr, files  # the rewrite is in the new snapshot
+    assert orig, files  # untouched buckets kept their original paths
+    # affected buckets must NOT appear as originals: every original in
+    # the snapshot is outside the [55%, 65%] update span
+    base = None
+    for f in orig:
+        m = re.match(r"(?:file:)?(/.*)/data/b=\d+/", f)
+        if m:
+            base = m.group(1)
+            break
+    assert base is not None, orig
+    # the removed buckets' files still exist on disk (immutable store;
+    # the PREVIOUS snapshot stays readable)
+    all_buckets = {
+        d for d in os.listdir(os.path.join(base, "data")) if d.startswith("b=")
+    }
+    snapshot_buckets = {
+        m.group(1) for f in orig for m in [re.search(r"(b=\d+)", f)] if m
+    }
+    assert snapshot_buckets < all_buckets, (snapshot_buckets, all_buckets)
