@@ -914,6 +914,17 @@ def snk_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — writers never lock data, readers never see partial
     commits (they list the log, not the directory), and contention
     costs one log re-read per retry.
+
+    Object-store mapping: ``O_CREAT|O_EXCL`` here stands in for the
+    store's conditional create — S3 ``PutObject`` with
+    ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``,
+    Azure ``If-None-Match: *`` — or, on stores without a
+    conditional put, an external commit coordinator (DynamoDB
+    conditional write à la S3A committers / Delta's S3 LogStore).
+    The protocol is unchanged: exactly one writer may materialize
+    log version N; everyone else observes the existing object and
+    re-reads. ``snk_txn_log_conflict`` builds the read-set
+    validation that runs between losing the race and retrying.
     """
     base, log_dir = _txn_log_stage(
         spark,
@@ -938,23 +949,30 @@ def snk_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return True
 
     # our transaction: append part3 (data already on disk from the
-    # staging write — invisible until the commit lands)
+    # staging write — invisible until the commit lands). Our log read
+    # happened BEFORE the rival's commit landed, so the next version
+    # per our (stale) view is 1 — which the rival now holds.
     conflicts = 0
-    version = len(os.listdir(log_dir))  # next version per OUR log read
-    # the rival committed after that read: version 1 is taken
     version = 1
     while not try_commit(version, ['{"add": "part3"}\n']):
         conflicts += 1
-        assert conflicts < 10, "commit retry runaway"
+        if conflicts >= 10:
+            raise RuntimeError("commit retry runaway")
         # conflict: re-read the log, re-validate (appends commute —
         # nothing to check for a blind insert), retry at the next free
         # version
         version = len(
             [n for n in os.listdir(log_dir) if n.endswith(".json")]
         )
-    assert conflicts == 1, f"expected exactly one staged conflict, got {conflicts}"
+    # protocol invariants raised explicitly (a bare assert vanishes
+    # under python -O, silently passing a broken retry path)
+    if conflicts != 1:
+        raise RuntimeError(
+            f"expected exactly one staged conflict, got {conflicts}"
+        )
     live = _txn_log_replay(log_dir)
-    assert live == {"part0", "part1", "part2", "part3"}, live
+    if live != {"part0", "part1", "part2", "part3"}:
+        raise RuntimeError(f"lost a commit: live set {live}")
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
 
 

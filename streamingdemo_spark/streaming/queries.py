@@ -1777,10 +1777,20 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # build where the streaming package exists but extensions don't, only
 # this twin key vanishes — a module-level import would take every
 # streaming key down with it (the registry would silently shrink).
+# The guard is NARROW (r8 advice): only a genuinely-absent extensions
+# package may unregister the twin; a transitive ImportError from a
+# broken dependency INSIDE extensions.text must still surface, or the
+# registry would shrink silently (count tests derive both sides
+# dynamically and would not notice).
 try:
     from streamingdemo_spark.extensions.text import GOPHER_ORACLE
 except ImportError:
-    GOPHER_ORACLE = None
+    import importlib.util
+
+    if importlib.util.find_spec("streamingdemo_spark.extensions") is None:
+        GOPHER_ORACLE = None
+    else:
+        raise
 
 if GOPHER_ORACLE is not None:
 

@@ -28,7 +28,14 @@ CHECKPOINT_ROOT = os.environ.get(
 # streaming DataFrames can't be explained before .start(), so this is
 # the hook tests/test_plans.py uses to pin streaming plan shapes
 # (map-side UDF placement, stateful-operator count) after a replay.
+# The capture goes through a private Py4J handle (there is no public
+# executed-plan API for a stopped streaming query), so it is
+# best-effort by design: on any capture failure the plan is "" and
+# plan-shape tests skip with a clear message instead of failing on a
+# Spark-internal rename. STREAM_PLANS additionally keys every capture
+# by query name so two streams in one session can't race the global.
 LAST_STREAM_PLAN: str = ""
+STREAM_PLANS: dict[str, str] = {}
 
 
 def run_to_memory(
@@ -71,7 +78,11 @@ def run_to_memory(
                     f"(query {name} stopped with partial results)"
                 )
             global LAST_STREAM_PLAN
-            LAST_STREAM_PLAN = query._jsq.explainInternal(False)
+            try:
+                LAST_STREAM_PLAN = query._jsq.explainInternal(False)
+            except Exception:  # private-API capture is best-effort
+                LAST_STREAM_PLAN = ""
+            STREAM_PLANS[name] = LAST_STREAM_PLAN
         finally:
             query.stop()
     finally:
