@@ -208,13 +208,15 @@ _PRIORITY = [
 
 
 def _correctness_history() -> dict[str, dict]:
-    """Per key: ``{"hash": bool, "green_round": int | None}``.
+    """Per key: ``{"hash": bool, "green_round": int | None,
+    "hash_round": int | None}``.
 
     ``hash`` = some round's row has hash_match true; ``green_round`` =
     the LAST round with a green row (hash_match true, or a clean run
-    under the rows-only contract, err == "no_oracle"). A FAIL/error row
-    does NOT prove a key — the (presumably fixed) key re-runs next
-    round.
+    under the rows-only contract, err == "no_oracle"); ``hash_round``
+    = the LAST round with a hash_match-true row specifically. A FAIL/
+    error row does NOT prove a key — the (presumably fixed) key
+    re-runs next round.
     """
     hist: dict[str, dict] = {}
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
@@ -227,13 +229,46 @@ def _correctness_history() -> dict[str, dict]:
         for key, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            rec = hist.setdefault(key, {"hash": False, "green_round": None})
+            rec = hist.setdefault(
+                key, {"hash": False, "green_round": None, "hash_round": None}
+            )
             if row.get("hash_match") is True:
                 rec["hash"] = True
                 rec["green_round"] = rnd
+                rec["hash_round"] = rnd
             elif row.get("err") == "no_oracle":
                 rec["green_round"] = rnd
     return hist
+
+
+# ---- Oracle fingerprints: certification is per ORACLE TEXT, not per
+# key. A hash row proves key-vs-oracle agreement for the oracle the
+# driver ran THAT round; strengthening the oracle later must re-open
+# certification (the r8-advice 'sticky hash' hole — the r7 rows-only→
+# oracle upgrade path was handled, oracle→stronger-oracle was not).
+# ORACLE_FP.json (committed; regenerated by tools/oracle_fp.py, and
+# kept current by tests/test_oracle.py) records per key the
+# whitespace-normalized-SQL fingerprint and the round that text took
+# effect; a key whose current fingerprint differs from the snapshot,
+# or whose last hash row predates the fingerprint's round, is
+# uncertified and re-fronts in DRIVER_ORDER.
+
+_ORACLE_FP_PATH = _REPO / "ORACLE_FP.json"
+
+
+def oracle_fp(sql: str) -> str:
+    """Whitespace-insensitive fingerprint of one oracle's SQL text."""
+    import hashlib
+
+    return hashlib.sha256(" ".join(sql.split()).encode()).hexdigest()[:16]
+
+
+def _oracle_fp_records() -> dict[str, dict]:
+    try:
+        recs = json.loads(_ORACLE_FP_PATH.read_text())
+        return recs if isinstance(recs, dict) else {}
+    except (OSError, ValueError):
+        return {}
 
 
 def driver_proven() -> frozenset[str]:
@@ -244,18 +279,31 @@ def driver_proven() -> frozenset[str]:
 
 def driver_uncertified() -> frozenset[str]:
     """Registered keys the driver still owes a row at their CURRENT
-    contract strength: never any green row, OR oracle-backed but never
+    contract strength: never any green row; OR oracle-backed but never
     hash-matched (an oracle upgraded after a rows-only row re-opens
     certification — the r7 verdict found agg_percentile & co. stranded
     at DRIVER_ORDER 243+ because a stale no_oracle row counted as proof
-    forever)."""
+    forever); OR the oracle TEXT changed since the last hash row (the
+    ORACLE_FP.json fingerprint check — a hash row only certifies the
+    oracle the driver actually compared against)."""
     hist = _correctness_history()
+    fps = _oracle_fp_records()
 
     def uncert(k: str) -> bool:
         rec = hist.get(k)
         if rec is None or rec["green_round"] is None:
             return True
-        return k in ORACLES and not rec["hash"]
+        if k not in ORACLES:
+            return False
+        if not rec["hash"]:
+            return True
+        fprec = fps.get(k)
+        if fprec is None:
+            return False  # pre-snapshot key: fall back to hash-row proof
+        if fprec.get("fp") != oracle_fp(ORACLES[k]):
+            return True  # oracle edited after the last snapshot
+        hr = rec.get("hash_round")
+        return hr is not None and hr < int(fprec.get("round", 0))
 
     return frozenset(k for k in QUERIES if uncert(k))
 

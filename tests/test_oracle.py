@@ -91,3 +91,44 @@ def test_driver_order_fronts_recertification_keys():
     for k in upgraded:
         pos = entrymod.DRIVER_ORDER.index(k)
         assert pos < n_front, f"{k} stranded at position {pos}"
+
+
+def test_oracle_fingerprints_current():
+    """ORACLE_FP.json must cover every registered oracle with its
+    CURRENT text's fingerprint — the gate that forces a
+    ``python tools/oracle_fp.py`` rerun (which re-opens certification
+    at the current round) whenever an oracle is added or edited. A
+    stale snapshot would silently resurrect the r8-advice 'sticky
+    hash' hole: a strengthened oracle riding an old hash row."""
+    fps = entrymod._oracle_fp_records()
+    assert fps, "ORACLE_FP.json missing — run python tools/oracle_fp.py"
+    missing = sorted(set(ORACLES) - set(fps))
+    assert not missing, f"oracles without fingerprint snapshot: {missing}"
+    stale = sorted(
+        k for k in ORACLES if fps[k].get("fp") != entrymod.oracle_fp(ORACLES[k])
+    )
+    assert not stale, (
+        f"oracle text changed without snapshot update: {stale} — "
+        "run python tools/oracle_fp.py"
+    )
+    dangling = sorted(set(fps) - set(ORACLES))
+    assert not dangling, f"snapshot entries for unregistered keys: {dangling}"
+
+
+def test_oracle_fingerprint_change_reopens_certification(monkeypatch):
+    """Strengthening an oracle (text change) or bumping its effective
+    round past the last hash row must mark the key uncertified."""
+    key = "agg_global"
+    assert key in ORACLES and key not in entrymod.driver_uncertified()
+    fps = dict(entrymod._oracle_fp_records())
+    # 1) text drift: snapshot fp no longer matches the registry text
+    drift = dict(fps)
+    drift[key] = {"fp": "0" * 16, "round": drift[key]["round"]}
+    monkeypatch.setattr(entrymod, "_oracle_fp_records", lambda: drift)
+    assert key in entrymod.driver_uncertified()
+    # 2) round bump: same text, but effective round after the last
+    # hash row (the driver certified an OLDER text that round)
+    bump = dict(fps)
+    bump[key] = {"fp": entrymod.oracle_fp(ORACLES[key]), "round": 99}
+    monkeypatch.setattr(entrymod, "_oracle_fp_records", lambda: bump)
+    assert key in entrymod.driver_uncertified()
