@@ -161,6 +161,10 @@ _PRIORITY = [
     # -- round-8 additions
     "src_txn_log_incremental", "stream_quality_gopher_gate",
     "src_txn_log_stats_prune", "snk_txn_log_commit", "snk_txn_log_merge",
+    # -- round-9 additions
+    "src_txn_log_checkpointed", "snk_txn_log_conflict",
+    "snk_txn_log_rebase", "snk_txn_log_stream_commit",
+    "ext_compression_invariants",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

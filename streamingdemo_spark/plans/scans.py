@@ -9,6 +9,7 @@ SQL — the reference's Hive-table reads, ``SparkSQLOperator.java:18``);
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -520,6 +521,11 @@ def _txn_log_replay(log_dir: str, as_of: int | None = None) -> set[str]:
 
     live: set[str] = set()
     for name in sorted(os.listdir(log_dir)):
+        # only pure commit files participate in a full replay —
+        # checkpoint artifacts (NNNNNNNN.checkpoint.json,
+        # _last_checkpoint) are derived state, not history
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
         if as_of is not None and int(name.split(".")[0]) > as_of:
             break
         with open(os.path.join(log_dir, name)) as f:
@@ -530,6 +536,148 @@ def _txn_log_replay(log_dir: str, as_of: int | None = None) -> set[str]:
                 if "remove" in a:
                     live.discard(a["remove"])
     return live
+
+
+def _txn_log_write_checkpoint(log_dir: str, version: int) -> None:
+    """Materialize a checkpoint of the live-file set as of ``version``
+    and point ``_last_checkpoint`` at it — the Delta ``_last_checkpoint``
+    convention: readers resolve checkpoint + commit suffix instead of
+    replaying the whole log. The checkpoint is derived purely from the
+    log (a pure function of commits 0..version), so writing it is
+    idempotent and needs no coordination with concurrent committers."""
+    import json
+
+    live = _txn_log_replay(log_dir, as_of=version)
+    ckpt = os.path.join(log_dir, f"{version:08d}.checkpoint.json")
+    with open(ckpt, "w") as f:
+        for p in sorted(live):
+            f.write(json.dumps({"add": p}) + "\n")
+    # _last_checkpoint is a single tiny pointer object, atomically
+    # replaced (os.replace) so readers never observe a partial write
+    tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"version": version}))
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+
+
+def _txn_log_replay_checkpointed(
+    log_dir: str,
+) -> tuple[set[str], list[str]]:
+    """Resolve the latest snapshot via ``_last_checkpoint``: load the
+    checkpointed live set, then apply only commits AFTER the
+    checkpoint version. Returns ``(live set, log files opened)`` — the
+    opened list is the O(suffix) contract the tests pin (a full replay
+    opens every commit; this opens checkpoint + suffix only). Falls
+    back to full replay when no checkpoint exists."""
+    import json
+
+    opened: list[str] = []
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(ptr):
+        live = _txn_log_replay(log_dir)
+        return live, sorted(
+            n
+            for n in os.listdir(log_dir)
+            if re.fullmatch(r"\d{8}\.json", n)
+        )
+    with open(ptr) as f:
+        ckpt_version = int(json.load(f)["version"])
+    ckpt_name = f"{ckpt_version:08d}.checkpoint.json"
+    opened.append(ckpt_name)
+    live: set[str] = set()
+    with open(os.path.join(log_dir, ckpt_name)) as f:
+        for line in f:
+            live.add(json.loads(line)["add"])
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue  # checkpoints/pointer are not commit history
+        if int(name.split(".")[0]) <= ckpt_version:
+            continue  # pre-checkpoint commits are never opened
+        opened.append(name)
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"])
+                if "remove" in a:
+                    live.discard(a["remove"])
+    return live, opened
+
+
+@query(
+    "src_txn_log_checkpointed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 != 3
+    """,
+)
+def src_txn_log_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log checkpointing for the minimal lakehouse format — the
+    ``_last_checkpoint`` mechanism that keeps snapshot resolution
+    O(checkpoint + commit suffix) instead of O(n_commits)
+    (``_txn_log_replay`` re-reads every commit; Delta solves exactly
+    this with periodic parquet checkpoints + a ``_last_checkpoint``
+    pointer, Iceberg with snapshot manifests). At 100 TB a table
+    accretes millions of commits; without checkpoints every reader's
+    PLANNING cost grows with table history — with them it is bounded
+    by the checkpoint cadence regardless of age.
+
+    Writer side: the staged history (8 commits of add/remove churn
+    over 4 parts) checkpoints on cadence — after every 5th commit the
+    full live set is materialized as ``NNNNNNNN.checkpoint.json`` and
+    ``_last_checkpoint`` atomically re-pointed (the checkpoint is a
+    pure function of the log prefix, so it needs no coordination with
+    concurrent committers). Reader side: resolve = pointer read +
+    checkpoint load + replay of commits 5..7 ONLY — the key raises
+    loudly if any pre-checkpoint commit file was opened, and
+    tests/test_plans.py pins the opened-file list plus
+    checkpointed-equals-full-replay equivalence on the same log.
+
+    Churn history is chosen so correctness is visible: part 0 is
+    removed then re-added BEFORE the checkpoint (a reader that merges
+    actions out of order loses it), parts 1 and 3 change state AFTER
+    it (a reader that trusts the checkpoint alone misses them). Final
+    live set {part0, part1, part2} — the oracle asserts the logical
+    equivalent (keys with ``o_orderkey % 4 != 3``).
+    """
+    base, log_dir = _txn_log_stage(
+        spark,
+        sf_dir,
+        "txnlog_ckpt_",
+        [
+            [{"add": "part0"}, {"add": "part1"}],
+            [{"add": "part2"}],
+            [{"remove": "part0"}],
+            [{"add": "part3"}],
+            [{"add": "part0"}],
+            # -- checkpoint cadence: every 5 commits (written below,
+            #    after commit 4, covering versions 0..4)
+            [{"remove": "part1"}],
+            [{"remove": "part3"}],
+            [{"add": "part1"}],
+        ],
+    )
+    _txn_log_write_checkpoint(log_dir, version=4)
+    live, opened = _txn_log_replay_checkpointed(log_dir)
+    # O(suffix) invariant, raised explicitly (the whole point of the
+    # key): only the checkpoint and the 3 post-checkpoint commits may
+    # be opened — never the 5 pre-checkpoint commit files
+    expected_opened = [
+        "00000004.checkpoint.json",
+        "00000005.json",
+        "00000006.json",
+        "00000007.json",
+    ]
+    if opened != expected_opened:
+        raise RuntimeError(
+            f"checkpointed resolve opened {opened}, "
+            f"expected exactly {expected_opened}"
+        )
+    if live != _txn_log_replay(log_dir):
+        raise RuntimeError(
+            "checkpointed snapshot diverged from full replay"
+        )
+    return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
 
 
 @query(

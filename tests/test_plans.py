@@ -1166,3 +1166,67 @@ def test_txn_log_merge_rewrites_only_affected_files(spark, sf_dir):
         m.group(1) for f in orig for m in [re.search(r"(b=\d+)", f)] if m
     }
     assert snapshot_buckets < all_buckets, (snapshot_buckets, all_buckets)
+
+
+def test_txn_log_checkpoint_resolves_suffix_only(spark, sf_dir):
+    """Checkpointed snapshot resolution must (a) equal the full
+    O(n_commits) replay on the same log at EVERY checkpoint position,
+    and (b) never open a commit file at or before the checkpoint
+    version — the O(suffix) planning contract that keeps reader cost
+    bounded by checkpoint cadence instead of table age."""
+    import os
+    import shutil
+    import tempfile
+
+    from streamingdemo_spark.plans.scans import (
+        _txn_log_replay,
+        _txn_log_replay_checkpointed,
+        _txn_log_write_checkpoint,
+    )
+
+    log_dir = tempfile.mkdtemp(prefix="ckpt_unit_")
+    try:
+        # 12 commits of churn over 5 parts, incl. remove/re-add cycles
+        history = [
+            [{"add": "p0"}], [{"add": "p1"}], [{"add": "p2"}],
+            [{"remove": "p0"}], [{"add": "p3"}], [{"add": "p0"}],
+            [{"remove": "p2"}], [{"add": "p4"}], [{"remove": "p0"}],
+            [{"add": "p2"}], [{"remove": "p3"}], [{"add": "p0"}],
+        ]
+        import json
+
+        for i, actions in enumerate(history):
+            with open(os.path.join(log_dir, f"{i:08d}.json"), "w") as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+        full = _txn_log_replay(log_dir)
+        # no checkpoint yet: fallback = full replay, opens every commit
+        live, opened = _txn_log_replay_checkpointed(log_dir)
+        assert live == full
+        assert len(opened) == len(history)
+        for v in range(len(history)):  # checkpoint at every position
+            _txn_log_write_checkpoint(log_dir, version=v)
+            live, opened = _txn_log_replay_checkpointed(log_dir)
+            assert live == full, f"diverged with checkpoint at v{v}"
+            assert opened[0] == f"{v:08d}.checkpoint.json"
+            suffix = [f"{i:08d}.json" for i in range(v + 1, len(history))]
+            assert opened[1:] == suffix, (v, opened)
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def test_txn_log_checkpointed_key_scan_matches_live_set(spark, sf_dir):
+    """The registered key's scan must read exactly the final live
+    parts {part0, part1, part2} — part3 (removed after the
+    checkpoint) must not be scanned even though its file still exists
+    on disk (time travel intact)."""
+    import re
+
+    df = QUERIES["src_txn_log_checkpointed"](spark, sf_dir)
+    parts = {
+        m.group(1)
+        for f in df.inputFiles()
+        for m in [re.search(r"(part\d)", f)]
+        if m
+    }
+    assert parts == {"part0", "part1", "part2"}, parts
