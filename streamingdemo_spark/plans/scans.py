@@ -1124,6 +1124,310 @@ def snk_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
 
 
+class TxnConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's read set —
+    the loser must abort or rebase, never blind-retry (a blind retry
+    of a COW MERGE planned against a stale snapshot re-removes files
+    a rival already rewrote and commits a rewrite computed from
+    pre-rival data: the rival's update is silently lost — the classic
+    lakehouse serializability bug)."""
+
+
+def _txn_log_try_commit(log_dir: str, version: int, lines: list[str]) -> bool:
+    """Atomic claim of log version N: ``O_CREAT|O_EXCL`` is the swap —
+    exactly one writer can create the file (conditional-put on an
+    object store; see ``snk_txn_log_commit``'s docstring for the
+    mapping)."""
+    path = os.path.join(log_dir, f"{version:08d}.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.writelines(lines)
+    return True
+
+
+def _txn_log_commit_count(log_dir: str) -> int:
+    return len(
+        [n for n in os.listdir(log_dir) if re.fullmatch(r"\d{8}\.json", n)]
+    )
+
+
+def _txn_log_validate_read_set(
+    log_dir: str, base_version: int, planned_removes: set[str]
+) -> None:
+    """Read-set/write-set validation between losing a commit race and
+    retrying: replay every commit that landed AFTER this transaction's
+    base snapshot and raise :class:`TxnConflictError` if any of them
+    removed OR re-added a file this transaction planned to rewrite
+    (remove-vs-remove — the rows we read and are about to replace were
+    already replaced by someone else). Blind appends that touch none
+    of our files commute and validate clean (``snk_txn_log_commit``'s
+    case)."""
+    import json
+
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        version = int(name.split(".")[0])
+        if version < base_version:
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                touched = a.get("remove") or a.get("add")
+                if touched in planned_removes:
+                    raise TxnConflictError(
+                        f"commit {version} touched {touched!r}, which "
+                        f"this transaction read at base version "
+                        f"{base_version} and planned to rewrite"
+                    )
+
+
+def _cow_merge_txn(
+    spark: SparkSession,
+    base: str,
+    log_dir: str,
+    ulo: int,
+    uhi: int,
+    mult_num: int,
+    mult_den: int,
+    out_name: str,
+) -> tuple[int, set[str], list[str]]:
+    """Plan + stage one copy-on-write MERGE transaction against the
+    CURRENT snapshot: stats-prune the update span to the affected
+    files (the transaction's READ SET), land the rewrite data file
+    (invisible until committed), and return
+    ``(base_version, planned_removes, commit action lines)`` for the
+    optimistic-commit loop. The price update is exact integer cents
+    arithmetic (``(cents * num) DIV den``, non-negative operands)."""
+    import json
+
+    base_version = _txn_log_commit_count(log_dir)
+    live = _txn_log_stats_replay(log_dir)
+    affected = [
+        (p, mn, mx) for p, mn, mx in live if not (mx < ulo or mn > uhi)
+    ]
+    updated_cents = F.expr(
+        f"(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+        f"* {mult_num}) DIV {mult_den}"
+    )
+    rewritten = (
+        spark.read.parquet(*(os.path.join(base, p) for p, _, _ in affected))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey").between(ulo, uhi),
+                updated_cents.cast("double") / 100.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    rewritten.write.mode("overwrite").parquet(os.path.join(base, out_name))
+    stats = rewritten.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]  # 2 scalars — writer-side stats
+    actions = [
+        json.dumps({"remove": p}) + "\n" for p, _, _ in affected
+    ] + [
+        json.dumps(
+            {
+                "add": out_name,
+                "min_key": int(stats["mn"]),
+                "max_key": int(stats["mx"]),
+            }
+        )
+        + "\n"
+    ]
+    return base_version, {p for p, _, _ in affected}, actions
+
+
+@query(
+    "snk_txn_log_conflict",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey
+                     BETWEEN lo + ((hi - lo + 1) * 11) // 20
+                         AND lo + ((hi - lo + 1) * 13) // 20
+                THEN CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           * 11) // 10 AS DOUBLE) / 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders, b
+    """,
+)
+def snk_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-set conflict DETECTION on the txn-log write path — the
+    validation ``snk_txn_log_commit`` scopes out (its staged race is a
+    commuting blind append): two COW MERGE writers plan against the
+    SAME base snapshot with OVERLAPPING key spans, so their affected
+    file sets intersect; the loser must detect the remove-vs-remove
+    overlap on log re-read and ABORT — a blind retry would re-remove
+    files the winner already rewrote and commit a rewrite computed
+    from pre-winner data, silently losing the winner's update (the
+    serializability bug every lakehouse commit protocol exists to
+    prevent; Delta calls this ConcurrentDeleteDeleteException).
+
+    Staged race (deterministic): both writers plan at base version 1 —
+    writer A (+10% on the [55%, 65%] key span) and writer B (−10% on
+    the overlapping [60%, 70%] span) both stats-prune to the same two
+    mid-range buckets. A commits first at version 1. B's
+    create-exclusive on version 1 MUST fail; its read-set validation
+    over the commits since base MUST raise (both invariants enforced
+    with explicit exceptions — and the validation is also checked to
+    fire BEFORE any retry claim, so B never writes a log entry). Final
+    state: A's update alone, B's staged rewrite file dead on disk —
+    the oracle asserts exactly that table, so a lost-update (blind
+    retry) OR a lost-abort (B's commit landing anyway) flips the hash.
+    tests/test_plans.py stages BOTH interleavings (A-first and
+    B-first) through the same transaction helper and asserts the loser
+    aborts in each.
+
+    100 TB story: validation cost is O(commits since base snapshot) ×
+    O(actions per commit) on metadata only — independent of table
+    size; aborted work is one staged data file, never a corrupted
+    table. ``snk_txn_log_rebase`` is the productive alternative to
+    aborting.
+    """
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    # both writers plan against the SAME base snapshot (version 1)
+    a_base, a_removes, a_actions = _cow_merge_txn(
+        spark, base, log_dir,
+        lo + span * 11 // 20, lo + span * 13 // 20, 11, 10, "rewriteA",
+    )
+    b_base, b_removes, b_actions = _cow_merge_txn(
+        spark, base, log_dir,
+        lo + span * 12 // 20, lo + span * 14 // 20, 9, 10, "rewriteB",
+    )
+    if not (a_removes & b_removes):
+        raise RuntimeError(
+            f"staged race must overlap: {a_removes} vs {b_removes}"
+        )
+    # writer A wins the race at version 1
+    if not _txn_log_try_commit(log_dir, a_base, a_actions):
+        raise RuntimeError("writer A's uncontended commit failed")
+    # writer B: loses the claim, re-reads the log, validation MUST
+    # detect the remove-vs-remove overlap and abort the transaction
+    aborted = False
+    if _txn_log_try_commit(log_dir, b_base, b_actions):
+        raise RuntimeError("writer B claimed a version A already holds")
+    try:
+        _txn_log_validate_read_set(log_dir, b_base, b_removes)
+    except TxnConflictError:
+        aborted = True  # the ONLY correct outcome: abort, commit nothing
+    if not aborted:
+        raise RuntimeError(
+            "read-set validation missed the remove-vs-remove conflict"
+        )
+    if _txn_log_commit_count(log_dir) != 2:
+        raise RuntimeError("aborted writer must leave no commit behind")
+    final = _txn_log_stats_replay(log_dir)
+    if any(p == "rewriteB" for p, _, _ in final):
+        raise RuntimeError("aborted writer's rewrite leaked into the log")
+    return spark.read.parquet(
+        *(os.path.join(base, p) for p, _, _ in final)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "snk_txn_log_rebase",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    ),
+    c AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             lo + ((hi - lo + 1) * 11) // 20 AS alo,
+             lo + ((hi - lo + 1) * 13) // 20 AS ahi,
+             lo + ((hi - lo + 1) * 12) // 20 AS blo,
+             lo + ((hi - lo + 1) * 14) // 20 AS bhi
+      FROM orders, b
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE
+             WHEN o_orderkey BETWEEN blo AND bhi THEN
+               CAST((CASE WHEN o_orderkey BETWEEN alo AND ahi
+                          THEN (cents * 11) // 10 ELSE cents END * 9) // 10
+                    AS DOUBLE) / 100.0
+             WHEN o_orderkey BETWEEN alo AND ahi THEN
+               CAST((cents * 11) // 10 AS DOUBLE) / 100.0
+             ELSE o_totalprice
+           END AS o_totalprice
+    FROM c
+    """,
+)
+def snk_txn_log_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The productive resolution of ``snk_txn_log_conflict``'s staged
+    race: instead of aborting, the losing writer REBASES — it discards
+    its stale plan, re-reads the log to the new snapshot (which now
+    contains the winner's rewrite), re-plans its MERGE against the
+    CURRENT files, and commits at the next version. Serializability is
+    restored by construction: the final table equals A's update THEN
+    B's update applied sequentially (the oracle composes both price
+    transforms in exactly that order on the integer cents grid —
+    overlap keys get ``((cents·11 div 10)·9) div 10``), which is what
+    optimistic concurrency promises and what a blind retry destroys.
+
+    Mechanics mirror a real engine's retry loop: B's second plan
+    stats-prunes the NEW live set, so its read set now includes A's
+    rewrite file (A's stats range overlaps B's span) plus any original
+    buckets B's span touches beyond A's; B's rewrite reads A's updated
+    prices (floor-recovering the exact cents A wrote), applies B's
+    transform on top, and the remove(old)+add(new) commit lands
+    uncontended at version 2. The stale first rewrite stays dead on
+    disk — staged data is cheap, commits are sacred.
+
+    100 TB story: a rebase costs one metadata re-read plus a rewrite
+    of ONLY the currently-affected files — same asymptotics as the
+    original MERGE attempt; no locks held at any point.
+    """
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    alo, ahi = lo + span * 11 // 20, lo + span * 13 // 20
+    blo, bhi = lo + span * 12 // 20, lo + span * 14 // 20
+    # both plan at base version 1; A wins the race
+    a_base, _, a_actions = _cow_merge_txn(
+        spark, base, log_dir, alo, ahi, 11, 10, "rewriteA"
+    )
+    b_base, b_removes, b_stale_actions = _cow_merge_txn(
+        spark, base, log_dir, blo, bhi, 9, 10, "rewriteB_stale"
+    )
+    if not _txn_log_try_commit(log_dir, a_base, a_actions):
+        raise RuntimeError("writer A's uncontended commit failed")
+    if _txn_log_try_commit(log_dir, b_base, b_stale_actions):
+        raise RuntimeError("writer B claimed a version A already holds")
+    try:
+        _txn_log_validate_read_set(log_dir, b_base, b_removes)
+        raise RuntimeError(
+            "read-set validation missed the remove-vs-remove conflict"
+        )
+    except TxnConflictError:
+        pass  # detected — now rebase instead of aborting
+    # rebase: fresh plan against the CURRENT snapshot (A's rewrite is
+    # now part of the read set), then commit at the next version
+    rb_base, rb_removes, rb_actions = _cow_merge_txn(
+        spark, base, log_dir, blo, bhi, 9, 10, "rewriteB"
+    )
+    if "rewriteA" not in rb_removes:
+        raise RuntimeError(
+            f"rebased plan must read the winner's rewrite: {rb_removes}"
+        )
+    _txn_log_validate_read_set(log_dir, rb_base, rb_removes)
+    if not _txn_log_try_commit(log_dir, rb_base, rb_actions):
+        raise RuntimeError("rebased commit lost an impossible race")
+    final = _txn_log_stats_replay(log_dir)
+    return spark.read.parquet(
+        *(os.path.join(base, p) for p, _, _ in final)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 @query(
     "snk_txn_log_merge",
     oracle="""

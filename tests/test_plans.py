@@ -1230,3 +1230,85 @@ def test_txn_log_checkpointed_key_scan_matches_live_set(spark, sf_dir):
         if m
     }
     assert parts == {"part0", "part1", "part2"}, parts
+
+
+def _stage_conflict_race(spark, sf_dir, first, second):
+    """Stage the overlapping-COW-merge race with ``first`` winning the
+    commit and ``second`` losing it; returns (loser base_version,
+    loser planned removes, log_dir)."""
+    from streamingdemo_spark.plans.scans import (
+        _cow_merge_txn,
+        _txn_log_stats_stage,
+        _txn_log_try_commit,
+    )
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    spans = {
+        "A": (lo + span * 11 // 20, lo + span * 13 // 20, 11, 10),
+        "B": (lo + span * 12 // 20, lo + span * 14 // 20, 9, 10),
+    }
+    f_lo, f_hi, f_n, f_d = spans[first]
+    s_lo, s_hi, s_n, s_d = spans[second]
+    f_base, f_removes, f_actions = _cow_merge_txn(
+        spark, base, log_dir, f_lo, f_hi, f_n, f_d, f"rewrite{first}"
+    )
+    s_base, s_removes, s_actions = _cow_merge_txn(
+        spark, base, log_dir, s_lo, s_hi, s_n, s_d, f"rewrite{second}"
+    )
+    assert f_removes & s_removes, "race must overlap"
+    assert _txn_log_try_commit(log_dir, f_base, f_actions)
+    assert not _txn_log_try_commit(log_dir, s_base, s_actions)
+    return s_base, s_removes, log_dir
+
+
+@pytest.mark.parametrize("first,second", [("A", "B"), ("B", "A")])
+def test_txn_log_conflict_detected_in_both_interleavings(
+    spark, sf_dir, first, second
+):
+    """Whichever writer wins the race, the LOSER's read-set validation
+    must raise on the remove-vs-remove overlap — conflict detection
+    cannot depend on commit order."""
+    from streamingdemo_spark.plans.scans import (
+        TxnConflictError,
+        _txn_log_validate_read_set,
+    )
+
+    s_base, s_removes, log_dir = _stage_conflict_race(
+        spark, sf_dir, first, second
+    )
+    with pytest.raises(TxnConflictError):
+        _txn_log_validate_read_set(log_dir, s_base, s_removes)
+
+
+def test_txn_log_validation_passes_disjoint_writers(spark, sf_dir):
+    """Two COW merges on DISJOINT key spans touch disjoint files (the
+    staged bucket layout separates [0%,10%] from [85%,95%]): the loser
+    re-validates clean and its retry commit must land — conflict
+    detection must not serialize writers that actually commute."""
+    from streamingdemo_spark.plans.scans import (
+        _cow_merge_txn,
+        _txn_log_commit_count,
+        _txn_log_stats_replay,
+        _txn_log_stats_stage,
+        _txn_log_try_commit,
+        _txn_log_validate_read_set,
+    )
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    a = _cow_merge_txn(
+        spark, base, log_dir,
+        lo, lo + span * 2 // 20, 11, 10, "rewriteA",
+    )
+    b = _cow_merge_txn(
+        spark, base, log_dir,
+        lo + span * 17 // 20, lo + span * 19 // 20, 9, 10, "rewriteB",
+    )
+    assert not (a[1] & b[1]), "spans must prune to disjoint files"
+    assert _txn_log_try_commit(log_dir, a[0], a[2])
+    assert not _txn_log_try_commit(log_dir, b[0], b[2])
+    _txn_log_validate_read_set(log_dir, b[0], b[1])  # must NOT raise
+    assert _txn_log_try_commit(log_dir, _txn_log_commit_count(log_dir), b[2])
+    live = {p for p, _, _ in _txn_log_stats_replay(log_dir)}
+    assert {"rewriteA", "rewriteB"} <= live
