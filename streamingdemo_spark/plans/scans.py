@@ -1084,34 +1084,21 @@ def snk_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(log_dir, "00000001.json"), "w") as f:
         f.write('{"add": "part2"}\n')
 
-    def try_commit(version: int, actions: list[str]) -> bool:
-        """Atomic claim of log version N: O_CREAT|O_EXCL is the swap —
-        exactly one writer can create the file."""
-        path = os.path.join(log_dir, f"{version:08d}.json")
-        try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.writelines(actions)
-        return True
-
     # our transaction: append part3 (data already on disk from the
     # staging write — invisible until the commit lands). Our log read
     # happened BEFORE the rival's commit landed, so the next version
-    # per our (stale) view is 1 — which the rival now holds.
+    # per our (stale) view is 1 — which the rival now holds. The
+    # atomic claim itself is the shared _txn_log_try_commit swap.
     conflicts = 0
     version = 1
-    while not try_commit(version, ['{"add": "part3"}\n']):
+    while not _txn_log_try_commit(log_dir, version, ['{"add": "part3"}\n']):
         conflicts += 1
         if conflicts >= 10:
             raise RuntimeError("commit retry runaway")
         # conflict: re-read the log, re-validate (appends commute —
         # nothing to check for a blind insert), retry at the next free
         # version
-        version = len(
-            [n for n in os.listdir(log_dir) if n.endswith(".json")]
-        )
+        version = _txn_log_commit_count(log_dir)
     # protocol invariants raised explicitly (a bare assert vanishes
     # under python -O, silently passing a broken retry path)
     if conflicts != 1:
@@ -1426,6 +1413,145 @@ def snk_txn_log_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         *(os.path.join(base, p) for p, _, _ in final)
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _txn_log_last_txn_version(log_dir: str, app_id: str) -> int:
+    """Highest ``{"txn": {"appId", "version"}}`` action recorded for
+    ``app_id`` across the log, or -1 — the Delta ``txn``-action
+    idempotence ledger a streaming writer consults before committing
+    an epoch (metadata-only scan; with checkpointing the ledger rides
+    the checkpoint, keeping this O(suffix) too)."""
+    import json
+
+    last = -1
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    last = max(last, int(t["version"]))
+    return last
+
+
+@query(
+    "snk_txn_log_stream_commit",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def snk_txn_log_stream_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming commit INTO the txn-log — the write-side
+    twin of ``src_txn_log_incremental``'s log-as-stream read, closing
+    the stream-in/stream-out loop the reference's KafkaInput→
+    KafkaOutput DAG gestures at (OpContainer.java:46-69) with real
+    transactional semantics: a ``foreachBatch`` sink lands each
+    micro-batch's data file and commits it atomically together with a
+    ``{"txn": {"appId", "version": epoch_id}}`` action (Delta's
+    idempotent-writer protocol). Structured Streaming guarantees
+    at-least-once foreachBatch delivery — after a crash between data
+    write and checkpoint advance, the SAME epoch re-runs — so
+    exactly-once lands in the SINK: before committing, the writer
+    consults the log's txn ledger and skips any epoch at or below the
+    app's last recorded version; the (deterministic-path, overwrite)
+    data rewrite makes the retry's data write idempotent too.
+
+    Staged replay (deterministic): after the availableNow run drains
+    all 4 single-file micro-batches, epoch 0's batch is deliberately
+    re-delivered through the same commit function — the retry every
+    at-least-once contract implies. The guard MUST skip it (enforced
+    with explicit exceptions: exactly one skip, commit count unchanged,
+    exactly one txn action per epoch). The final snapshot read must
+    reconcile with the logical table — a double-commit would duplicate
+    epoch 0's rows and flip the oracle hash.
+
+    100 TB story: per-epoch cost is one data-file write + one O(1)
+    metadata commit; the idempotence check is a metadata scan (bounded
+    by checkpoint cadence when composed with
+    ``src_txn_log_checkpointed``), and readers see each epoch
+    atomically or not at all — no partial batches, no duplicates,
+    across arbitrary retries.
+    """
+    import json
+
+    base = tempfile.mkdtemp(prefix="txnlog_stream_")
+    incoming = os.path.join(base, "incoming")
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # 4 source files = 4 single-file micro-batches under
+    # maxFilesPerTrigger=1 (key-ranged so the staging is one scan and
+    # each epoch's content is deterministic)
+    for part in range(4):
+        o.filter(F.col("o_orderkey") % 4 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(incoming, f"src{part}"))
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    app_id = "orders_ingest"
+    skips: list[int] = []
+
+    def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = f"epoch{epoch_id}"
+        # deterministic per-epoch path + overwrite = idempotent data
+        # write; the file stays invisible until the commit lands
+        batch_df.write.mode("overwrite").parquet(os.path.join(base, out))
+        if _txn_log_last_txn_version(log_dir, app_id) >= epoch_id:
+            skips.append(epoch_id)  # retry of a committed epoch
+            return
+        actions = [
+            json.dumps({"add": out}) + "\n",
+            json.dumps({"txn": {"appId": app_id, "version": epoch_id}})
+            + "\n",
+        ]
+        version = _txn_log_commit_count(log_dir)
+        while not _txn_log_try_commit(log_dir, version, actions):
+            version = _txn_log_commit_count(log_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(incoming, "src*"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_txnlog_stream_")
+    handle = (
+        stream.writeStream.foreachBatch(commit_epoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not handle.awaitTermination(300):
+            raise TimeoutError("stream-commit replay exceeded 300s")
+    finally:
+        handle.stop()
+
+    n_epochs = _txn_log_commit_count(log_dir)
+    if n_epochs < 2 or skips:
+        raise RuntimeError(
+            f"staging expects >=2 clean epochs, got {n_epochs} "
+            f"with premature skips {skips}"
+        )
+    # the at-least-once retry: re-deliver epoch 0's batch verbatim.
+    # localCheckpoint materializes it first — the retry's idempotent
+    # data write overwrites the very path the batch was read from,
+    # which Spark (correctly) refuses for a lineage-live file scan
+    retry_batch = spark.read.parquet(
+        os.path.join(base, "epoch0")
+    ).localCheckpoint(eager=True)
+    commit_epoch(retry_batch, 0)
+    if skips != [0]:
+        raise RuntimeError(f"retry of epoch 0 was not skipped: {skips}")
+    if _txn_log_commit_count(log_dir) != n_epochs:
+        raise RuntimeError("retry must not append a commit")
+    if _txn_log_last_txn_version(log_dir, app_id) != n_epochs - 1:
+        raise RuntimeError("txn ledger out of step with epoch count")
+    live = _txn_log_replay(log_dir)
+    return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
 
 
 @query(

@@ -1312,3 +1312,34 @@ def test_txn_log_validation_passes_disjoint_writers(spark, sf_dir):
     assert _txn_log_try_commit(log_dir, _txn_log_commit_count(log_dir), b[2])
     live = {p for p, _, _ in _txn_log_stats_replay(log_dir)}
     assert {"rewriteA", "rewriteB"} <= live
+
+
+def test_txn_ledger_tracks_per_app_versions(spark, sf_dir):
+    """The txn-action ledger must be per-appId (two writers' epochs
+    don't collide) and report -1 for an unknown app — the invariant
+    snk_txn_log_stream_commit's skip decision rides on."""
+    import json
+    import os
+    import tempfile
+
+    from streamingdemo_spark.plans.scans import (
+        _txn_log_last_txn_version,
+        _txn_log_try_commit,
+    )
+
+    log_dir = tempfile.mkdtemp(prefix="txn_ledger_")
+    assert _txn_log_last_txn_version(log_dir, "a") == -1
+    for v, (app, epoch) in enumerate([("a", 0), ("b", 5), ("a", 1)]):
+        assert _txn_log_try_commit(
+            log_dir,
+            v,
+            [json.dumps({"txn": {"appId": app, "version": epoch}}) + "\n"],
+        )
+    assert _txn_log_last_txn_version(log_dir, "a") == 1
+    assert _txn_log_last_txn_version(log_dir, "b") == 5
+    assert _txn_log_last_txn_version(log_dir, "c") == -1
+    # checkpoint artifacts must not confuse the ledger scan
+    open(os.path.join(log_dir, "_last_checkpoint"), "w").write(
+        '{"version": 0}'
+    )
+    assert _txn_log_last_txn_version(log_dir, "a") == 1
