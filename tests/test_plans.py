@@ -1343,3 +1343,13 @@ def test_txn_ledger_tracks_per_app_versions(spark, sf_dir):
         '{"version": 0}'
     )
     assert _txn_log_last_txn_version(log_dir, "a") == 1
+
+
+def test_compression_invariants_single_arrow_projection(spark, sf_dir):
+    """The codec-contract check is one scan + one Arrow-batched
+    projection: no shuffle, no join, no row-at-a-time Python."""
+    plan = _plan(QUERIES["ext_compression_invariants"](spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
