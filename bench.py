@@ -103,6 +103,10 @@ HEADLINE = [
     # round-8 additions
     "src_txn_log_incremental",     # commit-log stream + delta side-reads
     "stream_quality_gopher_gate",  # stateless quality screen per micro-batch
+    # round-9 additions
+    "snk_txn_log_rebase",          # conflict-detect + rebase COW merge
+    "snk_txn_log_stream_commit",   # exactly-once foreachBatch epoch commit
+    "ext_compression_invariants",  # zlib codec-contract Arrow projection
 ]
 
 

@@ -1232,20 +1232,43 @@ def _cow_merge_txn(
     return base_version, {p for p, _, _ in affected}, actions
 
 
+def _orderkey_quantile_span(
+    spark: SparkSession, sf_dir: str, flo: float, fhi: float
+) -> tuple[int, int]:
+    """Update span [floor(Q(flo)), floor(Q(fhi))] over the ACTUAL
+    o_orderkey distribution — quantiles, not geometric key-range
+    fractions, so a span always covers a fixed fraction of real rows.
+    (The 10× scale probe caught the geometric version: replica-offset
+    key spaces have large gaps, and tight per-file stats pruned two
+    'overlapping' geometric spans to DISJOINT file sets, voiding the
+    staged race.) Both engines replay the same linear-interpolation
+    percentile (the hash-certified ``agg_percentile`` contract:
+    Spark ``percentile`` == DuckDB ``quantile_cont``), floored to the
+    integer grid."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    row = o.agg(
+        F.expr(f"percentile(o_orderkey, {flo})").alias("qlo"),
+        F.expr(f"percentile(o_orderkey, {fhi})").alias("qhi"),
+    ).collect()[0]  # 2 scalars — the planner edge every MERGE has
+    import math
+
+    return int(math.floor(row["qlo"])), int(math.floor(row["qhi"]))
+
+
 @query(
     "snk_txn_log_conflict",
     oracle="""
-    WITH b AS (
-      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.40)) AS BIGINT) AS alo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.60)) AS BIGINT) AS ahi
+      FROM orders
     )
     SELECT o_orderkey, o_orderstatus,
-           CASE WHEN o_orderkey
-                     BETWEEN lo + ((hi - lo + 1) * 11) // 20
-                         AND lo + ((hi - lo + 1) * 13) // 20
+           CASE WHEN o_orderkey BETWEEN alo AND ahi
                 THEN CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
                            * 11) // 10 AS DOUBLE) / 100.0
                 ELSE o_totalprice END AS o_totalprice
-    FROM orders, b
+    FROM orders, q
     """,
 )
 def snk_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,9 +1284,12 @@ def snk_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevent; Delta calls this ConcurrentDeleteDeleteException).
 
     Staged race (deterministic): both writers plan at base version 1 —
-    writer A (+10% on the [55%, 65%] key span) and writer B (−10% on
-    the overlapping [60%, 70%] span) both stats-prune to the same two
-    mid-range buckets. A commits first at version 1. B's
+    writer A (+10% on the [P40, P60] orderkey-quantile span) and
+    writer B (−10% on the overlapping [P50, P70] span); the overlap
+    window holds ≥10% of actual rows BY CONSTRUCTION (quantiles, not
+    geometric key fractions — see ``_orderkey_quantile_span``), so
+    their stats-pruned read sets must intersect. A commits first at
+    version 1. B's
     create-exclusive on version 1 MUST fail; its read-set validation
     over the commits since base MUST raise (both invariants enforced
     with explicit exceptions — and the validation is also checked to
@@ -1282,15 +1308,14 @@ def snk_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     aborting.
     """
     base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    span = hi - lo + 1
+    alo, ahi = _orderkey_quantile_span(spark, sf_dir, 0.40, 0.60)
+    blo, bhi = _orderkey_quantile_span(spark, sf_dir, 0.50, 0.70)
     # both writers plan against the SAME base snapshot (version 1)
     a_base, a_removes, a_actions = _cow_merge_txn(
-        spark, base, log_dir,
-        lo + span * 11 // 20, lo + span * 13 // 20, 11, 10, "rewriteA",
+        spark, base, log_dir, alo, ahi, 11, 10, "rewriteA"
     )
     b_base, b_removes, b_actions = _cow_merge_txn(
-        spark, base, log_dir,
-        lo + span * 12 // 20, lo + span * 14 // 20, 9, 10, "rewriteB",
+        spark, base, log_dir, blo, bhi, 9, 10, "rewriteB"
     )
     if not (a_removes & b_removes):
         raise RuntimeError(
@@ -1325,17 +1350,18 @@ def snk_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "snk_txn_log_rebase",
     oracle="""
-    WITH b AS (
-      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.40)) AS BIGINT) AS alo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.60)) AS BIGINT) AS ahi,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.50)) AS BIGINT) AS blo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.70)) AS BIGINT) AS bhi
+      FROM orders
     ),
     c AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice,
              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-             lo + ((hi - lo + 1) * 11) // 20 AS alo,
-             lo + ((hi - lo + 1) * 13) // 20 AS ahi,
-             lo + ((hi - lo + 1) * 12) // 20 AS blo,
-             lo + ((hi - lo + 1) * 14) // 20 AS bhi
-      FROM orders, b
+             alo, ahi, blo, bhi
+      FROM orders, q
     )
     SELECT o_orderkey, o_orderstatus,
            CASE
@@ -1376,9 +1402,8 @@ def snk_txn_log_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     original MERGE attempt; no locks held at any point.
     """
     base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    span = hi - lo + 1
-    alo, ahi = lo + span * 11 // 20, lo + span * 13 // 20
-    blo, bhi = lo + span * 12 // 20, lo + span * 14 // 20
+    alo, ahi = _orderkey_quantile_span(spark, sf_dir, 0.40, 0.60)
+    blo, bhi = _orderkey_quantile_span(spark, sf_dir, 0.50, 0.70)
     # both plan at base version 1; A wins the race
     a_base, _, a_actions = _cow_merge_txn(
         spark, base, log_dir, alo, ahi, 11, 10, "rewriteA"

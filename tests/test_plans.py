@@ -1238,15 +1238,15 @@ def _stage_conflict_race(spark, sf_dir, first, second):
     loser planned removes, log_dir)."""
     from streamingdemo_spark.plans.scans import (
         _cow_merge_txn,
+        _orderkey_quantile_span,
         _txn_log_stats_stage,
         _txn_log_try_commit,
     )
 
     base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    span = hi - lo + 1
     spans = {
-        "A": (lo + span * 11 // 20, lo + span * 13 // 20, 11, 10),
-        "B": (lo + span * 12 // 20, lo + span * 14 // 20, 9, 10),
+        "A": (*_orderkey_quantile_span(spark, sf_dir, 0.40, 0.60), 11, 10),
+        "B": (*_orderkey_quantile_span(spark, sf_dir, 0.50, 0.70), 9, 10),
     }
     f_lo, f_hi, f_n, f_d = spans[first]
     s_lo, s_hi, s_n, s_d = spans[second]
