@@ -164,7 +164,7 @@ _PRIORITY = [
     # -- round-9 additions
     "src_txn_log_checkpointed", "snk_txn_log_conflict",
     "snk_txn_log_rebase", "snk_txn_log_stream_commit",
-    "ext_compression_invariants",
+    "snk_txn_log_pipeline", "ext_compression_invariants",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

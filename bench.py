@@ -106,6 +106,7 @@ HEADLINE = [
     # round-9 additions
     "snk_txn_log_rebase",          # conflict-detect + rebase COW merge
     "snk_txn_log_stream_commit",   # exactly-once foreachBatch epoch commit
+    "snk_txn_log_pipeline",        # log-to-log transactional ETL end-to-end
     "ext_compression_invariants",  # zlib codec-contract Arrow projection
 ]
 

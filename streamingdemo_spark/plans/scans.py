@@ -548,10 +548,31 @@ def _txn_log_write_checkpoint(log_dir: str, version: int) -> None:
     import json
 
     live = _txn_log_replay(log_dir, as_of=version)
+    # the checkpoint also carries the txn ledger (max committed
+    # version per appId over the prefix) — Delta's convention, so the
+    # idempotent-writer lookup is O(suffix) too, not O(n_commits)
+    txns: dict[str, int] = {}
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        if int(name.split(".")[0]) > version:
+            break
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                t = json.loads(line).get("txn")
+                if t:
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
     ckpt = os.path.join(log_dir, f"{version:08d}.checkpoint.json")
     with open(ckpt, "w") as f:
         for p in sorted(live):
             f.write(json.dumps({"add": p}) + "\n")
+        for app in sorted(txns):
+            f.write(
+                json.dumps({"txn": {"appId": app, "version": txns[app]}})
+                + "\n"
+            )
     # _last_checkpoint is a single tiny pointer object, atomically
     # replaced (os.replace) so readers never observe a partial write
     tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
@@ -587,7 +608,9 @@ def _txn_log_replay_checkpointed(
     live: set[str] = set()
     with open(os.path.join(log_dir, ckpt_name)) as f:
         for line in f:
-            live.add(json.loads(line)["add"])
+            a = json.loads(line)
+            if "add" in a:  # checkpoints also carry txn-ledger rows
+                live.add(a["add"])
     for name in sorted(os.listdir(log_dir)):
         if not re.fullmatch(r"\d{8}\.json", name):
             continue  # checkpoints/pointer are not commit history
@@ -1442,20 +1465,36 @@ def snk_txn_log_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _txn_log_last_txn_version(log_dir: str, app_id: str) -> int:
     """Highest ``{"txn": {"appId", "version"}}`` action recorded for
-    ``app_id`` across the log, or -1 — the Delta ``txn``-action
-    idempotence ledger a streaming writer consults before committing
-    an epoch (metadata-only scan; with checkpointing the ledger rides
-    the checkpoint, keeping this O(suffix) too)."""
+    ``app_id``, or -1 — the Delta ``txn``-action idempotence ledger a
+    streaming writer consults before committing an epoch. Metadata
+    only, and O(checkpoint + suffix) when a checkpoint exists: the
+    ledger rides the checkpoint (``_txn_log_write_checkpoint``), so
+    only commits after the checkpoint version are scanned — pinned by
+    a test that DELETES the pre-checkpoint commits and still gets the
+    right answer."""
     import json
 
     last = -1
+    after = -1
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            after = int(json.load(f)["version"])
+        with open(
+            os.path.join(log_dir, f"{after:08d}.checkpoint.json")
+        ) as f:
+            for line in f:
+                t = json.loads(line).get("txn")
+                if t and t.get("appId") == app_id:
+                    last = max(last, int(t["version"]))
     for name in sorted(os.listdir(log_dir)):
         if not re.fullmatch(r"\d{8}\.json", name):
             continue
+        if int(name.split(".")[0]) <= after:
+            continue  # pre-checkpoint commits never opened
         with open(os.path.join(log_dir, name)) as f:
             for line in f:
-                a = json.loads(line)
-                t = a.get("txn")
+                t = json.loads(line).get("txn")
                 if t and t.get("appId") == app_id:
                     last = max(last, int(t["version"]))
     return last
@@ -1577,6 +1616,133 @@ def snk_txn_log_stream_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("txn ledger out of step with epoch count")
     live = _txn_log_replay(log_dir)
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
+
+
+@query(
+    "snk_txn_log_pipeline",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def snk_txn_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional table-to-table streaming ETL — the full
+    composition of this family's read and write sides, and the
+    engine-shaped version of the reference's Kafka-in → operator →
+    Kafka-out DAG (OpContainer.java:46-69): table A's COMMIT LOG is
+    the stream (``src_txn_log_incremental``'s source shape), each
+    micro-batch side-reads that commit's added data files, applies the
+    transform (a filter projection here; any batch lineage works —
+    batch/stream unification), and commits the result into table B's
+    log exactly once (``snk_txn_log_stream_commit``'s idempotent
+    epoch protocol). B is itself a first-class txn-log table: after
+    the run it is checkpointed, so the staged at-least-once replay of
+    epoch 0 exercises the CHECKPOINT-AWARE ledger lookup — the skip
+    decision reads B's checkpoint plus the (empty) commit suffix, not
+    B's history.
+
+    Only commit METADATA flows through the driver (the per-batch
+    ``collect`` is add-action file names — the same bounded edge every
+    log reader has); row data moves executor-side from A's files
+    through the filter into B's files. The oracle asserts B's final
+    snapshot equals the transform of A's full logical table, so a
+    dropped epoch, a double-commit, or a transform applied twice
+    flips the hash.
+
+    100 TB story: the pipeline keeps up with A by reading each
+    commit's delta files only (never re-listing A), lands B
+    atomically per epoch with O(1) metadata commits, survives
+    arbitrary retries without duplicates, and B's readers plan in
+    O(checkpoint + suffix) — every property certified separately by
+    this family, composed here end to end.
+    """
+    import json
+
+    base_a, log_a = _txn_log_stage(
+        spark,
+        sf_dir,
+        "txnlog_pipe_a_",
+        [[{"add": f"part{i}"}] for i in range(4)],  # append-only source
+    )
+    base_b = tempfile.mkdtemp(prefix="txnlog_pipe_b_")
+    log_b = os.path.join(base_b, "_txn_log")
+    os.makedirs(log_b)
+    app_id = "pipeline_a_to_b"
+    skips: list[int] = []
+    seen: dict[int, list[str]] = {}
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # commit metadata only — file names, one commit per batch
+        adds = [r["add"] for r in batch_df.collect() if r["add"]]
+        seen[epoch_id] = adds
+        out = f"epoch{epoch_id}"
+        if adds:
+            (
+                spark.read.parquet(
+                    *(os.path.join(base_a, p) for p in adds)
+                )
+                .filter(F.col("o_orderstatus") == "F")
+                .write.mode("overwrite")  # idempotent epoch rewrite
+                .parquet(os.path.join(base_b, out))
+            )
+        if _txn_log_last_txn_version(log_b, app_id) >= epoch_id:
+            skips.append(epoch_id)
+            return
+        actions = (
+            [json.dumps({"add": out}) + "\n"] if adds else []
+        ) + [
+            json.dumps({"txn": {"appId": app_id, "version": epoch_id}})
+            + "\n"
+        ]
+        version = _txn_log_commit_count(log_b)
+        while not _txn_log_try_commit(log_b, version, actions):
+            version = _txn_log_commit_count(log_b)
+
+    actions_stream = (
+        spark.readStream.schema("add string, remove string")
+        .option("maxFilesPerTrigger", 1)
+        .json(log_a)
+        .select("add")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_txnlog_pipe_")
+    handle_q = (
+        actions_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not handle_q.awaitTermination(300):
+            raise TimeoutError("pipeline replay exceeded 300s")
+    finally:
+        handle_q.stop()
+
+    n_epochs = _txn_log_commit_count(log_b)
+    if n_epochs < 2 or skips:
+        raise RuntimeError(
+            f"staging expects >=2 clean epochs, got {n_epochs} "
+            f"with premature skips {skips}"
+        )
+    # B is a first-class table: checkpoint it, then replay epoch 0
+    # (whatever source commit that epoch actually carried) — the skip
+    # decision must come from the checkpoint-aware ledger
+    _txn_log_write_checkpoint(log_b, version=n_epochs - 1)
+    replay_batch = spark.createDataFrame(
+        [(p,) for p in seen[0]] or [(None,)], "add string"
+    )
+    handle(replay_batch, 0)
+    if skips != [0]:
+        raise RuntimeError(f"retry of epoch 0 was not skipped: {skips}")
+    if _txn_log_commit_count(log_b) != n_epochs:
+        raise RuntimeError("retry must not append a commit")
+    live, opened = _txn_log_replay_checkpointed(log_b)
+    if opened != [f"{n_epochs - 1:08d}.checkpoint.json"]:
+        raise RuntimeError(
+            f"B's readers must resolve from the checkpoint alone: {opened}"
+        )
+    return spark.read.parquet(
+        *(os.path.join(base_b, p) for p in sorted(live))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 @query(

@@ -1338,11 +1338,20 @@ def test_txn_ledger_tracks_per_app_versions(spark, sf_dir):
     assert _txn_log_last_txn_version(log_dir, "a") == 1
     assert _txn_log_last_txn_version(log_dir, "b") == 5
     assert _txn_log_last_txn_version(log_dir, "c") == -1
-    # checkpoint artifacts must not confuse the ledger scan
-    open(os.path.join(log_dir, "_last_checkpoint"), "w").write(
-        '{"version": 0}'
+    # checkpointing makes the ledger O(suffix): the txn state rides
+    # the checkpoint, so pre-checkpoint commits are NEVER opened —
+    # proven by deleting them outright
+    from streamingdemo_spark.plans.scans import _txn_log_write_checkpoint
+
+    assert _txn_log_try_commit(
+        log_dir, 3, [json.dumps({"txn": {"appId": "a", "version": 2}}) + "\n"]
     )
-    assert _txn_log_last_txn_version(log_dir, "a") == 1
+    _txn_log_write_checkpoint(log_dir, version=2)  # covers commits 0..2
+    for v in range(3):
+        os.unlink(os.path.join(log_dir, f"{v:08d}.json"))
+    assert _txn_log_last_txn_version(log_dir, "a") == 2  # ckpt(1) + c3(2)
+    assert _txn_log_last_txn_version(log_dir, "b") == 5  # checkpoint only
+    assert _txn_log_last_txn_version(log_dir, "c") == -1
 
 
 def test_compression_invariants_single_arrow_projection(spark, sf_dir):
