@@ -165,6 +165,8 @@ _PRIORITY = [
     "src_txn_log_checkpointed", "snk_txn_log_conflict",
     "snk_txn_log_rebase", "snk_txn_log_stream_commit",
     "snk_txn_log_pipeline", "ext_compression_invariants",
+    "src_txn_log_cdf", "src_txn_log_schema_evolution",
+    "src_txn_log_stats_prune_checkpointed",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

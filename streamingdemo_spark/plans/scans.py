@@ -538,16 +538,43 @@ def _txn_log_replay(log_dir: str, as_of: int | None = None) -> set[str]:
     return live
 
 
+def _txn_log_replay_actions(
+    log_dir: str, as_of: int | None = None
+) -> dict[str, dict]:
+    """Action-preserving replay: live ``{path: add-action dict}`` —
+    the add action carries whatever the writer recorded (per-file
+    stats, partition values), and a checkpoint must preserve ALL of
+    it, or checkpointed tables silently lose file skipping."""
+    import json
+
+    live: dict[str, dict] = {}
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        if as_of is not None and int(name.split(".")[0]) > as_of:
+            break
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live[a["add"]] = a
+                if "remove" in a:
+                    live.pop(a["remove"], None)
+    return live
+
+
 def _txn_log_write_checkpoint(log_dir: str, version: int) -> None:
     """Materialize a checkpoint of the live-file set as of ``version``
     and point ``_last_checkpoint`` at it — the Delta ``_last_checkpoint``
     convention: readers resolve checkpoint + commit suffix instead of
     replaying the whole log. The checkpoint is derived purely from the
     log (a pure function of commits 0..version), so writing it is
-    idempotent and needs no coordination with concurrent committers."""
+    idempotent and needs no coordination with concurrent committers.
+    Add actions are preserved VERBATIM (stats and all), so file
+    skipping survives checkpointing."""
     import json
 
-    live = _txn_log_replay(log_dir, as_of=version)
+    live_actions = _txn_log_replay_actions(log_dir, as_of=version)
     # the checkpoint also carries the txn ledger (max committed
     # version per appId over the prefix) — Delta's convention, so the
     # idempotent-writer lookup is O(suffix) too, not O(n_commits)
@@ -566,8 +593,8 @@ def _txn_log_write_checkpoint(log_dir: str, version: int) -> None:
                     )
     ckpt = os.path.join(log_dir, f"{version:08d}.checkpoint.json")
     with open(ckpt, "w") as f:
-        for p in sorted(live):
-            f.write(json.dumps({"add": p}) + "\n")
+        for p in sorted(live_actions):
+            f.write(json.dumps(live_actions[p]) + "\n")
         for app in sorted(txns):
             f.write(
                 json.dumps({"txn": {"appId": app, "version": txns[app]}})
@@ -701,6 +728,49 @@ def src_txn_log_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checkpointed snapshot diverged from full replay"
         )
     return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
+
+
+def _txn_log_stats_replay_checkpointed(
+    log_dir: str,
+) -> tuple[list[tuple[str, int, int]], list[str]]:
+    """Stats-carrying snapshot resolve via ``_last_checkpoint``:
+    returns (live ``(path, min, max)`` list, log files opened) — the
+    composition of O(suffix) planning and stats-based file skipping.
+    Falls back to full stats replay when no checkpoint exists."""
+    import json
+
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(ptr):
+        return _txn_log_stats_replay(log_dir), sorted(
+            n for n in os.listdir(log_dir) if re.fullmatch(r"\d{8}\.json", n)
+        )
+    with open(ptr) as f:
+        ckpt_version = int(json.load(f)["version"])
+    ckpt_name = f"{ckpt_version:08d}.checkpoint.json"
+    opened = [ckpt_name]
+    live: dict[str, tuple[int, int]] = {}
+
+    def apply(a: dict) -> None:
+        if "add" in a:
+            live[a["add"]] = (a["min_key"], a["max_key"])
+        if "remove" in a:
+            live.pop(a["remove"], None)
+
+    with open(os.path.join(log_dir, ckpt_name)) as f:
+        for line in f:
+            a = json.loads(line)
+            if "add" in a:
+                apply(a)
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        if int(name.split(".")[0]) <= ckpt_version:
+            continue
+        opened.append(name)
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                apply(json.loads(line))
+    return [(p, mn, mx) for p, (mn, mx) in sorted(live.items())], opened
 
 
 @query(
@@ -1268,14 +1338,29 @@ def _orderkey_quantile_span(
     percentile (the hash-certified ``agg_percentile`` contract:
     Spark ``percentile`` == DuckDB ``quantile_cont``), floored to the
     integer grid."""
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    row = o.agg(
-        F.expr(f"percentile(o_orderkey, {flo})").alias("qlo"),
-        F.expr(f"percentile(o_orderkey, {fhi})").alias("qhi"),
-    ).collect()[0]  # 2 scalars — the planner edge every MERGE has
+    return tuple(_orderkey_quantiles(spark, sf_dir, flo, fhi))
+
+
+def _orderkey_quantiles(
+    spark: SparkSession, sf_dir: str, *fracs: float
+) -> list[int]:
+    """All requested o_orderkey quantiles in ONE aggregation pass
+    (``percentile(col, array(...))``) — exact percentile keeps a
+    value→count map per partition, so one pass costs the same as one
+    quantile; the two-span keys were paying it twice (10× probe:
+    the duplicated pass dominated their walls). Floored to the
+    integer grid. This derivation is fixture STAGING (the update
+    predicate a writer already has), not part of the commit
+    protocol being certified."""
     import math
 
-    return int(math.floor(row["qlo"])), int(math.floor(row["qhi"]))
+    arr = ", ".join(str(f) for f in fracs)
+    row = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .agg(F.expr(f"percentile(o_orderkey, array({arr}))").alias("qs"))
+        .collect()[0]  # len(fracs) scalars — one planner edge
+    )
+    return [int(math.floor(q)) for q in row["qs"]]
 
 
 @query(
@@ -1331,8 +1416,9 @@ def snk_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     aborting.
     """
     base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi = _orderkey_quantile_span(spark, sf_dir, 0.40, 0.60)
-    blo, bhi = _orderkey_quantile_span(spark, sf_dir, 0.50, 0.70)
+    alo, ahi, blo, bhi = _orderkey_quantiles(
+        spark, sf_dir, 0.40, 0.60, 0.50, 0.70
+    )
     # both writers plan against the SAME base snapshot (version 1)
     a_base, a_removes, a_actions = _cow_merge_txn(
         spark, base, log_dir, alo, ahi, 11, 10, "rewriteA"
@@ -1425,8 +1511,9 @@ def snk_txn_log_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     original MERGE attempt; no locks held at any point.
     """
     base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi = _orderkey_quantile_span(spark, sf_dir, 0.40, 0.60)
-    blo, bhi = _orderkey_quantile_span(spark, sf_dir, 0.50, 0.70)
+    alo, ahi, blo, bhi = _orderkey_quantiles(
+        spark, sf_dir, 0.40, 0.60, 0.50, 0.70
+    )
     # both plan at base version 1; A wins the race
     a_base, _, a_actions = _cow_merge_txn(
         spark, base, log_dir, alo, ahi, 11, 10, "rewriteA"
@@ -1743,6 +1830,260 @@ def snk_txn_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         *(os.path.join(base_b, p) for p in sorted(live))
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "src_txn_log_cdf",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.40)) AS BIGINT) AS alo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.60)) AS BIGINT) AS ahi
+      FROM orders
+    ),
+    u AS (
+      SELECT o_orderkey, o_totalprice AS pre,
+             CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 11)
+                  // 10 AS DOUBLE) / 100.0 AS post
+      FROM orders, q WHERE o_orderkey BETWEEN alo AND ahi
+    )
+    SELECT o_orderkey, 'update_preimage' AS _change_type,
+           pre AS o_totalprice, CAST(1 AS BIGINT) AS _commit_version
+    FROM u WHERE pre != post
+    UNION ALL
+    SELECT o_orderkey, 'update_postimage', post, CAST(1 AS BIGINT)
+    FROM u WHERE pre != post
+    """,
+)
+def src_txn_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level Change Data Feed from a copy-on-write MERGE — the
+    capability ``src_txn_log_incremental`` deliberately stops short
+    of: that key emits per-commit FILE-level deltas (adds/removes as
+    aggregate rows); this one reconstructs the ROW-level
+    update_preimage/update_postimage pairs a downstream consumer
+    needs to apply an UPDATE incrementally (Delta CDF's
+    ``_change_type`` contract) — without the writer ever persisting
+    change rows, because COW keeps both sides: the removed files ARE
+    the preimage and the added files the postimage (immutable store,
+    nothing overwritten).
+
+    Mechanics: stage the stats table, run one quantile-span COW MERGE
+    (``_cow_merge_txn``, +10% on [P40, P60]) committed at version 1,
+    then CDF-read THAT commit: parse its remove/add actions (metadata),
+    scan the removed files as ``pre`` and the added file as ``post``,
+    equi-join on the key, and keep rows whose price actually changed —
+    copied-through rows are NOT changes and must not be emitted (the
+    classic CDF-from-COW bug: emitting every row of a rewritten file).
+    Each surviving row explodes into its preimage/postimage pair with
+    ``_change_type`` and ``_commit_version`` columns. The oracle
+    derives the same pairs from the logical table, so phantom changes
+    (copied-through rows), missed changes, or wrong images flip the
+    hash.
+
+    100 TB story: CDF cost is bounded by the commit's delta files
+    (the only files read), the join is key-co-partitioned between a
+    removed set and its own rewrite, and nothing row-sized touches
+    the driver. Exact float equality on the copied-through filter is
+    sound because COW passes untouched doubles through parquet
+    bit-exactly.
+    """
+    import json
+
+    base, log_dir, _, _ = _txn_log_stats_stage(spark, sf_dir)
+    alo, ahi = _orderkey_quantile_span(spark, sf_dir, 0.40, 0.60)
+    b_ver, _, actions = _cow_merge_txn(
+        spark, base, log_dir, alo, ahi, 11, 10, "rewrite1"
+    )
+    if not _txn_log_try_commit(log_dir, b_ver, actions):
+        raise RuntimeError("uncontended merge commit failed")
+    removed, added = [], []
+    with open(os.path.join(log_dir, f"{b_ver:08d}.json")) as f:
+        for line in f:
+            a = json.loads(line)
+            if "remove" in a:
+                removed.append(os.path.join(base, a["remove"]))
+            if "add" in a:
+                added.append(os.path.join(base, a["add"]))
+    pre = spark.read.parquet(*removed).select(
+        "o_orderkey", F.col("o_totalprice").alias("pre_price")
+    )
+    post = spark.read.parquet(*added).select(
+        "o_orderkey", F.col("o_totalprice").alias("post_price")
+    )
+    changed = pre.join(post, "o_orderkey").filter(
+        F.col("pre_price") != F.col("post_price")
+    )
+    images = changed.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("_change_type"),
+                    F.col("pre_price").alias("o_totalprice"),
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("_change_type"),
+                    F.col("post_price").alias("o_totalprice"),
+                ),
+            )
+        ).alias("img"),
+    )
+    return images.select(
+        "o_orderkey",
+        "img._change_type",
+        "img.o_totalprice",
+        F.lit(b_ver).cast("long").alias("_commit_version"),
+    )
+
+
+@query(
+    "src_txn_log_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN o_orderkey % 4 >= 2 THEN o_orderpriority
+                END AS o_orderpriority
+    FROM orders
+    """,
+)
+def src_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the transaction log — the Delta
+    ``metaData``-action mechanism: the table's schema is ITSELF
+    versioned log state, so adding a column is a metadata commit, not
+    a table rewrite. Files written before the change simply lack the
+    column; readers resolve the LATEST schema from the log and scan
+    old files with the new column as NULL (parquet's
+    missing-column-to-null contract under an explicit read schema) —
+    at 100 TB this is the difference between an O(1) ALTER TABLE and
+    rewriting petabytes.
+
+    Staged history: commit 0 carries schema v0 (3 columns) and adds
+    parts 0-1 written WITHOUT ``o_orderpriority``; commit 1 carries
+    schema v1 (v0 + ``o_orderpriority``) and adds parts 2-3 written
+    WITH it. The reader replays add/remove actions for the live set
+    AND the last ``metaData`` action for the schema (last-writer-wins,
+    exactly like file actions), then scans all four parts under the
+    v1 schema. The oracle asserts old-file rows surface NULL priority
+    and new-file rows the real value — a reader that inferred the
+    schema from (some) files, or that dropped old files it couldn't
+    "fully" read, flips the hash.
+    """
+    import json
+
+    schema_v0 = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    schema_v1 = schema_v0 + ", o_orderpriority string"
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = tempfile.mkdtemp(prefix="txnlog_schema_")
+    # one partitioned write per schema era (2 scans total)
+    (
+        o.filter(F.col("o_orderkey") % 4 < 2)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("b", F.col("o_orderkey") % 4)
+        .write.partitionBy("b")
+        .parquet(os.path.join(base, "old"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 4 >= 2)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        .withColumn("b", F.col("o_orderkey") % 4)
+        .write.partitionBy("b")
+        .parquet(os.path.join(base, "new"))
+    )
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "00000000.json"), "w") as f:
+        f.write(json.dumps({"metaData": {"schemaString": schema_v0}}) + "\n")
+        f.write(json.dumps({"add": "old/b=0"}) + "\n")
+        f.write(json.dumps({"add": "old/b=1"}) + "\n")
+    with open(os.path.join(log_dir, "00000001.json"), "w") as f:
+        f.write(json.dumps({"metaData": {"schemaString": schema_v1}}) + "\n")
+        f.write(json.dumps({"add": "new/b=2"}) + "\n")
+        f.write(json.dumps({"add": "new/b=3"}) + "\n")
+    # replay file actions AND the schema (both are log state)
+    live = _txn_log_replay(log_dir)
+    schema = None
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" in a:
+                    schema = a["metaData"]["schemaString"]
+    if schema != schema_v1:
+        raise RuntimeError(f"schema replay resolved {schema!r}")
+    return spark.read.schema(schema).parquet(
+        *(os.path.join(base, p) for p in sorted(live))
+    )
+
+
+@query(
+    "src_txn_log_stats_prune_checkpointed",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.70)) AS BIGINT) AS qlo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.90)) AS BIGINT) AS qhi
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders, q WHERE o_orderkey BETWEEN qlo AND qhi
+    """,
+)
+def src_txn_log_stats_prune_checkpointed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composition that makes a checkpointed 100 TB table fast to
+    QUERY, not just fast to plan: checkpoints preserve each add
+    action VERBATIM — per-file min/max stats included — so a reader
+    resolves the snapshot from checkpoint + suffix (O(cadence)
+    planning, ``src_txn_log_checkpointed``) and THEN file-skips
+    against the stats it just read (``src_txn_log_stats_prune``)
+    without opening a single pre-checkpoint commit. A checkpoint
+    format that dropped stats (the first-draft bug this key pins
+    against) would silently degrade every post-checkpoint query from
+    2-file scans to full-table scans — planning-time regression
+    invisible to correctness tests.
+
+    Staged history: the 8-bucket stats table, one quantile-span COW
+    MERGE ([P40, P60], +10%) committed at version 1, checkpoint at
+    version 1 (live set = untouched buckets + the rewrite, all with
+    stats). Query: keys in [P70, P90] — strictly ABOVE the update
+    span, so the result is original prices (the oracle asserts the
+    logical table's answer). The resolve must open EXACTLY the
+    checkpoint (raised loudly: the commit suffix is empty and
+    pre-checkpoint commits are forbidden), the stats must prune at
+    least one live file, and the scan re-applies the predicate as the
+    residual filter.
+    """
+    base, log_dir, _, _ = _txn_log_stats_stage(spark, sf_dir)
+    alo, ahi, qlo, qhi = _orderkey_quantiles(
+        spark, sf_dir, 0.40, 0.60, 0.70, 0.90
+    )
+    m_ver, _, actions = _cow_merge_txn(
+        spark, base, log_dir, alo, ahi, 11, 10, "rewrite1"
+    )
+    if not _txn_log_try_commit(log_dir, m_ver, actions):
+        raise RuntimeError("uncontended merge commit failed")
+    _txn_log_write_checkpoint(log_dir, version=m_ver)
+    live, opened = _txn_log_stats_replay_checkpointed(log_dir)
+    if opened != [f"{m_ver:08d}.checkpoint.json"]:
+        raise RuntimeError(
+            f"resolve must read the checkpoint alone, opened {opened}"
+        )
+    keep = [
+        os.path.join(base, p)
+        for p, mn, mx in live
+        if not (mx < qlo or mn > qhi)
+    ]
+    if not keep or len(keep) >= len(live):
+        raise RuntimeError(
+            f"stats skipping degraded: kept {len(keep)} of {len(live)}"
+        )
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("o_orderkey").between(qlo, qhi))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
 
 
 @query(

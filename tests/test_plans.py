@@ -1362,3 +1362,78 @@ def test_compression_invariants_single_arrow_projection(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_cdf_emits_only_real_changes(spark, sf_dir, duck):
+    """CDF-from-COW must not emit phantom changes: every copied-through
+    row of the rewritten file is filtered out, each changed key
+    appears exactly twice (pre+post), and postimage = pre * 11//10 on
+    the cents grid."""
+    import pyspark.sql.functions as F
+
+    df = QUERIES["src_txn_log_cdf"](spark, sf_dir).cache()
+    try:
+        n_keys = df.select("o_orderkey").distinct().count()
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in df.groupBy("_change_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert by_type == {
+            "update_preimage": n_keys,
+            "update_postimage": n_keys,
+        }, by_type
+        # span rows in the logical table == changed keys
+        lo, hi = duck.execute(
+            "SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.40)) AS BIGINT),"
+            "       CAST(FLOOR(quantile_cont(o_orderkey, 0.60)) AS BIGINT) "
+            "FROM orders"
+        ).fetchone()
+        n_span = duck.execute(
+            f"SELECT COUNT(*) FROM orders "
+            f"WHERE o_orderkey BETWEEN {lo} AND {hi}"
+        ).fetchone()[0]
+        assert n_keys == n_span, (n_keys, n_span)
+    finally:
+        df.unpersist()
+
+
+def test_checkpoint_preserves_add_action_stats(spark, sf_dir):
+    """Checkpoints must carry add actions VERBATIM: a stats-carrying
+    table resolved through its checkpoint keeps exactly the same
+    (path, min, max) live set as the full stats replay — a checkpoint
+    that strips stats silently turns every post-checkpoint query into
+    a full-table scan."""
+    from streamingdemo_spark.plans.scans import (
+        _txn_log_stats_replay,
+        _txn_log_stats_replay_checkpointed,
+        _txn_log_stats_stage,
+        _txn_log_write_checkpoint,
+    )
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    full = _txn_log_stats_replay(log_dir)
+    # fallback path (no checkpoint): full replay, opens the commit
+    live, opened = _txn_log_stats_replay_checkpointed(log_dir)
+    assert live == full and opened == ["00000000.json"]
+    _txn_log_write_checkpoint(log_dir, version=0)
+    live, opened = _txn_log_stats_replay_checkpointed(log_dir)
+    assert live == full, "stats lost through the checkpoint"
+    assert opened == ["00000000.checkpoint.json"]
+
+
+def test_schema_evolution_nulls_old_files_only(spark, sf_dir):
+    """Old-era rows surface NULL for the evolved column; new-era rows
+    carry real values — and the scan reads all four parts."""
+    import pyspark.sql.functions as F
+
+    df = QUERIES["src_txn_log_schema_evolution"](spark, sf_dir)
+    agg = df.groupBy((F.col("o_orderkey") % 4 >= 2).alias("new_era")).agg(
+        F.count("*").alias("n"),
+        F.count("o_orderpriority").alias("n_prio"),
+    )
+    rows = {r["new_era"]: (r["n"], r["n_prio"]) for r in agg.collect()}
+    assert set(rows) == {True, False}
+    assert rows[False][1] == 0, "old files must surface NULL priority"
+    assert rows[True][1] == rows[True][0], "new files must carry values"
