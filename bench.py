@@ -3,10 +3,15 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS], times each end-to-end (plan + execute +
-drain), prints::
+drain), prints ONE COMPACT final line::
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {...}, "sf": ...}
+    {"metric": "...", "value": <total_sec>, "unit": "sec", "sf": ...,
+     "n_queries": N, "anchors": {...}, "anchor_median": ...,
+     "full_artifact": "BENCH_FULL_r{N}.json"}
+
+The full per-query wall dict is written to the BENCH_FULL_r{N}.json
+sidecar instead of stdout — round 9's headline value was lost when the
+driver's tail capture truncated the head of the one large JSON line.
 
 Headline set: one representative per operator family, weighted toward
 the scale-critical paths (fact-table agg, star join, window, dedup,
@@ -147,8 +152,8 @@ def main() -> None:
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf),
+        "n_queries": len(timings),
     }
     # Anchor walls + box metadata travel IN the artifact so a
     # cross-round comparison can normalize mechanically instead of
@@ -175,6 +180,20 @@ def main() -> None:
         out["anchors"] = anchors
         ratios = sorted(anchors.values())
         out["anchor_median"] = ratios[len(ratios) // 2]
+    # The ~60-key per-query dict goes to a SIDECAR file, not stdout:
+    # round 9's headline value was lost because the driver's tail
+    # capture truncated the head of one very large JSON line
+    # (BENCH_r09.json `parsed: null`). The final stdout line stays
+    # compact; _anchor_ratios reads the sidecar next round.
+    full = dict(out)
+    full["queries"] = timings
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_FULL_r{_current_round()}.json",
+    )
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+    out["full_artifact"] = os.path.basename(sidecar)
     print(json.dumps(out))
 
 
@@ -187,32 +206,64 @@ ANCHOR_KEYS = [
 ]
 
 
-def _anchor_ratios(timings: dict[str, float], sf: float) -> dict[str, float]:
-    import glob
+def _round_of(path: str) -> int:
     import re
 
-    benches = sorted(
-        glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    return int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+
+
+def _current_round() -> int:
+    """This bench run's round number: one past the newest recorded
+    BENCH_r{N}.json (the driver records round N's artifact before
+    round N+1 starts). Overridable for ad-hoc runs so a local rerun
+    doesn't clobber nothing / the wrong sidecar."""
+    import glob
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [_round_of(p) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _anchor_ratios(timings: dict[str, float], sf: float) -> dict[str, float]:
+    """Per-anchor wall ratio vs the newest prior artifact that carries
+    per-query walls. Prior rounds' walls live either in the recorded
+    BENCH_r{N}.json (rounds ≤9 put `queries` on the stdout line) or in
+    the BENCH_FULL_r{N}.json sidecar (round ≥10 emission); scan both,
+    newest round first."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
+        key=_round_of,
+        reverse=True,
     )
-    if not benches:
-        return {}
-    try:
-        doc = json.load(open(benches[-1]))
-    except (OSError, ValueError):
-        return {}
-    # the driver wraps the emitted JSON line under "parsed"; accept
-    # both the raw line shape and the recorded-artifact shape
-    parsed = doc if "queries" in doc else doc.get("parsed", {})
-    prev = parsed.get("queries") or {}
-    # ratios only mean "box speed" when both runs used the same scale
-    if parsed.get("sf") != sf:
-        return {}
-    return {
-        k: round(timings[k] / prev[k], 3)
-        for k in ANCHOR_KEYS
-        if k in timings and k in prev and prev[k] > 0
-    }
+    for path in candidates:
+        if _round_of(path) >= _current_round():
+            continue  # never compare against this run's own sidecar
+        try:
+            doc = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        # the driver wraps the emitted JSON line under "parsed"; accept
+        # the raw line shape, the recorded-artifact shape, and sidecars
+        parsed = doc if "queries" in doc else (doc.get("parsed") or {})
+        prev = parsed.get("queries") or {}
+        if not prev:
+            continue
+        # ratios only mean "box speed" when both runs used the same scale
+        if parsed.get("sf") != sf:
+            return {}
+        return {
+            k: round(timings[k] / prev[k], 3)
+            for k in ANCHOR_KEYS
+            if k in timings and k in prev and prev[k] > 0
+        }
+    return {}
 
 
 if __name__ == "__main__":

@@ -1337,7 +1337,9 @@ def ext_compression_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       + max(64, len(t)/4)``: a second copy inside the 32 KiB DEFLATE
       window must compress to near-nothing (measured worst slack 54
       bytes at the 10× corpus) — the property the compression-ratio
-      dedup signal rests on.
+      dedup signal rests on. Gated to vacuous-TRUE for docs over
+      32 KiB, where the second copy falls outside the window and the
+      bound is no longer a codec guarantee.
 
     The oracle emits TRUE per flag, so any codec-contract violation —
     or a drifted byte count — flips the value hash. Scale shape: one
@@ -1355,7 +1357,13 @@ def ext_compression_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rows = []
         for t in texts:
-            raw = (t or "").encode("utf-8")
+            if t is None:
+                # the oracle's strlen(NULL) is NULL with literal-TRUE
+                # flags — mirror it exactly (no `or ""` fallback, which
+                # would emit 0 and hash-mismatch on a NULL document)
+                rows.append((None, True, True, True, True))
+                continue
+            raw = t.encode("utf-8")
             n = len(raw)
             if n == 0:
                 rows.append((0, True, True, True, True))
@@ -1370,10 +1378,17 @@ def ext_compression_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                     zlib.decompress(c6) == raw,
                     len(c6) <= n + (n >> 12) + (n >> 14) + (n >> 25) + 13,
                     len(c9) <= len(c1) + 16,
-                    len(cc) <= len(c6) + max(64, n // 4),
+                    # the near-free-second-copy bound is only a codec
+                    # GUARANTEE while both copies fit the 32 KiB DEFLATE
+                    # window; past it the second copy can't back-reference
+                    # the first and the check would demand ~4:1 plain
+                    # compression — gate to vacuous-TRUE like the n == 0
+                    # short-circuit instead of certifying a corpus accident
+                    n > 32768
+                    or len(cc) <= len(c6) + max(64, n // 4),
                 )
             )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             rows,
             columns=[
                 "raw_bytes",
@@ -1383,6 +1398,10 @@ def ext_compression_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "window_reuse_ok",
             ],
         )
+        # nullable Int64: a NULL document would otherwise coerce the
+        # column to float64, which Arrow can't safely cast back to long
+        out["raw_bytes"] = out["raw_bytes"].astype("Int64")
+        return out
 
     d = _docs(spark, sf_dir)
     inv = d.select("doc_id", invariants("text").alias("inv"))

@@ -1113,6 +1113,12 @@ def _txn_log_stats_replay(log_dir: str) -> list[tuple[str, int, int]]:
 
     live: dict[str, tuple[int, int]] = {}
     for name in sorted(os.listdir(log_dir)):
+        # same commit-filename guard as _txn_log_replay: checkpoint
+        # artifacts (NNNNNNNN.checkpoint.json, _last_checkpoint) are
+        # derived state, never history — parsing them here would
+        # double-apply adds (and break on a future checkpoint format)
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
         with open(os.path.join(log_dir, name)) as f:
             for line in f:
                 a = json.loads(line)
@@ -1256,13 +1262,19 @@ def _txn_log_validate_read_set(
         with open(os.path.join(log_dir, name)) as f:
             for line in f:
                 a = json.loads(line)
-                touched = a.get("remove") or a.get("add")
-                if touched in planned_removes:
-                    raise TxnConflictError(
-                        f"commit {version} touched {touched!r}, which "
-                        f"this transaction read at base version "
-                        f"{base_version} and planned to rewrite"
-                    )
+                # remove and add are tested INDEPENDENTLY: coalescing
+                # with `or` would validate only the remove of an action
+                # that carried both keys, and an empty-string remove
+                # (falsy) would shadow a conflicting add
+                for field in ("remove", "add"):
+                    touched = a.get(field)
+                    if touched in planned_removes:
+                        raise TxnConflictError(
+                            f"commit {version} {field}d {touched!r}, "
+                            f"which this transaction read at base "
+                            f"version {base_version} and planned to "
+                            f"rewrite"
+                        )
 
 
 def _cow_merge_txn(
