@@ -167,6 +167,9 @@ _PRIORITY = [
     "snk_txn_log_pipeline", "ext_compression_invariants",
     "src_txn_log_cdf", "src_txn_log_schema_evolution",
     "src_txn_log_stats_prune_checkpointed",
+    # -- round-10 additions
+    "src_txn_log_time_travel_ts", "snk_txn_log_compact",
+    "snk_txn_log_multiwriter",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

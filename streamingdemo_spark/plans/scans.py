@@ -2188,3 +2188,462 @@ def snk_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         *(os.path.join(base, p) for p, _, _ in final)
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _txn_log_version_at_ts(log_dir: str, cutoff_ms: int) -> int:
+    """Resolve the latest version whose commit timestamp is at or
+    before ``cutoff_ms`` — Delta's ``TIMESTAMP AS OF`` resolution,
+    including its monotonicity guard: commit timestamps come from
+    writer clocks (or object-store mtimes) and are NOT guaranteed
+    monotone across writers, so each commit's effective timestamp is
+    clamped to ``max(raw, previous effective + 1)`` (the Delta
+    convention). Without the clamp, a clock-skewed later commit with
+    an earlier raw timestamp would be INCLUDED by a cutoff that
+    predates it — time travel would resolve to a snapshot that never
+    existed in commit order (the classic defect this key stages).
+    Metadata only: one pass over the ordered commit files."""
+    import json
+
+    best: int | None = None
+    prev_eff: int | None = None
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        version = int(name.split(".")[0])
+        ts: int | None = None
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                ci = json.loads(line).get("commitInfo")
+                if ci is not None:
+                    ts = int(ci["timestamp"])
+        if ts is None:
+            raise RuntimeError(
+                f"commit {version} carries no commitInfo timestamp — "
+                f"timestamp time travel is undefined on this log"
+            )
+        eff = ts if prev_eff is None else max(ts, prev_eff + 1)
+        prev_eff = eff
+        if eff <= cutoff_ms:
+            best = version
+    if best is None:
+        raise ValueError(
+            f"cutoff {cutoff_ms} predates the first commit — no "
+            f"snapshot existed yet (Delta raises the same way)"
+        )
+    return best
+
+
+@query(
+    "src_txn_log_time_travel_ts",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (1, 2)
+    """,
+)
+def src_txn_log_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (`TIMESTAMP AS OF`) over the
+    txn-log table — the version-based read of
+    ``src_txn_log_time_travel`` resolved through commit TIMESTAMPS
+    instead, with the monotonicity guard non-monotone writer clocks
+    force (``_txn_log_version_at_ts``).
+
+    Staged history: commit 0 (ts 1000) adds parts 0-1; commit 1
+    (ts 3000) adds part 2, removes part 0; commit 2 adds part 3 and
+    removes part 1 — but its writer's clock is SKEWED BACKWARD
+    (raw ts 2500 < commit 1's 3000). Reading AS OF ts=3000 must
+    resolve to version 1 (live {1,2}): the guard clamps commit 2's
+    effective timestamp to 3001, excluding it. A resolver that trusts
+    raw timestamps would include commit 2 (2500 <= 3000) and return
+    {2,3} — a snapshot that never existed at any single point in
+    commit order — which the oracle's version-1 table flags as a hash
+    mismatch. The in-key check raises loudly too, so the defect can't
+    hide behind a passing scan.
+
+    100 TB story: identical to version-based travel — resolution is
+    one metadata pass over the log (O(checkpoint + suffix) when
+    composed with ``src_txn_log_checkpointed``); row data moves only
+    through the parquet scan of the resolved live set.
+    """
+    base, log_dir = _txn_log_stage(
+        spark,
+        sf_dir,
+        "txnlog_tts_",
+        [
+            [
+                {"commitInfo": {"timestamp": 1000}},
+                {"add": "part0"},
+                {"add": "part1"},
+            ],
+            [
+                {"commitInfo": {"timestamp": 3000}},
+                {"add": "part2"},
+                {"remove": "part0"},
+            ],
+            [
+                # skewed writer clock: raw ts goes BACKWARD
+                {"commitInfo": {"timestamp": 2500}},
+                {"add": "part3"},
+                {"remove": "part1"},
+            ],
+        ],
+    )
+    version = _txn_log_version_at_ts(log_dir, 3000)
+    if version != 1:
+        raise RuntimeError(
+            f"monotonicity guard failed: ts 3000 resolved to version "
+            f"{version}, expected 1 (commit 2's skewed clock must be "
+            f"clamped past the cutoff)"
+        )
+    live = _txn_log_replay(log_dir, as_of=version)
+    return spark.read.parquet(*(os.path.join(base, p) for p in sorted(live)))
+
+
+def _compaction_txn(
+    spark: SparkSession,
+    base: str,
+    log_dir: str,
+    clo: int,
+    chi: int,
+    out_name: str,
+) -> tuple[int, set[str], list[str], int]:
+    """Plan + stage one OPTIMIZE (compaction) transaction against the
+    CURRENT snapshot: stats-select the small files overlapping
+    [clo, chi] (the transaction's READ SET — compaction reads what it
+    rewrites, exactly like a MERGE), rewrite them as ONE data file
+    with rows byte-identical (no transform — compaction is a purely
+    physical operation), and return ``(base_version, planned_removes,
+    commit action lines, input row count)`` for the optimistic-commit
+    loop. At 100 TB the single ``coalesce(1)`` becomes bin-packing to
+    a target file size; the transaction shape is unchanged."""
+    import json
+
+    base_version = _txn_log_commit_count(log_dir)
+    live = _txn_log_stats_replay(log_dir)
+    affected = [
+        (p, mn, mx) for p, mn, mx in live if not (mx < clo or mn > chi)
+    ]
+    if len(affected) < 2:
+        raise RuntimeError(
+            f"compaction needs >= 2 input files, got {affected}"
+        )
+    src = spark.read.parquet(
+        *(os.path.join(base, p) for p, _, _ in affected)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, out_name)
+    )
+    out = spark.read.parquet(os.path.join(base, out_name))
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("mn"),
+        F.max("o_orderkey").alias("mx"),
+    ).collect()[0]  # 3 scalars — writer-side stats + identity check
+    n_in = src.count()
+    if int(row["n"]) != n_in:
+        raise RuntimeError(
+            f"compaction must be data-identical: read {n_in} rows, "
+            f"wrote {row['n']}"
+        )
+    actions = [
+        json.dumps({"remove": p}) + "\n" for p, _, _ in affected
+    ] + [
+        json.dumps(
+            {
+                "add": out_name,
+                "min_key": int(row["mn"]),
+                "max_key": int(row["mx"]),
+            }
+        )
+        + "\n"
+    ]
+    return base_version, {p for p, _, _ in affected}, actions, n_in
+
+
+@query(
+    "snk_txn_log_compact",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.40)) AS BIGINT) AS alo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.60)) AS BIGINT) AS ahi
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey BETWEEN alo AND ahi
+                THEN CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           * 11) // 10 AS DOUBLE) / 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders, q
+    """,
+)
+def snk_txn_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a transaction — compaction brought under the same
+    commit protocol as every writer (Delta OPTIMIZE / Iceberg
+    rewrite_data_files): a data-IDENTICAL rewrite commit that merges
+    small files, COMMUTES with disjoint appends, and must lose to an
+    overlapping row-changing writer — the OPTIMIZE-vs-writer race
+    every real table hits. A compactor that blind-retries after losing
+    would re-remove the files the writer just rewrote and resurrect
+    the PRE-update rows it read at plan time: the update silently
+    vanishes from the table (compaction is only "data identical"
+    against the snapshot it actually committed against).
+
+    Staged race (deterministic): the compactor plans at base version 1
+    to merge the small files overlapping the [P35, P65] orderkey span;
+    concurrently, writer A's COW MERGE (+10% on [P40, P60] — spans
+    overlap by construction, quantiles not geometry) wins version 1.
+    The compactor's claim MUST fail once; read-set validation MUST
+    raise (A removed files the compactor planned to rewrite); the
+    rebase re-plans against the post-A snapshot — its new read set now
+    includes A's rewrite file — and the data-identical merge commits
+    uncontended at version 2. Enforced loudly: exactly one lost claim,
+    conflict detected, rebased read set contains ``rewriteA``, row
+    count preserved across the rewrite, and the final snapshot has
+    FEWER live files than the post-A snapshot (it is an OPTIMIZE).
+    The oracle asserts A's update alone — a compactor that resurrected
+    pre-A rows (blind retry) or dropped/duplicated any row flips the
+    hash. tests/test_plans.py stages the reverse interleaving too
+    (compactor wins, writer rebases onto the compacted file).
+
+    100 TB story: compaction cost is proportional to the files it
+    bin-packs, its commit is O(1) metadata, and the race costs one
+    metadata re-read + re-plan — writers and OPTIMIZE never block each
+    other; they serialize through validate -> rebase -> retry.
+    """
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    alo, ahi, clo, chi = _orderkey_quantiles(
+        spark, sf_dir, 0.40, 0.60, 0.35, 0.65
+    )
+    # both plan against base version 1
+    c_base, c_removes, c_actions, _ = _compaction_txn(
+        spark, base, log_dir, clo, chi, "compact0_stale"
+    )
+    a_base, a_removes, a_actions = _cow_merge_txn(
+        spark, base, log_dir, alo, ahi, 11, 10, "rewriteA"
+    )
+    if not (c_removes & a_removes):
+        raise RuntimeError(
+            f"staged race must overlap: {c_removes} vs {a_removes}"
+        )
+    # writer A wins the race at version 1
+    if not _txn_log_try_commit(log_dir, a_base, a_actions):
+        raise RuntimeError("writer A's uncontended commit failed")
+    n_after_a = len(_txn_log_stats_replay(log_dir))
+    # compactor: loses the claim, detects the conflict, rebases
+    if _txn_log_try_commit(log_dir, c_base, c_actions):
+        raise RuntimeError("compactor claimed a version A already holds")
+    try:
+        _txn_log_validate_read_set(log_dir, c_base, c_removes)
+        raise RuntimeError(
+            "read-set validation missed the OPTIMIZE-vs-writer conflict"
+        )
+    except TxnConflictError:
+        pass  # detected — rebase instead of blind-retrying
+    rb_base, rb_removes, rb_actions, _ = _compaction_txn(
+        spark, base, log_dir, clo, chi, "compact0"
+    )
+    if "rewriteA" not in rb_removes:
+        raise RuntimeError(
+            f"rebased compaction must read the winner's rewrite: "
+            f"{rb_removes}"
+        )
+    _txn_log_validate_read_set(log_dir, rb_base, rb_removes)
+    if not _txn_log_try_commit(log_dir, rb_base, rb_actions):
+        raise RuntimeError("rebased compaction lost an impossible race")
+    final = _txn_log_stats_replay(log_dir)
+    if len(final) >= n_after_a:
+        raise RuntimeError(
+            f"compaction must shrink the live file count: "
+            f"{n_after_a} -> {len(final)}"
+        )
+    return spark.read.parquet(
+        *(os.path.join(base, p) for p, _, _ in final)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _txn_log_commit_with_retry(
+    log_dir: str,
+    plan: tuple[int, set[str], list[str]],
+    replan,
+    max_attempts: int = 8,
+    after_rebase=None,
+) -> int:
+    """The general optimistic-commit loop every txn-log writer runs —
+    ``snk_txn_log_rebase``'s one-loser/one-rebase flow generalized to
+    N contending writers: claim the next version; on losing the race,
+    validate the read set against the commits that landed since; if
+    they commute (blind appends), retry the SAME staged actions at the
+    next free version; if they conflict, REBASE — re-plan against the
+    current snapshot via ``replan()`` and retry. Returns the number of
+    rebases taken. ``after_rebase(n)`` is a test seam: the staged
+    multi-writer race injects a rival's commit between a re-plan and
+    its claim — the window where real concurrent commits land.
+    Bounded: ``max_attempts`` turns livelock into a loud error (each
+    retry costs one metadata re-read; progress is guaranteed because
+    some writer's claim succeeds at every contended version)."""
+    base_version, removes, actions = plan
+    rebases = 0
+    for _ in range(max_attempts):
+        if _txn_log_try_commit(log_dir, base_version, actions):
+            return rebases
+        try:
+            _txn_log_validate_read_set(log_dir, base_version, removes)
+            # commutes with everything that landed: same actions, next
+            # free version (snk_txn_log_commit's blind-append case)
+            base_version = _txn_log_commit_count(log_dir)
+        except TxnConflictError:
+            rebases += 1
+            base_version, removes, actions = replan()
+            if after_rebase is not None:
+                after_rebase(rebases)
+    raise RuntimeError(
+        f"commit retry budget exhausted after {max_attempts} attempts"
+    )
+
+
+@query(
+    "snk_txn_log_multiwriter",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.40)) AS BIGINT) AS alo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.60)) AS BIGINT) AS ahi,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.50)) AS BIGINT) AS blo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.70)) AS BIGINT) AS bhi,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.45)) AS BIGINT) AS clo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.55)) AS BIGINT) AS chi
+      FROM orders
+    ),
+    s0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             alo, ahi, blo, bhi, clo, chi
+      FROM orders, q
+    ),
+    s1 AS (
+      SELECT *, CASE WHEN o_orderkey BETWEEN alo AND ahi
+                     THEN (cents * 11) // 10 ELSE cents END AS c1
+      FROM s0
+    ),
+    s2 AS (
+      SELECT *, CASE WHEN o_orderkey BETWEEN blo AND bhi
+                     THEN (c1 * 9) // 10 ELSE c1 END AS c2
+      FROM s1
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CASE WHEN o_orderkey BETWEEN clo AND chi
+                     THEN (c2 * 21) // 20 ELSE c2 END AS DOUBLE) / 100.0
+             AS o_totalprice
+    FROM s2
+    """,
+)
+def snk_txn_log_multiwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N contending writers serializing through the bounded
+    validate -> rebase -> retry loop (``_txn_log_commit_with_retry``)
+    — ``snk_txn_log_rebase`` generalized from one loser/one rebase to
+    a three-writer pile-up where the last writer must rebase TWICE,
+    each time onto a snapshot that already contains the previous
+    winners' rewrites. This is the actual steady state of a busy
+    lakehouse table: every writer plans optimistically, loses some
+    races, and re-plans until its claim lands; correctness means the
+    final table equals the transforms applied SEQUENTIALLY in commit
+    order, each exactly once.
+
+    Staged pile-up (deterministic): writers A (+10% on [P40, P60]),
+    B (-10% on [P50, P70]) and C (+5% on [P45, P55]) all plan against
+    base version 1; every span pair overlaps by construction
+    (quantiles, not geometry). A commits at v1 uncontended. C enters
+    the retry loop with its stale plan: claim v1 fails -> conflict
+    with A -> rebase #1 (reads A's rewrite); the ``after_rebase`` seam
+    then lands B's ENTIRE retry cycle (B: claim v1 fails -> conflict
+    -> rebase onto A -> commit at v2) in the window between C's
+    re-plan and its next claim — exactly where real rival commits
+    land. C's claim at v2 now fails -> conflict with B -> rebase #2
+    (reads B's rewrite) -> commits at v3. Enforced loudly: B took
+    exactly 1 rebase, C exactly 2, the log holds exactly 4 commits
+    (one per writer plus the staging commit), and no stale rewrite
+    file is live. The oracle composes the three price transforms in
+    commit order on the integer cents grid — a lost update, a
+    double-apply, or out-of-order composition flips the hash.
+
+    100 TB story: under W contending writers each retry is one
+    metadata re-read plus a re-plan bounded by the writer's OWN
+    affected files; some claim succeeds at every version, so the
+    system makes progress and work scales with conflict RATE, never
+    table size. The bounded loop turns pathological livelock into a
+    loud error instead of infinite spin.
+    """
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    alo, ahi, blo, bhi, clo, chi = _orderkey_quantiles(
+        spark, sf_dir, 0.40, 0.60, 0.50, 0.70, 0.45, 0.55
+    )
+    # all three writers plan against base version 1 (truly concurrent
+    # planning: none has seen any rival's commit)
+    a_plan = _cow_merge_txn(spark, base, log_dir, alo, ahi, 11, 10, "rewriteA")
+    b_plan = _cow_merge_txn(
+        spark, base, log_dir, blo, bhi, 9, 10, "rewriteB_stale"
+    )
+    c_plan = _cow_merge_txn(
+        spark, base, log_dir, clo, chi, 21, 20, "rewriteC_stale"
+    )
+    # pairwise overlap is what forces rebases instead of blind retries
+    for name, (lhs, rhs) in {
+        "A/B": (a_plan[1], b_plan[1]),
+        "A/C": (a_plan[1], c_plan[1]),
+        "B/C": (b_plan[1], c_plan[1]),
+    }.items():
+        if not (lhs & rhs):
+            raise RuntimeError(f"staged pile-up must overlap: {name}")
+    # writer A wins the first race uncontended
+    if not _txn_log_try_commit(log_dir, a_plan[0], a_plan[2]):
+        raise RuntimeError("writer A's uncontended commit failed")
+
+    b_rebases: list[int] = []
+    b_replans = 0
+
+    def b_replan():
+        nonlocal b_replans
+        b_replans += 1
+        return _cow_merge_txn(
+            spark, base, log_dir, blo, bhi, 9, 10, f"rewriteB_rb{b_replans}"
+        )[:3]
+
+    def land_b(_c_rebases: int) -> None:
+        if b_rebases:
+            return  # B commits exactly once, on C's first rebase window
+        b_rebases.append(
+            _txn_log_commit_with_retry(log_dir, b_plan[:3], b_replan)
+        )
+
+    c_replans = 0
+
+    def c_replan():
+        nonlocal c_replans
+        c_replans += 1
+        return _cow_merge_txn(
+            spark, base, log_dir, clo, chi, 21, 20, f"rewriteC_rb{c_replans}"
+        )[:3]
+
+    c_rebases = _txn_log_commit_with_retry(
+        log_dir, c_plan[:3], c_replan, after_rebase=land_b
+    )
+    if b_rebases != [1]:
+        raise RuntimeError(
+            f"writer B must land with exactly one rebase, got {b_rebases}"
+        )
+    if c_rebases != 2:
+        raise RuntimeError(
+            f"writer C must rebase twice (once onto A, once onto B), "
+            f"got {c_rebases}"
+        )
+    if _txn_log_commit_count(log_dir) != 4:
+        raise RuntimeError(
+            f"exactly-once violated: expected 4 commits, got "
+            f"{_txn_log_commit_count(log_dir)}"
+        )
+    final = _txn_log_stats_replay(log_dir)
+    live_names = {p for p, _, _ in final}
+    stale = {n for n in live_names if "stale" in n or n == "rewriteC_rb1"}
+    if stale:
+        raise RuntimeError(f"stale rewrites leaked into the log: {stale}")
+    return spark.read.parquet(
+        *(os.path.join(base, p) for p, _, _ in final)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")

@@ -1437,3 +1437,177 @@ def test_schema_evolution_nulls_old_files_only(spark, sf_dir):
     assert set(rows) == {True, False}
     assert rows[False][1] == 0, "old files must surface NULL priority"
     assert rows[True][1] == rows[True][0], "new files must carry values"
+
+
+def test_txn_log_ts_resolution_clamps_skewed_clocks():
+    """Timestamp time travel must resolve through EFFECTIVE (clamped)
+    timestamps, never raw writer clocks: a later commit with a skewed
+    earlier raw ts is clamped past its predecessor, and a cutoff before
+    the first commit raises instead of returning an empty snapshot."""
+    import json
+    import os
+    import tempfile
+
+    from streamingdemo_spark.plans.scans import _txn_log_version_at_ts
+
+    log_dir = tempfile.mkdtemp(prefix="txn_ts_")
+    stamps = [1000, 3000, 2500, 2600]  # v2/v3 skew backward
+    for v, ts in enumerate(stamps):
+        with open(os.path.join(log_dir, f"{v:08d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {"timestamp": ts}}) + "\n")
+            f.write(json.dumps({"add": f"part{v}"}) + "\n")
+    # effective timestamps: 1000, 3000, 3001, 3002
+    assert _txn_log_version_at_ts(log_dir, 1000) == 0
+    assert _txn_log_version_at_ts(log_dir, 2999) == 0
+    assert _txn_log_version_at_ts(log_dir, 3000) == 1
+    assert _txn_log_version_at_ts(log_dir, 3001) == 2
+    assert _txn_log_version_at_ts(log_dir, 10_000) == 3
+    with pytest.raises(ValueError):
+        _txn_log_version_at_ts(log_dir, 999)  # predates the table
+    # a commit without a timestamp makes ts-travel undefined — loudly
+    with open(os.path.join(log_dir, "00000004.json"), "w") as f:
+        f.write(json.dumps({"add": "part4"}) + "\n")
+    with pytest.raises(RuntimeError):
+        _txn_log_version_at_ts(log_dir, 10_000)
+
+
+@pytest.mark.parametrize("first", ["writer", "compactor"])
+def test_txn_log_compaction_race_both_interleavings(spark, sf_dir, first):
+    """OPTIMIZE-vs-writer race in BOTH orders: whichever transaction
+    wins the claim, the loser's validation must raise (their file sets
+    overlap), the loser's rebase must read the winner's output file,
+    and the final logical table must equal the writer's update applied
+    exactly once — compaction is data-identical regardless of order."""
+    from streamingdemo_spark.plans.scans import (
+        TxnConflictError,
+        _compaction_txn,
+        _cow_merge_txn,
+        _orderkey_quantiles,
+        _txn_log_stats_replay,
+        _txn_log_stats_stage,
+        _txn_log_try_commit,
+        _txn_log_validate_read_set,
+    )
+    import os
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    alo, ahi, clo, chi = _orderkey_quantiles(
+        spark, sf_dir, 0.40, 0.60, 0.35, 0.65
+    )
+    w_plan = _cow_merge_txn(
+        spark, base, log_dir, alo, ahi, 11, 10, "rewriteW"
+    )
+    c_plan = _compaction_txn(
+        spark, base, log_dir, clo, chi, "compact_stale"
+    )[:3]
+    assert w_plan[1] & c_plan[1], "race must overlap"
+    winner, loser = (
+        (w_plan, c_plan) if first == "writer" else (c_plan, w_plan)
+    )
+    assert _txn_log_try_commit(log_dir, winner[0], winner[2])
+    assert not _txn_log_try_commit(log_dir, loser[0], loser[2])
+    with pytest.raises(TxnConflictError):
+        _txn_log_validate_read_set(log_dir, loser[0], loser[1])
+    # rebase: re-plan the LOSER against the post-winner snapshot
+    if first == "writer":
+        rb = _compaction_txn(spark, base, log_dir, clo, chi, "compact0")[:3]
+        assert "rewriteW" in rb[1], "rebase must read the winner's file"
+    else:
+        rb = _cow_merge_txn(
+            spark, base, log_dir, alo, ahi, 11, 10, "rewriteW2"
+        )
+        assert "compact_stale" in rb[1], (
+            "rebased writer must read the compacted file"
+        )
+    _txn_log_validate_read_set(log_dir, rb[0], rb[1])  # clean now
+    assert _txn_log_try_commit(log_dir, rb[0], rb[2])
+    final = _txn_log_stats_replay(log_dir)
+    got = spark.read.parquet(
+        *(os.path.join(base, p) for p, _, _ in final)
+    )
+    from pyspark.sql import functions as F
+
+    cents = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    want = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey").between(alo, ahi),
+                F.expr(f"({cents} * 11) DIV 10"),
+            )
+            .otherwise(F.expr(cents))
+            .alias("cents"),
+        )
+    )
+    got_c = got.select(
+        "o_orderkey", F.expr(cents).alias("cents")
+    )
+    assert got_c.count() == want.count()
+    assert got_c.exceptAll(want).count() == 0
+    assert want.exceptAll(got_c).count() == 0
+
+
+def test_txn_log_retry_loop_commutes_without_rebase(spark, sf_dir):
+    """The generalized retry loop must NOT re-plan when the rival
+    commits commute (disjoint files): one lost claim, zero rebases,
+    same staged actions land at the next version."""
+    from streamingdemo_spark.plans.scans import (
+        _cow_merge_txn,
+        _txn_log_commit_count,
+        _txn_log_commit_with_retry,
+        _txn_log_stats_stage,
+        _txn_log_try_commit,
+    )
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    a = _cow_merge_txn(
+        spark, base, log_dir, lo, lo + span * 2 // 20, 11, 10, "rewriteA"
+    )
+    b = _cow_merge_txn(
+        spark, base, log_dir,
+        lo + span * 17 // 20, lo + span * 19 // 20, 9, 10, "rewriteB",
+    )
+    assert not (a[1] & b[1])
+    assert _txn_log_try_commit(log_dir, a[0], a[2])
+
+    def no_replan():
+        raise AssertionError("commuting writers must never re-plan")
+
+    rebases = _txn_log_commit_with_retry(log_dir, b, no_replan)
+    assert rebases == 0
+    assert _txn_log_commit_count(log_dir) == 3
+
+
+def test_txn_log_retry_loop_bounded(spark, sf_dir):
+    """Livelock turns into a loud error: a rival that steals every
+    version exhausts max_attempts instead of spinning forever."""
+    import json
+    import os
+    import tempfile
+
+    from streamingdemo_spark.plans.scans import (
+        _txn_log_commit_count,
+        _txn_log_commit_with_retry,
+    )
+
+    log_dir = tempfile.mkdtemp(prefix="txn_livelock_")
+    with open(os.path.join(log_dir, "00000000.json"), "w") as f:
+        f.write(json.dumps({"add": "part0"}) + "\n")
+
+    def rival_steals():
+        # the rival both steals the next version AND conflicts (it
+        # removes the file we plan to rewrite), so every re-plan is
+        # immediately invalidated again — a true livelock
+        v = _txn_log_commit_count(log_dir)
+        with open(os.path.join(log_dir, f"{v:08d}.json"), "w") as f:
+            f.write(json.dumps({"remove": "part0"}) + "\n")
+            f.write(json.dumps({"add": f"rival{v}"}) + "\n")
+        return v, {"part0"}, [json.dumps({"remove": "part0"}) + "\n"]
+
+    plan = rival_steals()  # rival lands one ahead of every claim
+    with pytest.raises(RuntimeError, match="retry budget"):
+        _txn_log_commit_with_retry(
+            log_dir, plan, rival_steals, max_attempts=3
+        )

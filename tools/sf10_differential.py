@@ -11,17 +11,24 @@ Derivation (into /tmp/sim_sf10, single parquet files): 10 replicas
 of /tmp/sim_sf1's TPC-H tables with a second key-offset layer
 (orders/lineitem 8e8 — chosen so max orderkey stays under
 agg_minmax_by's loud 2^33 encoding bound; cust/supp/part 1e8) and
-10 fresh-user replicas of its events. documents/embeddings link to
-the sf1 derivations unchanged (the subset below is fact-table /
-events math; the text/vector families scale-probe elsewhere).
+10 fresh-user replicas of its events. documents get a SECOND cipher
+layer over a DISJOINT letter set ("dcumfpgwyb" vs scale_probe's
+"etaoinsrhl"): rotations over disjoint alphabets compose to 100
+distinct maps, so no (r1, r2) pair is byte-identical to another —
+re-running the SAME alphabet would make rotation pairs with
+r1+r2 ≡ const collide into exact twins and explode cross-replica
+shingle matches (the failure mode cipher_documents fails loudly
+about). Embeddings get a second jitter layer (sigma 0.02, seeded).
 
 KEYS: the integer-arithmetic-heavy subset with linear oracles —
 moments (Σx²..x⁴), regression/corr/chi² (Σxy products), exact
 percentiles, money sums (Q1/Q6/Q12/Q14/Q17), bitmap distinct,
-gini/weighted-median/ltv, runtime bloom, winsorize.
+gini/weighted-median/ltv, runtime bloom, winsorize. The r10 sweep
+runs the FULL registry (no --keys) against this corpus.
 
 Usage:
     python tools/sf10_differential.py              # build only
+    python tools/driver_sim.py /tmp/sim_sf10 --out SF10_SIM.json
     python tools/driver_sim.py /tmp/sim_sf10 --keys "$(python tools/sf10_differential.py --print-keys)"
 """
 
@@ -105,11 +112,50 @@ def build() -> None:
         pq.write_table(
             pa.concat_tables(parts), os.path.join(DST, f"{t}.parquet")
         )
-    for t in ("documents", "embeddings"):
-        dst = os.path.join(DST, f"{t}.parquet")
-        if os.path.lexists(dst):
-            os.remove(dst)
-        os.symlink(os.path.realpath(os.path.join(SRC, f"{t}.parquet")), dst)
+    _cipher2_documents(SRC, DST, REPLICAS, 100_000_000)
+    from tools.scale_probe import replicate_embeddings
+
+    replicate_embeddings(SRC, DST, REPLICAS)
+
+
+# Disjoint from scale_probe.COMMON ("etaoinsrhl"): layer-2 rotations
+# must not compose with layer-1 rotations into the identity map.
+COMMON2 = "dcumfpgwyb"
+
+
+def _cipher2_documents(
+    src: str, dst: str, replicas: int, offset: int
+) -> None:
+    """Second-layer rotation cipher over COMMON2 — 1:1 on characters
+    (n_chars preserved), distinct for every (layer1, layer2) replica
+    pair, per-replica duplicate structure preserved."""
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    texts = t["text"].to_pylist()
+    parts = []
+    for r in range(replicas):
+        rot = COMMON2[r:] + COMMON2[:r]
+        table = str.maketrans(COMMON2, rot)
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        t["doc_id"].to_numpy() + r * offset, pa.int64()
+                    ),
+                    "text": pa.array(
+                        texts
+                        if r == 0
+                        else [s.translate(table) for s in texts],
+                        pa.string(),
+                    ),
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "n_chars": t["n_chars"],  # translate is 1:1
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(dst, "documents.parquet")
+    )
 
 
 if __name__ == "__main__":
