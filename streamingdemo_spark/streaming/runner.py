@@ -28,14 +28,48 @@ CHECKPOINT_ROOT = os.environ.get(
 # streaming DataFrames can't be explained before .start(), so this is
 # the hook tests/test_plans.py uses to pin streaming plan shapes
 # (map-side UDF placement, stateful-operator count) after a replay.
-# The capture goes through a private Py4J handle (there is no public
-# executed-plan API for a stopped streaming query), so it is
-# best-effort by design: on any capture failure the plan is "" and
-# plan-shape tests skip with a clear message instead of failing on a
-# Spark-internal rename. STREAM_PLANS additionally keys every capture
-# by query name so two streams in one session can't race the global.
+# Captured through the PUBLIC StreamingQuery.explain() API (which
+# prints the runtime physical plan in the Python process) with stdout
+# redirected — no private Py4J handles. Still best-effort by design:
+# on any capture failure the plan is "" and plan-shape tests skip with
+# a clear message instead of failing on a Spark-internal change.
+# STREAM_PLANS additionally keys every capture by query name so two
+# streams in one session can't race the global.
 LAST_STREAM_PLAN: str = ""
 STREAM_PLANS: dict[str, str] = {}
+
+
+def _capture_plan(query) -> str:
+    """Public-API plan capture: ``StreamingQuery.explain()`` prints the
+    runtime plan via Python ``print``; redirect stdout to harvest it."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        query.explain(extended=False)
+    return buf.getvalue()
+
+
+# The two state-store providers Spark ships. The default HDFS-backed
+# provider keeps each partition's state map on the executor HEAP —
+# fine for replay tests, but at 100 TB stream state (large watermarked
+# joins, big dedup windows) heap-resident maps cause GC pressure and
+# OOM; RocksDB keeps state off-heap with incremental checkpointing and
+# is the production lever for the heavy stateful queries. Select
+# per-run via ``state_provider`` or globally via
+# ``STREAMINGDEMO_STATE_PROVIDER=rocksdb``.
+STATE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    ),
+}
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
 
 def run_to_memory(
@@ -43,6 +77,7 @@ def run_to_memory(
     output_mode: str = "append",
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
+    state_provider: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into an
     in-memory table; returns the table as a batch DataFrame.
@@ -52,11 +87,22 @@ def run_to_memory(
     checkpoint, and at replay volumes 32 state-store partitions per
     micro-batch are pure task overhead. On a cluster, size this to the
     stream's key cardinality instead.
+
+    ``state_provider`` ("hdfs" | "rocksdb" | None) picks the
+    state-store backend for this stream (the conf is read at query
+    start and pinned into the checkpoint); None defers to the
+    ``STREAMINGDEMO_STATE_PROVIDER`` env var, else Spark's default.
     """
     spark: SparkSession = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=CHECKPOINT_ROOT)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    provider = state_provider or os.environ.get(
+        "STREAMINGDEMO_STATE_PROVIDER"
+    )
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    if provider:
+        spark.conf.set(_PROVIDER_CONF, STATE_PROVIDERS[provider])
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -79,12 +125,17 @@ def run_to_memory(
                 )
             global LAST_STREAM_PLAN
             try:
-                LAST_STREAM_PLAN = query._jsq.explainInternal(False)
-            except Exception:  # private-API capture is best-effort
+                LAST_STREAM_PLAN = _capture_plan(query)
+            except Exception:  # plan capture is best-effort
                 LAST_STREAM_PLAN = ""
             STREAM_PLANS[name] = LAST_STREAM_PLAN
         finally:
             query.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev_provider)
     return spark.table(name)

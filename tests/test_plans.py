@@ -1066,8 +1066,8 @@ def test_stream_dedup_substring_winnows_map_side(spark, sf_dir):
     plan = runner.LAST_STREAM_PLAN
     if not plan:
         pytest.skip(
-            "executed-plan capture unavailable (private explainInternal "
-            "handle failed) — plan pin skipped, correctness unaffected"
+            "executed-plan capture unavailable (StreamingQuery.explain "
+            "capture failed) — plan pin skipped, correctness unaffected"
         )
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
