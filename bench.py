@@ -113,6 +113,9 @@ HEADLINE = [
     "snk_txn_log_stream_commit",   # exactly-once foreachBatch epoch commit
     "snk_txn_log_pipeline",        # log-to-log transactional ETL end-to-end
     "ext_compression_invariants",  # zlib codec-contract Arrow projection
+    # round-10 additions
+    "snk_txn_log_compact",         # OPTIMIZE-as-commit + writer race rebase
+    "snk_txn_log_multiwriter",     # 3-writer validate->rebase->retry pile-up
 ]
 
 

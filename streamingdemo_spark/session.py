@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.debug.maxToStringFields", "200")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # The oracle-differential harness collects FULL query results
+        # for hashing; at the sf10 sweep a 60M-row projection tops the
+        # 1g default. Production queries never collect a table — this
+        # is a verification-harness limit, not an engine sizing.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_DRIVER_MAX_RESULT_SIZE", "8g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
