@@ -169,7 +169,8 @@ _PRIORITY = [
     "src_txn_log_stats_prune_checkpointed",
     # -- round-10 additions
     "src_txn_log_time_travel_ts", "snk_txn_log_compact",
-    "snk_txn_log_multiwriter",
+    "snk_txn_log_multiwriter", "snk_txn_log_vacuum",
+    "snk_txn_log_restore",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

@@ -2647,3 +2647,214 @@ def snk_txn_log_multiwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         *(os.path.join(base, p) for p, _, _ in final)
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _txn_log_vacuum(
+    base: str, log_dir: str, retain_from_version: int
+) -> tuple[set[str], set[str]]:
+    """Physically delete data files unreferenced by every RETAINED
+    snapshot (versions >= ``retain_from_version``) — the Delta VACUUM /
+    Iceberg remove_orphan_files lifecycle step. Immutable-file tables
+    never delete at write time (remove actions are logical), so storage
+    grows with every COW rewrite until something reclaims it; the only
+    safe reclaim is subtractive over the LOG: candidates are every file
+    any commit ever added (the log is the complete provenance of the
+    data directory), survivors are the union of live sets of all
+    retained versions — so a reader of any retained snapshot is
+    unaffected, and time travel BEFORE the horizon is the documented
+    casualty. Returns ``(deleted, kept)`` path sets. Metadata-only
+    scan plus one filesystem delete per dead file; cost is independent
+    of row data."""
+    import json
+    import shutil
+
+    latest = _txn_log_commit_count(log_dir) - 1
+    # candidates: every path ANY commit ever added — one linear pass
+    # over the raw action stream (the log is the complete provenance
+    # of the data directory; an object-store implementation lists the
+    # prefix instead and additionally sweeps never-committed orphans)
+    ever_added: set[str] = set()
+    for name in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{8}\.json", name):
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    ever_added.add(a["add"])
+    referenced: set[str] = set()
+    for v in range(retain_from_version, latest + 1):
+        referenced |= _txn_log_replay(log_dir, as_of=v)
+    dead = ever_added - referenced
+    for p in sorted(dead):
+        target = os.path.join(base, p)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+    return dead, referenced
+
+
+@query(
+    "snk_txn_log_vacuum",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE
+             WHEN o_orderkey BETWEEN lo + ((hi - lo + 1) * 2) // 20
+                              AND lo + ((hi - lo + 1) * 4) // 20
+               THEN CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          * 11) // 10 AS DOUBLE) / 100.0
+             WHEN o_orderkey BETWEEN lo + ((hi - lo + 1) * 15) // 20
+                              AND lo + ((hi - lo + 1) * 17) // 20
+               THEN CAST((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          * 9) // 10 AS DOUBLE) / 100.0
+             ELSE o_totalprice
+           END AS o_totalprice
+    FROM orders, b
+    """,
+)
+def snk_txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — physical reclamation of dead files under a retention
+    horizon, the missing lifecycle step after COW rewrites: every MERGE
+    and OPTIMIZE leaves its inputs on disk (readers of older snapshots
+    depend on them), so a 100 TB table under steady update churn grows
+    without bound until dead files are reclaimed. Safe reclamation is
+    defined over the LOG, never the directory: a file is dead iff NO
+    retained version references it (``_txn_log_vacuum``).
+
+    Staged lifecycle: commit 0 = 8 stats buckets; commit 1 = COW
+    update (+10% on the [10%, 20%] key span) rewriting its affected
+    buckets; commit 2 = second COW update (-10% on the DISJOINT
+    [75%, 85%] span). Vacuum retains versions >= 1. Enforced loudly:
+    the dead set is exactly the files removed by both updates and
+    every dead directory is physically gone; every retained-referenced
+    file still exists; version-1 time travel (inside the horizon)
+    still resolves and scans; the version-0 snapshot (outside the
+    horizon) now references missing paths — the documented VACUUM
+    trade-off, asserted as an actual defect so retention semantics
+    can't silently widen. The final snapshot must equal the logical
+    table with both updates applied — vacuum touches only dead bytes,
+    never the live table — which is exactly what the oracle asserts.
+
+    100 TB story: vacuum cost is one metadata replay plus one delete
+    per dead file — independent of table row count; retention is the
+    contract that makes concurrent readers safe (any reader pinned to
+    a retained snapshot never loses a file mid-scan).
+    """
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    # two disjoint-span COW updates (geometric spans are fine here —
+    # disjointness at 2/20..4/20 vs 15/20..17/20 holds under any key
+    # distribution, and the oracle replays the same arithmetic)
+    for ulo, uhi, num, den, out in (
+        (lo + span * 2 // 20, lo + span * 4 // 20, 11, 10, "rewriteA"),
+        (lo + span * 15 // 20, lo + span * 17 // 20, 9, 10, "rewriteB"),
+    ):
+        v, removes, actions = _cow_merge_txn(
+            spark, base, log_dir, ulo, uhi, num, den, out
+        )
+        if not _txn_log_try_commit(log_dir, v, actions):
+            raise RuntimeError("staged sequential commit lost a race")
+    before = _txn_log_replay(log_dir)
+    dead, referenced = _txn_log_vacuum(base, log_dir, retain_from_version=1)
+    if not dead:
+        raise RuntimeError("staged lifecycle must produce dead files")
+    if dead & referenced:
+        raise RuntimeError(f"vacuum deleted retained files: {dead}")
+    for p in dead:
+        if os.path.exists(os.path.join(base, p)):
+            raise RuntimeError(f"dead file survived vacuum: {p}")
+    for p in referenced:
+        if not os.path.exists(os.path.join(base, p)):
+            raise RuntimeError(f"retained file lost to vacuum: {p}")
+    # inside the horizon: version-1 travel still scans
+    v1 = _txn_log_replay(log_dir, as_of=1)
+    spark.read.parquet(*(os.path.join(base, p) for p in sorted(v1))).take(1)
+    # outside the horizon: version 0 must now be broken (else the
+    # vacuum deleted nothing it claimed to)
+    v0 = _txn_log_replay(log_dir, as_of=0)
+    if all(os.path.exists(os.path.join(base, p)) for p in v0):
+        raise RuntimeError(
+            "pre-horizon snapshot survived vacuum — no reclamation"
+        )
+    if _txn_log_replay(log_dir) != before:
+        raise RuntimeError("vacuum must not change the current snapshot")
+    return spark.read.parquet(
+        *(os.path.join(base, p) for p in sorted(before))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "snk_txn_log_restore",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def snk_txn_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE — roll the table back to an earlier version AS A NEW
+    COMMIT (Delta RESTORE TABLE ... VERSION AS OF): the restore
+    re-adds the files live at the target version and removes the files
+    live now, landing through the same optimistic commit path as any
+    writer. History is append-only — a rollback that REWROTE the log
+    would break every concurrent reader's snapshot resolution and
+    destroy the audit trail; restore-as-commit keeps both: the bad
+    version stays queryable via time travel, and the table's current
+    state equals the target version's.
+
+    Staged lifecycle: commit 0 = 8 stats buckets; commit 1 = a COW
+    update (the "bad write", +10% on the [55%, 65%] span); commit 2 =
+    RESTORE to version 0. Enforced loudly: the restored live set
+    equals version 0's exactly; the log holds 3 commits (nothing
+    erased); time travel to version 1 still shows the bad write. The
+    final snapshot must equal the ORIGINAL table — the oracle asserts
+    plain orders, so a restore that missed a file, resurrected the
+    update, or double-added anything flips the hash.
+
+    100 TB story: restore is O(changed files) metadata — no data
+    movement at all (the old files never left the store; VACUUM
+    retention permitting), which is why lakehouse rollback is instant
+    at any table size.
+    """
+    import json
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    v, removes, actions = _cow_merge_txn(
+        spark,
+        base,
+        log_dir,
+        lo + span * 11 // 20,
+        lo + span * 13 // 20,
+        11,
+        10,
+        "rewrite_bad",
+    )
+    if not _txn_log_try_commit(log_dir, v, actions):
+        raise RuntimeError("staged bad write lost a race")
+    target = _txn_log_replay_actions(log_dir, as_of=0)
+    current = _txn_log_replay(log_dir)
+    restore_actions = [
+        json.dumps({"remove": p}) + "\n" for p in sorted(current - set(target))
+    ] + [
+        # re-adds carry the ORIGINAL add action verbatim (stats and
+        # all), so file skipping survives the restore
+        json.dumps(target[p]) + "\n"
+        for p in sorted(set(target) - current)
+    ]
+    if not _txn_log_try_commit(
+        log_dir, _txn_log_commit_count(log_dir), restore_actions
+    ):
+        raise RuntimeError("restore commit lost a race")
+    if _txn_log_replay(log_dir) != set(target):
+        raise RuntimeError("restore must reproduce the target live set")
+    if _txn_log_commit_count(log_dir) != 3:
+        raise RuntimeError("restore must append, never rewrite history")
+    # the bad version remains queryable (append-only history)
+    v1 = _txn_log_replay(log_dir, as_of=1)
+    if "rewrite_bad" not in v1:
+        raise RuntimeError("restore erased the bad write from history")
+    live = _txn_log_replay(log_dir)
+    return spark.read.parquet(
+        *(os.path.join(base, p) for p in sorted(live))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")

@@ -1611,3 +1611,98 @@ def test_txn_log_retry_loop_bounded(spark, sf_dir):
         _txn_log_commit_with_retry(
             log_dir, plan, rival_steals, max_attempts=3
         )
+
+
+def test_txn_log_vacuum_retention_and_idempotence(spark, sf_dir):
+    """VACUUM honors the retention horizon (retain-everything deletes
+    nothing), reclaims exactly the pre-horizon dead files otherwise,
+    is idempotent, and never touches the transaction log itself."""
+    import os
+
+    from streamingdemo_spark.plans.scans import (
+        _cow_merge_txn,
+        _txn_log_replay,
+        _txn_log_stats_stage,
+        _txn_log_try_commit,
+        _txn_log_vacuum,
+    )
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    v, _, actions = _cow_merge_txn(
+        spark, base, log_dir,
+        lo + span * 11 // 20, lo + span * 13 // 20, 11, 10, "rewrite1",
+    )
+    assert _txn_log_try_commit(log_dir, v, actions)
+    log_before = sorted(os.listdir(log_dir))
+
+    # retain everything -> nothing is dead
+    dead, _ = _txn_log_vacuum(base, log_dir, retain_from_version=0)
+    assert dead == set()
+
+    # horizon at the latest version -> exactly the rewritten buckets die
+    v0 = _txn_log_replay(log_dir, as_of=0)
+    v1 = _txn_log_replay(log_dir, as_of=1)
+    dead, referenced = _txn_log_vacuum(base, log_dir, retain_from_version=1)
+    assert dead == v0 - v1 and dead
+    assert referenced == v1
+    for p in dead:
+        assert not os.path.exists(os.path.join(base, p))
+    for p in referenced:
+        assert os.path.exists(os.path.join(base, p))
+
+    # idempotent: a second vacuum at the same horizon finds nothing new
+    dead2, _ = _txn_log_vacuum(base, log_dir, retain_from_version=1)
+    assert dead2 == dead  # same logical dead set, already gone from disk
+    # the log is history, not data — vacuum must never touch it
+    assert sorted(os.listdir(log_dir)) == log_before
+
+
+def test_txn_log_restore_round_trip(spark, sf_dir):
+    """RESTORE is an append-only commit: rolling back to v0 and then
+    'rolling forward' to v1 again are two MORE commits, every
+    intermediate state stays time-travelable, and the final live set
+    equals v1's exactly."""
+    import json
+    import os
+
+    from streamingdemo_spark.plans.scans import (
+        _cow_merge_txn,
+        _txn_log_commit_count,
+        _txn_log_replay,
+        _txn_log_replay_actions,
+        _txn_log_stats_stage,
+        _txn_log_try_commit,
+    )
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    span = hi - lo + 1
+    v, _, actions = _cow_merge_txn(
+        spark, base, log_dir,
+        lo + span * 11 // 20, lo + span * 13 // 20, 11, 10, "rewrite1",
+    )
+    assert _txn_log_try_commit(log_dir, v, actions)
+
+    def restore_to(version):
+        target = _txn_log_replay_actions(log_dir, as_of=version)
+        current = _txn_log_replay(log_dir)
+        lines = [
+            json.dumps({"remove": p}) + "\n"
+            for p in sorted(current - set(target))
+        ] + [
+            json.dumps(target[p]) + "\n"
+            for p in sorted(set(target) - current)
+        ]
+        assert _txn_log_try_commit(
+            log_dir, _txn_log_commit_count(log_dir), lines
+        )
+        return set(target)
+
+    v0_live = _txn_log_replay(log_dir, as_of=0)
+    v1_live = _txn_log_replay(log_dir, as_of=1)
+    assert restore_to(0) == _txn_log_replay(log_dir) == v0_live
+    assert restore_to(1) == _txn_log_replay(log_dir) == v1_live
+    assert _txn_log_commit_count(log_dir) == 4  # nothing erased
+    # every historical state remains resolvable
+    assert _txn_log_replay(log_dir, as_of=2) == v0_live
+    assert _txn_log_replay(log_dir, as_of=3) == v1_live
