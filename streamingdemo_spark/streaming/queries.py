@@ -676,37 +676,48 @@ def _anomaly_screen(key, pdf_iter, state):
             # the batch-equivalence contract assumes non-null values.
             raise ValueError("stream_anomaly: NULL/NaN value column")
         x = np.floor(vals * 10000.0 + 0.5).astype(np.int64)
-        m = len(buf)
-        arr = np.concatenate([np.asarray(buf, dtype=np.int64), x])
-        # Overflow guard for the squared prefix sums: numpy int64
-        # wraps silently, so a huge micro-batch (or huge |value|)
-        # would poison verdicts without any error. The worst term is
-        # cumsum(arr*arr) <= len(arr)*max², plus the window algebra's
-        # 9*(n*sq) <= 5184*max² — fail loudly like the NaN guard
-        # (Python ints, so the check itself cannot wrap).
-        mx = int(np.abs(arr).max()) if arr.size else 0
-        if (len(arr) + 5184) * mx * mx >= 2**63:
-            raise ValueError(
-                "stream_anomaly: micro-batch exceeds int64 prefix-sum"
-                f" bound (n={len(arr)}, max|x|={mx}); shrink the"
-                " trigger interval or rescale value"
+        # Prefix sums run over SEGMENTS of <= 2^16 rows, each seeded by
+        # the trailing-24 carry, so cumsum(x²) stays within int64 for
+        # ANY micro-batch size (one global cumsum over a ~1M-row batch
+        # at the sf10 corpus genuinely exceeds 2^63 — len·max² ≈
+        # 2.7e19; the window itself only ever looks 24 back, so the
+        # segmentation is exact, the same algebra as the cross-batch
+        # carry). numpy int64 wraps silently, hence the loud per-
+        # segment guard: cumsum(arr²) <= len(arr)·max² plus the window
+        # algebra's 9·n·sq <= 5184·max² (Python ints — the check
+        # itself cannot wrap). With 2^16-row segments it fires only
+        # for |value| beyond ~3.7e4 full units.
+        seg_len = 1 << 16
+        ns, flags = [], []
+        for s in range(0, len(x), seg_len):
+            xs = x[s : s + seg_len]
+            m = len(buf)
+            arr = np.concatenate([np.asarray(buf, dtype=np.int64), xs])
+            mx = int(np.abs(arr).max()) if arr.size else 0
+            if (len(arr) + 5184) * mx * mx >= 2**63:
+                raise ValueError(
+                    "stream_anomaly: segment exceeds int64 prefix-sum"
+                    f" bound (n={len(arr)}, max|x|={mx}); rescale value"
+                )
+            c1 = np.concatenate([[0], np.cumsum(arr)])
+            c2 = np.concatenate([[0], np.cumsum(arr * arr)])
+            idx = np.arange(len(xs)) + m
+            lo = np.maximum(0, idx - 24)
+            n = idx - lo
+            su = c1[idx] - c1[lo]
+            sq = c2[idx] - c2[lo]
+            dev = xs * n - su
+            ns.append(n)
+            flags.append(
+                (n >= 12) & (dev * dev > 9 * (n * sq - su * su))
             )
-        c1 = np.concatenate([[0], np.cumsum(arr)])
-        c2 = np.concatenate([[0], np.cumsum(arr * arr)])
-        idx = np.arange(len(x)) + m
-        lo = np.maximum(0, idx - 24)
-        n = idx - lo
-        su = c1[idx] - c1[lo]
-        sq = c2[idx] - c2[lo]
-        dev = x * n - su
-        flag = (n >= 12) & (dev * dev > 9 * (n * sq - su * su))
-        buf = arr[-24:].tolist()
+            buf = arr[-24:].tolist()
         yield pd.DataFrame(
             {
                 "event_id": pdf["event_id"].to_numpy(),
                 "event_type": etype,
-                "n_window": n.astype("int32"),
-                "is_anomaly": flag,
+                "n_window": np.concatenate(ns).astype("int32"),
+                "is_anomaly": np.concatenate(flags),
             }
         )
     state.update((buf,))
@@ -766,10 +777,13 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the suite (per-ROW stateful output, not an aggregate).
 
     In-batch math is vectorized (prefix sums over buffer+batch, no
-    per-row Python); state per key is exactly 24 longs. Cumulative
-    prefix sums bound: |values| ≤ ~10^7 units ⇒ Σx² overflows int64
-    only beyond ~10^5 rows per key per micro-batch — size
-    micro-batches under that, or chunk the prefix sums.
+    per-row Python); state per key is exactly 24 longs. The prefix
+    sums run in 2^16-row SEGMENTS seeded by the trailing-24 carry
+    (exact — the window never looks further back), so Σx² stays
+    within int64 for any micro-batch size; the sf10 sweep's ~1M-row
+    batches tripped the global-cumsum bound and motivated the
+    segmentation. A loud per-segment guard remains for absurd value
+    scales (|value| beyond ~3.7e4 full units).
     """
     stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     flags = apply_anomaly_screen(stream)
