@@ -546,7 +546,7 @@ def ext_sim_knn_join(
     ranking.
     """
     import os
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
 
     import numpy as np
 
@@ -564,7 +564,7 @@ def ext_sim_knn_join(
     stage_key = (os.path.realpath(sf_dir), n_tiles)
     stage_dir = _KNN_STAGE_CACHE.get(stage_key)
     if stage_dir is None or not os.path.isdir(stage_dir):
-        stage_dir = tempfile.mkdtemp(prefix="streamingdemo_knn_tiles_")
+        stage_dir = scratch_dir(prefix="streamingdemo_knn_tiles_")
         (
             corpus.withColumn(
                 "tile", F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles))
@@ -1774,10 +1774,10 @@ def ext_sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/sparkSQL/SparkSQLOperator.java:21-22), SURVEY §2.F.
     """
     import os
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
 
     assigned, qcells = _ivf_assigned_and_qcells(spark, sf_dir, qmax=2)
-    out = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
+    out = os.path.join(scratch_dir(prefix="ivf_idx_"), "index")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
     probe_cells = sorted(
         r["cell"] for r in qcells.select("cell").distinct().collect()

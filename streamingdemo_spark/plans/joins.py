@@ -863,72 +863,80 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_overlap",
     oracle="""
     WITH oi AS (
-      SELECT o_orderkey,
+      SELECT o_orderkey, o_custkey,
              datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
              datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                + o_orderkey % 14 + 1 AS e
-      FROM orders WHERE o_orderkey % 32 = 0
+      FROM orders
     ),
     li AS (
-      SELECT l_orderkey, l_linenumber,
-             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
-             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-               + l_linenumber % 7 + 1 AS e
-      FROM lineitem WHERE l_orderkey % 16 = 0
+      SELECT l.l_orderkey, o2.o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS s,
+             datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+               + l.l_linenumber % 7 + 1 AS e
+      FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
     )
     SELECT oi.o_orderkey,
            CAST(COUNT(*) AS BIGINT) AS n_overlaps,
            CAST(COUNT(DISTINCT li.l_orderkey) AS BIGINT) AS n_ship_orders
-    FROM oi JOIN li ON oi.s <= li.e AND li.s <= oi.e
+    FROM oi JOIN li
+      ON oi.o_custkey = li.o_custkey AND oi.s <= li.e AND li.s <= oi.e
     GROUP BY oi.o_orderkey
     """,
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval×interval OVERLAP join via TWO-SIDED banding — the shape
-    ``join_range_banded`` (point-in-interval) doesn't cover: both
-    relations are interval sets (order activity windows vs shipment
-    windows, derived deterministically from the fixture's dates), and
-    a pair matches when the intervals intersect (s₁ ≤ e₂ ∧ s₂ ≤ e₁).
+    """Interval×interval OVERLAP join via COMPOSITE (entity, band)
+    two-sided banding — per customer, which of that customer's
+    shipment windows overlap each of their orders' activity windows
+    (s₁ ≤ e₂ ∧ s₂ ≤ e₁ within o_custkey).
 
     Naively this is a theta join (cartesian + filter — Spark would
     pick BroadcastNestedLoopJoin or worse). The banded plan: each
-    interval EXPLODES to every 7-day band it touches (≤3 bands left,
-    ≤2 right — bounded by interval_len/band + 1), the join becomes an
-    EQUI-join on band, and because an overlapping pair can share
+    interval EXPLODES to every 7-day band it touches (≤3 bands,
+    bounded by interval_len/band + 1), the join becomes an EQUI-join
+    on (custkey, band), and because an overlapping pair can share
     SEVERAL bands each match is kept only in its CANONICAL band (the
     band of the overlap's first day, GREATEST(s₁,s₂) DIV 7) — every
     pair survives exactly once with no dedup shuffle and no reliance
-    on a unique right-side key (a pair-key DISTINCT would both cost a
-    shuffle and silently collapse physically-duplicated rows, which
-    this fixture has). Forgetting the canonicalization double-counts
-    pairs — the classic interval-join bug, pinned here by the
-    oracle's plain theta join.
+    on a unique right-side key. Forgetting the canonicalization
+    double-counts pairs — the classic interval-join bug, pinned by
+    the oracle's plain theta join.
+
+    THE SCALE LESSON (learned from this key's own sf10 sweep failure):
+    banding on TIME ALONE does not survive data growth when the time
+    domain is fixed — the fixture spans ~2,400 days ≈ 343 weekly bands
+    at EVERY sf, so per-band populations grow linearly with the data
+    and the band-join's intermediate grows QUADRATICALLY (the r10
+    sweep measured a 58 GB shuffle spill at 60M lineitem rows before
+    the plan was killed; the un-scoped overlap count itself densifies
+    the same way). The fix is the composite key: entity cardinality
+    (customers) GROWS with the data while per-entity interval counts
+    stay constant, so per-cell work — and the true overlap count — is
+    O(1) per row and the whole join is linear. This is the general
+    rule for interval joins over growing corpora: always carry a
+    data-scaling partition dimension next to the time band.
 
     All interval arithmetic is integer epoch-days (date minus epoch on
     both engines), so band assignment and the overlap predicate are
-    exact. Scale shape: shuffle is O(rows x bands_per_interval) on
-    both sides — band width tunes the tradeoff (wider bands = fewer
-    replicas, more residual-filter work) and skew salting composes on
-    the band key as in join_range_banded.
+    exact. The lineitem side acquires its custkey through a plain
+    equi-join on orderkey (linear, AQE-planned); the overlap join then
+    shuffles both sides once on (custkey, band).
     """
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     epoch = F.lit("1970-01-01")
-    oi = (
-        t["orders"]
-        .filter(F.col("o_orderkey") % 32 == 0)
-        .select(
-            "o_orderkey",
-            F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("s"),
-            (
-                F.datediff(F.col("o_orderdate"), epoch).cast("long")
-                + F.col("o_orderkey") % 14
-                + 1
-            ).alias("e"),
-        )
+    orders = t["orders"]
+    oi = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("s"),
+        (
+            F.datediff(F.col("o_orderdate"), epoch).cast("long")
+            + F.col("o_orderkey") % 14
+            + 1
+        ).alias("e"),
     )
     li = (
         t["lineitem"]
-        .filter(F.col("l_orderkey") % 16 == 0)
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -939,9 +947,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 1
             ).alias("le"),
         )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
     )
     ob = oi.select(
         "o_orderkey",
+        "o_custkey",
         "s",
         "e",
         F.explode(
@@ -949,16 +963,21 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     )
     lb = li.select(
+        F.col("o_custkey").alias("l_custkey"),
         "l_orderkey",
         "l_linenumber",
         "ls",
         "le",
         F.explode(
             F.sequence(F.expr("ls DIV 7"), F.expr("le DIV 7"))
-        ).alias("band"),
+        ).alias("l_band"),
     )
     pairs = (
-        ob.join(lb, "band")
+        ob.join(
+            lb,
+            (F.col("o_custkey") == F.col("l_custkey"))
+            & (F.col("band") == F.col("l_band")),
+        )
         .filter((F.col("s") <= F.col("le")) & (F.col("ls") <= F.col("e")))
         # a pair sharing k bands appears k times: keep it only in its
         # CANONICAL band — the band of the overlap's first day — so

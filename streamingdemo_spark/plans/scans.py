@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import os
 import re
-import tempfile
+
+
+from streamingdemo_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,7 +70,7 @@ def snk_parquet_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing is collected.
     """
     nat = spark.read.parquet(table_path(sf_dir, "nation"))
-    out = os.path.join(tempfile.mkdtemp(prefix="snk_parquet_"), "nations_by_region")
+    out = os.path.join(scratch_dir(prefix="snk_parquet_"), "nations_by_region")
     nat.groupBy("n_regionkey").count().write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).orderBy("n_regionkey")
 
@@ -113,7 +115,7 @@ def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source: write the supplier dim as CSV, read it back with an
     explicit schema (never inferSchema in production — it double-scans
     and guesses types). Round-trip must equal the parquet original."""
-    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "supplier_csv")
+    out = os.path.join(scratch_dir(prefix="src_csv_"), "supplier_csv")
     base = _csv_json_base(spark, sf_dir)
     base.write.mode("overwrite").option("header", True).csv(out)
     schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
@@ -135,7 +137,7 @@ def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source with explicit schema, same round-trip check."""
-    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "supplier_json")
+    out = os.path.join(scratch_dir(prefix="src_json_"), "supplier_json")
     base = _csv_json_base(spark, sf_dir)
     base.write.mode("overwrite").json(out)
     schema = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
@@ -153,7 +155,7 @@ def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source round-trip (columnar alternative to parquet; same
     pushdown/pruning machinery in Spark's reader)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "supplier_orc")
+    out = os.path.join(scratch_dir(prefix="src_orc_"), "supplier_orc")
     _csv_json_base(spark, sf_dir).write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -181,7 +183,7 @@ def src_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     url = (
         "jdbc:derby:"
-        + os.path.join(tempfile.mkdtemp(prefix="src_jdbc_"), "suppdb")
+        + os.path.join(scratch_dir(prefix="src_jdbc_"), "suppdb")
         + ";create=true"
     )
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -231,7 +233,7 @@ def src_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
         F.col("doc_id") < 64
     )
-    out = tempfile.mkdtemp(prefix="src_binary_")
+    out = scratch_dir(prefix="src_binary_")
     # stage: one .txt file per doc, named by doc_id (driver-side write
     # of a 64-row sample — staging fixture files, not a data path)
     for r in d.select("doc_id", "text").collect():
@@ -281,7 +283,7 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration.
     """
     base = _csv_json_base(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="src_evo_")
+    out = scratch_dir(prefix="src_evo_")
     v1 = base.filter(F.col("s_suppkey") % 2 == 0).select(
         "s_suppkey", "s_name", "s_nationkey"
     )
@@ -321,7 +323,7 @@ def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    out = tempfile.mkdtemp(prefix="streamingdemo_textscan_") + "/docs"
+    out = scratch_dir(prefix="streamingdemo_textscan_") + "/docs"
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
 
@@ -420,7 +422,7 @@ def src_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
         )
     )
-    feed = os.path.join(tempfile.mkdtemp(prefix="src_corrupt_"), "feed")
+    feed = os.path.join(scratch_dir(prefix="src_corrupt_"), "feed")
     o.select(line.alias("value")).write.mode("overwrite").text(feed)
 
     schema = (
@@ -475,7 +477,7 @@ def src_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    out = tempfile.mkdtemp(prefix="streamingdemo_gzscan_") + "/docs_jsonl"
+    out = scratch_dir(prefix="streamingdemo_gzscan_") + "/docs_jsonl"
     (
         d.select("doc_id", "lang", "n_chars")
         .write.mode("overwrite")
@@ -496,7 +498,7 @@ def _txn_log_stage(
     (table base dir, log dir)."""
     import json
 
-    base = tempfile.mkdtemp(prefix=prefix)
+    base = scratch_dir(prefix=prefix)
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -977,7 +979,7 @@ def src_txn_log_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rem, c_rem = _file_totals(by_version[v]["remove"])
             deltas[v] = (n_add, n_rem, c_add - c_rem)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_txnlog_inc_")
+    ckpt = scratch_dir(prefix="ckpt_txnlog_inc_")
     query_handle = (
         actions_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", ckpt)
@@ -1075,7 +1077,7 @@ def _txn_log_stats_stage(
     ).collect()[0]  # 2 scalars — the driver edge every reader has
     lo, hi = int(b["lo"]), int(b["hi"])
     span = hi - lo + 1
-    base = tempfile.mkdtemp(prefix="txnlog_stats_")
+    base = scratch_dir(prefix="txnlog_stats_")
     # integer DIV, not float division: the bucket split is part of the
     # staged layout and should be bit-deterministic by construction
     bucket = F.expr(f"((o_orderkey - {lo}) * {n_files}) DIV {span}")
@@ -1639,7 +1641,7 @@ def snk_txn_log_stream_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json
 
-    base = tempfile.mkdtemp(prefix="txnlog_stream_")
+    base = scratch_dir(prefix="txnlog_stream_")
     incoming = os.path.join(base, "incoming")
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -1680,7 +1682,7 @@ def snk_txn_log_stream_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(incoming, "src*"))
     )
-    ckpt = tempfile.mkdtemp(prefix="ckpt_txnlog_stream_")
+    ckpt = scratch_dir(prefix="ckpt_txnlog_stream_")
     handle = (
         stream.writeStream.foreachBatch(commit_epoch)
         .option("checkpointLocation", ckpt)
@@ -1763,7 +1765,7 @@ def snk_txn_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "txnlog_pipe_a_",
         [[{"add": f"part{i}"}] for i in range(4)],  # append-only source
     )
-    base_b = tempfile.mkdtemp(prefix="txnlog_pipe_b_")
+    base_b = scratch_dir(prefix="txnlog_pipe_b_")
     log_b = os.path.join(base_b, "_txn_log")
     os.makedirs(log_b)
     app_id = "pipeline_a_to_b"
@@ -1803,7 +1805,7 @@ def snk_txn_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(log_a)
         .select("add")
     )
-    ckpt = tempfile.mkdtemp(prefix="ckpt_txnlog_pipe_")
+    ckpt = scratch_dir(prefix="ckpt_txnlog_pipe_")
     handle_q = (
         actions_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", ckpt)
@@ -1983,7 +1985,7 @@ def src_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema_v0 = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     schema_v1 = schema_v0 + ", o_orderpriority string"
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    base = tempfile.mkdtemp(prefix="txnlog_schema_")
+    base = scratch_dir(prefix="txnlog_schema_")
     # one partitioned write per schema era (2 scans total)
     (
         o.filter(F.col("o_orderkey") % 4 < 2)

@@ -10,7 +10,9 @@ verifiable results.
 from __future__ import annotations
 
 import os
-import tempfile
+
+
+from streamingdemo_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,7 +40,7 @@ def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     precondition for every time-ranged query at 100 TB.
     """
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    out = os.path.join(tempfile.mkdtemp(prefix="part_write_"), "orders_by_year")
+    out = os.path.join(scratch_dir(prefix="part_write_"), "orders_by_year")
     (
         o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
         .write.mode("overwrite")
@@ -73,7 +75,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so it still shuffles — that part is the query, not the join.)
     """
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    warehouse = tempfile.mkdtemp(prefix="bucketed_wh_")
+    warehouse = scratch_dir(prefix="bucketed_wh_")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     (
@@ -131,7 +133,7 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_plans.py).
     """
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    out = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_by_year")
+    out = os.path.join(scratch_dir(prefix="dpp_"), "orders_by_year")
     (
         o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
         .write.mode("overwrite")
@@ -450,7 +452,7 @@ def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted there, the content equality by this key's oracle.
     """
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    frag = os.path.join(tempfile.mkdtemp(prefix="compact_"), "fragmented")
+    frag = os.path.join(scratch_dir(prefix="compact_"), "fragmented")
     o.repartition(64).write.mode("overwrite").parquet(frag)
 
     compacted = os.path.join(os.path.dirname(frag), "compacted")
@@ -577,7 +579,7 @@ def snk_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
     o = load_tables(spark, sf_dir, ("orders",))["orders"].withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
-    base = os.path.join(tempfile.mkdtemp(prefix="dynover_"), "orders_part")
+    base = os.path.join(scratch_dir(prefix="dynover_"), "orders_part")
     o.write.mode("overwrite").partitionBy("o_year").parquet(base)
 
     restated = o.filter(F.col("o_year") == 1997).withColumn(
@@ -651,7 +653,7 @@ def snk_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_finished"),
     )
-    dest = os.path.join(tempfile.mkdtemp(prefix="observe_"), "orders_out")
+    dest = os.path.join(scratch_dir(prefix="observe_"), "orders_out")
     observed.write.mode("overwrite").parquet(dest)
     m = obs.get
     return spark.createDataFrame(
@@ -741,7 +743,7 @@ def snk_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(l_partkey * 65536) DIV (mp + 1)").alias("yb"),
     )
     z = b.withColumn("z", F.expr(_zorder_sql("xb", "yb", _SPARK_SHL)))
-    out = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "clustered")
+    out = os.path.join(scratch_dir(prefix="zorder_"), "clustered")
     (
         z.repartitionByRange(8, "z")
         .sortWithinPartitions("z")
@@ -793,7 +795,7 @@ def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     retain_last = 1
-    base = tempfile.mkdtemp(prefix="vacuum_")
+    base = scratch_dir(prefix="vacuum_")
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )

@@ -574,9 +574,9 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     transactional support — MERGE/upsert per epoch keyed on a stable
     id. State lives in the target table, not the stream.
     """
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
 
-    out = tempfile.mkdtemp(prefix="feb_sink_") + "/events_merged"
+    out = scratch_dir(prefix="feb_sink_") + "/events_merged"
     stream = events_stream(spark, sf_dir, "dups", n_chunks=4, files_per_trigger=2)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -586,7 +586,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
+    ckpt = scratch_dir(prefix="ckpt_feb_")
     query = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
@@ -613,7 +613,7 @@ def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 s batch interval, OpContainer.java:47-49) and stops. Asserts
     only liveness — wall-clock sources are inherently nondeterministic.
     """
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
     import uuid
 
     stream = (
@@ -621,7 +621,7 @@ def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", F.col("value") % 10)
     )
     name = f"rate_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = scratch_dir(prefix=f"ckpt_{name}_")
     query = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -816,7 +816,7 @@ def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``files_per_trigger`` so each commit is a few well-sized files,
     not thousands of small ones.
     """
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
 
     stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     proj = stream.select(
@@ -826,7 +826,7 @@ def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_trunc("day", F.col("ts")).alias("day"),
     )
-    out = tempfile.mkdtemp(prefix="snk_stream_parquet_")
+    out = scratch_dir(prefix="snk_stream_parquet_")
     query = (
         proj.writeStream.format("parquet")
         .option("path", out + "/data")
@@ -1001,7 +1001,7 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
 
     from streamingdemo_spark.streaming.sources import EVENTS_SCHEMA, _build
 
@@ -1009,9 +1009,9 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = sorted(
         f for f in os.listdir(built) if f.endswith(".parquet")
     )
-    src = tempfile.mkdtemp(prefix="inc_src_")
-    target = os.path.join(tempfile.mkdtemp(prefix="inc_tgt_"), "partials")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_inc_")
+    src = scratch_dir(prefix="inc_src_")
+    target = os.path.join(scratch_dir(prefix="inc_tgt_"), "partials")
+    ckpt = scratch_dir(prefix="ckpt_inc_")
     _LAST_INCREMENTAL.update(source=src, partials=target, checkpoint=ckpt)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1507,16 +1507,16 @@ def stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
 
     from streamingdemo_spark.registry import poly_hash
     from streamingdemo_spark.streaming.sources import EVENTS_SCHEMA, _build
 
     built = _build(sf_dir, "ordered", 4)
     files = sorted(f for f in os.listdir(built) if f.endswith(".parquet"))
-    src = tempfile.mkdtemp(prefix="botk_src_")
-    sketch_dir = os.path.join(tempfile.mkdtemp(prefix="botk_tgt_"), "sketch")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_botk_")
+    src = scratch_dir(prefix="botk_src_")
+    sketch_dir = os.path.join(scratch_dir(prefix="botk_tgt_"), "sketch")
+    ckpt = scratch_dir(prefix="ckpt_botk_")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_bot = (
@@ -1727,13 +1727,13 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both legs score the identical statistic.
     """
     import os
-    import tempfile
+    from streamingdemo_spark.scratch import scratch_dir
 
     from streamingdemo_spark.extensions.corpus import boot_weight_partials
     from streamingdemo_spark.streaming.sources import documents_stream
 
-    target = os.path.join(tempfile.mkdtemp(prefix="boot_tgt_"), "partials")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_boot_")
+    target = os.path.join(scratch_dir(prefix="boot_tgt_"), "partials")
+    ckpt = scratch_dir(prefix="ckpt_boot_")
 
     def partials(batch_df: DataFrame, epoch_id: int) -> None:
         (

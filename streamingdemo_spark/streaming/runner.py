@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+
+from streamingdemo_spark.scratch import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,7 +97,7 @@ def run_to_memory(
     """
     spark: SparkSession = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=CHECKPOINT_ROOT)
+    checkpoint = scratch_dir(prefix=f"ckpt_{name}_", dir=CHECKPOINT_ROOT)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     provider = state_provider or os.environ.get(
         "STREAMINGDEMO_STATE_PROVIDER"
