@@ -462,6 +462,13 @@ KNN_K = 3
 # <= k, no matter how many candidates tie at 4dp.
 _KNN_TIE_MARGIN = 1.01e-4
 
+# Per-worker resident score-matrix bound for the blocked kNN GEMM:
+# probe chunks are sized so chunk_rows × tile_rows stays near this
+# many float64 elements (~128 MB; peak ×2 with the norm denominator).
+# 32 local workers × ~256 MB ≈ 8 GB — bounded regardless of corpus
+# size, because chunk_rows shrinks as the tile grows.
+_KNN_SCORE_ELEMS = 16_000_000
+
 
 def _knn_load_tile(stage_dir: str, tile: int):
     """Load one build tile (ids, matrix, norms) from the staged parquet
@@ -535,7 +542,11 @@ def ext_sim_knn_join(
     strictly better rounded scores exist globally), and the superset
     property holds for ANY partition of the build rows into tiles, so
     hash tiles rank identically to contiguous slices. Candidate volume
-    is O(n · k · tiles), never the n² score matrix. At 100 TB pick
+    is O(n · k · tiles), never the n² score matrix, and the RESIDENT
+    score matrix is bounded too: probe rows are processed in chunks
+    sized so chunk × tile stays near ``_KNN_SCORE_ELEMS`` elements
+    (the sf10 sweep's OOM lesson — a full Arrow batch against a
+    200k-vector tile is a 16 GB score matrix per worker). At 100 TB pick
     tile_rows so (tile_rows × dims × 8 B) fits beside the probe batch,
     point the stage dir at shared storage (it defaults to the local
     tmp dir, which multi-node clusters can't read), or use the ANN
@@ -583,28 +594,43 @@ def ext_sim_knn_join(
             if tile is None:
                 return
             ids_t, mat_t, norm_t = tile
+            # Probe-side chunk bound: the GEMM's OUTPUT (probe_rows ×
+            # tile_rows) is the real memory term, not the tile matrix —
+            # a 10k-row Arrow batch against a 200k-vector tile is a
+            # 16 GB score matrix per worker, and the host OOM-killer
+            # proved it at the sf10 sweep. Cap the resident score
+            # matrix at ~_KNN_SCORE_ELEMS elements (~128 MB float64,
+            # ×2 with the norm denominator) by slicing the probe batch;
+            # per-element algebra is unchanged, so scores are the same.
+            chunk = max(16, _KNN_SCORE_ELEMS // max(1, len(ids_t)))
             for pdf in batches:
                 q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
                 qnorm = np.sqrt((q * q).sum(axis=1))
                 qids = pdf["vec_id"].to_numpy()
-                # dot / (|a|·|b|): same algebra as the oracle (never
-                # pre-normalize the rows — that changes the float path)
-                s = (q @ mat_t.T) / (qnorm[:, None] * norm_t[None, :])
                 out_q, out_n, out_c = [], [], []
-                for i in range(len(qids)):
-                    row = np.where(ids_t == qids[i], -np.inf, s[i])
-                    finite = row > -np.inf
-                    n_cand = int(finite.sum())
-                    if n_cand == 0:
-                        continue
-                    if n_cand > KNN_K:
-                        kth = np.partition(row, -KNN_K)[-KNN_K]
-                        keep = row >= kth - _KNN_TIE_MARGIN
-                    else:
-                        keep = finite
-                    out_q.append(np.full(int(keep.sum()), qids[i]))
-                    out_n.append(ids_t[keep])
-                    out_c.append(row[keep])
+                for c0 in range(0, len(qids), chunk):
+                    qc = q[c0 : c0 + chunk]
+                    # dot / (|a|·|b|): same algebra as the oracle (never
+                    # pre-normalize the rows — that changes the float
+                    # path); in-place divide keeps one extra matrix, not
+                    # two.
+                    s = qc @ mat_t.T
+                    s /= qnorm[c0 : c0 + chunk, None] * norm_t[None, :]
+                    for ci in range(len(qc)):
+                        i = c0 + ci
+                        row = np.where(ids_t == qids[i], -np.inf, s[ci])
+                        finite = row > -np.inf
+                        n_cand = int(finite.sum())
+                        if n_cand == 0:
+                            continue
+                        if n_cand > KNN_K:
+                            kth = np.partition(row, -KNN_K)[-KNN_K]
+                            keep = row >= kth - _KNN_TIE_MARGIN
+                        else:
+                            keep = finite
+                        out_q.append(np.full(int(keep.sum()), qids[i]))
+                        out_n.append(ids_t[keep])
+                        out_c.append(row[keep])
                 if not out_q:
                     continue
                 yield pd.DataFrame(

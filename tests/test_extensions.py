@@ -160,6 +160,29 @@ class TestSimilarity:
         }
         assert tiled == single
 
+    def test_knn_join_probe_chunked_equals_whole_batch(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """Shrinking the per-worker score-matrix bound until every Arrow
+        batch splits into many probe chunks must reproduce the
+        whole-batch result exactly — the chunk loop slices rows of the
+        same GEMM, it never changes any per-row dot product. (This is
+        the sf10 OOM fix: a full 10k-row batch against a 200k-vector
+        tile was a 16 GB resident score matrix per worker.)"""
+        from streamingdemo_spark.extensions import similarity
+
+        whole = {
+            (r["vec_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+            for r in similarity.ext_sim_knn_join(spark, sf_dir).collect()
+        }
+        # ~500 fixture vectors → chunk = max(16, 800//500) = 16 rows
+        monkeypatch.setattr(similarity, "_KNN_SCORE_ELEMS", 800)
+        chunked = {
+            (r["vec_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+            for r in similarity.ext_sim_knn_join(spark, sf_dir).collect()
+        }
+        assert chunked == whole
+
     def test_exact_topk_shape(self, spark, sf_dir):
         out = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
         per_q = out.groupBy("q_id").count().collect()
