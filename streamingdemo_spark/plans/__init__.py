@@ -10,6 +10,7 @@ from streamingdemo_spark.plans import (  # noqa: F401
     flagship,
     flagship_sweep,
     scans,
+    lakehouse,
     projections,
     joins,
     aggregations,

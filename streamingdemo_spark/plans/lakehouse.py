@@ -1,0 +1,415 @@
+"""Lakehouse layer 2 over the txn-log core (SURVEY.md §2.D sinks;
+reference C6 write path, ``SparkSQLOperator.java:23``): multi-
+dimensional clustering (OPTIMIZE ZORDER BY) and incremental
+materialized-view maintenance from the change feed.
+
+``plans/scans.py`` holds the protocol core (atomic commit, read-set
+validation, COW MERGE, compaction, vacuum/restore); this module builds
+the two capabilities on top that make a 100 TB table *queryable* and
+*derivable* without full rescans:
+
+- ``snk_txn_log_zorder``: re-cluster the table on a Morton
+  (bit-interleaved) key of two columns so per-file min/max stats
+  prune on BOTH dimensions — Delta ``OPTIMIZE ZORDER BY`` / the
+  space-filling-curve layout every multi-tenant table needs.
+- ``snk_txn_log_incr_mv``: maintain a grouped aggregate across
+  commits by reading ONLY each commit's delta files (CDF-from-COW),
+  never the base table — the incremental-view-maintenance contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.registry import query
+from streamingdemo_spark.scratch import scratch_dir
+from streamingdemo_spark.plans.scans import (
+    _orderkey_quantiles,
+    _cow_merge_txn,
+    _txn_log_commit_count,
+    _txn_log_replay,
+    _txn_log_replay_actions,
+    _txn_log_stats_stage,
+    _txn_log_try_commit,
+)
+
+_MORTON_SPREADS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _morton_spread(c: Column) -> Column:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    lane (0b...abc -> 0b...0a0b0c) — the textbook mask-shift ladder,
+    pure long arithmetic inside whole-stage codegen."""
+    c = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for sh, mask in _MORTON_SPREADS:
+        c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def _morton2(x: Column, y: Column) -> Column:
+    """32-bit Morton (Z-order) code of two 16-bit lanes: x on even
+    bits, y on odd. Locality in z implies locality in BOTH x and y,
+    which is exactly what turns one-dimensional per-file min/max
+    stats into a two-dimensional prune."""
+    return _morton_spread(x).bitwiseOR(F.shiftleft(_morton_spread(y), 1))
+
+
+def _zorder_stage(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> tuple[str, str]:
+    """Stage orders as a txn-log table clustered on o_orderkey ONLY —
+    n_files tight orderkey-range buckets whose add actions carry
+    per-file min/max for BOTH o_orderkey and o_custkey (writer-side
+    stats, the Delta convention). By construction every file spans
+    ~the full o_custkey range: the layout a pure-append ingest
+    produces, where a customer-scoped query prunes nothing. Returns
+    (base dir, log dir)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]  # 2 scalars — writer-side layout bounds
+    lo, hi = int(b["lo"]), int(b["hi"])
+    span = hi - lo + 1
+    base = scratch_dir(prefix="txnlog_zorder_")
+    bucket = F.expr(f"((o_orderkey - {lo}) * {n_files}) DIV {span}")
+    stats = {
+        int(r["b"]): r
+        for r in o.groupBy(bucket.alias("b"))
+        .agg(
+            F.min("o_orderkey").alias("kmn"),
+            F.max("o_orderkey").alias("kmx"),
+            F.min("o_custkey").alias("cmn"),
+            F.max("o_custkey").alias("cmx"),
+        )
+        .collect()  # n_files rows — writer-side stats
+    }
+    o.withColumn("b", bucket).write.mode("overwrite").partitionBy(
+        "b"
+    ).parquet(os.path.join(base, "data"))
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    lines = []
+    for part in sorted(stats):
+        r = stats[part]
+        lines.append(
+            json.dumps(
+                {
+                    "add": f"data/b={part}",
+                    "min_key": int(r["kmn"]),
+                    "max_key": int(r["kmx"]),
+                    "min_ck": int(r["cmn"]),
+                    "max_ck": int(r["cmx"]),
+                }
+            )
+            + "\n"
+        )
+    if not _txn_log_try_commit(log_dir, 0, lines):
+        raise RuntimeError("staging commit 0 failed")
+    return base, log_dir
+
+
+def _zorder_txn(
+    spark: SparkSession, base: str, log_dir: str, n_files: int = 8
+) -> tuple[int, set[str], list[str]]:
+    """Plan + stage one OPTIMIZE ZORDER transaction against the
+    CURRENT snapshot: read every live file (clustering is a full
+    rewrite of the optimized span — here the whole table), sort by
+    the 32-bit Morton code of (o_orderkey, o_custkey) normalized to
+    16-bit lanes via the per-column bounds ALREADY IN the log's
+    add-action stats (metadata, no extra scan), bin the curve into
+    ``n_files`` equal z-ranges, and land the rewrite with fresh 2-D
+    per-file stats. Data-identical by contract (clustering is purely
+    physical), enforced loudly. Returns ``(base_version,
+    planned_removes, commit action lines)`` for the optimistic-commit
+    loop — Z-ORDER commits exactly like compaction and must lose to
+    an overlapping row-changing writer.
+
+    At 100 TB: the rewrite cost is a range-partitioned shuffle on the
+    z-key over only the span being optimized (incremental OPTIMIZE
+    re-clusters the files a predicate selects, same plan shape); the
+    commit stays O(1) metadata; the z-bucket split here is integer
+    arithmetic on the code, which a production writer replaces with
+    repartitionByRange + target file sizing without changing the
+    transaction."""
+    base_version = _txn_log_commit_count(log_dir)
+    live = _txn_log_replay_actions(log_dir)
+    klo = min(a["min_key"] for a in live.values())
+    khi = max(a["max_key"] for a in live.values())
+    # a file written by a single-column writer (e.g. a COW MERGE
+    # rewrite) may carry no o_custkey stats — absent stats bound
+    # nothing, so the lane normalization uses the files that have
+    # them and CLAMPS out-of-range stragglers into the edge cells
+    # (stats are a pruning hint, never a correctness input)
+    cks = [a for a in live.values() if "min_ck" in a]
+    clo = min(a["min_ck"] for a in cks)
+    chi = max(a["max_ck"] for a in cks)
+    kspan, cspan = khi - klo + 1, chi - clo + 1
+    src = spark.read.parquet(
+        *(os.path.join(base, p) for p in live)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    # 16-bit lane per column: (k - lo) * 2^16 DIV span  in [0, 65535]
+    x = F.expr(f"((o_orderkey - {klo}) * 65536) DIV {kspan}")
+    y = F.expr(
+        f"greatest(0L, least(65535L, "
+        f"((o_custkey - {clo}) * 65536) DIV {cspan}))"
+    )
+    z = _morton2(x, y)
+    out_name = f"zorder{base_version}"
+    zb = (z * n_files / F.lit(1 << 32)).cast("long").alias("zb")
+    clustered = src.withColumn("zb", zb)
+    clustered.write.mode("overwrite").partitionBy("zb").parquet(
+        os.path.join(base, out_name)
+    )
+    stats = {
+        int(r["zb"]): r
+        for r in clustered.groupBy("zb")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("kmn"),
+            F.max("o_orderkey").alias("kmx"),
+            F.min("o_custkey").alias("cmn"),
+            F.max("o_custkey").alias("cmx"),
+        )
+        .collect()  # n_files rows — writer-side stats
+    }
+    n_in = src.count()
+    n_out = sum(int(r["n"]) for r in stats.values())
+    if n_out != n_in:
+        raise RuntimeError(
+            f"Z-ORDER must be data-identical: read {n_in}, wrote {n_out}"
+        )
+    actions = [json.dumps({"remove": p}) + "\n" for p in live] + [
+        json.dumps(
+            {
+                "add": f"{out_name}/zb={part}",
+                "min_key": int(r["kmn"]),
+                "max_key": int(r["kmx"]),
+                "min_ck": int(r["cmn"]),
+                "max_ck": int(r["cmx"]),
+            }
+        )
+        + "\n"
+        for part, r in sorted(stats.items())
+    ]
+    return base_version, set(live), actions
+
+
+def _ck_prune(
+    live: dict[str, dict], qlo: int, qhi: int
+) -> list[str]:
+    """Stats-based file skipping on the SECOND dimension: keep the
+    live paths whose [min_ck, max_ck] can overlap the o_custkey
+    predicate — pure log metadata, driver-side by design. A file
+    with no o_custkey stats is unprunable and is always kept."""
+    return [
+        p
+        for p, a in sorted(live.items())
+        if "min_ck" not in a or not (a["max_ck"] < qlo or a["min_ck"] > qhi)
+    ]
+
+
+@query(
+    "snk_txn_log_zorder",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_custkey, 0.35)) AS BIGINT) AS qlo,
+             CAST(FLOOR(quantile_cont(o_custkey, 0.50)) AS BIGINT) AS qhi
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, q
+    WHERE o_custkey BETWEEN qlo AND qhi
+    """,
+)
+def snk_txn_log_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY as a transaction — multi-dimensional
+    clustering brought under the same commit protocol as every writer
+    (Delta ``OPTIMIZE tbl ZORDER BY (k, c)``): a data-identical
+    rewrite that sorts the table along a Morton space-filling curve of
+    (o_orderkey, o_custkey) so per-file min/max stats prune on BOTH
+    columns. The staged layout is the one append-only ingest actually
+    produces — tight o_orderkey ranges, every file spanning ~the whole
+    o_custkey domain — where a customer-scoped query must scan ALL
+    files (asserted: zero files pruned pre-OPTIMIZE, so the test
+    cannot pass vacuously). After the Z-ORDER commit the same
+    metadata-only prune drops most files (asserted: strictly fewer
+    than live), and the query reads the survivors plus the residual
+    predicate. The oracle is the logical table's answer: clustering
+    must be invisible to query semantics — any row lost, duplicated,
+    or mutated by the rewrite flips the hash.
+
+    100 TB story: this is THE lever that makes secondary-dimension
+    queries affordable on a petabyte table — stats pruning works on
+    exactly one dimension per sort order, and the z-curve buys ~equal
+    selectivity on two (locality in z bounds both lanes). The rewrite
+    is a range shuffle on an integer key (no driver data), the commit
+    is O(1) metadata under optimistic concurrency (loses to
+    overlapping writers exactly like ``snk_txn_log_compact``), and
+    the prune consults only the log."""
+    base, log_dir = _zorder_stage(spark, sf_dir)
+    row = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .agg(F.expr("percentile(o_custkey, array(0.35, 0.50))").alias("qs"))
+        .collect()[0]  # 2 scalars — the query predicate, not protocol
+    )
+    qlo, qhi = int(row["qs"][0]), int(row["qs"][1])
+    before = _txn_log_replay_actions(log_dir)
+    if len(_ck_prune(before, qlo, qhi)) != len(before):
+        raise RuntimeError(
+            "staged pre-OPTIMIZE layout must be unprunable on "
+            "o_custkey, or this key proves nothing"
+        )
+    b_ver, removes, actions = _zorder_txn(spark, base, log_dir)
+    if not _txn_log_try_commit(log_dir, b_ver, actions):
+        raise RuntimeError("uncontended Z-ORDER commit failed")
+    live = _txn_log_replay_actions(log_dir)
+    keep = _ck_prune(live, qlo, qhi)
+    if not keep or len(keep) >= len(live):
+        raise RuntimeError(
+            f"Z-ORDER must unlock second-dimension pruning: "
+            f"kept {len(keep)} of {len(live)} live files"
+        )
+    return (
+        spark.read.parquet(*(os.path.join(base, p) for p in keep))
+        .filter(F.col("o_custkey").between(qlo, qhi))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def _mv_delta(
+    spark: SparkSession, base: str, log_dir: str, version: int
+) -> tuple[DataFrame, int]:
+    """Signed per-group aggregate delta of ONE commit, from its delta
+    files only (CDF-from-COW: the removed files are the preimage, the
+    added files the postimage — the immutable store keeps both).
+    Returns (delta frame with columns (o_orderstatus, n_orders,
+    sum_cents), number of delta files read)."""
+    removed, added = [], []
+    with open(os.path.join(log_dir, f"{version:08d}.json")) as f:
+        for line in f:
+            a = json.loads(line)
+            if "remove" in a:
+                removed.append(os.path.join(base, a["remove"]))
+            if "add" in a:
+                added.append(os.path.join(base, a["add"]))
+    sign = [(added, 1), (removed, -1)]
+    parts = [
+        spark.read.parquet(*paths)
+        .groupBy("o_orderstatus")
+        .agg(
+            (F.count("*") * s).alias("n_orders"),
+            (F.sum(F.expr(_CENTS)) * s).alias("sum_cents"),
+        )
+        for paths, s in sign
+        if paths
+    ]
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    return delta, len(removed) + len(added)
+
+
+@query(
+    "snk_txn_log_incr_mv",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(FLOOR(quantile_cont(o_orderkey, 0.15)) AS BIGINT) AS blo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.25)) AS BIGINT) AS bhi,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.40)) AS BIGINT) AS alo,
+             CAST(FLOOR(quantile_cont(o_orderkey, 0.60)) AS BIGINT) AS ahi
+      FROM orders
+    ),
+    u AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey BETWEEN alo AND ahi
+                  THEN ({_CENTS} * 11) // 10
+                  WHEN o_orderkey BETWEEN blo AND bhi
+                  THEN ({_CENTS} * 13) // 10
+                  ELSE {_CENTS} END AS cents
+      FROM orders, q
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM u GROUP BY o_orderstatus
+    """,
+)
+def snk_txn_log_incr_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed
+    — the capability ``src_txn_log_cdf`` feeds: a grouped aggregate
+    (orders by status: count + exact cents sum) is materialized once
+    against the version-0 snapshot, then kept current across two COW
+    MERGE commits (+10% on the [P40, P60] orderkey span, +30% on the
+    disjoint [P15, P25] span) by applying each commit's SIGNED delta
+    — aggregate(postimage files) minus aggregate(preimage files) —
+    reading ONLY the commit's delta files, never the base table
+    (asserted loudly: each increment touches fewer files than the
+    live snapshot holds). Sum deltas are exact integer cents, so
+    increments commute and compose without float drift; count deltas
+    are zero for a COW update and still flow through the same path.
+    The oracle recomputes the view from scratch over the logical
+    doubly-updated table — a phantom delta (copied-through rows
+    double-counted), a missed preimage subtraction, or an increment
+    applied twice flips the hash.
+
+    100 TB story: this is the difference between a derived table that
+    costs O(delta) per refresh and one that costs O(base). The delta
+    aggregation is map-side-combined on the same group keys as the
+    view, the merge of (view ∪ delta) re-groups a relation bounded by
+    |group keys|, and nothing row-sized reaches the driver. The same
+    loop runs as a ``foreachBatch`` consumer off the streaming commit
+    path (``snk_txn_log_stream_commit``) unchanged."""
+    base, log_dir, _, _ = _txn_log_stats_stage(spark, sf_dir)
+    blo, bhi, alo, ahi = _orderkey_quantiles(
+        spark, sf_dir, 0.15, 0.25, 0.40, 0.60
+    )
+    for ulo, uhi, num, out in (
+        (alo, ahi, 11, "mvA"),
+        (blo, bhi, 13, "mvB"),
+    ):
+        v, _, actions = _cow_merge_txn(
+            spark, base, log_dir, ulo, uhi, num, 10, out
+        )
+        if not _txn_log_try_commit(log_dir, v, actions):
+            raise RuntimeError(f"uncontended merge {out} failed")
+    v0 = _txn_log_replay(log_dir, as_of=0)
+    mv = (
+        spark.read.parquet(*(os.path.join(base, p) for p in v0))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).alias("sum_cents"),
+        )
+    )
+    n_live = len(_txn_log_replay(log_dir))
+    for version in (1, 2):
+        delta, n_delta = _mv_delta(spark, base, log_dir, version)
+        if n_delta >= n_live:
+            raise RuntimeError(
+                f"increment must be delta-bounded: commit {version} "
+                f"read {n_delta} files vs {n_live} live"
+            )
+        mv = (
+            mv.unionByName(delta)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("sum_cents").alias("sum_cents"),
+            )
+        )
+    return mv.select("o_orderstatus", "n_orders", "sum_cents")

@@ -1706,3 +1706,206 @@ def test_txn_log_restore_round_trip(spark, sf_dir):
     # every historical state remains resolvable
     assert _txn_log_replay(log_dir, as_of=2) == v0_live
     assert _txn_log_replay(log_dir, as_of=3) == v1_live
+
+
+def test_txn_log_zorder_race_rebase_and_stats_gap(spark, sf_dir):
+    """Z-ORDER-vs-writer race: the clustering rewrite reads every
+    live file, so ANY concurrent writer conflicts — the zorder must
+    lose its claim, fail validation, and re-plan against the
+    post-writer snapshot. The winner's rewrite file carries NO
+    o_custkey stats (a single-column writer), exercising the
+    absent-stats path: normalization bounds come from the files that
+    have stats, the straggler clamps into edge lanes, and the prune
+    must keep the stats-less file (absent stats never skip)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamingdemo_spark.plans.lakehouse import (
+        _ck_prune,
+        _zorder_stage,
+        _zorder_txn,
+    )
+    import json
+
+    from streamingdemo_spark.plans.scans import (
+        TxnConflictError,
+        _orderkey_quantile_span,
+        _txn_log_commit_count,
+        _txn_log_replay,
+        _txn_log_replay_actions,
+        _txn_log_stats_replay,
+        _txn_log_try_commit,
+        _txn_log_validate_read_set,
+    )
+
+    def cow_merge(base, log_dir, ulo, uhi, out_name):
+        """Schema-preserving COW MERGE on the zorder table (+10% on
+        [ulo, uhi]) whose add action records orderkey stats ONLY —
+        the single-sort-column writer every mixed fleet has."""
+        bv = _txn_log_commit_count(log_dir)
+        affected = [
+            (p, mn, mx)
+            for p, mn, mx in _txn_log_stats_replay(log_dir)
+            if not (mx < ulo or mn > uhi)
+        ]
+        rewritten = spark.read.parquet(
+            *(os.path.join(base, p) for p, _, _ in affected)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey").between(ulo, uhi),
+                F.expr(
+                    "(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+                    " * 11) DIV 10"
+                ).cast("double")
+                / 100.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        rewritten.write.mode("overwrite").parquet(
+            os.path.join(base, out_name)
+        )
+        st = rewritten.agg(
+            F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+        ).collect()[0]
+        actions = [
+            json.dumps({"remove": p}) + "\n" for p, _, _ in affected
+        ] + [
+            json.dumps(
+                {
+                    "add": out_name,
+                    "min_key": int(st["mn"]),
+                    "max_key": int(st["mx"]),
+                }
+            )
+            + "\n"
+        ]
+        return bv, {p for p, _, _ in affected}, actions
+
+    base, log_dir = _zorder_stage(spark, sf_dir)
+    alo, ahi = _orderkey_quantile_span(spark, sf_dir, 0.40, 0.60)
+    z_plan = _zorder_txn(spark, base, log_dir)
+    w_plan = cow_merge(base, log_dir, alo, ahi, "rewriteW")
+    assert z_plan[1] & w_plan[1], "zorder reads everything: must overlap"
+    assert _txn_log_try_commit(log_dir, w_plan[0], w_plan[2])
+    post_w = _txn_log_replay(log_dir)
+    cents = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    want = (
+        spark.read.parquet(*(os.path.join(base, p) for p in post_w))
+        .select("o_orderkey", F.expr(cents).alias("cents"))
+    )
+    assert not _txn_log_try_commit(log_dir, z_plan[0], z_plan[2])
+    with pytest.raises(TxnConflictError):
+        _txn_log_validate_read_set(log_dir, z_plan[0], z_plan[1])
+    # the stats-less rewrite is unprunable — _ck_prune must keep it
+    live = _txn_log_replay_actions(log_dir)
+    assert "min_ck" not in live["rewriteW"]
+    assert "rewriteW" in _ck_prune(live, 1, 2)
+    rb = _zorder_txn(spark, base, log_dir)
+    assert "rewriteW" in rb[1], "rebase must read the winner's file"
+    _txn_log_validate_read_set(log_dir, rb[0], rb[1])
+    assert _txn_log_try_commit(log_dir, rb[0], rb[2])
+    final = _txn_log_replay(log_dir)
+    got = (
+        spark.read.parquet(*(os.path.join(base, p) for p in final))
+        .select("o_orderkey", F.expr(cents).alias("cents"))
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # post-zorder, every live file carries fresh 2-D stats again
+    assert all(
+        "min_ck" in a for a in _txn_log_replay_actions(log_dir).values()
+    )
+
+
+def test_txn_log_zorder_result_matches_logical_table(spark, sf_dir):
+    """The registry key's own asserts pin the pruning mechanics
+    (zero files skippable before, strictly fewer after); this pins
+    the semantics: the pruned+filtered read equals a plain filter of
+    the logical table, row for row."""
+    from pyspark.sql import functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    df = QUERIES["snk_txn_log_zorder"](spark, sf_dir)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    row = o.agg(
+        F.expr("percentile(o_custkey, array(0.35, 0.50))").alias("qs")
+    ).collect()[0]
+    want = o.filter(
+        F.col("o_custkey").between(int(row["qs"][0]), int(row["qs"][1]))
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    assert df.count() == want.count() > 0
+    assert df.exceptAll(want).count() == 0
+
+
+def test_txn_log_incr_mv_applies_pure_append_delta(spark, sf_dir):
+    """The MV delta path with a pure-append commit (no preimage):
+    the signed-delta helper must aggregate the added file alone, and
+    (MV at v0) + delta == full recompute over the post-append
+    snapshot — the composition a streaming foreachBatch consumer
+    relies on."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamingdemo_spark.plans.lakehouse import _CENTS, _mv_delta
+    from streamingdemo_spark.plans.scans import (
+        _txn_log_replay,
+        _txn_log_stats_stage,
+        _txn_log_try_commit,
+    )
+
+    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
+    appended = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + (hi + 1))
+    )
+    appended.coalesce(1).write.parquet(os.path.join(base, "append0"))
+    st = appended.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    assert _txn_log_try_commit(
+        log_dir,
+        1,
+        [
+            json.dumps(
+                {
+                    "add": "append0",
+                    "min_key": int(st["mn"]),
+                    "max_key": int(st["mx"]),
+                }
+            )
+            + "\n"
+        ],
+    )
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).alias("sum_cents"),
+        )
+
+    v0 = _txn_log_replay(log_dir, as_of=0)
+    mv0 = agg(spark.read.parquet(*(os.path.join(base, p) for p in v0)))
+    delta, n_files = _mv_delta(spark, base, log_dir, 1)
+    assert n_files == 1  # preimage-free: only the appended file read
+    got = (
+        mv0.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    live = _txn_log_replay(log_dir)
+    want = agg(spark.read.parquet(*(os.path.join(base, p) for p in live)))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
