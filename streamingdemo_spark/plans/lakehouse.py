@@ -413,3 +413,278 @@ def snk_txn_log_incr_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return mv.select("o_orderstatus", "n_orders", "sum_cents")
+
+
+@query(
+    "src_txn_log_partition_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def src_txn_log_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-spec evolution — the table's physical layout changes
+    mid-history WITHOUT rewriting old data (Iceberg's signature
+    capability; Hive/plain-parquet tables force a full rewrite): the
+    first generation of files is bucketed by o_orderkey, a later
+    generation is partitioned by o_orderstatus, and every add action
+    records ITS OWN spec + partition values, so the reader plans each
+    file family under the layout it was written with. A
+    status-scoped query prunes generation-2 files by their logged
+    partition value (metadata equality, no stats needed), keeps every
+    generation-1 file (bucketing by orderkey bounds nothing about
+    status — asserted, so the test can't pass vacuously), and
+    re-applies the predicate as the residual filter on the
+    unprunable generation. Partition columns are NOT stored in the
+    data files (the directory layout owns them — the Hive/Iceberg
+    convention); the reader reconstitutes them from the log's
+    partition values, exactly like Iceberg's identity transforms.
+    The oracle is the logical filter: a reader that dropped a
+    generation, scanned a pruned partition, or reconstituted the
+    wrong value flips the hash.
+
+    100 TB story: partitioning mistakes are discovered AFTER the
+    first 50 TB is written; spec evolution makes the fix an O(1)
+    metadata change for new data instead of an O(table) rewrite, and
+    query planning stays per-file-spec — each generation prunes
+    under its own scheme, old files age out through compaction."""
+    import json as _json
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = scratch_dir(prefix="txnlog_pevo_")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    gen1.withColumn(
+        "b", F.expr("pmod(o_orderkey DIV 2, 4)")
+    ).write.mode("overwrite").partitionBy("b").parquet(
+        os.path.join(base, "gen1")
+    )
+    gen2.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        os.path.join(base, "gen2")
+    )
+    statuses = sorted(
+        r["o_orderstatus"]
+        for r in gen2.select("o_orderstatus").distinct().collect()
+    )  # |status domain| rows — writer-side partition listing
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    c0 = [
+        _json.dumps(
+            {"add": f"gen1/b={i}", "spec": "bucket4(o_orderkey)"}
+        )
+        + "\n"
+        for i in range(4)
+    ]
+    c1 = [
+        _json.dumps(
+            {
+                "add": f"gen2/o_orderstatus={s}",
+                "spec": "identity(o_orderstatus)",
+                "pv": {"o_orderstatus": s},
+            }
+        )
+        + "\n"
+        for s in statuses
+    ]
+    for v, lines in enumerate((c0, c1)):
+        if not _txn_log_try_commit(log_dir, v, lines):
+            raise RuntimeError(f"staging commit {v} failed")
+    live = _txn_log_replay_actions(log_dir)
+    want = "F"
+    keep_old = [
+        p for p, a in sorted(live.items()) if "pv" not in a
+    ]
+    keep_new = [
+        p
+        for p, a in sorted(live.items())
+        if "pv" in a and a["pv"]["o_orderstatus"] == want
+    ]
+    if len(keep_old) != 4 or len(keep_new) != 1:
+        raise RuntimeError(
+            f"per-spec planning broke: old {keep_old}, new {keep_new}"
+        )
+    if len(keep_old) + len(keep_new) >= len(live):
+        raise RuntimeError(
+            "identity-partition prune must skip the other statuses"
+        )
+    old = (
+        spark.read.parquet(*(os.path.join(base, p) for p in keep_old))
+        .filter(F.col("o_orderstatus") == want)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    # partition values come from the LOG, not the data file
+    new = spark.read.parquet(
+        *(os.path.join(base, p) for p in keep_new)
+    ).select(
+        "o_orderkey",
+        F.lit(want).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return old.unionByName(new)
+
+
+_BLOOM_H1_MULT = 2654435761          # Knuth multiplicative constants
+_BLOOM_H2_MULT = 0x9E3779B1
+_BLOOM_H2_ADD = 0x85EBCA77
+
+
+def _bloom_positions(key: int, m: int) -> tuple[int, int]:
+    """The two bloom bit positions of an int64 key for an m-bit
+    filter (m a power of two) — same arithmetic the Spark side runs,
+    so writer (Spark, distributed) and prober (driver, metadata)
+    can never disagree."""
+    return (
+        (key * _BLOOM_H1_MULT) & (m - 1),
+        (key * _BLOOM_H2_MULT + _BLOOM_H2_ADD) & (m - 1),
+    )
+
+
+def _bloom_stage(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> tuple[str, str, int]:
+    """Stage orders as orderkey-range buckets whose add actions carry
+    a per-file BLOOM FILTER over o_custkey (k=2, m = next power of
+    two >= 16x the mean per-file distinct count — ~1.4% false
+    positives), packed as hex-encoded 64-bit words. The bloom is
+    computed DISTRIBUTED (distinct (file, key) -> explode positions
+    -> per-word BIT_OR) and only the packed index crosses to the
+    driver — index-sized, the same bytes the log must hold anyway.
+    Returns (base, log_dir, m)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = o.agg(
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.countDistinct("o_custkey").alias("nck"),
+    ).collect()[0]  # 3 scalars — writer-side sizing
+    lo, hi, nck = int(b["lo"]), int(b["hi"]), int(b["nck"])
+    span = hi - lo + 1
+    m = 64
+    while m < 16 * max(1, nck // n_files):
+        m *= 2
+    base = scratch_dir(prefix="txnlog_bloom_")
+    bucket = F.expr(f"((o_orderkey - {lo}) * {n_files}) DIV {span}")
+    o.withColumn("b", bucket).write.mode("overwrite").partitionBy(
+        "b"
+    ).parquet(os.path.join(base, "data"))
+    keys = o.select(bucket.alias("b"), "o_custkey").distinct()
+    pos = keys.select(
+        "b",
+        F.explode(
+            F.array(
+                (F.col("o_custkey") * _BLOOM_H1_MULT) % m,
+                (F.col("o_custkey") * _BLOOM_H2_MULT + _BLOOM_H2_ADD)
+                % m,
+            )
+        ).alias("p"),
+    )
+    words = (
+        pos.select("b", F.expr("p DIV 64").alias("w"),
+                   F.expr("shiftleft(1L, CAST(p % 64 AS INT))")
+                   .alias("bit"))
+        .groupBy("b", "w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()  # index-sized: n_files * m/64 words max
+    )
+    blooms: dict[int, dict[int, int]] = {}
+    for r in words:
+        blooms.setdefault(int(r["b"]), {})[int(r["w"])] = int(r["word"])
+    log_dir = os.path.join(base, "_txn_log")
+    os.makedirs(log_dir)
+    lines = []
+    for part in sorted(blooms):
+        packed = "".join(
+            format(blooms[part].get(w, 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+            for w in range(m // 64)
+        )
+        lines.append(
+            json.dumps(
+                {"add": f"data/b={part}", "bloom_ck": packed, "m": m}
+            )
+            + "\n"
+        )
+    if not _txn_log_try_commit(log_dir, 0, lines):
+        raise RuntimeError("staging commit 0 failed")
+    return base, log_dir, m
+
+
+def _bloom_might_contain(action: dict, key: int) -> bool:
+    """Driver-side probe of a log-carried bloom: True unless some
+    position's bit is 0 (absent index = unprunable, never skip)."""
+    packed = action.get("bloom_ck")
+    if packed is None:
+        return True
+    m = action["m"]
+    for p in _bloom_positions(key, m):
+        word = int(packed[(p // 64) * 16 : (p // 64) * 16 + 16], 16)
+        if not (word >> (p % 64)) & 1:
+            return False
+    return True
+
+
+@query(
+    "src_txn_log_bloom_prune",
+    oracle="""
+    WITH probe AS (
+      SELECT o_custkey AS ck FROM orders
+      GROUP BY o_custkey ORDER BY COUNT(*), o_custkey LIMIT 1
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, probe WHERE o_custkey = ck
+    """,
+)
+def src_txn_log_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping for point lookups on a NON-clustered
+    column (Delta bloom index / Parquet column bloom, lifted into the
+    txn log): per-file min/max stats prune nothing for an equality
+    predicate on a column uncorrelated with the sort order — every
+    file's [min_ck, max_ck] spans ~the whole domain — so the writer
+    records a compact per-file bloom over o_custkey and the reader
+    drops every file whose bloom misses the probe key (driver-side
+    metadata, like every prune in this family). Bloom semantics are
+    one-sided: a hit may be false (~1.4% at the staged sizing, the
+    pruned set may keep a stray file and the residual filter absorbs
+    it) but a miss is NEVER false — the staged probe is the
+    rarest-customer key, its handful of orders live in few files, and
+    the prune must skip at least one file (asserted; P[all misses
+    false-positive] is negligible at the staged sizing). The oracle
+    is the logical equality filter — a false negative (skipped file
+    that held a matching row) flips the hash.
+
+    100 TB story: needle-in-haystack lookups (order history for ONE
+    customer, provenance for ONE document) are metadata-bounded
+    instead of table scans; the index costs ~2 bytes/distinct key per
+    file in the log, is computed distributed at write time (per-word
+    BIT_OR — one shuffle of (file, word) pairs), and composes with
+    stats pruning: ranges cut the sorted dimension, blooms cut the
+    scattered ones."""
+    base, log_dir, m = _bloom_stage(spark, sf_dir)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    probe = int(
+        o.groupBy("o_custkey")
+        .count()
+        .orderBy("count", "o_custkey")
+        .limit(1)
+        .collect()[0]["o_custkey"]
+    )  # 1 scalar — the query's own parameter
+    live = _txn_log_replay_actions(log_dir)
+    keep = [
+        p
+        for p, a in sorted(live.items())
+        if _bloom_might_contain(a, probe)
+    ]
+    if not keep or len(keep) >= len(live):
+        raise RuntimeError(
+            f"bloom prune must skip files for the rarest key: "
+            f"kept {len(keep)} of {len(live)}"
+        )
+    return (
+        spark.read.parquet(*(os.path.join(base, p) for p in keep))
+        .filter(F.col("o_custkey") == probe)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

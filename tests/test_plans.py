@@ -1909,3 +1909,74 @@ def test_txn_log_incr_mv_applies_pure_append_delta(spark, sf_dir):
     want = agg(spark.read.parquet(*(os.path.join(base, p) for p in live)))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_txn_log_partition_evolution_reads_only_matching_partition(
+    spark, sf_dir
+):
+    """Per-spec planning mechanics: the result must equal the logical
+    filter, AND the physical scan must never touch a gen-2 file of a
+    different status (the prune is metadata equality on logged
+    partition values), while touching ALL gen-1 bucket files (the old
+    spec bounds nothing about status)."""
+    from pyspark.sql import functions as F
+
+    from streamingdemo_spark.io import load_tables
+
+    df = QUERIES["src_txn_log_partition_evolution"](spark, sf_dir)
+    want = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    assert df.count() == want.count() > 0
+    assert df.exceptAll(want).count() == 0
+    files = df.inputFiles()
+    assert any("gen1/b=" in f for f in files)
+    assert any("o_orderstatus=F" in f for f in files)
+    assert not any(
+        "o_orderstatus=O" in f or "o_orderstatus=P" in f for f in files
+    )
+    assert len({f for f in files if "gen1/b=" in f}) >= 4
+
+
+def test_txn_log_bloom_has_no_false_negatives_and_bounded_fp(
+    spark, sf_dir
+):
+    """The bloom contract both ways: every custkey actually present
+    in a file must hit that file's bloom (a false negative would
+    silently drop rows — the one failure mode bloom skipping cannot
+    have), and probing keys OUTSIDE the domain must miss most files
+    (a saturated bloom is useless, not wrong — pinned so sizing
+    regressions surface)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamingdemo_spark.plans.lakehouse import (
+        _bloom_might_contain,
+        _bloom_stage,
+    )
+    from streamingdemo_spark.plans.scans import _txn_log_replay_actions
+
+    base, log_dir, m = _bloom_stage(spark, sf_dir)
+    live = _txn_log_replay_actions(log_dir)
+    hi_ck = 0
+    for path, action in live.items():
+        keys = [
+            int(r["o_custkey"])
+            for r in spark.read.parquet(os.path.join(base, path))
+            .select("o_custkey")
+            .distinct()
+            .collect()
+        ]
+        hi_ck = max(hi_ck, max(keys))
+        for k in keys:
+            assert _bloom_might_contain(action, k), (path, k)
+    probes = range(hi_ck + 1, hi_ck + 1 + 250)
+    fp = sum(
+        _bloom_might_contain(a, k) for k in probes for a in live.values()
+    )
+    assert fp / (250 * len(live)) < 0.15
+    # absent index never skips
+    assert _bloom_might_contain({"other": 1}, 123)
