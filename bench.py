@@ -116,6 +116,9 @@ HEADLINE = [
     # round-10 additions
     "snk_txn_log_compact",         # OPTIMIZE-as-commit + writer race rebase
     "snk_txn_log_multiwriter",     # 3-writer validate->rebase->retry pile-up
+    "snk_txn_log_zorder",          # Morton clustering + 2-D stats prune
+    "snk_txn_log_incr_mv",         # CDF-driven incremental view maintenance
+    "src_txn_log_bloom_prune",     # per-file bloom index point lookup
 ]
 
 

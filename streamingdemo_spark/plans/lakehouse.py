@@ -67,23 +67,25 @@ def _morton2(x: Column, y: Column) -> Column:
 def _zorder_stage(
     spark: SparkSession, sf_dir: str, n_files: int = 8
 ) -> tuple[str, str]:
-    """Stage orders as a txn-log table clustered on o_orderkey ONLY —
-    n_files tight orderkey-range buckets whose add actions carry
-    per-file min/max for BOTH o_orderkey and o_custkey (writer-side
-    stats, the Delta convention). By construction every file spans
-    ~the full o_custkey range: the layout a pure-append ingest
-    produces, where a customer-scoped query prunes nothing. Returns
+    """Stage orders as a txn-log table in ARRIVAL-ORDER files —
+    n_files hash-scattered buckets whose add actions carry per-file
+    min/max for BOTH o_orderkey and o_custkey (writer-side stats,
+    the Delta convention). Scatter, not key ranges: every file spans
+    ~the full domain of BOTH columns, the layout unclustered ingest
+    produces, where no single-column prune drops anything. (An
+    orderkey-RANGE staging broke at the 10x probe corpus — its
+    replica offsets correlate orderkey and custkey, so range files
+    were accidentally custkey-prunable and the key's
+    nothing-prunable-before precondition fired.) Returns
     (base dir, log dir)."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    b = o.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).collect()[0]  # 2 scalars — writer-side layout bounds
-    lo, hi = int(b["lo"]), int(b["hi"])
-    span = hi - lo + 1
     base = scratch_dir(prefix="txnlog_zorder_")
-    bucket = F.expr(f"((o_orderkey - {lo}) * {n_files}) DIV {span}")
+    # xxhash64, not a multiplicative residue: orderkey mod-k classes
+    # are non-uniform (TPC-H keys are stride-patterned) and a plain
+    # multiply overflows int64 at the 10x corpus's key offsets
+    bucket = F.pmod(F.xxhash64("o_orderkey"), F.lit(n_files))
     stats = {
         int(r["b"]): r
         for r in o.groupBy(bucket.alias("b"))
@@ -147,18 +149,27 @@ def _zorder_txn(
     live = _txn_log_replay_actions(log_dir)
     klo = min(a["min_key"] for a in live.values())
     khi = max(a["max_key"] for a in live.values())
+    src = spark.read.parquet(
+        *(os.path.join(base, p) for p in live)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
     # a file written by a single-column writer (e.g. a COW MERGE
     # rewrite) may carry no o_custkey stats — absent stats bound
     # nothing, so the lane normalization uses the files that have
     # them and CLAMPS out-of-range stragglers into the edge cells
-    # (stats are a pruning hint, never a correctness input)
+    # (stats are a pruning hint, never a correctness input). If NO
+    # live file has them (the whole table was rewritten by such a
+    # writer), fall back to one bounds aggregate over the data the
+    # rewrite is scanning anyway.
     cks = [a for a in live.values() if "min_ck" in a]
-    clo = min(a["min_ck"] for a in cks)
-    chi = max(a["max_ck"] for a in cks)
+    if cks:
+        clo = min(a["min_ck"] for a in cks)
+        chi = max(a["max_ck"] for a in cks)
+    else:
+        cb = src.agg(
+            F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi")
+        ).collect()[0]  # 2 scalars — writer-side bounds fallback
+        clo, chi = int(cb["lo"]), int(cb["hi"])
     kspan, cspan = khi - klo + 1, chi - clo + 1
-    src = spark.read.parquet(
-        *(os.path.join(base, p) for p in live)
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
     # 16-bit lane per column: (k - lo) * 2^16 DIV span  in [0, 65535]
     x = F.expr(f"((o_orderkey - {klo}) * 65536) DIV {kspan}")
     y = F.expr(
@@ -239,11 +250,11 @@ def snk_txn_log_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Delta ``OPTIMIZE tbl ZORDER BY (k, c)``): a data-identical
     rewrite that sorts the table along a Morton space-filling curve of
     (o_orderkey, o_custkey) so per-file min/max stats prune on BOTH
-    columns. The staged layout is the one append-only ingest actually
-    produces — tight o_orderkey ranges, every file spanning ~the whole
-    o_custkey domain — where a customer-scoped query must scan ALL
-    files (asserted: zero files pruned pre-OPTIMIZE, so the test
-    cannot pass vacuously). After the Z-ORDER commit the same
+    columns. The staged layout is unclustered arrival-order ingest —
+    hash-scattered files, each spanning ~the whole domain of both
+    columns — where a customer-scoped query must scan ALL files
+    (asserted: zero files pruned pre-OPTIMIZE, so the test cannot
+    pass vacuously). After the Z-ORDER commit the same
     metadata-only prune drops most files (asserted: strictly fewer
     than live), and the query reads the survivors plus the residual
     predicate. The oracle is the logical table's answer: clustering

@@ -12,6 +12,19 @@ round-1 driver run stopped after 50 keys, almost certainly a time budget.
 
 Usage:
     python tools/driver_sim.py [sf_dir] [--keys k1,k2] [--out FILE]
+                               [--fast-hash]
+
+``--fast-hash`` (the 60M-row sweep mode): compare through an
+order-independent vectorized signature (per-row
+``pd.util.hash_pandas_object`` folded by wrapping uint64 sum +
+column/dtype names + row count) instead of the driver-faithful
+sort + to_csv + sha256 canon, which is single-threaded-Python bound
+and dominates wall at sf10 (minutes per full-table key and side).
+The fast signature distinguishes everything the csv canon does
+(dtype changes flip per-row hashes bit-level), but object-column
+normalization can differ — so any fast-hash MISMATCH is
+automatically re-judged with the faithful canon before being
+recorded. A fast-hash match is recorded as a hash pass.
 """
 
 from __future__ import annotations
@@ -51,10 +64,34 @@ def _canon(pdf: pd.DataFrame):
     return cols, len(pdf), hashlib.sha256(body.encode()).hexdigest()
 
 
+def _canon_fast(pdf: pd.DataFrame):
+    """Order-independent vectorized signature (see --fast-hash in the
+    module docstring): no sort, no csv — the multiset of rows is
+    folded as a wrapping uint64 sum of per-row hashes. Raises on
+    unhashable cells (list/dict), same as the driver's canon."""
+    import hashlib
+
+    import numpy as np
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = pd.util.hash_pandas_object(pdf, index=False).to_numpy(
+        dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        agg = int(np.add.reduce(rows)) if len(rows) else 0
+    meta = ",".join(f"{c}:{pdf[c].dtype}" for c in cols)
+    sig = hashlib.sha256(
+        f"{meta}|{len(pdf)}|{agg}".encode()
+    ).hexdigest()
+    return cols, len(pdf), sig
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     only = None
     out_path = None
+    fast = False
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -65,6 +102,9 @@ def main() -> int:
         elif a == "--out":
             out_path = args[i + 1]
             i += 2
+        elif a == "--fast-hash":
+            fast = True
+            i += 1
         else:
             sf_dir = a
             i += 1
@@ -94,17 +134,26 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            s_cols, s_rows, s_hash = _canon(df.toPandas())
+            canon = _canon_fast if fast else _canon
+            spdf = df.toPandas()
+            s_cols, s_rows, s_hash = canon(spdf)
             rec["spark_rows"] = s_rows
             sql = oracles.get(key)
             if sql is None:
                 rec["err"] = "no_oracle"
             else:
-                d_cols, d_rows, d_hash = _canon(con.execute(sql).df())
+                dpdf = con.execute(sql).df()
+                d_cols, d_rows, d_hash = canon(dpdf)
+                if fast and s_hash != d_hash:
+                    # re-judge with the driver-faithful canon before
+                    # recording a mismatch (object-column edge cases)
+                    s_cols, s_rows, s_hash = _canon(spdf)
+                    d_cols, d_rows, d_hash = _canon(dpdf)
                 rec["oracle_rows"] = d_rows
                 rec["rows_match"] = s_rows == d_rows
                 rec["schema_match"] = s_cols == d_cols
                 rec["hash_match"] = s_hash == d_hash
+            del spdf
         except Exception as e:  # noqa: BLE001 - record like the driver does
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
         rec["sec"] = round(time.perf_counter() - t0, 3)
