@@ -12,7 +12,15 @@ round-1 driver run stopped after 50 keys, almost certainly a time budget.
 
 Usage:
     python tools/driver_sim.py [sf_dir] [--keys k1,k2] [--out FILE]
-                               [--fast-hash]
+                               [--fast-hash] [--timeout SECS]
+
+``--timeout`` arms a per-key watchdog: when a key exceeds the budget,
+the in-flight phase is cancelled (Spark: job-group cancel; DuckDB:
+connection interrupt) and the key is recorded as
+``err: timeout(<phase>) ...`` instead of wedging the whole sweep —
+one GC-spiraling key at the 60M-row corpus otherwise starves its
+entire shard. With ``--out``, results are flushed to the artifact
+after EVERY key, so a killed process loses nothing.
 
 ``--fast-hash`` (the 60M-row sweep mode): compare through an
 order-independent vectorized signature (per-row
@@ -92,6 +100,7 @@ def main() -> int:
     only = None
     out_path = None
     fast = False
+    timeout = None
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -105,6 +114,9 @@ def main() -> int:
         elif a == "--fast-hash":
             fast = True
             i += 1
+        elif a == "--timeout":
+            timeout = float(args[i + 1])
+            i += 2
         else:
             sf_dir = a
             i += 1
@@ -132,6 +144,23 @@ def main() -> int:
             "spark_rows": None, "oracle_rows": None, "err": None, "sec": None,
         }
         t0 = time.perf_counter()
+        phase = {"p": "spark"}
+        done = None
+        if timeout is not None:
+            import threading
+
+            done = threading.Event()
+
+            def _watchdog(key=key, phase=phase, done=done):
+                if not done.wait(timeout):
+                    phase["timed_out"] = True
+                    if phase["p"] == "spark":
+                        spark.sparkContext.cancelJobGroup(key)
+                    else:
+                        con.interrupt()
+
+            spark.sparkContext.setJobGroup(key, key, interruptOnCancel=True)
+            threading.Thread(target=_watchdog, daemon=True).start()
         try:
             df = fn(spark, sf_dir)
             canon = _canon_fast if fast else _canon
@@ -142,6 +171,7 @@ def main() -> int:
             if sql is None:
                 rec["err"] = "no_oracle"
             else:
+                phase["p"] = "oracle"
                 dpdf = con.execute(sql).df()
                 d_cols, d_rows, d_hash = canon(dpdf)
                 if fast and s_hash != d_hash:
@@ -155,9 +185,19 @@ def main() -> int:
                 rec["hash_match"] = s_hash == d_hash
             del spdf
         except Exception as e:  # noqa: BLE001 - record like the driver does
-            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+            tag = (
+                f"timeout({phase['p']}) after {timeout:.0f}s: "
+                if phase.get("timed_out")
+                else ""
+            )
+            rec["err"] = f"{tag}{type(e).__name__}: {e}"[:500]
+        finally:
+            if done is not None:
+                done.set()
         rec["sec"] = round(time.perf_counter() - t0, 3)
         results[key] = rec
+        if out_path:
+            Path(out_path).write_text(json.dumps(results, indent=2))
         status = (
             "PASS" if rec["hash_match"]
             else ("rows-ok" if rec["err"] == "no_oracle" and rec["spark_rows"] is not None else "FAIL")
