@@ -313,8 +313,13 @@ _SH_CHUNK_BITS = _SH_BITS // _SH_CHUNKS
 
 def _simhash_oracle() -> str:
     """DuckDB replay of the SimHash pipeline: mutants, poly token
-    hashes, 30 bit-votes, signature assembly, 10-bit chunk buckets,
-    hamming-by-popcount filter."""
+    hashes, 30 bit-votes, signature assembly, 10-bit chunk buckets
+    composed with the (first_tok, len_bucket) blocking key, and the
+    hamming-by-popcount filter. Token hashes are computed once per
+    DISTINCT token and joined back to occurrences — the per-char
+    lambda fold over every occurrence dominated the oracle's wall at
+    the 60M-row corpus (~200x more folds than the vocabulary
+    warrants)."""
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(_SH_BITS)
@@ -325,7 +330,8 @@ def _simhash_oracle() -> str:
     chunk_mask = (1 << _SH_CHUNK_BITS) - 1
     chunks_sql = "\n      UNION ALL ".join(
         f"SELECT doc_id, sig, {c} AS chunk_no, "
-        f"(sig >> {_SH_CHUNK_BITS * c}) & {chunk_mask} AS chunk_val FROM sigs"
+        f"(sig >> {_SH_CHUNK_BITS * c}) & {chunk_mask} AS chunk_val "
+        f"FROM sigs"
         for c in range(_SH_CHUNKS)
     )
     return f"""
@@ -337,13 +343,27 @@ def _simhash_oracle() -> str:
                                          (t, i) -> i % 25 <> 0), ' ')
       FROM documents WHERE doc_id % 5 = 0
     ),
-    tok AS (
-      SELECT doc_id,
+    toklist AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+    ),
+    meta AS (
+      SELECT doc_id, toks[1] AS first_tok,
+             CAST(FLOOR(len(toks) / 64.0) AS INT) AS len_bucket
+      FROM toklist
+    ),
+    tokocc AS (
+      SELECT doc_id, t.tok FROM toklist, UNNEST(toks) AS t(tok)
+    ),
+    th AS (
+      SELECT tok,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(t.tok, ''),
+               list_transform(string_split(tok, ''),
                               c -> CAST(ascii(c) AS BIGINT))),
                (a, b) -> (a * 31 + b) % 1000000007) AS h
-      FROM corpus, UNNEST(string_split(text, ' ')) AS t(tok)
+      FROM (SELECT DISTINCT tok FROM tokocc)
+    ),
+    tok AS (
+      SELECT o.doc_id, th.h FROM tokocc o JOIN th ON o.tok = th.tok
     ),
     votes AS (
       SELECT doc_id,
@@ -357,8 +377,12 @@ def _simhash_oracle() -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
-      FROM chunks a JOIN chunks b
+      FROM (SELECT c.*, m.first_tok, m.len_bucket
+            FROM chunks c JOIN meta m USING (doc_id)) a
+      JOIN (SELECT c.*, m.first_tok, m.len_bucket
+            FROM chunks c JOIN meta m USING (doc_id)) b
         ON a.chunk_no = b.chunk_no AND a.chunk_val = b.chunk_val
+       AND a.first_tok = b.first_tok AND a.len_bucket = b.len_bucket
        AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -371,8 +395,19 @@ def _simhash_oracle() -> str:
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 30-bit signature from per-token hash bit votes
     (``poly_hash`` values are uniform below 2^30); candidates pair up
-    when any of the 3 10-bit chunks match (hamming ≤ 3 verified exactly
+    when any of the 3 10-bit chunks match WITHIN a
+    (first_tok, len_bucket) block (hamming ≤ 3 then verified exactly
     via popcount of XOR).
+
+    The blocking key is load-bearing at scale, not an optimization: a
+    10-bit chunk space saturates at ~10^5 docs (the 60M-row probe
+    corpus put ~600 docs in every bucket and the bare chunk join
+    quoted ~5*10^8 candidate pairs — a GC spiral, and the exact
+    failure mode wide-signature simhash papers block for). Same
+    blocking discipline and recall trade as ``ext_dedup_ngram_jaccard``
+    (a near-dup pair split by its first token or across a length-band
+    boundary is missed; the staged mutants keep token 0 and ~96% of
+    length, so they stay co-blocked), and the oracle replays it.
 
     All bit arithmetic is JVM-side integer ops — one explode + one
     groupBy for signatures, chunk-bucket join for candidates. Portable
@@ -382,8 +417,14 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token fold for ``F.xxhash64`` and widen the chunk loop.
     """
     docs = _docs_with_mutants(spark, sf_dir)
+    toks = F.split("text", " ")
+    meta = docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_tok"),
+        (F.size(toks) / 64).cast("int").alias("len_bucket"),
+    )
     tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        "doc_id", F.explode(toks).alias("tok")
     ).select("doc_id", poly_hash(F.col("tok")).alias("h"))
     # Bit votes: sum(+1/-1) per bit position, then reassemble the sign
     # bits into the signature.
@@ -401,10 +442,14 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = sig + F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(0)
-    sigs = votes.select("doc_id", sig.alias("sig")).cache()
+    sigs = votes.select("doc_id", sig.alias("sig")).join(
+        meta, "doc_id"
+    ).cache()
     chunks = sigs.select(
         "doc_id",
         "sig",
+        "first_tok",
+        "len_bucket",
         F.posexplode(
             F.array(
                 *[
@@ -422,6 +467,8 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.first_tok") == F.col("b.first_tok"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -519,13 +566,25 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sign-LSH geometry: band width must scale ~log2(n) or the bucket
+# space saturates (the 60M-row probe corpus put ~1000 vectors in each
+# of the old single-band 8-bit sketch's 256 buckets — a ~10^8-pair
+# quadratic verify). 2 bands x 12 bits: candidate if EITHER band
+# matches; planted mutants (cosine .999, plane-flip p = theta/pi =
+# .0143) survive a 12-plane band w.p. .842, either of two w.p. .975 —
+# better recall than the old single 8-bit band's .891, at ~1/1000 the
+# candidate volume.
+_EMB_BANDS, _EMB_BAND_BITS = 2, 12
+_EMB_PLANES = _EMB_BANDS * _EMB_BAND_BITS
+
+
 def _embedding_oracle() -> str:
-    """DuckDB replay of the sign-LSH embedding dedup: mutants, 8
-    arithmetic hyperplane sign bits, bucket equi-join, exact cosine
-    verify. Bitwise-replayable because the plane weights are pure int
-    arithmetic + exact power-of-two division — no libm (JVM Math.sin
-    and DuckDB's sin disagree in the last ulp for some args, e.g.
-    sin(487), which could flip a sign bit)."""
+    """DuckDB replay of the banded sign-LSH embedding dedup: mutants,
+    24 arithmetic hyperplane sign bits, 2x12-bit band equi-join,
+    exact cosine verify. Bitwise-replayable because the plane weights
+    are pure int arithmetic + exact power-of-two division — no libm
+    (JVM Math.sin and DuckDB's sin disagree in the last ulp for some
+    args, e.g. sin(487), which could flip a sign bit)."""
     def dot(p: int) -> str:
         return (
             f"list_aggregate(list_transform(range(1, 65), "
@@ -533,8 +592,16 @@ def _embedding_oracle() -> str:
             f"((((k - 1 + {p * 64}) * 2654435761) % 4294967296) "
             f"/ 4294967296.0 - 0.5)), 'sum')"
         )
-    bucket = " + ".join(
-        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p} ELSE 0 END" for p in range(8)
+    sketch = " + ".join(
+        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p} ELSE 0 END"
+        for p in range(_EMB_PLANES)
+    )
+    band_mask = (1 << _EMB_BAND_BITS) - 1
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, emb, {b} AS band_no, "
+        f"(sketch >> {_EMB_BAND_BITS * b}) & {band_mask} AS band_val "
+        f"FROM sk"
+        for b in range(_EMB_BANDS)
     )
     return f"""
     WITH corpus AS (
@@ -546,21 +613,37 @@ def _embedding_oracle() -> str:
                                            ELSE v END)
       FROM embeddings WHERE vec_id % 4 = 0
     ),
-    sk AS (SELECT vec_id, emb, {bucket} AS bucket FROM corpus)
+    sk AS MATERIALIZED (SELECT vec_id, emb, {sketch} AS sketch FROM corpus),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
     SELECT vec_a, vec_b, cosine FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
-      FROM sk a JOIN sk b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b,
+             ROUND(list_cosine_similarity(sa.emb, sb.emb), 4) AS cosine
+      FROM cand JOIN sk sa ON cand.vec_a = sa.vec_id
+                JOIN sk sb ON cand.vec_b = sb.vec_id)
     WHERE cosine >= 0.99
     """
 
 
 @query("ext_dedup_embedding", oracle=_embedding_oracle())
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane (sign) LSH:
-    8-bit sign sketch per vector → bucket join → exact cosine verify
-    within buckets → pairs with cosine ≥ 0.99.
+    """Embedding-cosine near-dup via BANDED random-hyperplane (sign)
+    LSH: 24-bit sign sketch per vector → 2 x 12-bit band buckets
+    (candidate if EITHER band matches — the MinHash-LSH band
+    discipline applied to sign sketches) → exact cosine verify →
+    pairs with cosine ≥ 0.99. Band width is the scale dial: it must
+    grow ~log2(n) or the bucket space saturates — the old single
+    8-bit band put ~1000 vectors per bucket at the 60M-row probe
+    corpus (a ~10^8-pair quadratic verify that timed out); 12-bit
+    bands hold ~4 while RAISING mutant recall from .891 to .975
+    (see _EMB_BANDS note above the oracle).
 
     Planted near-dups: every 4th vector re-appears (vec_id+1e6) with one
     component nudged, cosine ≈ 0.999.
@@ -610,32 +693,60 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
 
-    sketch = sum([plane_bit(p) for p in range(8)], F.lit(0))
-    sk = allv.withColumn("bucket", sketch).cache()
-    a, b = sk.alias("a"), sk.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    sketch = sum(
+        [plane_bit(p) for p in range(_EMB_PLANES)], F.lit(0).cast("long")
     )
-
-    def norm(side: str) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.col(f"{side}.embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+    sk = allv.withColumn("sketch", sketch).cache()
+    band_mask = (1 << _EMB_BAND_BITS) - 1
+    bands = sk.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(
+                        F.col("sketch"), _EMB_BAND_BITS * b
+                    ).bitwiseAND(F.lit(band_mask))
+                    for b in range(_EMB_BANDS)
+                ]
             )
-        )
-
-    return (
+        ).alias("band_no", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(dot / (norm("a") * norm("b")), 4).alias("cosine"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = sk.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = sk.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(col: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.col(col), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (norm("emb_a") * norm("emb_b")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.99)
     )
