@@ -77,12 +77,18 @@ _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",
-    timeout_sec: int = 300,
+    timeout_sec: int | None = None,
     state_partitions: int | None = 8,
     state_provider: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into an
     in-memory table; returns the table as a batch DataFrame.
+
+    ``timeout_sec`` bounds the replay (partial results are an error,
+    never silently returned); None defers to
+    ``STREAMINGDEMO_STREAM_TIMEOUT`` (default 300 — ample at the
+    fixture sfs, raised by the large-corpus sweeps where the same
+    replays legitimately run long).
 
     ``state_partitions`` overrides shuffle partitions for the stream's
     lifetime: stateful-operator parallelism is fixed at first
@@ -95,6 +101,10 @@ def run_to_memory(
     start and pinned into the checkpoint); None defers to the
     ``STREAMINGDEMO_STATE_PROVIDER`` env var, else Spark's default.
     """
+    if timeout_sec is None:
+        timeout_sec = int(
+            os.environ.get("STREAMINGDEMO_STREAM_TIMEOUT", "300")
+        )
     spark: SparkSession = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     checkpoint = scratch_dir(prefix=f"ckpt_{name}_", dir=CHECKPOINT_ROOT)
