@@ -38,6 +38,7 @@ recorded. A fast-hash match is recorded as a hash pass.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -129,6 +130,14 @@ def main() -> int:
     oracles = entry.oracle_sql()
 
     con = duckdb.connect()
+    # Bound the oracle engine: an unbounded DuckDB (default 80% of
+    # RAM) ballooned past 100 GB on list-heavy joins at the 60M-row
+    # corpus and took the whole sweep process with it — a capped
+    # engine spills to disk instead.
+    mem = os.environ.get("DRIVER_SIM_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
