@@ -12,6 +12,10 @@ Statuses (honest classification, not a pass/fail binary):
                 the independent verifier is the scale bottleneck,
                 not the engine (typically per-char lambda folds or
                 list-distance joins DuckDB runs row-at-a-time)
+- oracle-resource  same shape, but the DuckDB replay died on its own
+                resource ceiling (OOM or spill-disk exhaustion, e.g.
+                a verify join materializing 64-double lists per
+                candidate pair) rather than the watchdog
 - bounded       keys in BOUNDED below: their verified OUTPUT volume
                 is inherently super-linear under corpus replication,
                 so full single-box execution at sf10 is out of scope
@@ -59,7 +63,7 @@ def main() -> int:
     for p in sims:
         merged.update(json.load(open(p)))
     keys = {}
-    n_pass = n_rows = n_fail = n_otime = n_bounded = 0
+    n_pass = n_rows = n_fail = n_otime = n_ores = n_bounded = 0
     for k, r in sorted(merged.items()):
         err = r.get("err") or ""
         if r.get("hash_match"):
@@ -74,6 +78,16 @@ def main() -> int:
         ):
             status = "oracle-timeout"
             n_otime += 1
+        elif r.get("spark_rows") is not None and any(
+            m in err
+            for m in (
+                "duckdb_temp_storage",
+                "duckdb_spill",
+                "OutOfMemoryException",
+            )
+        ):
+            status = "oracle-resource"
+            n_ores += 1
         elif k in BOUNDED:
             status = "bounded"
             n_bounded += 1
@@ -98,6 +112,7 @@ def main() -> int:
         "n_pass": n_pass,
         "n_rows_only": n_rows,
         "n_oracle_timeout": n_otime,
+        "n_oracle_resource": n_ores,
         "n_bounded": n_bounded,
         "n_fail": n_fail,
         "keys": keys,
@@ -106,7 +121,8 @@ def main() -> int:
         json.dump(doc, f, indent=1)
     print(
         f"{out_path}: {len(keys)} keys, {n_pass} pass, {n_rows} rows-only, "
-        f"{n_otime} oracle-timeout, {n_bounded} bounded, {n_fail} FAIL"
+        f"{n_otime} oracle-timeout, {n_ores} oracle-resource, "
+        f"{n_bounded} bounded, {n_fail} FAIL"
     )
     return 1 if n_fail else 0
 
