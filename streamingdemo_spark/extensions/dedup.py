@@ -569,22 +569,69 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sign-LSH geometry: band width must scale ~log2(n) or the bucket
 # space saturates (the 60M-row probe corpus put ~1000 vectors in each
 # of the old single-band 8-bit sketch's 256 buckets — a ~10^8-pair
-# quadratic verify). 2 bands x 12 bits: candidate if EITHER band
-# matches; planted mutants (cosine .999, plane-flip p = theta/pi =
-# .0143) survive a 12-plane band w.p. .842, either of two w.p. .975 —
-# better recall than the old single 8-bit band's .891, at ~1/1000 the
-# candidate volume.
-_EMB_BANDS, _EMB_BAND_BITS = 2, 12
-_EMB_PLANES = _EMB_BANDS * _EMB_BAND_BITS
+# quadratic verify; the r10 hand-widening to 12 bits saturated again
+# at the next scale step because the dial was a constant). The dial is
+# now DATA-DERIVED: each of the 2 bands occupies a fixed 28-bit SLOT
+# of the sketch, and the number of low slot bits actually used is the
+# smallest b in [12, 28] with n <= TARGET_LOAD * 2^b (so expected
+# bucket load stays <= TARGET_LOAD up to n = 4 * 2^28 ~= 1e9 vectors;
+# beyond that, widen the slots / add a band — a compile-time ceiling,
+# stated here on purpose). Candidate if EITHER band matches; planted
+# mutants (cosine .999, plane-flip p = theta/pi = .0143) survive a
+# b-plane band w.p. .9857^b — .842 at b=12, .668 at the b=28 ceiling —
+# either of two bands w.p. .975 down to .890.
+_EMB_BANDS = 2
+_EMB_SLOT_BITS = 28  # fixed slot width; used bits <= this, derived from n
+_EMB_MIN_BITS, _EMB_MAX_BITS = 12, _EMB_SLOT_BITS
+_EMB_TARGET_LOAD = 4  # target expected vectors per bucket
+_EMB_ALL_PLANES = _EMB_BANDS * _EMB_SLOT_BITS  # oracle computes all 56
+
+
+# Worst-case bound, not a tuning knob: no data distribution can push
+# candidate volume past cap·n·bands/2 (the 100-TB discipline — the
+# sf10 replica corpus put 4000+ structured-but-sub-threshold vectors
+# in single buckets, 164M candidate pairs, despite a healthy expected
+# load of 4). A bucket over the cap is dropped whole (the minhash
+# guard's semantics, oracle-replayed); a pair in a crowded bucket
+# still qualifies through its OTHER band when that one is spread.
+_EMB_BUCKET_CAP = 256
+
+
+def _emb_band_bits(n: int) -> int:
+    """Band width for an n-vector corpus: smallest b in
+    [_EMB_MIN_BITS, _EMB_MAX_BITS] with n <= _EMB_TARGET_LOAD * 2^b.
+    Pure integer threshold chain (no float log2) so the DuckDB oracle
+    replays it bit-for-bit via the same CASE ladder."""
+    bits = _EMB_MIN_BITS
+    for k in range(_EMB_MIN_BITS, _EMB_MAX_BITS):
+        if n > _EMB_TARGET_LOAD * (1 << k):
+            bits += 1
+    return bits
+
+
+def _emb_bits_sql(n_expr: str) -> str:
+    """Oracle fragment replaying :func:`_emb_band_bits` on ``n_expr``."""
+    ladder = " + ".join(
+        f"(CASE WHEN {n_expr} > {_EMB_TARGET_LOAD * (1 << k)} "
+        f"THEN 1 ELSE 0 END)"
+        for k in range(_EMB_MIN_BITS, _EMB_MAX_BITS)
+    )
+    return f"({_EMB_MIN_BITS} + {ladder})"
 
 
 def _embedding_oracle() -> str:
     """DuckDB replay of the banded sign-LSH embedding dedup: mutants,
-    24 arithmetic hyperplane sign bits, 2x12-bit band equi-join,
-    exact cosine verify. Bitwise-replayable because the plane weights
-    are pure int arithmetic + exact power-of-two division — no libm
-    (JVM Math.sin and DuckDB's sin disagree in the last ulp for some
-    args, e.g. sin(487), which could flip a sign bit)."""
+    arithmetic hyperplane sign bits in 2 fixed 28-bit slots, a
+    data-derived band width (the :func:`_emb_band_bits` CASE ladder on
+    COUNT(*) of the corpus — same integer thresholds as Spark), band
+    equi-join on the masked low bits of each slot, exact cosine
+    verify. Bitwise-replayable because the plane weights are pure int
+    arithmetic + exact power-of-two division — no libm (JVM Math.sin
+    and DuckDB's sin disagree in the last ulp for some args, e.g.
+    sin(487), which could flip a sign bit). The oracle materializes
+    all 56 slot planes and masks dynamically (SQL text can't depend on
+    the data); Spark computes only the used planes — identical band
+    values either way."""
     def dot(p: int) -> str:
         return (
             f"list_aggregate(list_transform(range(1, 65), "
@@ -593,13 +640,13 @@ def _embedding_oracle() -> str:
             f"/ 4294967296.0 - 0.5)), 'sum')"
         )
     sketch = " + ".join(
-        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p} ELSE 0 END"
-        for p in range(_EMB_PLANES)
+        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p}::BIGINT ELSE 0 END"
+        for p in range(_EMB_ALL_PLANES)
     )
-    band_mask = (1 << _EMB_BAND_BITS) - 1
     bands = "\n      UNION ALL ".join(
         f"SELECT vec_id, emb, {b} AS band_no, "
-        f"(sketch >> {_EMB_BAND_BITS * b}) & {band_mask} AS band_val "
+        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
+        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val "
         f"FROM sk"
         for b in range(_EMB_BANDS)
     )
@@ -613,13 +660,24 @@ def _embedding_oracle() -> str:
                                            ELSE v END)
       FROM embeddings WHERE vec_id % 4 = 0
     ),
+    params AS (
+      SELECT {_emb_bits_sql('n')} AS bits
+      FROM (SELECT COUNT(*) AS n FROM corpus)
+    ),
     sk AS MATERIALIZED (SELECT vec_id, emb, {sketch} AS sketch FROM corpus),
     bands AS (
       {bands}
     ),
+    bands_capped AS (
+      SELECT vec_id, band_no, band_val FROM (
+        SELECT vec_id, band_no, band_val,
+               COUNT(*) OVER (PARTITION BY band_no, band_val) AS bn
+        FROM bands
+      ) WHERE bn <= {_EMB_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bands a JOIN bands b
+      FROM bands_capped a JOIN bands_capped b
         ON a.band_no = b.band_no AND a.band_val = b.band_val
        AND a.vec_id < b.vec_id
     )
@@ -632,30 +690,32 @@ def _embedding_oracle() -> str:
     """
 
 
-@query("ext_dedup_embedding", oracle=_embedding_oracle())
-def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via BANDED random-hyperplane (sign)
-    LSH: 24-bit sign sketch per vector → 2 x 12-bit band buckets
-    (candidate if EITHER band matches — the MinHash-LSH band
-    discipline applied to sign sketches) → exact cosine verify →
-    pairs with cosine ≥ 0.99. Band width is the scale dial: it must
-    grow ~log2(n) or the bucket space saturates — the old single
-    8-bit band put ~1000 vectors per bucket at the 60M-row probe
-    corpus (a ~10^8-pair quadratic verify that timed out); 12-bit
-    bands hold ~4 while RAISING mutant recall from .891 to .975
-    (see _EMB_BANDS note above the oracle).
+# One-slot memo of the verified near-dup pair output, keyed by
+# (applicationId, sf_dir): ext_semantic_decontam is a projection of
+# ext_dedup_embedding's output, and when both keys run in one session
+# (driver correctness gate, sf10 sweep, bench) the expensive
+# sketch→band→verify stage must run ONCE, not once per key. A single
+# slot (not a dict) bounds held executor memory to one small pair
+# relation; switching sf_dir or session evicts and unpersists.
+_EMB_PAIRS_MEMO: list = []  # [(app_id, sf_dir, DataFrame)] — at most 1
 
-    Planted near-dups: every 4th vector re-appears (vec_id+1e6) with one
-    component nudged, cosine ≈ 0.999.
 
-    Hyperplane weights are an arithmetic PRNG (Knuth multiplicative
-    hash of the flat plane-dim index, scaled to [-0.5, 0.5)) rather
-    than libm ``sin``: integer ops and a power-of-two division are
-    bitwise-identical across engines, so the DuckDB oracle replays the
-    sketch exactly — JVM and libm transcendentals disagree in the last
-    ulp for some arguments, which could flip a sign at a bucket
-    boundary.
-    """
+def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or reuse) the verified embedding near-dup pairs
+    (vec_a, vec_b, cosine >= 0.99) for ``sf_dir``. See
+    :func:`ext_dedup_embedding` for the algorithm contract."""
+    app_id = spark.sparkContext.applicationId
+    if _EMB_PAIRS_MEMO:
+        m_app, m_dir, m_df = _EMB_PAIRS_MEMO[0]
+        if m_app == app_id and m_dir == sf_dir:
+            return m_df
+        if m_app == app_id:
+            try:  # same session, new sf_dir: release the old pairs
+                m_df.unpersist()
+            except Exception:
+                pass
+        _EMB_PAIRS_MEMO.clear()
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     mutants = (
         emb.filter(F.col("vec_id") % 4 == 0)
@@ -669,6 +729,14 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     allv = emb.unionByName(mutants).select("vec_id", "embedding")
+
+    # Data-derived band width: one bounded driver-edge aggregate (a
+    # single count scalar) fixes bits = _emb_band_bits(n) before the
+    # plan is built, so every downstream expression is a compile-time
+    # constant for Catalyst. The oracle replays the same integer
+    # ladder on its own COUNT(*) — exact agreement, no float log2.
+    n_corpus = allv.count()
+    bits = _emb_band_bits(n_corpus)
 
     # Deterministic pseudo-random hyperplanes: plane p weight for dim i
     # = knuth(p*64+i)/2^32 - 0.5 — fixed, pure arithmetic, no RNG state.
@@ -691,25 +759,49 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
+        # literal 2^p as a LONG: slot-1 planes sit at bit 28+, past
+        # what shiftleft on a 32-bit literal can represent
+        return F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
 
+    # Only the USED planes are computed: band b occupies sketch bits
+    # [b*SLOT, b*SLOT + bits). The oracle computes all 56 slot planes
+    # and masks — identical band values because the mask zeroes
+    # exactly the planes Spark skipped.
+    used_planes = [
+        b * _EMB_SLOT_BITS + j for b in range(_EMB_BANDS) for j in range(bits)
+    ]
     sketch = sum(
-        [plane_bit(p) for p in range(_EMB_PLANES)], F.lit(0).cast("long")
+        [plane_bit(p) for p in used_planes], F.lit(0).cast("long")
     )
     sk = allv.withColumn("sketch", sketch).cache()
-    band_mask = (1 << _EMB_BAND_BITS) - 1
+    band_mask = (1 << bits) - 1
     bands = sk.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
                     F.shiftright(
-                        F.col("sketch"), _EMB_BAND_BITS * b
+                        F.col("sketch"), _EMB_SLOT_BITS * b
                     ).bitwiseAND(F.lit(band_mask))
                     for b in range(_EMB_BANDS)
                 ]
             )
         ).alias("band_no", "band_val"),
+    )
+    # Bucket-cap skew guard (see _EMB_BUCKET_CAP): the window shuffles
+    # by (band, bucket) — the same key the candidate self-join hashes
+    # on, so AQE coalesces rather than adding an extra exchange.
+    from pyspark.sql.window import Window
+
+    bands = (
+        bands.withColumn(
+            "bn",
+            F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_val")),
+        )
+        .filter(F.col("bn") <= _EMB_BUCKET_CAP)
+        .drop("bn")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -740,7 +832,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return (
+    pairs = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
@@ -749,7 +841,51 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (norm("emb_a") * norm("emb_b")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.99)
+        .persist()  # small verified-pair relation; reused by decontam
     )
+    _EMB_PAIRS_MEMO.append((app_id, sf_dir, pairs))
+    return pairs
+
+
+@query("ext_dedup_embedding", oracle=_embedding_oracle())
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via BANDED random-hyperplane (sign)
+    LSH with a DATA-DERIVED band width: per vector, a sign sketch in
+    2 fixed 28-bit slots of which the low ``bits`` planes are used,
+    where bits = smallest b in [12, 28] with n <= 4·2^b (n = corpus
+    count, one driver-edge aggregate) → per-band bucket equi-join
+    (candidate if EITHER band matches — the MinHash-LSH band
+    discipline applied to sign sketches) → exact cosine verify →
+    pairs with cosine ≥ 0.99. Band width is the scale dial: expected
+    bucket load stays <= 4 as n grows, so candidate volume stays
+    O(n·bands·load) instead of saturating — the old compile-time
+    constant saturated once at 60M rows (8-bit) and would have again
+    at the next 100× (12-bit: ~61 vectors/bucket → ~30M pairs at
+    250k vectors). The [12, 28] clamp covers n up to ~1e9 at load 4;
+    beyond that widen _EMB_SLOT_BITS / add a band. A deterministic
+    bucket cap (``_EMB_BUCKET_CAP``, oracle-replayed like the minhash
+    guard) bounds worst-case candidate volume against DISTRIBUTION
+    skew the load formula can't see — structured sub-threshold crowds
+    sharing sign patterns.
+
+    Planted near-dups: every 4th vector re-appears (vec_id+1e6) with one
+    component nudged, cosine ≈ 0.999. Mutant recall: a plane flips
+    w.p. theta/pi = .0143, so either-of-two-bands recall is
+    1-(1-.9857^b)^2 — .975 at b=12, .890 at the b=28 ceiling.
+
+    Hyperplane weights are an arithmetic PRNG (Knuth multiplicative
+    hash of the flat plane-dim index, scaled to [-0.5, 0.5)) rather
+    than libm ``sin``: integer ops and a power-of-two division are
+    bitwise-identical across engines, so the DuckDB oracle replays the
+    sketch exactly — JVM and libm transcendentals disagree in the last
+    ulp for some arguments, which could flip a sign at a bucket
+    boundary.
+
+    The verified pair output is persisted and memoized per
+    (session, sf_dir) so ``ext_semantic_decontam`` — a projection of
+    these pairs — reuses it instead of recomputing the pipeline.
+    """
+    return _emb_verified_pairs(spark, sf_dir)
 
 
 def _cluster_oracle() -> str:
@@ -1348,12 +1484,13 @@ def ext_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ext_contamination_check``) can't see. Output: (eval_id,
     train_id, cosine) — the rows an eval-set builder must drop.
 
-    Pure composition of two verified operators: the pair finder runs
-    unchanged (bucketed, never all-pairs) and the split tag is a
-    per-row hash — so this whole check costs one extra projection
-    and filter on top of the near-dup join, and the oracle composes
-    the same two verified SQL fragments."""
-    pairs = ext_dedup_embedding(spark, sf_dir)
+    Pure composition of two verified operators: the pair finder's
+    PERSISTED output is reused via the per-(session, sf_dir) memo
+    (bucketed, never all-pairs, computed once even when both keys run)
+    and the split tag is a per-row hash — so this whole check costs
+    one extra projection and filter on top of the near-dup join, and
+    the oracle composes the same two verified SQL fragments."""
+    pairs = _emb_verified_pairs(spark, sf_dir)
     split = lambda c: F.when(  # noqa: E731
         poly_hash(F.concat(F.lit("split:"), F.col(c).cast("string"))) % 100
         < 80,
