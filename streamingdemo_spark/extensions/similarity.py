@@ -1440,6 +1440,188 @@ def ext_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucket cap for the ANN label-noise graph: same worst-case discipline
+# as the dedup band guard — no distribution can push per-bucket work
+# past C(cap, 2), and a vector in one crowded bucket still reaches its
+# neighbors through its other 3 tables.
+_LN_BUCKET_CAP = 512
+_LN_K = 3  # same k as the exact twin
+
+
+def _label_noise_ann_oracle() -> str:
+    """DuckDB replay of the ANN-graph label-noise screen: the
+    integer-exact sign-LSH sketch of ``ANN_LSH_CTE`` (same weight
+    PRNG, same data-derived plane count) with ALL vectors as queries,
+    a bucket-cap skew guard, kNN rank <= 3, then the agreement vote of
+    ``ext_label_noise_knn``'s oracle."""
+    return f"""
+    WITH params AS (
+      SELECT GREATEST(6, length(bin(COUNT(*) // 64 + 1))) AS np
+      FROM embeddings
+    ), vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), sk AS MATERIALIZED (
+      SELECT vec_id, t.tbl,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, params.np), p ->
+            CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, len(qv) + 1), i ->
+                  qv[i] * ((((t.tbl * params.np + p) * 64 + i)
+                            * 2654435761) % 4294967296 % 2001 - 1000))),
+              (a, b) -> a + b) >= 0
+            THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+          (a, b) -> a + b) AS bucket
+      FROM vecs, (SELECT unnest(range(0, 4)) AS tbl) t, params
+    ), capped AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               COUNT(*) OVER (PARTITION BY tbl, bucket) AS bn
+        FROM sk
+      ) WHERE bn <= {_LN_BUCKET_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+      FROM capped a JOIN capped b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+       AND a.vec_id <> b.vec_id
+    ), scored AS (
+      SELECT c.vec_id, c.nbr_id,
+             ROUND(list_cosine_similarity(va.emb, vb.emb), 4) AS cosine
+      FROM cand c JOIN vecs va ON va.vec_id = c.vec_id
+                  JOIN vecs vb ON vb.vec_id = c.nbr_id
+    ), knn AS (
+      SELECT vec_id, nbr_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, nbr_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= {_LN_K}
+    ), votes AS (
+      SELECT k.vec_id,
+             CAST(SUM(CASE WHEN nl.label = el.label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree,
+             CAST(COUNT(*) AS BIGINT) AS n_nbrs
+      FROM knn k
+      JOIN embeddings el ON el.vec_id = k.vec_id
+      JOIN embeddings nl ON nl.vec_id = k.nbr_id
+      GROUP BY k.vec_id
+    )
+    SELECT e.vec_id, CAST(e.label AS INT) AS label, v.n_agree, v.n_nbrs,
+           (v.n_agree = 0) AS is_suspect
+    FROM embeddings e JOIN votes v ON v.vec_id = e.vec_id
+    """
+
+
+@query("ext_label_noise_ann", oracle=_label_noise_ann_oracle())
+def ext_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection over the ANN graph — the PRODUCTION form
+    of ``ext_label_noise_knn``: identical agreement-count contract,
+    but the neighbor graph comes from the certified sign-LSH bucket
+    pipeline (``_bucket_udf``, the ``ext_sim_ann_lsh`` sketch with ALL
+    vectors as queries) instead of the exact all-pairs kNN, so the
+    cost is O(n · tables · bucket_load) with a hard ``_LN_BUCKET_CAP``
+    ceiling — the shape that survives 100 TB, where the exact twin is
+    a fixture-scale recall auditor.
+
+    Differences from the exact twin, both deliberate and visible in
+    the schema: ``n_nbrs`` (<= 3) records how many ANN neighbors the
+    vote actually saw (LSH recall < 1 means a vector can have fewer
+    than k candidates), and vectors with NO surviving candidate drop
+    out of the screen (inner join) rather than being reported with a
+    fabricated vote. The recall floor vs the exact twin's suspect set
+    is pinned by tests/test_extensions.py.
+
+    The whole pipeline — integer-quantized sketch, bucket cap, rank,
+    vote — is engine-portable, so the oracle replays it
+    value-for-value: the approximation itself is certified, not just
+    sampled."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    n_corpus = corpus.count()  # parquet metadata count — no data scan
+    n_planes = max(6, (n_corpus // 64 + 1).bit_length())
+    sketch = _bucket_udf(4, n_planes)
+    buckets = corpus.select(
+        "vec_id", F.posexplode(sketch("embedding")).alias("tbl", "bucket")
+    )
+    buckets = (
+        buckets.withColumn(
+            "bn", F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket"))
+        )
+        .filter(F.col("bn") <= _LN_BUCKET_CAP)
+        .drop("bn")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+        )
+        .dropDuplicates(["vec_id", "nbr_id"])
+    )
+    va = corpus.select(
+        F.col("vec_id"), F.col("embedding").alias("emb_a")
+    )
+    vb = corpus.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b")
+    )
+    scored = (
+        cand.join(va, "vec_id")
+        .join(vb, "nbr_id")
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(
+                _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LN_K)
+        .select("vec_id", "nbr_id")
+    )
+    labels = corpus.select("vec_id", "label")
+    votes = (
+        knn.join(labels.withColumnRenamed("label", "own_label"), "vec_id")
+        .join(
+            labels.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "nbr_id",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("nbr_label") == F.col("own_label")).cast("long")
+            ).alias("n_agree"),
+            F.count(F.lit(1)).alias("n_nbrs"),
+        )
+    )
+    return labels.join(votes, "vec_id").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "n_agree",
+        "n_nbrs",
+        (F.col("n_agree") == 0).alias("is_suspect"),
+    )
+
+
 # Product quantization: 64-dim fixture vectors split into PQ_M
 # subspaces of PQ_DSUB dims; the per-subspace codebook is the 10
 # class-label subvector means (the same deterministic codebook chain

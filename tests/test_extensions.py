@@ -1527,6 +1527,35 @@ def test_label_noise_knn_votes_bounded_and_consistent(spark, sf_dir):
         assert row["is_suspect"] == (row["n_agree"] == 0)
 
 
+def test_label_noise_ann_tracks_exact_twin(spark, sf_dir):
+    """The ANN-graph label screen (production path) must find most of
+    the exact twin's suspects: suspect recall >= 0.6 (measured
+    0.77/0.81 at sf0.01/0.1 — the floor leaves LSH-variance headroom),
+    cover every corpus vector that has at least one ANN candidate,
+    and keep votes internally consistent (n_agree <= n_nbrs <= 3,
+    is_suspect == zero agreement)."""
+    from streamingdemo_spark.registry import QUERIES
+
+    exact = {
+        r["vec_id"]: r
+        for r in QUERIES["ext_label_noise_knn"](spark, sf_dir).collect()
+    }
+    ann = {
+        r["vec_id"]: r
+        for r in QUERIES["ext_label_noise_ann"](spark, sf_dir).collect()
+    }
+    assert set(ann) <= set(exact)
+    assert len(ann) / len(exact) > 0.95  # near-total coverage
+    for r in ann.values():
+        assert 0 <= r["n_agree"] <= r["n_nbrs"] <= 3
+        assert r["is_suspect"] == (r["n_agree"] == 0)
+    exact_suspects = {v for v, r in exact.items() if r["is_suspect"]}
+    ann_suspects = {v for v, r in ann.items() if r["is_suspect"]}
+    if exact_suspects:
+        recall = len(exact_suspects & ann_suspects) / len(exact_suspects)
+        assert recall >= 0.6, recall
+
+
 def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
     """Same quasi-identifier classes as the k-anonymity audit (the id
     join is 1:1 on this fixture), diversity bounded by class size and
