@@ -407,7 +407,13 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking discipline and recall trade as ``ext_dedup_ngram_jaccard``
     (a near-dup pair split by its first token or across a length-band
     boundary is missed; the staged mutants keep token 0 and ~96% of
-    length, so they stay co-blocked), and the oracle replays it.
+    length, so MOST stay co-blocked — but floor(len/64) is one-sided,
+    so an original sitting just past a 64-token boundary can land one
+    bucket above its shrunk mutant and that planted pair is silently
+    dropped: a recall gap only, never a differential one, because the
+    oracle replays the same blocking. An overlapping two-sided length
+    band would close it at 2x candidate volume), and the oracle
+    replays it.
 
     All bit arithmetic is JVM-side integer ops — one explode + one
     groupBy for signatures, chunk-bucket join for candidates. Portable

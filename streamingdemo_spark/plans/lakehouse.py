@@ -147,11 +147,23 @@ def _zorder_txn(
     transaction."""
     base_version = _txn_log_commit_count(log_dir)
     live = _txn_log_replay_actions(log_dir)
-    klo = min(a["min_key"] for a in live.values())
-    khi = max(a["max_key"] for a in live.values())
     src = spark.read.parquet(
         *(os.path.join(base, p) for p in live)
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+    # Key stats get the same treatment as the o_custkey stats below:
+    # a stats-less append is legal in the log format, and "stats are
+    # a hint, never a correctness input" has to hold for BOTH lanes —
+    # bounds come from the actions that carry them, else from one
+    # aggregate over the data this rewrite scans anyway.
+    ks = [a for a in live.values() if "min_key" in a]
+    if ks:
+        klo = min(a["min_key"] for a in ks)
+        khi = max(a["max_key"] for a in ks)
+    else:
+        kb = src.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]  # 2 scalars — writer-side bounds fallback
+        klo, khi = int(kb["lo"]), int(kb["hi"])
     # a file written by a single-column writer (e.g. a COW MERGE
     # rewrite) may carry no o_custkey stats — absent stats bound
     # nothing, so the lane normalization uses the files that have
@@ -170,8 +182,13 @@ def _zorder_txn(
         ).collect()[0]  # 2 scalars — writer-side bounds fallback
         clo, chi = int(cb["lo"]), int(cb["hi"])
     kspan, cspan = khi - klo + 1, chi - clo + 1
-    # 16-bit lane per column: (k - lo) * 2^16 DIV span  in [0, 65535]
-    x = F.expr(f"((o_orderkey - {klo}) * 65536) DIV {kspan}")
+    # 16-bit lane per column: (k - lo) * 2^16 DIV span  in [0, 65535];
+    # both lanes clamp — bounds from a stats-carrying subset of files
+    # can under-cover rows in the stats-less ones
+    x = F.expr(
+        f"greatest(0L, least(65535L, "
+        f"((o_orderkey - {klo}) * 65536) DIV {kspan}))"
+    )
     y = F.expr(
         f"greatest(0L, least(65535L, "
         f"((o_custkey - {clo}) * 65536) DIV {cspan}))"

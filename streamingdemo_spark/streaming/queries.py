@@ -1303,7 +1303,13 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    mem = run_to_memory(sessions, output_mode="append")
+    # state_partitions=32: this is the one stateful key whose per-batch
+    # work is Python-side (Arrow transfer + pandas sessionize per user
+    # group); the default 8 state partitions leave 3/4 of the box idle
+    # in exactly the stage that dominates the 10M-event sweep wall.
+    # State rows stay bounded by open sessions regardless of partition
+    # count (asserted via LAST_STREAM_PROGRESS in test_streaming.py).
+    mem = run_to_memory(sessions, output_mode="append", state_partitions=32)
     return mem.select(
         "user_id",
         F.timestamp_micros(F.col("start_us")).alias("session_start"),

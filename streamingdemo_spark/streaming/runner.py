@@ -39,6 +39,11 @@ CHECKPOINT_ROOT = os.environ.get(
 # streams in one session can't race the global.
 LAST_STREAM_PLAN: str = ""
 STREAM_PLANS: dict[str, str] = {}
+# Per-batch progress of the most recent replay (the parsed
+# StreamingQueryProgress dicts): state-store row counts, watermark
+# march, rows/sec — the observability a state-size regression gate
+# needs (tests assert state rows stay bounded by live sessions).
+LAST_STREAM_PROGRESS: list[dict] = []
 
 
 def _capture_plan(query) -> str:
@@ -135,12 +140,21 @@ def run_to_memory(
                     f"streaming replay exceeded {timeout_sec}s "
                     f"(query {name} stopped with partial results)"
                 )
-            global LAST_STREAM_PLAN
+            global LAST_STREAM_PLAN, LAST_STREAM_PROGRESS
             try:
                 LAST_STREAM_PLAN = _capture_plan(query)
             except Exception:  # plan capture is best-effort
                 LAST_STREAM_PLAN = ""
             STREAM_PLANS[name] = LAST_STREAM_PLAN
+            try:
+                import json as _json
+
+                LAST_STREAM_PROGRESS = [
+                    p if isinstance(p, dict) else _json.loads(p.json)
+                    for p in query.recentProgress
+                ]
+            except Exception:  # progress capture is best-effort
+                LAST_STREAM_PROGRESS = []
         finally:
             query.stop()
     finally:

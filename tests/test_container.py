@@ -762,3 +762,56 @@ class TestFeatureStoreSpec:
         assert summary["total_purchases"] == sum(r["n_purchases"] for r in att)
         assert summary["total_purchases"] == len(direct)
 
+
+
+class TestLakehouseEtlSpec:
+    def test_lakehouse_spec_matches_direct_keys(self, spark, sf_dir):
+        """A-layer proof for the txn-log family: the lakehouse
+        lifecycle (COW merge, compaction, Z-order, incremental MV,
+        stream ETL) composed through the container must carry exactly
+        the rows the registry keys produce directly, and the audit
+        row's counts and integer-cent sums must reconcile field by
+        field — operator composition adds nothing and loses nothing,
+        even for operators that stage and mutate their own
+        transactional tables internally."""
+        ports = TestExampleSpecs._run_example(
+            TestExampleSpecs(), spark, sf_dir, "lakehouse_etl.yaml"
+        )
+
+        def cents(rows):
+            return sum(
+                int(r["o_totalprice"] * 100 + 0.5) for r in rows
+            )
+
+        merged = ports["merged.out"].collect()
+        direct_merged = QUERIES["snk_txn_log_merge"](spark, sf_dir).collect()
+        assert {r["o_orderkey"] for r in merged} == {
+            r["o_orderkey"] for r in direct_merged
+        }
+        assert cents(merged) == cents(direct_merged)
+
+        audit = ports["audit.out"].collect()[0]
+        assert audit["merged_rows"] == len(direct_merged)
+        assert audit["merged_cents"] == cents(direct_merged)
+
+        direct_compact = QUERIES["snk_txn_log_compact"](
+            spark, sf_dir
+        ).collect()
+        assert audit["compacted_rows"] == len(direct_compact)
+        assert audit["compacted_cents"] == cents(direct_compact)
+        # compaction is physically-only: same logical table as merge's
+        # staging source, so the full-table row count must agree
+        assert audit["compacted_rows"] == audit["merged_rows"]
+
+        direct_z = QUERIES["snk_txn_log_zorder"](spark, sf_dir).collect()
+        assert audit["zorder_slice_rows"] == len(direct_z)
+
+        direct_mv = QUERIES["snk_txn_log_incr_mv"](spark, sf_dir).collect()
+        assert audit["mv_orders"] == sum(r["n_orders"] for r in direct_mv)
+        assert audit["mv_cents"] == sum(r["sum_cents"] for r in direct_mv)
+
+        direct_etl = QUERIES["snk_txn_log_pipeline"](
+            spark, sf_dir
+        ).collect()
+        assert audit["etl_rows"] == len(direct_etl)
+        assert audit["etl_statuses"] == 1  # the ETL filter keeps 'F' only

@@ -572,3 +572,40 @@ def test_state_store_provider_toggle_pins_metrics(spark, sf_dir, monkeypatch):
     assert max(op["num_rows_total"] for op in ops_hdfs) == max(
         op["num_rows_total"] for op in ops_rocks
     )
+
+
+def test_timeout_sessions_state_bounded_and_drained(spark, sf_dir):
+    """State-size gate for the EventTimeTimeout sessionizer: at every
+    batch the state store holds exactly the OPEN sessions (bounded by
+    distinct users — one open session per user by construction), and
+    after the flush sentinels advance the watermark past every
+    timeout, the state store must be fully drained (rows parked
+    forever = an eviction leak, the failure mode that turns a 10M-event
+    sweep into a state-spill crawl)."""
+    from streamingdemo_spark.registry import QUERIES
+    from streamingdemo_spark.streaming import runner
+    import pyspark.sql.functions as F
+
+    out = QUERIES["stream_timeout_sessions"](spark, sf_dir)
+    n_sessions = out.count()
+    assert n_sessions > 0
+    progress = runner.LAST_STREAM_PROGRESS
+    assert progress, "replay recorded no progress"
+    totals = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+    ]
+    assert totals and max(totals) > 0
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert max(totals) <= n_users, (
+        f"state rows {max(totals)} exceed live-session bound {n_users}"
+    )
+    assert totals[-1] == 0, (
+        f"state not drained after watermark flush: {totals[-1]} rows"
+    )

@@ -162,11 +162,22 @@ def main() -> int:
 
             def _watchdog(key=key, phase=phase, done=done):
                 if not done.wait(timeout):
+                    # Re-check RIGHT before firing: if the key finished
+                    # between the wait expiring and this line, a stale
+                    # cancel/interrupt would abort the NEXT key (the
+                    # Spark session and DuckDB connection are shared
+                    # across keys) and record a spurious failure.
+                    if done.is_set():
+                        return
                     phase["timed_out"] = True
-                    if phase["p"] == "spark":
+                    p = phase["p"]
+                    if p == "spark":
                         spark.sparkContext.cancelJobGroup(key)
-                    else:
+                    elif p == "oracle":
                         con.interrupt()
+                    # p == "canon": single-threaded pandas — nothing
+                    # cancellable without killing the process; let it
+                    # finish and rely on the recorded timed_out flag.
 
             spark.sparkContext.setJobGroup(key, key, interruptOnCancel=True)
             threading.Thread(target=_watchdog, daemon=True).start()
@@ -174,6 +185,10 @@ def main() -> int:
             df = fn(spark, sf_dir)
             canon = _canon_fast if fast else _canon
             spdf = df.toPandas()
+            # 'canon' phase scopes the watchdog: an interrupt fired
+            # during the single-threaded pandas canon would otherwise
+            # hit an idle connection — or the NEXT key's query.
+            phase["p"] = "canon"
             s_cols, s_rows, s_hash = canon(spdf)
             rec["spark_rows"] = s_rows
             sql = oracles.get(key)
@@ -182,6 +197,7 @@ def main() -> int:
             else:
                 phase["p"] = "oracle"
                 dpdf = con.execute(sql).df()
+                phase["p"] = "canon"
                 d_cols, d_rows, d_hash = canon(dpdf)
                 if fast and s_hash != d_hash:
                     # re-judge with the driver-faithful canon before
@@ -206,7 +222,7 @@ def main() -> int:
         rec["sec"] = round(time.perf_counter() - t0, 3)
         results[key] = rec
         if out_path:
-            Path(out_path).write_text(json.dumps(results, indent=2))
+            _flush_atomic(out_path, results)
         status = (
             "PASS" if rec["hash_match"]
             else ("rows-ok" if rec["err"] == "no_oracle" and rec["spark_rows"] is not None else "FAIL")
@@ -227,8 +243,18 @@ def main() -> int:
     for k, r in slow:
         print(f"  {r['sec']:7.2f}s  {k}")
     if out_path:
-        Path(out_path).write_text(json.dumps(results, indent=2))
+        _flush_atomic(out_path, results)
     return 1 if n_fail else 0
+
+
+def _flush_atomic(out_path: str, results: dict) -> None:
+    """Temp-file + rename flush: a SIGKILL/OOM mid-write must truncate
+    the TEMP file, never the artifact — otherwise one bad flush loses
+    every previously recorded key, the opposite of the per-key-flush
+    promise in the module docstring."""
+    tmp = Path(str(out_path) + ".tmp")
+    tmp.write_text(json.dumps(results, indent=2))
+    os.replace(tmp, out_path)
 
 
 if __name__ == "__main__":

@@ -23,8 +23,16 @@ Statuses (honest classification, not a pass/fail binary):
                 the plan-shape pins are the scale evidence
 - FAIL          anything else — a real defect
 
+- PASS-cert      the monolithic DuckDB replay is the bottleneck
+                (oracle-timeout / oracle-resource above), but an
+                oracle-side CERTIFICATE from tools/sf10_certify.py
+                verified the key at sf10 (staged full replay,
+                conditional closure, or soundness + planted-slice
+                completeness — the per-key method is recorded)
+
 Usage:
     python tools/sf10_summarize.py OUT.json SIM1.json [SIM2.json ...]
+                                   [--certs SF10_CERT.json]
 
 Later files override earlier ones per key (supplemental re-runs win).
 """
@@ -58,12 +66,19 @@ BOUNDED: dict[str, str] = {
 
 
 def main() -> int:
-    out_path, *sims = sys.argv[1:]
+    args = sys.argv[1:]
+    certs: dict[str, dict] = {}
+    if "--certs" in args:
+        i = args.index("--certs")
+        certs = json.load(open(args[i + 1]))
+        del args[i:i + 2]
+    out_path, *sims = args
     merged: dict[str, dict] = {}
     for p in sims:
         merged.update(json.load(open(p)))
     keys = {}
     n_pass = n_rows = n_fail = n_otime = n_ores = n_bounded = 0
+    n_cert = 0
     for k, r in sorted(merged.items()):
         err = r.get("err") or ""
         if r.get("hash_match"):
@@ -88,20 +103,64 @@ def main() -> int:
         ):
             status = "oracle-resource"
             n_ores += 1
-        elif k in BOUNDED:
+        elif (
+            k in BOUNDED
+            # The waiver is NOT unconditional: it covers only the
+            # expected failure mode (the run was killed by the
+            # watchdog or a resource ceiling) and never a completed
+            # compare that MISMATCHED — that would be a real defect
+            # hiding behind the by-design label.
+            and r.get("hash_match") is not False
+            and (
+                err.startswith("timeout(")
+                or any(
+                    m in err
+                    for m in (
+                        "duckdb_temp_storage",
+                        "duckdb_spill",
+                        "OutOfMemoryException",
+                    )
+                )
+            )
+        ):
             status = "bounded"
             n_bounded += 1
         else:
             status = "FAIL"
             n_fail += 1
+        cert = certs.get(k)
+        if (
+            status in ("oracle-timeout", "oracle-resource")
+            and cert
+            and cert.get("cert_pass")
+        ):
+            # the certificate upgrades ONLY the oracle-starved classes;
+            # a FAIL (engine-side defect) can never hide behind it
+            status = "PASS-cert"
+            n_cert += 1
+            if "timeout(oracle)" in err:
+                n_otime -= 1
+            else:
+                n_ores -= 1
         keys[k] = {
             "status": status,
             "sec": r.get("sec"),
             "spark_rows": r.get("spark_rows"),
             **({"reason": BOUNDED[k]} if status == "bounded" else {}),
             **(
+                {
+                    "cert_method": cert["method"],
+                    "cert_checks": cert["checks"],
+                    "cert_sec": cert.get("sec"),
+                }
+                if status == "PASS-cert"
+                else {}
+            ),
+            # raw err is preserved for EVERY non-PASS status so no
+            # classification can drop the underlying evidence
+            **(
                 {"err": err}
-                if err not in ("", "no_oracle") and status == "FAIL"
+                if err not in ("", "no_oracle") and status != "PASS"
                 else {}
             ),
         }
@@ -110,6 +169,7 @@ def main() -> int:
               "/tmp/sim_sf10 via tools/sf10_differential.py)",
         "n_keys": len(keys),
         "n_pass": n_pass,
+        "n_pass_cert": n_cert,
         "n_rows_only": n_rows,
         "n_oracle_timeout": n_otime,
         "n_oracle_resource": n_ores,
@@ -120,7 +180,8 @@ def main() -> int:
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(
-        f"{out_path}: {len(keys)} keys, {n_pass} pass, {n_rows} rows-only, "
+        f"{out_path}: {len(keys)} keys, {n_pass} pass, "
+        f"{n_cert} pass-cert, {n_rows} rows-only, "
         f"{n_otime} oracle-timeout, {n_ores} oracle-resource, "
         f"{n_bounded} bounded, {n_fail} FAIL"
     )
