@@ -1159,6 +1159,14 @@ def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer dot product (|q|≤~2e3 × |w|≤1e6 × 64 terms ≪ 2^63)
     — the only float step is the driver-side eigh itself. No DuckDB oracle by contract (eigendecomposition
     is not expressible in SQL); correctness is pinned by that test.
+
+    FINAL CONTRACT: permanently rows-only — the output is BASIS-
+    dependent (any orthonormal basis of a degenerate eigenspace is an
+    equally correct answer), so a value-hash across engines is not a
+    meaningful claim even in principle; the basis-FREE facts of this
+    pipeline (Gram exactness, eigenvalue spectrum, reconstruction
+    error, orthonormality) are what
+    ``ext_embedding_pca_invariants`` hash-certifies.
     """
     q, wq, _ = _pca_top4(spark, sf_dir)
     return q.select("vec_id", "label", *_pca_proj_cols(wq))

@@ -1273,6 +1273,14 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-1 coding bound, exactly replayed by its oracle — that
     carries the same redundancy signal through the portable integer
     discipline.
+
+    FINAL CONTRACT: permanently rows-only — a DEFLATE stream's value
+    exists only inside zlib, so no independent engine can ever replay
+    it; certification is (a) the two hash-certified siblings above,
+    (b) the ordering contract in tests, and (c) COMPRESSION_FP.json:
+    a zlib-version-keyed byte fingerprint of the full sf0.01 output,
+    pinned by tests/test_extensions.py — the output can no longer
+    drift silently even within one zlib version.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -56,7 +56,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Streaming: allow many concurrent short-lived queries in tests.
         .config("spark.sql.streaming.schemaInference", "true")
-        .config("spark.ui.enabled", "false")
+        # Off in tests (port + heap overhead per session); the sweep's
+        # --stats audit turns it on to read per-key stage metrics
+        # (shuffle bytes, spill) from the REST API.
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_UI_ENABLED", "false"),
+        )
         .config("spark.sql.debug.maxToStringFields", "200")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # The oracle-differential harness collects FULL query results

@@ -612,6 +612,14 @@ def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-second micro-batches (the engine form of the reference's fixed
     10 s batch interval, OpContainer.java:47-49) and stops. Asserts
     only liveness — wall-clock sources are inherently nondeterministic.
+
+    FINAL CONTRACT: permanently rows-only — row count is a function
+    of wall-clock scheduling jitter by the SOURCE's definition, so no
+    replay (DuckDB or otherwise) can be value-equal; the key's claim
+    is liveness of the processing-time trigger path, and every
+    deterministic facet of B4 (availableNow batching, epoch
+    semantics, exactly-once sinks) is hash-certified by the other
+    streaming keys.
     """
     from streamingdemo_spark.scratch import scratch_dir
     import uuid

@@ -2401,3 +2401,29 @@ class TestAttributionShapley:
         )
         # non-degenerate: some channel carries credit
         assert any(r["phi_scaled"] != 0 for r in out.values())
+
+
+def test_compression_ratio_fingerprint_pinned(spark):
+    """The rows-only compression key is byte-pinned per zlib build
+    (its FINAL CONTRACT): same zlib -> identical output bytes. A
+    mismatch means the key's output drifted without a deliberate
+    repin (tools/compression_fp.py)."""
+    import json
+    import zlib
+    from pathlib import Path
+
+    from tools.compression_fp import OUT, compute
+
+    if not OUT.exists():
+        raise AssertionError(
+            "COMPRESSION_FP.json missing — run tools/compression_fp.py"
+        )
+    rec = json.load(open(OUT))
+    if rec["zlib_runtime"] != zlib.ZLIB_RUNTIME_VERSION:
+        import pytest
+
+        pytest.skip(
+            f"zlib {zlib.ZLIB_RUNTIME_VERSION} != pinned "
+            f"{rec['zlib_runtime']} — regenerate the fingerprint"
+        )
+    assert compute(spark) == rec

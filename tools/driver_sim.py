@@ -102,6 +102,7 @@ def main() -> int:
     out_path = None
     fast = False
     timeout = None
+    stats = False
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -118,6 +119,10 @@ def main() -> int:
         elif a == "--timeout":
             timeout = float(args[i + 1])
             i += 2
+        elif a == "--stats":
+            stats = True
+            os.environ["SPARK_UI_ENABLED"] = "true"
+            i += 1
         else:
             sf_dir = a
             i += 1
@@ -155,6 +160,10 @@ def main() -> int:
         t0 = time.perf_counter()
         phase = {"p": "spark"}
         done = None
+        # job group tags every Spark job with the key: the watchdog
+        # cancels by it, and the --stats audit aggregates stage
+        # metrics by it — set it whether or not a watchdog is armed
+        spark.sparkContext.setJobGroup(key, key, interruptOnCancel=True)
         if timeout is not None:
             import threading
 
@@ -179,7 +188,6 @@ def main() -> int:
                     # cancellable without killing the process; let it
                     # finish and rely on the recorded timed_out flag.
 
-            spark.sparkContext.setJobGroup(key, key, interruptOnCancel=True)
             threading.Thread(target=_watchdog, daemon=True).start()
         try:
             df = fn(spark, sf_dir)
@@ -220,6 +228,10 @@ def main() -> int:
             if done is not None:
                 done.set()
         rec["sec"] = round(time.perf_counter() - t0, 3)
+        if stats:
+            st = _collect_stats(spark, key)
+            if st is not None:
+                rec["stats"] = st
         results[key] = rec
         if out_path:
             _flush_atomic(out_path, results)
@@ -245,6 +257,61 @@ def main() -> int:
     if out_path:
         _flush_atomic(out_path, results)
     return 1 if n_fail else 0
+
+
+def _collect_stats(spark, key: str) -> dict | None:
+    """Planned-vs-actual execution audit for one key (--stats mode):
+    aggregate completed-stage metrics — shuffle read/write bytes,
+    spill, input volume, task count — over the jobs tagged with this
+    key's job group, read from the UI REST API immediately after the
+    key finishes (before stage eviction can matter). Streaming keys'
+    micro-batch jobs run under the stream's own group, so their rows
+    cover only the driver-side batch work — the state-store gate for
+    those lives in LAST_STREAM_PROGRESS assertions instead."""
+    import urllib.request
+
+    base = getattr(spark.sparkContext, "uiWebUrl", None)
+    if not base:
+        return None
+
+    def get(path: str):
+        with urllib.request.urlopen(
+            f"{base}/api/v1/{path}", timeout=10
+        ) as r:
+            return json.loads(r.read())
+
+    try:
+        app_id = get("applications")[0]["id"]
+        jobs = get(f"applications/{app_id}/jobs")
+        stage_ids = {
+            sid
+            for j in jobs
+            if j.get("jobGroup") == key
+            for sid in j.get("stageIds", [])
+        }
+        if not stage_ids:
+            return None
+        agg = {
+            "shuffle_read_bytes": 0,
+            "shuffle_write_bytes": 0,
+            "memory_spilled_bytes": 0,
+            "disk_spilled_bytes": 0,
+            "input_bytes": 0,
+            "n_stages": 0,
+            "n_tasks": 0,
+        }
+        for s in get(f"applications/{app_id}/stages?status=complete"):
+            if s.get("stageId") in stage_ids:
+                agg["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+                agg["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+                agg["memory_spilled_bytes"] += s.get("memoryBytesSpilled", 0)
+                agg["disk_spilled_bytes"] += s.get("diskBytesSpilled", 0)
+                agg["input_bytes"] += s.get("inputBytes", 0)
+                agg["n_stages"] += 1
+                agg["n_tasks"] += s.get("numCompleteTasks", 0)
+        return agg
+    except Exception:
+        return None  # audit is additive — never fails a sweep row
 
 
 def _flush_atomic(out_path: str, results: dict) -> None:

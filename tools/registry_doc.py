@@ -57,6 +57,17 @@ def main() -> None:
             where = "?"
         kind = "hash" if key in ORACLES else "rows"
         summary = first_sentence(fn.__doc__).replace("|", "\\|")
+        if kind == "rows":
+            # rows-only keys must state WHY that is final: surface the
+            # docstring's FINAL CONTRACT paragraph in the inventory so
+            # the rows-only count is provably minimal, not a backlog
+            doc = " ".join((fn.__doc__ or "").split())
+            if "FINAL CONTRACT:" in doc:
+                summary += (
+                    " **"
+                    + doc[doc.index("FINAL CONTRACT:"):].replace("|", "\\|")
+                    + "**"
+                )
         lines.append(f"| `{key}` | {where} | {kind} | {summary} |")
     (ROOT / "REGISTRY.md").write_text("\n".join(lines) + "\n")
     print(f"wrote REGISTRY.md: {len(QUERIES)} keys")
