@@ -119,6 +119,9 @@ HEADLINE = [
     "snk_txn_log_zorder",          # Morton clustering + 2-D stats prune
     "snk_txn_log_incr_mv",         # CDF-driven incremental view maintenance
     "src_txn_log_bloom_prune",     # per-file bloom index point lookup
+    # round-11 additions
+    "ext_label_noise_ann",         # ANN-graph label screen (production path)
+    "ext_dedup_embedding",         # data-derived band width + bucket cap
 ]
 
 

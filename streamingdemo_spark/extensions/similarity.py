@@ -1563,6 +1563,11 @@ def ext_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bn") <= _LN_BUCKET_CAP)
         .drop("bn")
+        # cached: the self-join otherwise recomputes the Arrow sketch
+        # UDF and the cap window once per side (visible as two
+        # ArrowEvalPython nodes in the formatted plan); the capped
+        # relation is 3 longs per (vector, table) — cheap to hold
+        .cache()
     )
     cand = (
         buckets.alias("a")
