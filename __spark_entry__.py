@@ -170,7 +170,10 @@ _PRIORITY = [
     # -- round-10 additions
     "src_txn_log_time_travel_ts", "snk_txn_log_compact",
     "snk_txn_log_multiwriter", "snk_txn_log_vacuum",
-    "snk_txn_log_restore",
+    "snk_txn_log_restore", "snk_txn_log_zorder", "snk_txn_log_incr_mv",
+    "src_txn_log_partition_evolution", "src_txn_log_bloom_prune",
+    # -- round-11 additions
+    "ext_label_noise_ann",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

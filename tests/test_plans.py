@@ -1980,3 +1980,32 @@ def test_txn_log_bloom_has_no_false_negatives_and_bounded_fp(
     assert fp / (250 * len(live)) < 0.15
     # absent index never skips
     assert _bloom_might_contain({"other": 1}, 123)
+
+
+def test_embedding_dedup_plan_is_bucketed_not_cartesian(spark, sf_dir):
+    """The sign-LSH near-dup plan must be a hash-partitioned band
+    equi-join (candidates via bucket equality), never a cartesian or
+    nested-loop pairing — the property that makes it O(n·bands·load)
+    at 100 TB. The verify stage joins candidate ids back to vectors
+    by key, so every join in the plan is hash-based."""
+    from streamingdemo_spark.extensions.dedup import _EMB_PAIRS_MEMO
+
+    _EMB_PAIRS_MEMO.clear()  # force a fresh plan (memo returns a
+    # persisted DF whose plan string would hide the join shape)
+    plan = _plan(QUERIES["ext_dedup_embedding"](spark, sf_dir))
+    _EMB_PAIRS_MEMO.clear()  # don't leak this unpersisted build
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan  # fixture-sized side may broadcast
+    )
+
+
+def test_label_noise_ann_plan_is_bucketed_not_cartesian(spark, sf_dir):
+    """The ANN label screen's candidate generation must pair vectors
+    through (table, bucket) equality — hash joins only. The exact
+    twin is allowed its all-pairs shape; this key is the production
+    path and must never degenerate to it."""
+    plan = _plan(QUERIES["ext_label_noise_ann"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
