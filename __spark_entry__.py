@@ -173,7 +173,7 @@ _PRIORITY = [
     "snk_txn_log_restore", "snk_txn_log_zorder", "snk_txn_log_incr_mv",
     "src_txn_log_partition_evolution", "src_txn_log_bloom_prune",
     # -- round-11 additions
-    "ext_label_noise_ann",
+    "ext_label_noise_ann", "ext_dedup_embedding_cluster",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

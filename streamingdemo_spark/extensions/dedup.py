@@ -1514,6 +1514,76 @@ def ext_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_dedup_embedding_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS MATERIALIZED (SELECT vec_a, vec_b FROM ({{inner}}) emb),
+    edges AS MATERIALIZED (SELECT vec_a, vec_b FROM pairs
+              UNION ALL SELECT vec_b, vec_a FROM pairs),
+    walk AS (
+      SELECT vec_a AS vec_id, vec_b AS reach FROM edges
+      UNION
+      SELECT w.vec_id, e.vec_b FROM walk w JOIN edges e ON w.reach = e.vec_a
+    ),
+    comp AS (
+      SELECT vec_id, least(vec_id, MIN(reach)) AS canonical_id
+      FROM walk GROUP BY vec_id
+    ),
+    sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT c.vec_id, c.canonical_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (canonical_id)
+    WHERE s.cluster_size >= 2
+    """.format(inner=_embedding_oracle()),
+)
+def ext_dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS: the embedding pair list closed into
+    connected components with one canonical keep-id per group — what
+    an embedding dedup actually ships (keep one representative per
+    semantic cluster), completing the family: minhash pairs →
+    ``ext_dedup_cluster``, phash pairs →
+    ``ext_multimodal_phash_cluster``, embedding pairs → this key. All
+    three share ONE verified clustering engine
+    (:func:`min_label_components`: min-label propagation with pointer
+    doubling to a probed fixpoint, loud failure over silent
+    under-merge) and one oracle shape (recursive-CTE transitive
+    closure over the shared pair SQL).
+
+    Pure composition: the pair stage is the persisted
+    ``_emb_verified_pairs`` memo (computed once per session/sf_dir
+    across this key, ``ext_dedup_embedding`` and
+    ``ext_semantic_decontam``), so the marginal cost here is the
+    component loop over a pair list that the bucket cap already
+    bounds. Cluster sizes stay bounded by the cap on candidate
+    generation, so the closure frontier never explodes at scale.
+
+    Output: (vec_id, canonical_id, cluster_size) for vectors in
+    components of size >= 2; canonical_id is the component minimum.
+    """
+    pairs = _emb_verified_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = min_label_components(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("label").alias("canonical_id"),
+            "cluster_size",
+        )
+    )
+
+
 WINNOW_W = 10  # winnowing window (grams per window)
 WINNOW_K = 40  # gram length (chars)
 WINNOW_SEL = 12  # selection-hash prefix length (chars)

@@ -2427,3 +2427,28 @@ def test_compression_ratio_fingerprint_pinned(spark):
             f"{rec['zlib_runtime']} — regenerate the fingerprint"
         )
     assert compute(spark) == rec
+
+
+def test_embedding_cluster_consistent_with_pairs(spark, sf_dir):
+    """Every verified near-dup pair must be co-clustered, every
+    cluster member must reach its canonical id (the component min),
+    and sizes must recount — the same contract the minhash and phash
+    cluster keys pin, applied to the semantic family."""
+    from streamingdemo_spark.registry import QUERIES
+
+    pairs = QUERIES["ext_dedup_embedding"](spark, sf_dir).collect()
+    clus = QUERIES["ext_dedup_embedding_cluster"](spark, sf_dir).collect()
+    canon = {r["vec_id"]: r["canonical_id"] for r in clus}
+    for p in pairs:
+        assert canon[p["vec_a"]] == canon[p["vec_b"]], (p["vec_a"], p["vec_b"])
+    from collections import Counter
+
+    sizes = Counter(canon.values())
+    members: dict[int, list[int]] = {}
+    for v, c in canon.items():
+        members.setdefault(c, []).append(v)
+    for r in clus:
+        assert r["cluster_size"] == sizes[r["canonical_id"]]
+        assert r["canonical_id"] == min(members[r["canonical_id"]])
+        assert r["cluster_size"] >= 2
+    assert clus  # planted mutants guarantee non-empty clusters
