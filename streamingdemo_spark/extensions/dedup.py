@@ -703,7 +703,7 @@ def _embedding_oracle() -> str:
 # sketch→band→verify stage must run ONCE, not once per key. A single
 # slot (not a dict) bounds held executor memory to one small pair
 # relation; switching sf_dir or session evicts and unpersists.
-_EMB_PAIRS_MEMO: list = []  # [(app_id, sf_dir, DataFrame)] — at most 1
+_EMB_PAIRS_MEMO: list = []  # [(app_id, sf_dir, pairs_df, sk_df)] — at most 1
 
 
 def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,14 +712,18 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ext_dedup_embedding` for the algorithm contract."""
     app_id = spark.sparkContext.applicationId
     if _EMB_PAIRS_MEMO:
-        m_app, m_dir, m_df = _EMB_PAIRS_MEMO[0]
+        m_app, m_dir, m_pairs, m_sk = _EMB_PAIRS_MEMO[0]
         if m_app == app_id and m_dir == sf_dir:
-            return m_df
+            return m_pairs
         if m_app == app_id:
-            try:  # same session, new sf_dir: release the old pairs
-                m_df.unpersist()
-            except Exception:
-                pass
+            # same session, new sf_dir: release BOTH cached relations —
+            # the corpus-sized sketch cache is the one that hurts if it
+            # leaks once per sf_dir switch, not the small pair list
+            for df in (m_pairs, m_sk):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         _EMB_PAIRS_MEMO.clear()
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -849,7 +853,7 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.99)
         .persist()  # small verified-pair relation; reused by decontam
     )
-    _EMB_PAIRS_MEMO.append((app_id, sf_dir, pairs))
+    _EMB_PAIRS_MEMO.append((app_id, sf_dir, pairs, sk))
     return pairs
 
 

@@ -149,6 +149,7 @@ def main() -> int:
         )
 
     results: dict[str, dict] = {}
+    stats_seen_stages: set = set()  # cross-key attribution guard
     t_total = time.perf_counter()
     for key, fn in queries.items():
         if only and key not in only:
@@ -179,14 +180,18 @@ def main() -> int:
                     if done.is_set():
                         return
                     phase["timed_out"] = True
-                    p = phase["p"]
+                    # record WHICH phase the deadline hit: the except
+                    # handler must tag the timeout with this, not with
+                    # whatever phase is current when an exception
+                    # finally surfaces
+                    p = phase["fired_in"] = phase["p"]
                     if p == "spark":
                         spark.sparkContext.cancelJobGroup(key)
                     elif p == "oracle":
                         con.interrupt()
                     # p == "canon": single-threaded pandas — nothing
-                    # cancellable without killing the process; let it
-                    # finish and rely on the recorded timed_out flag.
+                    # cancellable without killing the process; the
+                    # post-canon timed_out check below ends the key.
 
             threading.Thread(target=_watchdog, daemon=True).start()
         try:
@@ -198,6 +203,12 @@ def main() -> int:
             # hit an idle connection — or the NEXT key's query.
             phase["p"] = "canon"
             s_cols, s_rows, s_hash = canon(spdf)
+            # a deadline that expired DURING the uncancellable canon
+            # must still end the key here — otherwise the oracle runs
+            # with no watchdog left (single-shot thread) and its
+            # eventual error would be mislabeled as a timeout
+            if phase.get("timed_out"):
+                raise TimeoutError("deadline expired during canon")
             rec["spark_rows"] = s_rows
             sql = oracles.get(key)
             if sql is None:
@@ -207,6 +218,8 @@ def main() -> int:
                 dpdf = con.execute(sql).df()
                 phase["p"] = "canon"
                 d_cols, d_rows, d_hash = canon(dpdf)
+                if phase.get("timed_out"):
+                    raise TimeoutError("deadline expired during canon")
                 if fast and s_hash != d_hash:
                     # re-judge with the driver-faithful canon before
                     # recording a mismatch (object-column edge cases)
@@ -219,7 +232,8 @@ def main() -> int:
             del spdf
         except Exception as e:  # noqa: BLE001 - record like the driver does
             tag = (
-                f"timeout({phase['p']}) after {timeout:.0f}s: "
+                f"timeout({phase.get('fired_in', phase['p'])}) "
+                f"after {timeout:.0f}s: "
                 if phase.get("timed_out")
                 else ""
             )
@@ -229,7 +243,7 @@ def main() -> int:
                 done.set()
         rec["sec"] = round(time.perf_counter() - t0, 3)
         if stats:
-            st = _collect_stats(spark, key)
+            st = _collect_stats(spark, key, stats_seen_stages)
             if st is not None:
                 rec["stats"] = st
         results[key] = rec
@@ -240,6 +254,13 @@ def main() -> int:
             else ("rows-ok" if rec["err"] == "no_oracle" and rec["spark_rows"] is not None else "FAIL")
         )
         print(f"{rec['sec']:7.2f}s  {status:7s}  {key}", flush=True)
+
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            # a typo'd --keys must not read as a clean zero-FAIL run
+            print(f"ERROR: unknown keys in --keys: {sorted(unknown)}")
+            return 1
 
     total = time.perf_counter() - t_total
     n = len(results)
@@ -259,7 +280,7 @@ def main() -> int:
     return 1 if n_fail else 0
 
 
-def _collect_stats(spark, key: str) -> dict | None:
+def _collect_stats(spark, key: str, seen_stages: set) -> dict | None:
     """Planned-vs-actual execution audit for one key (--stats mode):
     aggregate completed-stage metrics — shuffle read/write bytes,
     spill, input volume, task count — over the jobs tagged with this
@@ -289,6 +310,11 @@ def _collect_stats(spark, key: str) -> dict | None:
             if j.get("jobGroup") == key
             for sid in j.get("stageIds", [])
         }
+        # a job can reference a stage that EXECUTED under an earlier
+        # key's group and was skipped here (cached/reused exchange) —
+        # Spark keeps the original stage id, so without this exclusion
+        # the same bytes would be attributed to every reusing key
+        stage_ids -= seen_stages
         if not stage_ids:
             return None
         agg = {
@@ -302,6 +328,7 @@ def _collect_stats(spark, key: str) -> dict | None:
         }
         for s in get(f"applications/{app_id}/stages?status=complete"):
             if s.get("stageId") in stage_ids:
+                seen_stages.add(s["stageId"])
                 agg["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
                 agg["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
                 agg["memory_spilled_bytes"] += s.get("memoryBytesSpilled", 0)

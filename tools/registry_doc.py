@@ -9,6 +9,7 @@ Usage: python tools/registry_doc.py   (writes REGISTRY.md at repo root)
 from __future__ import annotations
 
 import inspect
+import re
 import sys
 from pathlib import Path
 
@@ -60,13 +61,18 @@ def main() -> None:
         if kind == "rows":
             # rows-only keys must state WHY that is final: surface the
             # docstring's FINAL CONTRACT paragraph in the inventory so
-            # the rows-only count is provably minimal, not a backlog
-            doc = " ".join((fn.__doc__ or "").split())
-            if "FINAL CONTRACT:" in doc:
+            # the rows-only count is provably minimal, not a backlog.
+            # Cut at the paragraph break in the RAW docstring — taking
+            # everything to the end would inline unrelated trailing
+            # paragraphs (e.g. a Reference-parity trailer).
+            raw = fn.__doc__ or ""
+            if "FINAL CONTRACT:" in raw:
+                para = raw[raw.index("FINAL CONTRACT:"):]
+                blank = re.search(r"\n[ \t]*\n", para)
+                if blank:
+                    para = para[: blank.start()]
                 summary += (
-                    " **"
-                    + doc[doc.index("FINAL CONTRACT:"):].replace("|", "\\|")
-                    + "**"
+                    " **" + " ".join(para.split()).replace("|", "\\|") + "**"
                 )
         lines.append(f"| `{key}` | {where} | {kind} | {summary} |")
     (ROOT / "REGISTRY.md").write_text("\n".join(lines) + "\n")

@@ -144,8 +144,22 @@ def cert_attribution_shapley(spark, con, sf_dir: str) -> dict:
     phi_scaled = {ch: 0 for ch in SHAPLEY_CHANNELS}
     for ch, coef, k1, k0 in _shapley_terms():
         phi_scaled[ch] += coef * (v.get(k1, 0) - v.get(k0, 0))
+
+    def round6(x: float) -> float:
+        # Spark's ROUND(double, 6) = BigDecimal.valueOf(x) (shortest
+        # decimal repr, which Python's repr matches) then HALF_UP —
+        # NOT Python's round() (half-to-even), which disagrees on
+        # exact .xxxxxx5 midpoints
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
+
     expected = {
-        ch: (ps, round(ps / (kfact * _SHAP_SCALE), 6))
+        ch: (ps, round6(ps / (kfact * _SHAP_SCALE)))
         for ch, ps in phi_scaled.items()
     }
     got = {
@@ -690,7 +704,13 @@ def main() -> int:
 
     print(f"\n{len(results)} certs: {n_ok} pass, {len(results) - n_ok} fail")
     shutil.rmtree(WORK, ignore_errors=True)
-    return 0 if n_ok == len(results) else 1
+    if only:
+        unknown = only - set(CERTS)
+        if unknown:
+            # a typo'd --keys must not read as a green cert stage
+            print(f"ERROR: no certificate registered for: {sorted(unknown)}")
+            return 1
+    return 0 if results and n_ok == len(results) else 1
 
 
 if __name__ == "__main__":

@@ -119,6 +119,11 @@ def main() -> int:
                         "duckdb_temp_storage",
                         "duckdb_spill",
                         "OutOfMemoryException",
+                        # the Spark side of a by-design bounded key can
+                        # die of the JVM's ceiling moments before the
+                        # watchdog — that is the same expected death
+                        "java.lang.OutOfMemoryError",
+                        "SparkOutOfMemoryError",
                     )
                 )
             )
