@@ -174,6 +174,7 @@ _PRIORITY = [
     "src_txn_log_partition_evolution", "src_txn_log_bloom_prune",
     # -- round-11 additions
     "ext_label_noise_ann", "ext_dedup_embedding_cluster",
+    "stream_dedup_embedding",
     # -- rows-only smokes (no oracle possible — zlib encoder decisions
     #    and wall-clock rate sources aren't SQL-replayable; weakest
     #    driver signal). pca_project's projections are basis-dependent

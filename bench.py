@@ -122,6 +122,7 @@ HEADLINE = [
     # round-11 additions
     "ext_label_noise_ann",         # ANN-graph label screen (production path)
     "ext_dedup_embedding",         # data-derived band width + bucket cap
+    "stream_dedup_embedding",      # streaming LSH index maintenance
 ]
 
 

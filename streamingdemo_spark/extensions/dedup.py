@@ -625,6 +625,57 @@ def _emb_bits_sql(n_expr: str) -> str:
     return f"({_EMB_MIN_BITS} + {ladder})"
 
 
+def emb_plane_bit(p: int) -> Column:
+    """Sign bit of the arithmetic-PRNG hyperplane ``p`` against the
+    row's ``embedding`` column, as the long literal 2^p — the shared
+    sketch primitive of the batch near-dup keys and the streaming LSH
+    index maintenance key (stateless, so it runs unchanged on an
+    unbounded relation). Plane p weight for dim i =
+    knuth((p*64 + i))/2^32 - 0.5: pure integer arithmetic + one
+    power-of-two division, bitwise-identical across engines."""
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    (i.cast("long") + F.lit(p * 64))
+                    * F.lit(2654435761)
+                    % F.lit(4294967296)
+                ).cast("double")
+                / F.lit(4294967296.0)
+                - 0.5,
+            ),
+            lambda v, w: v * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # literal 2^p as a LONG: slot-1 planes sit at bit 28+, past what
+    # shiftleft on a 32-bit literal can represent
+    return F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def emb_sketch_sql() -> str:
+    """Oracle fragment: the full 56-slot-plane sign sketch over an
+    ``emb`` DOUBLE[] column — all planes materialized because SQL text
+    can't depend on the data; consumers mask the used low bits of each
+    28-bit slot dynamically."""
+    def dot(p: int) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, 65), "
+            f"k -> emb[CAST(k AS INT)] * "
+            f"((((k - 1 + {p * 64}) * 2654435761) % 4294967296) "
+            f"/ 4294967296.0 - 0.5)), 'sum')"
+        )
+    return " + ".join(
+        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p}::BIGINT ELSE 0 END"
+        for p in range(_EMB_ALL_PLANES)
+    )
+
+
 def _embedding_oracle() -> str:
     """DuckDB replay of the banded sign-LSH embedding dedup: mutants,
     arithmetic hyperplane sign bits in 2 fixed 28-bit slots, a
@@ -638,17 +689,7 @@ def _embedding_oracle() -> str:
     all 56 slot planes and masks dynamically (SQL text can't depend on
     the data); Spark computes only the used planes — identical band
     values either way."""
-    def dot(p: int) -> str:
-        return (
-            f"list_aggregate(list_transform(range(1, 65), "
-            f"k -> emb[CAST(k AS INT)] * "
-            f"((((k - 1 + {p * 64}) * 2654435761) % 4294967296) "
-            f"/ 4294967296.0 - 0.5)), 'sum')"
-        )
-    sketch = " + ".join(
-        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p}::BIGINT ELSE 0 END"
-        for p in range(_EMB_ALL_PLANES)
-    )
+    sketch = emb_sketch_sql()
     bands = "\n      UNION ALL ".join(
         f"SELECT vec_id, emb, {b} AS band_no, "
         f"(sketch >> {_EMB_SLOT_BITS * b}) & "
@@ -748,33 +789,6 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = allv.count()
     bits = _emb_band_bits(n_corpus)
 
-    # Deterministic pseudo-random hyperplanes: plane p weight for dim i
-    # = knuth(p*64+i)/2^32 - 0.5 — fixed, pure arithmetic, no RNG state.
-    def plane_bit(p: int) -> Column:
-        dot = F.aggregate(
-            F.zip_with(
-                "embedding",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda i: (
-                        (i.cast("long") + F.lit(p * 64))
-                        * F.lit(2654435761)
-                        % F.lit(4294967296)
-                    ).cast("double")
-                    / F.lit(4294967296.0)
-                    - 0.5,
-                ),
-                lambda v, w: v * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # literal 2^p as a LONG: slot-1 planes sit at bit 28+, past
-        # what shiftleft on a 32-bit literal can represent
-        return F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-
     # Only the USED planes are computed: band b occupies sketch bits
     # [b*SLOT, b*SLOT + bits). The oracle computes all 56 slot planes
     # and masks — identical band values because the mask zeroes
@@ -783,7 +797,7 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         b * _EMB_SLOT_BITS + j for b in range(_EMB_BANDS) for j in range(bits)
     ]
     sketch = sum(
-        [plane_bit(p) for p in used_planes], F.lit(0).cast("long")
+        [emb_plane_bit(p) for p in used_planes], F.lit(0).cast("long")
     )
     sk = allv.withColumn("sketch", sketch).cache()
     band_mask = (1 << bits) - 1

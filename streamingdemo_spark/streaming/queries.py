@@ -1475,6 +1475,120 @@ def substring_dedup_agg(stream: DataFrame) -> DataFrame:
     )
 
 
+def _stream_dedup_embedding_oracle() -> str:
+    from streamingdemo_spark.extensions.dedup import (
+        _EMB_BANDS,
+        _EMB_SLOT_BITS,
+        _emb_bits_sql,
+        emb_sketch_sql,
+    )
+
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_no, "
+        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
+        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val "
+        f"FROM sk"
+        for b in range(_EMB_BANDS)
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    params AS (
+      SELECT {_emb_bits_sql('n')} AS bits
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    sk AS MATERIALIZED (
+      SELECT vec_id, {emb_sketch_sql()} AS sketch FROM vecs
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT band_no, band_val, COUNT(*) AS n_vecs,
+           MIN(vec_id) AS lo_vec, MAX(vec_id) AS hi_vec
+    FROM bands GROUP BY band_no, band_val
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query("stream_dedup_embedding", oracle=_stream_dedup_embedding_oracle())
+def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH INDEX MAINTENANCE — the semantic member of the
+    streaming-dedup family (exact ids → ``stream_dedup``, substring
+    grams → ``stream_dedup_substring``, embeddings → this key):
+    vectors arrive as a stream, each micro-batch computes the
+    data-derived banded sign sketch of ``ext_dedup_embedding``
+    MAP-SIDE (the sketch is stateless integer-exact arithmetic, so it
+    runs unchanged on an unbounded relation), and ONE stateful
+    aggregate carries band-bucket occupancy across batches. The
+    complete-mode table after the deterministic availableNow replay
+    equals the batch bucket histogram exactly, so DuckDB hash-checks
+    a real multi-batch streaming execution of the index build.
+
+    Output: every candidate bucket (band_no, band_val) with its
+    occupancy and id span — the live state a production near-dup
+    service probes on insert (a new vector pairs against only its
+    buckets' members) and the exact candidate-generation stage the
+    batch key verifies with cosine. The verify stage is deliberately
+    NOT in the stream: at 100 TB it is a point lookup against this
+    index per arrival (and the batch family certifies its math);
+    folding all historical embeddings into stream state to verify
+    in-stream would make state corpus-sized, the one thing an index
+    build must never do. State here is one row per NON-EMPTY bucket —
+    bounded by corpus/bucket-load, not by pairs.
+
+    Band width is fixed per index generation (derived from the
+    corpus-size metadata count at plan time, the same [12, 28] ladder
+    as the batch key): a production deployment re-indexes with wider
+    bands when the corpus outgrows the dial — the streaming query IS
+    the re-index job.
+    """
+    from streamingdemo_spark.extensions.dedup import (
+        _EMB_BANDS,
+        _EMB_SLOT_BITS,
+        _emb_band_bits,
+        emb_plane_bit,
+    )
+    from streamingdemo_spark.streaming.sources import embeddings_stream
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    bits = _emb_band_bits(n)
+    used = [
+        b * _EMB_SLOT_BITS + j
+        for b in range(_EMB_BANDS)
+        for j in range(bits)
+    ]
+    stream = embeddings_stream(spark, sf_dir, n_chunks=4).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sk = stream.withColumn(
+        "sketch", sum([emb_plane_bit(p) for p in used], F.lit(0).cast("long"))
+    )
+    mask = (1 << bits) - 1
+    bands = sk.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sketch"), _EMB_SLOT_BITS * b)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    occupancy = (
+        bands.groupBy("band_no", "band_val")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("lo_vec"),
+            F.max("vec_id").alias("hi_vec"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+    )
+    return run_to_memory(occupancy, output_mode="complete")
+
+
 _BOTTOMK_STREAM_K = 20
 
 

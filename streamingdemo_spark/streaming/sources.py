@@ -170,6 +170,40 @@ def documents_stream(
     return reader.parquet(out_dir)
 
 
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def embeddings_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """A streaming DataFrame replaying the embeddings fixture in
+    vec_id order — the continuous-ingest shape of a vector pipeline
+    feeding an index build. Same deterministic chunked-parquet
+    mechanism as :func:`events_stream` (mod-time-ordered files, one
+    trigger per file by default)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        _CACHE_ROOT, f"v{_CACHE_VERSION}", tag, f"emb-{n_chunks}"
+    )
+    if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t = (
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            )
+            .sort_by([("vec_id", "ascending")])
+        )
+        _write_chunks(t, out_dir, n_chunks)
+    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    return reader.parquet(out_dir)
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -609,3 +609,29 @@ def test_timeout_sessions_state_bounded_and_drained(spark, sf_dir):
     assert totals[-1] == 0, (
         f"state not drained after watermark flush: {totals[-1]} rows"
     )
+
+
+def test_stream_dedup_embedding_is_multibatch_and_consistent(spark, sf_dir):
+    """The streaming LSH index build must (a) actually run as a
+    multi-batch replay (not one degenerate batch — 4 chunk files, one
+    per trigger), and (b) produce bucket occupancies that reconcile
+    with the corpus: each vector lands in exactly 2 bands, so total
+    band-slots across ALL buckets (including singletons the output
+    filters) bound the emitted mass, and every bucket's id span must
+    be ordered with occupancy >= 2."""
+    from streamingdemo_spark.registry import QUERIES
+    from streamingdemo_spark.streaming import runner
+
+    out = QUERIES["stream_dedup_embedding"](spark, sf_dir).collect()
+    progress = [
+        p for p in runner.LAST_STREAM_PROGRESS
+        if p.get("numInputRows", 0) > 0
+    ]
+    assert len(progress) >= 4, "expected one micro-batch per chunk file"
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in out) <= 2 * n
+    for r in out:
+        assert r["n_vecs"] >= 2
+        assert r["lo_vec"] < r["hi_vec"]
+        assert 0 <= r["band_no"] <= 1
+    assert out  # jittered fixtures always share some sign buckets
