@@ -521,7 +521,10 @@ _KNN_STAGE_CACHE: dict = {}
     """,
 )
 def ext_sim_knn_join(
-    spark: SparkSession, sf_dir: str, tile_rows: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    tile_rows: int | None = None,
+    probe_mod: int | None = None,
 ) -> DataFrame:
     """Exact k-NN self-join: the top-3 cosine neighbors of EVERY vector
     (the kNN-graph construction step of near-dup clustering and
@@ -644,9 +647,18 @@ def ext_sim_knn_join(
         return knn
 
     schema = "vec_id long, nbr_id long, cosine_raw double"
-    cand = corpus.mapInPandas(knn_against(0), schema)
+    # probe_mod: deterministic probe slice (vec_id % probe_mod == 0)
+    # for the sf10 slice certificate — the build side, tiles, GEMM
+    # kernel, margin cut, and re-rank are the registered key's own
+    # machinery; only the probe stream narrows. None = all vectors.
+    probe = (
+        corpus
+        if probe_mod is None
+        else corpus.filter(F.col("vec_id") % probe_mod == 0)
+    )
+    cand = probe.mapInPandas(knn_against(0), schema)
     for tile_no in range(1, n_tiles):
-        cand = cand.unionByName(corpus.mapInPandas(knn_against(tile_no), schema))
+        cand = cand.unionByName(probe.mapInPandas(knn_against(tile_no), schema))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         cand.select(
@@ -1400,7 +1412,9 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings e JOIN votes v ON v.vec_id = e.vec_id
     """,
 )
-def ext_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_label_noise_knn(
+    spark: SparkSession, sf_dir: str, probe_mod: int | None = None
+) -> DataFrame:
     """Label-noise detection by neighborhood vote — the confident-
     learning screen an ML-data pipeline runs before training: a vector
     whose k nearest neighbors ALL carry a different label is either
@@ -1421,7 +1435,9 @@ def ext_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph's ROUND(cosine,4)+id ranking is engine-portable, and
     the vote is pure integer counting on top of it.
     """
-    knn = ext_sim_knn_join(spark, sf_dir).select("vec_id", "nbr_id")
+    knn = ext_sim_knn_join(spark, sf_dir, probe_mod=probe_mod).select(
+        "vec_id", "nbr_id"
+    )
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     labels = e.select("vec_id", "label")
     votes = (

@@ -152,13 +152,19 @@ def main() -> int:
             "sec": r.get("sec"),
             "spark_rows": r.get("spark_rows"),
             **({"reason": BOUNDED[k]} if status == "bounded" else {}),
+            # PASS-cert rows carry their certificate; bounded rows
+            # ALSO surface one when present (a slice certificate is
+            # evidence at sf10 data scale, not a status upgrade —
+            # full execution remains out of scope by design)
             **(
                 {
                     "cert_method": cert["method"],
                     "cert_checks": cert["checks"],
                     "cert_sec": cert.get("sec"),
                 }
-                if status == "PASS-cert"
+                if cert
+                and cert.get("cert_pass")
+                and status in ("PASS-cert", "bounded")
                 else {}
             ),
             # raw err is preserved for EVERY non-PASS status so no
