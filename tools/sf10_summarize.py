@@ -51,16 +51,23 @@ BOUNDED: dict[str, str] = {
         "replication densifies the shared date span, so the sliced "
         "output alone is ~1e10 rows at sf10 — the banded+salted plan "
         "shape (pinned in tests) is the scale story; bulk execution "
-        "needs the cluster the plan is designed for"
+        "needs the cluster the plan is designed for. Kernel "
+        "correctness AT sf10 data scale is slice-certified "
+        "(cert_checks below: %4096 slice over the full 60M-row "
+        "lineitem, exact compare)"
     ),
     "ext_sim_knn_join": (
         "deliberate EXACT all-pairs kNN twin for recall eval "
         "(~4e10 64-dim dot products at 250k vectors); the ANN family "
-        "(ann_lsh/ivf/pq) is the certified scale path"
+        "(ann_lsh/ivf/pq, label_noise_ann) is the certified scale "
+        "path. The blocked-GEMM kernel is slice-certified at sf10 "
+        "(49 probes vs the full 200k build side, exact top-3 compare)"
     ),
     "ext_label_noise_knn": (
-        "composes the exact kNN twin above; its docstring's 100 TB "
-        "path swaps in the ANN graph unchanged"
+        "composes the exact kNN twin above; ext_label_noise_ann is "
+        "the registered production path (sf10 hash PASS). The vote "
+        "composition is slice-certified at sf10 over the GEMM "
+        "kernel's probe slice"
     ),
 }
 
