@@ -676,6 +676,20 @@ def emb_sketch_sql() -> str:
     )
 
 
+def emb_bands_sql(select_cols: str = "vec_id") -> str:
+    """Oracle fragment: per-band (band_no, band_val) extraction from a
+    ``sk`` relation's sketch, masked to the dynamic ``params.bits``
+    width — the other half of the batch/stream 'identical band
+    values' contract, shared so the two oracles can never drift."""
+    return "\n      UNION ALL ".join(
+        f"SELECT {select_cols}, {b} AS band_no, "
+        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
+        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val "
+        f"FROM sk"
+        for b in range(_EMB_BANDS)
+    )
+
+
 def _embedding_oracle() -> str:
     """DuckDB replay of the banded sign-LSH embedding dedup: mutants,
     arithmetic hyperplane sign bits in 2 fixed 28-bit slots, a
@@ -690,13 +704,7 @@ def _embedding_oracle() -> str:
     the data); Spark computes only the used planes — identical band
     values either way."""
     sketch = emb_sketch_sql()
-    bands = "\n      UNION ALL ".join(
-        f"SELECT vec_id, emb, {b} AS band_no, "
-        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
-        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val "
-        f"FROM sk"
-        for b in range(_EMB_BANDS)
-    )
+    bands = emb_bands_sql("vec_id, emb")
     return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -1477,19 +1477,12 @@ def substring_dedup_agg(stream: DataFrame) -> DataFrame:
 
 def _stream_dedup_embedding_oracle() -> str:
     from streamingdemo_spark.extensions.dedup import (
-        _EMB_BANDS,
-        _EMB_SLOT_BITS,
         _emb_bits_sql,
+        emb_bands_sql,
         emb_sketch_sql,
     )
 
-    bands = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band_no, "
-        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
-        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val "
-        f"FROM sk"
-        for b in range(_EMB_BANDS)
-    )
+    bands = emb_bands_sql("vec_id")
     return f"""
     WITH vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -68,13 +68,78 @@ def _write_chunks(table: pa.Table, out_dir: str, n_chunks: int) -> None:
         time.sleep(0.01)
 
 
-def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
+def _source_fp(path: str) -> str:
+    """Content fingerprint of a fixture file for the replay-cache key:
+    size + mtime. Two failure modes this closes: same-BASENAME sf dirs
+    in different parents silently replaying each other's cached
+    chunks, and a regenerated fixture reusing the stale chunk dir
+    (only _CACHE_VERSION used to participate in the path)."""
+    st = os.stat(path)
+    return f"{st.st_size}-{st.st_mtime_ns // 1000}"
+
+
+def _cache_dir(sf_dir: str, source_file: str, leaf: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(
-        _CACHE_ROOT, f"v{_CACHE_VERSION}", tag, f"{variant}-{n_chunks}"
+    fp = _source_fp(os.path.join(sf_dir, source_file))
+    return os.path.join(_CACHE_ROOT, f"v{_CACHE_VERSION}", f"{tag}-{fp}", leaf)
+
+
+def _complete_atomically(tmp_dir: str, out_dir: str) -> bool:
+    """Publish a fully-written chunk dir with one rename: a crash
+    mid-build leaves only a .tmp dir (rebuilt next time), never a
+    half-full cache that os.listdir() would mistake for complete.
+    Returns False if another process won the race (out_dir appeared)."""
+    try:
+        os.rename(tmp_dir, out_dir)
+        return True
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return os.path.isdir(out_dir)
+
+
+def _chunked_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    source_file: str,
+    columns: list[str],
+    sort_key: str,
+    schema: str,
+    tag: str,
+    n_chunks: int,
+    files_per_trigger: int | None,
+) -> DataFrame:
+    """Shared chunked-parquet replay builder behind
+    :func:`documents_stream` and :func:`embeddings_stream` (the events
+    side needs :func:`_build`'s variant logic): sort by the stable
+    key, write mod-time-ordered chunks once per (fixture fingerprint,
+    chunk count), read back as a file stream."""
+    out_dir = _cache_dir(sf_dir, source_file, f"{tag}-{n_chunks}")
+    if not os.path.isdir(out_dir):
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        t = (
+            pq.read_table(
+                os.path.join(sf_dir, source_file), columns=columns
+            )
+            .sort_by([(sort_key, "ascending")])
+        )
+        _write_chunks(t, tmp, n_chunks)
+        if not _complete_atomically(tmp, out_dir):
+            raise RuntimeError(f"chunk cache build raced and lost: {out_dir}")
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    return reader.parquet(out_dir)
+
+
+def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
+    out_dir = _cache_dir(
+        sf_dir, "events.parquet", f"{variant}-{n_chunks}"
     )
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
+    if os.path.isdir(out_dir):
         return out_dir
+    final_dir, out_dir = out_dir, f"{out_dir}.tmp-{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t = _events_sorted(sf_dir)
     if variant == "ordered":
@@ -131,7 +196,9 @@ def _build(sf_dir: str, variant: str, n_chunks: int) -> str:
             time.sleep(0.01)
     else:
         raise ValueError(f"unknown variant {variant!r}")
-    return out_dir
+    if not _complete_atomically(out_dir, final_dir):
+        raise RuntimeError(f"chunk cache build raced and lost: {final_dir}")
+    return final_dir
 
 
 DOCS_SCHEMA = "doc_id long, text string"
@@ -150,24 +217,17 @@ def documents_stream(
     Same deterministic chunked-parquet mechanism as
     :func:`events_stream` (mod-time-ordered files, one trigger per
     file by default)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(
-        _CACHE_ROOT, f"v{_CACHE_VERSION}", tag, f"docs-{n_chunks}"
+    return _chunked_replay(
+        spark,
+        sf_dir,
+        source_file="documents.parquet",
+        columns=["doc_id", "text"],
+        sort_key="doc_id",
+        schema=DOCS_SCHEMA,
+        tag="docs",
+        n_chunks=n_chunks,
+        files_per_trigger=files_per_trigger,
     )
-    if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t = (
-            pq.read_table(
-                os.path.join(sf_dir, "documents.parquet"),
-                columns=["doc_id", "text"],
-            )
-            .sort_by([("doc_id", "ascending")])
-        )
-        _write_chunks(t, out_dir, n_chunks)
-    reader = spark.readStream.schema(DOCS_SCHEMA)
-    if files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
-    return reader.parquet(out_dir)
 
 
 EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>"
@@ -184,24 +244,17 @@ def embeddings_stream(
     feeding an index build. Same deterministic chunked-parquet
     mechanism as :func:`events_stream` (mod-time-ordered files, one
     trigger per file by default)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(
-        _CACHE_ROOT, f"v{_CACHE_VERSION}", tag, f"emb-{n_chunks}"
+    return _chunked_replay(
+        spark,
+        sf_dir,
+        source_file="embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        sort_key="vec_id",
+        schema=EMB_STREAM_SCHEMA,
+        tag="emb",
+        n_chunks=n_chunks,
+        files_per_trigger=files_per_trigger,
     )
-    if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t = (
-            pq.read_table(
-                os.path.join(sf_dir, "embeddings.parquet"),
-                columns=["vec_id", "embedding"],
-            )
-            .sort_by([("vec_id", "ascending")])
-        )
-        _write_chunks(t, out_dir, n_chunks)
-    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
-    if files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
-    return reader.parquet(out_dir)
 
 
 def events_stream(

@@ -51,25 +51,25 @@ BOUNDED: dict[str, str] = {
         "replication densifies the shared date span, so the sliced "
         "output alone is ~1e10 rows at sf10 — the banded+salted plan "
         "shape (pinned in tests) is the scale story; bulk execution "
-        "needs the cluster the plan is designed for. Kernel "
-        "correctness AT sf10 data scale is slice-certified "
-        "(cert_checks below: %4096 slice over the full 60M-row "
-        "lineitem, exact compare)"
+        "needs the cluster the plan is designed for"
     ),
     "ext_sim_knn_join": (
         "deliberate EXACT all-pairs kNN twin for recall eval "
         "(~4e10 64-dim dot products at 250k vectors); the ANN family "
-        "(ann_lsh/ivf/pq, label_noise_ann) is the certified scale "
-        "path. The blocked-GEMM kernel is slice-certified at sf10 "
-        "(49 probes vs the full 200k build side, exact top-3 compare)"
+        "(ann_lsh/ivf/pq, label_noise_ann) is the certified scale path"
     ),
     "ext_label_noise_knn": (
         "composes the exact kNN twin above; ext_label_noise_ann is "
-        "the registered production path (sf10 hash PASS). The vote "
-        "composition is slice-certified at sf10 over the GEMM "
-        "kernel's probe slice"
+        "the registered production path (sf10 hash PASS)"
     ),
 }
+# Appended to a bounded key's reason ONLY when its slice certificate
+# actually passed — never claimed from static text, so a missing or
+# failed cert can't masquerade as evidence.
+_SLICE_NOTE = (
+    " — kernel correctness AT sf10 data scale slice-certified "
+    "(cert_checks in this row)"
+)
 
 
 def main() -> int:
@@ -154,11 +154,31 @@ def main() -> int:
                 n_otime -= 1
             else:
                 n_ores -= 1
+        elif status == "bounded" and cert and not cert.get("cert_pass"):
+            # a slice certificate that RAN and mismatched is a real
+            # defect in the bounded key's kernel — the by-design label
+            # covers execution volume, never a wrong answer
+            status = "FAIL"
+            n_bounded -= 1
+            n_fail += 1
+            if not err:
+                err = f"slice certificate failed: {cert.get('checks')}"
         keys[k] = {
             "status": status,
             "sec": r.get("sec"),
             "spark_rows": r.get("spark_rows"),
-            **({"reason": BOUNDED[k]} if status == "bounded" else {}),
+            **(
+                {
+                    "reason": BOUNDED[k]
+                    + (
+                        _SLICE_NOTE
+                        if cert and cert.get("cert_pass")
+                        else ""
+                    )
+                }
+                if status == "bounded"
+                else {}
+            ),
             # PASS-cert rows carry their certificate; bounded rows
             # ALSO surface one when present (a slice certificate is
             # evidence at sf10 data scale, not a status upgrade —
