@@ -592,14 +592,32 @@ _EMB_MIN_BITS, _EMB_MAX_BITS = 12, _EMB_SLOT_BITS
 _EMB_TARGET_LOAD = 4  # target expected vectors per bucket
 _EMB_ALL_PLANES = _EMB_BANDS * _EMB_SLOT_BITS  # oracle computes all 56
 
+# Refinement planes: an over-cap bucket is no longer dropped whole —
+# its members are SPLIT by 8 extra sign planes (per band, disjoint
+# plane ranges after the two slots) and the cap is re-applied to the
+# refined buckets. The r11 sf10 certificate showed the drop-whole cap
+# was the dominant recall loss (planted recall 0.5855 against a
+# theoretical 0.9575 at bits=16): the 100-replica jittered families
+# crowd BOTH bands' buckets past the cap simultaneously, so the
+# "other band rescues the pair" argument fails exactly on the inputs
+# that need it. Refinement recovers those pairs: a planted mutant
+# pair agrees on all 8 refine planes w.p. .9857^8 = .891, while the
+# sub-threshold crowd (pairwise flip prob ~.05/plane at cosine ~.99)
+# spreads across the 256 refine values. Worst-case candidate volume
+# is UNCHANGED: each row lands in exactly one final bucket per band
+# (its (band_val, sub) pair), every final bucket is <= cap, so
+# candidates <= n·bands·(cap-1)/2 for ANY distribution.
+_EMB_REFINE_BITS = 8
+_EMB_REFINE_BASE = _EMB_ALL_PLANES  # refine planes start after the slots
+
 
 # Worst-case bound, not a tuning knob: no data distribution can push
 # candidate volume past cap·n·bands/2 (the 100-TB discipline — the
 # sf10 replica corpus put 4000+ structured-but-sub-threshold vectors
 # in single buckets, 164M candidate pairs, despite a healthy expected
-# load of 4). A bucket over the cap is dropped whole (the minhash
-# guard's semantics, oracle-replayed); a pair in a crowded bucket
-# still qualifies through its OTHER band when that one is spread.
+# load of 4). A bucket over the cap is first SPLIT by the refine
+# planes above; a refined bucket still over the cap is dropped whole
+# (the minhash guard's semantics, oracle-replayed).
 _EMB_BUCKET_CAP = 256
 
 
@@ -625,54 +643,112 @@ def _emb_bits_sql(n_expr: str) -> str:
     return f"({_EMB_MIN_BITS} + {ladder})"
 
 
-def emb_plane_bit(p: int) -> Column:
-    """Sign bit of the arithmetic-PRNG hyperplane ``p`` against the
-    row's ``embedding`` column, as the long literal 2^p — the shared
-    sketch primitive of the batch near-dup keys and the streaming LSH
-    index maintenance key (stateless, so it runs unchanged on an
-    unbounded relation). Plane p weight for dim i =
-    knuth((p*64 + i))/2^32 - 0.5: pure integer arithmetic + one
-    power-of-two division, bitwise-identical across engines."""
-    dot = F.aggregate(
-        F.zip_with(
-            "embedding",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: (
-                    (i.cast("long") + F.lit(p * 64))
-                    * F.lit(2654435761)
-                    % F.lit(4294967296)
-                ).cast("double")
-                / F.lit(4294967296.0)
-                - 0.5,
-            ),
-            lambda v, w: v * w,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # literal 2^p as a LONG: slot-1 planes sit at bit 28+, past what
-    # shiftleft on a 32-bit literal can represent
-    return F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
-        F.lit(0).cast("long")
+def emb_bands_udf(bits: int, refine: bool = True):
+    """Banded integer-exact sign sketch as ONE Arrow-batched matrix
+    multiply — the shared primitive of the batch near-dup keys and the
+    streaming LSH index maintenance key (a scalar pandas UDF is
+    stateless, so it runs unchanged on an unbounded relation).
+
+    Returns ``array<long>`` of length ``2 * _EMB_BANDS`` when
+    ``refine`` (band values then refine values) or ``_EMB_BANDS``
+    without. Band b plane j is flat plane index p = b*28 + j (the
+    fixed slot convention, so the oracle can compute all 28 slot
+    planes and mask the used ``bits`` dynamically); refine band b
+    plane j is p = 56 + b*8 + j. Plane p weight for dim i (0-based)
+    is ``((p*64 + i + 1) * 2654435761) % 2^32 % 2001 - 1000`` — the
+    Knuth-hash integer PRNG shared with ``similarity._bucket_udf`` —
+    and vectors are quantized to int64 milli-units
+    (``floor(x*1000 + 0.5)`` on the DOUBLE value, identical in both
+    engines). The projection is then an int64 dot product: integer
+    addition is associative, so the sign cannot flip with summation
+    order the way a float matmul's last ulp can, and one numpy matmul
+    per Arrow batch computes every plane at once — the per-plane
+    higher-order-function expression this replaces was interpreted
+    per row (HOFs don't enter whole-stage codegen) and dominated the
+    corpus scan at scale (sf10: 133 s for the certified key)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    plane_ids = [
+        b * _EMB_SLOT_BITS + j for b in range(_EMB_BANDS) for j in range(bits)
+    ]
+    if refine:
+        plane_ids += [
+            _EMB_REFINE_BASE + b * _EMB_REFINE_BITS + j
+            for b in range(_EMB_BANDS)
+            for j in range(_EMB_REFINE_BITS)
+        ]
+    planes = np.asarray(plane_ids, dtype=np.int64)
+    n_out = 2 * _EMB_BANDS if refine else _EMB_BANDS
+
+    @pandas_udf("array<long>")
+    def bands(emb):
+        e = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dims)
+        dims = e.shape[1]
+        q = np.floor(e * 1000.0 + 0.5).astype(np.int64)  # milli-quantized
+        # flat plane·dim index: stride 64 (the fixture dim), matching
+        # the oracle's (p*64 + i) regardless of actual dims <= 64
+        k = planes[:, None] * 64 + np.arange(dims, dtype=np.int64)[None, :]
+        w = ((k + 1) * 2654435761) % 4294967296 % 2001 - 1000
+        signs = q @ w.T >= 0  # (batch, n_planes_total)
+        vals = np.zeros((len(q), n_out), dtype=np.int64)
+        pos = 0
+        for b in range(_EMB_BANDS):
+            seg = signs[:, pos : pos + bits]
+            vals[:, b] = seg @ (np.int64(1) << np.arange(bits, dtype=np.int64))
+            pos += bits
+        if refine:
+            rw = np.int64(1) << np.arange(_EMB_REFINE_BITS, dtype=np.int64)
+            for b in range(_EMB_BANDS):
+                seg = signs[:, pos : pos + _EMB_REFINE_BITS]
+                vals[:, _EMB_BANDS + b] = seg @ rw
+                pos += _EMB_REFINE_BITS
+        return pd.Series([row.tolist() for row in vals])
+
+    return bands
+
+
+def _emb_dot_sql(p) -> str:
+    """Oracle fragment: int64 dot of the quantized vector ``qv``
+    against plane ``p`` (a SQL expression or literal) — the exact
+    integer arithmetic of :func:`emb_bands_udf`."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len(qv) + 1), i -> "
+        f"qv[i] * (((({p}) * 64 + i) * 2654435761) "
+        f"% 4294967296 % 2001 - 1000))), (a, b) -> a + b)"
     )
 
 
 def emb_sketch_sql() -> str:
-    """Oracle fragment: the full 56-slot-plane sign sketch over an
-    ``emb`` DOUBLE[] column — all planes materialized because SQL text
-    can't depend on the data; consumers mask the used low bits of each
-    28-bit slot dynamically."""
-    def dot(p: int) -> str:
-        return (
-            f"list_aggregate(list_transform(range(1, 65), "
-            f"k -> emb[CAST(k AS INT)] * "
-            f"((((k - 1 + {p * 64}) * 2654435761) % 4294967296) "
-            f"/ 4294967296.0 - 0.5)), 'sum')"
-        )
+    """Oracle fragment: the full 56-slot-plane sign sketch over a
+    quantized ``qv`` BIGINT[] column — all slot planes materialized
+    because SQL text can't depend on the data; consumers mask the
+    used low bits of each 28-bit slot dynamically."""
     return " + ".join(
-        f"CASE WHEN {dot(p)} >= 0 THEN {1 << p}::BIGINT ELSE 0 END"
+        f"CASE WHEN {_emb_dot_sql(p)} >= 0 THEN {1 << p}::BIGINT ELSE 0 END"
         for p in range(_EMB_ALL_PLANES)
+    )
+
+
+def emb_rsketch_sql() -> str:
+    """Oracle fragment: the 16 refine planes (8 per band, flat plane
+    indices 56..71) packed into the low 16 bits of a BIGINT — band
+    b's refine value is ``(rsketch >> 8*b) & 255``."""
+    return " + ".join(
+        f"CASE WHEN {_emb_dot_sql(_EMB_REFINE_BASE + j)} >= 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END"
+        for j in range(_EMB_BANDS * _EMB_REFINE_BITS)
+    )
+
+
+def emb_quant_sql(emb_expr: str = "emb") -> str:
+    """Oracle fragment: milli-unit int64 quantization of a DOUBLE[]
+    embedding — `floor(x*1000 + 0.5)`, the shared convention."""
+    return (
+        f"list_transform({emb_expr}, "
+        f"x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
     )
 
 
@@ -692,19 +768,28 @@ def emb_bands_sql(select_cols: str = "vec_id") -> str:
 
 def _embedding_oracle() -> str:
     """DuckDB replay of the banded sign-LSH embedding dedup: mutants,
-    arithmetic hyperplane sign bits in 2 fixed 28-bit slots, a
+    integer-exact hyperplane sign bits in 2 fixed 28-bit slots, a
     data-derived band width (the :func:`_emb_band_bits` CASE ladder on
     COUNT(*) of the corpus — same integer thresholds as Spark), band
-    equi-join on the masked low bits of each slot, exact cosine
-    verify. Bitwise-replayable because the plane weights are pure int
-    arithmetic + exact power-of-two division — no libm (JVM Math.sin
-    and DuckDB's sin disagree in the last ulp for some args, e.g.
-    sin(487), which could flip a sign bit). The oracle materializes
-    all 56 slot planes and masks dynamically (SQL text can't depend on
-    the data); Spark computes only the used planes — identical band
-    values either way."""
+    equi-join on the masked low bits of each slot with over-cap
+    buckets SPLIT by the refine planes (then re-capped), exact cosine
+    verify. Bitwise-replayable because the sketch is int64 arithmetic
+    end-to-end — milli-quantized vectors against integer PRNG weights,
+    so no float summation-order or libm last-ulp hazard can flip a
+    sign. The oracle materializes all 56 slot planes and masks
+    dynamically (SQL text can't depend on the data); Spark computes
+    only the used planes — identical band values either way."""
     sketch = emb_sketch_sql()
-    bands = emb_bands_sql("vec_id, emb")
+    rsketch = emb_rsketch_sql()
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_no, "
+        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
+        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val, "
+        f"(rsketch >> {_EMB_REFINE_BITS * b}) & "
+        f"{(1 << _EMB_REFINE_BITS) - 1} AS refine_val "
+        f"FROM sk"
+        for b in range(_EMB_BANDS)
+    )
     return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -719,22 +804,35 @@ def _embedding_oracle() -> str:
       SELECT {_emb_bits_sql('n')} AS bits
       FROM (SELECT COUNT(*) AS n FROM corpus)
     ),
-    sk AS MATERIALIZED (SELECT vec_id, emb, {sketch} AS sketch FROM corpus),
+    qcorp AS (
+      SELECT vec_id, emb, {emb_quant_sql()} AS qv FROM corpus
+    ),
+    sk AS MATERIALIZED (
+      SELECT vec_id, emb, {sketch} AS sketch, {rsketch} AS rsketch
+      FROM qcorp
+    ),
     bands AS (
       {bands}
     ),
+    counted AS (
+      SELECT vec_id, band_no, band_val,
+             CASE WHEN COUNT(*) OVER (PARTITION BY band_no, band_val)
+                       <= {_EMB_BUCKET_CAP}
+                  THEN -1 ELSE refine_val END AS sub
+      FROM bands
+    ),
     bands_capped AS (
-      SELECT vec_id, band_no, band_val FROM (
-        SELECT vec_id, band_no, band_val,
-               COUNT(*) OVER (PARTITION BY band_no, band_val) AS bn
-        FROM bands
-      ) WHERE bn <= {_EMB_BUCKET_CAP}
+      SELECT vec_id, band_no, band_val, sub FROM (
+        SELECT *,
+               COUNT(*) OVER (PARTITION BY band_no, band_val, sub) AS bn2
+        FROM counted
+      ) WHERE bn2 <= {_EMB_BUCKET_CAP}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands_capped a JOIN bands_capped b
         ON a.band_no = b.band_no AND a.band_val = b.band_val
-       AND a.vec_id < b.vec_id
+       AND a.sub = b.sub AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM (
       SELECT vec_a, vec_b,
@@ -797,34 +895,35 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = allv.count()
     bits = _emb_band_bits(n_corpus)
 
-    # Only the USED planes are computed: band b occupies sketch bits
-    # [b*SLOT, b*SLOT + bits). The oracle computes all 56 slot planes
-    # and masks — identical band values because the mask zeroes
-    # exactly the planes Spark skipped.
-    used_planes = [
-        b * _EMB_SLOT_BITS + j for b in range(_EMB_BANDS) for j in range(bits)
-    ]
-    sketch = sum(
-        [emb_plane_bit(p) for p in used_planes], F.lit(0).cast("long")
-    )
-    sk = allv.withColumn("sketch", sketch).cache()
-    band_mask = (1 << bits) - 1
+    # Only the USED planes are computed: band b occupies slot planes
+    # [b*SLOT, b*SLOT + bits) plus its 8 refine planes. The oracle
+    # computes all 56 slot planes and masks — identical band values
+    # because the mask zeroes exactly the planes Spark skipped. The
+    # whole sketch is one Arrow-batched int64 matmul per batch.
+    vals = emb_bands_udf(bits)("embedding")
+    sk = allv.withColumn("bvals", vals).cache()
     bands = sk.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(
-                        F.col("sketch"), _EMB_SLOT_BITS * b
-                    ).bitwiseAND(F.lit(band_mask))
+                    F.struct(
+                        F.col("bvals")[b].alias("band_val"),
+                        F.col("bvals")[_EMB_BANDS + b].alias("refine_val"),
+                    )
                     for b in range(_EMB_BANDS)
                 ]
             )
-        ).alias("band_no", "band_val"),
+        ).alias("band_no", "bv"),
+    ).select(
+        "vec_id", "band_no", F.col("bv.band_val"), F.col("bv.refine_val")
     )
-    # Bucket-cap skew guard (see _EMB_BUCKET_CAP): the window shuffles
-    # by (band, bucket) — the same key the candidate self-join hashes
-    # on, so AQE coalesces rather than adding an extra exchange.
+    # Two-level bucket-cap skew guard (see _EMB_BUCKET_CAP /
+    # _EMB_REFINE_BITS): an over-cap bucket is split by the refine
+    # value and re-capped — drop-whole only after the split. Both
+    # windows shuffle by (band, bucket[, sub]) — the same key the
+    # candidate self-join hashes on, so AQE coalesces rather than
+    # adding an extra exchange.
     from pyspark.sql.window import Window
 
     bands = (
@@ -832,8 +931,19 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bn",
             F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_val")),
         )
-        .filter(F.col("bn") <= _EMB_BUCKET_CAP)
-        .drop("bn")
+        .withColumn(
+            "sub",
+            F.when(F.col("bn") <= _EMB_BUCKET_CAP, F.lit(-1).cast("long"))
+            .otherwise(F.col("refine_val")),
+        )
+        .withColumn(
+            "bn2",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("band_no", "band_val", "sub")
+            ),
+        )
+        .filter(F.col("bn2") <= _EMB_BUCKET_CAP)
+        .select("vec_id", "band_no", "band_val", "sub")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -841,6 +951,7 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -895,23 +1006,31 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the next 100× (12-bit: ~61 vectors/bucket → ~30M pairs at
     250k vectors). The [12, 28] clamp covers n up to ~1e9 at load 4;
     beyond that widen _EMB_SLOT_BITS / add a band. A deterministic
-    bucket cap (``_EMB_BUCKET_CAP``, oracle-replayed like the minhash
-    guard) bounds worst-case candidate volume against DISTRIBUTION
-    skew the load formula can't see — structured sub-threshold crowds
-    sharing sign patterns.
+    TWO-LEVEL bucket cap (``_EMB_BUCKET_CAP`` + ``_EMB_REFINE_BITS``,
+    oracle-replayed like the minhash guard) bounds worst-case
+    candidate volume against DISTRIBUTION skew the load formula can't
+    see: an over-cap bucket is SPLIT by 8 extra sign planes and
+    re-capped, so structured sub-threshold crowds sharing sign
+    patterns spread out instead of taking their true near-dups down
+    with them (the r11 drop-whole cap cost 37 points of planted
+    recall at sf10 because the 100-replica crowds saturated BOTH
+    bands' buckets at once).
 
     Planted near-dups: every 4th vector re-appears (vec_id+1e6) with one
     component nudged, cosine ≈ 0.999. Mutant recall: a plane flips
-    w.p. theta/pi = .0143, so either-of-two-bands recall is
-    1-(1-.9857^b)^2 — .975 at b=12, .890 at the b=28 ceiling.
+    w.p. theta/pi = .0143; a band recovers the pair when its bucket
+    is under cap (p = .9857^b — .842 at b=12, .668 at the b=28
+    ceiling) or, over cap, when the 8 refine planes also agree
+    (×.9857^8 = .891) and the refined bucket fits; either of the two
+    bands suffices.
 
-    Hyperplane weights are an arithmetic PRNG (Knuth multiplicative
-    hash of the flat plane-dim index, scaled to [-0.5, 0.5)) rather
-    than libm ``sin``: integer ops and a power-of-two division are
-    bitwise-identical across engines, so the DuckDB oracle replays the
-    sketch exactly — JVM and libm transcendentals disagree in the last
-    ulp for some arguments, which could flip a sign at a bucket
-    boundary.
+    The sketch is integer-exact end-to-end (:func:`emb_bands_udf`):
+    milli-quantized int64 vectors against Knuth-hash integer PRNG
+    weights, one Arrow-batched numpy matmul per batch — bitwise
+    replayable by DuckDB because integer addition is associative (no
+    float summation-order or libm last-ulp hazard), and ~10× cheaper
+    than the per-plane higher-order-function expression it replaces
+    (HOFs are interpreted per row, outside whole-stage codegen).
 
     The verified pair output is persisted and memoized per
     (session, sf_dir) so ``ext_semantic_decontam`` — a projection of

@@ -1479,13 +1479,16 @@ def _stream_dedup_embedding_oracle() -> str:
     from streamingdemo_spark.extensions.dedup import (
         _emb_bits_sql,
         emb_bands_sql,
+        emb_quant_sql,
         emb_sketch_sql,
     )
 
     bands = emb_bands_sql("vec_id")
     return f"""
     WITH vecs AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      SELECT vec_id,
+             {emb_quant_sql("CAST(embedding AS DOUBLE[])")} AS qv
+      FROM embeddings
     ),
     params AS (
       SELECT {_emb_bits_sql('n')} AS bits
@@ -1538,36 +1541,27 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from streamingdemo_spark.extensions.dedup import (
         _EMB_BANDS,
-        _EMB_SLOT_BITS,
         _emb_band_bits,
-        emb_plane_bit,
+        emb_bands_udf,
     )
     from streamingdemo_spark.streaming.sources import embeddings_stream
 
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     bits = _emb_band_bits(n)
-    used = [
-        b * _EMB_SLOT_BITS + j
-        for b in range(_EMB_BANDS)
-        for j in range(bits)
-    ]
     stream = embeddings_stream(spark, sf_dir, n_chunks=4).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # the shared integer-exact matmul sketch (emb_bands_udf) is a
+    # stateless scalar pandas UDF, so it runs unchanged per
+    # micro-batch on the unbounded relation; the index histogram
+    # needs only the level-1 band values (refine=False)
     sk = stream.withColumn(
-        "sketch", sum([emb_plane_bit(p) for p in used], F.lit(0).cast("long"))
+        "bvals", emb_bands_udf(bits, refine=False)("embedding")
     )
-    mask = (1 << bits) - 1
     bands = sk.select(
         "vec_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sketch"), _EMB_SLOT_BITS * b)
-                    .bitwiseAND(F.lit(mask))
-                    for b in range(_EMB_BANDS)
-                ]
-            )
+            F.array(*[F.col("bvals")[b] for b in range(_EMB_BANDS)])
         ).alias("band_no", "band_val"),
     )
     occupancy = (

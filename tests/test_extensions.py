@@ -95,7 +95,11 @@ class TestDedup:
             .filter(F.col("vec_id") % 4 == 0)
             .count()
         )
-        assert planted / n_mutants > 0.5  # 8-bit sign-LSH recall
+        # either-of-two-bands sign-LSH recall with over-cap refinement:
+        # .975 theoretical at bits=12, 0.9497 measured at the sf10
+        # crowded-replica fixture — floor raised from 0.5 in r12 when
+        # refinement replaced the drop-whole cap
+        assert planted / n_mutants > 0.75
         # near-dup cosine of the nudge is ~0.999: verify scores are high
         assert out.agg(F.min("cosine")).collect()[0][0] >= 0.99
 

@@ -354,9 +354,9 @@ def cert_dedup_embedding(spark, con, sf_dir: str) -> dict:
     """)
     recall = n_found / max(n_planted, 1)
     return {
-        "cert_pass": unsound == 0 and dangling == 0 and recall >= 0.5,
+        "cert_pass": unsound == 0 and dangling == 0 and recall >= 0.75,
         "method": "exact cosine re-verification of EVERY emitted pair "
-                  "+ planted-mutant recall floor (0.5)",
+                  "+ planted-mutant recall floor (0.75)",
         "checks": {
             "unsound_pairs": unsound,
             "dangling_or_misordered": dangling,
