@@ -143,18 +143,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
-        best, n = float("inf"), 0
+        walls, n = [], 0
         # best-of-2: micro-batch scheduling and first-touch codegen add
         # seconds of run-to-run noise at this scale; the minimum is the
         # reproducible engine cost. The cache is cleared per rep so ops
         # that persist intermediates (LSH signatures) are measured cold.
-        for _ in range(2):
+        # ANCHOR keys get a third rep and use the MEDIAN instead: their
+        # walls are sub-second, where scheduler jitter is a large
+        # fraction of the wall and a min-of-2 can masquerade noise as
+        # cross-round drift (r11's 1.24-1.31 uniform anchor inflation
+        # was box speed, but the artifact couldn't show it; switched in
+        # r12, so anchor ratios vs the r11 min-of-2 walls may read a
+        # few percent high — that is the named cause).
+        reps = 3 if key in ANCHOR_KEYS else 2
+        for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = queries[key](spark, sf_dir)
             n = _drain(df)
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 3)
+            walls.append(time.perf_counter() - t0)
+        walls.sort()
+        timings[key] = round(
+            walls[len(walls) // 2] if key in ANCHOR_KEYS else walls[0], 3
+        )
         print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -190,6 +201,11 @@ def main() -> None:
         out["anchors"] = anchors
         ratios = sorted(anchors.values())
         out["anchor_median"] = ratios[len(ratios) // 2]
+        # the box-normalized headline the reader previously had to
+        # compute by hand: raw wall divided by the box-speed estimate
+        out["headline_normalized"] = round(
+            total / out["anchor_median"], 3
+        )
     # The ~60-key per-query dict goes to a SIDECAR file, not stdout:
     # round 9's headline value was lost because the driver's tail
     # capture truncated the head of one very large JSON line

@@ -374,15 +374,22 @@ def _simhash_oracle() -> str:
     chunks AS (
       {chunks_sql}
     ),
+    mband AS (
+      -- two-sided length band: every doc joins under BOTH its bucket
+      -- and the next one, so pairs one bucket apart (|len diff| <= 64
+      -- straddling a boundary) still co-block — 2 band rows per doc
+      SELECT doc_id, first_tok, len_bucket + d.d AS len_band
+      FROM meta, (SELECT unnest([0, 1]) AS d) d
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
-      FROM (SELECT c.*, m.first_tok, m.len_bucket
-            FROM chunks c JOIN meta m USING (doc_id)) a
-      JOIN (SELECT c.*, m.first_tok, m.len_bucket
-            FROM chunks c JOIN meta m USING (doc_id)) b
+      FROM (SELECT c.*, m.first_tok, m.len_band
+            FROM chunks c JOIN mband m USING (doc_id)) a
+      JOIN (SELECT c.*, m.first_tok, m.len_band
+            FROM chunks c JOIN mband m USING (doc_id)) b
         ON a.chunk_no = b.chunk_no AND a.chunk_val = b.chunk_val
-       AND a.first_tok = b.first_tok AND a.len_bucket = b.len_bucket
+       AND a.first_tok = b.first_tok AND a.len_band = b.len_band
        AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -404,16 +411,16 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus put ~600 docs in every bucket and the bare chunk join
     quoted ~5*10^8 candidate pairs — a GC spiral, and the exact
     failure mode wide-signature simhash papers block for). Same
-    blocking discipline and recall trade as ``ext_dedup_ngram_jaccard``
-    (a near-dup pair split by its first token or across a length-band
-    boundary is missed; the staged mutants keep token 0 and ~96% of
-    length, so MOST stay co-blocked — but floor(len/64) is one-sided,
-    so an original sitting just past a 64-token boundary can land one
-    bucket above its shrunk mutant and that planted pair is silently
-    dropped: a recall gap only, never a differential one, because the
-    oracle replays the same blocking. An overlapping two-sided length
-    band would close it at 2x candidate volume), and the oracle
-    replays it.
+    blocking discipline as ``ext_dedup_ngram_jaccard`` on the first
+    token; the LENGTH band is TWO-SIDED here (each doc joins under
+    floor(len/64) and floor(len/64)+1, 2× band rows): floor alone is
+    one-sided, so an original just past a 64-token boundary landed one
+    bucket above its ~4%-shrunk mutant and that planted pair was
+    silently dropped — a recall gap only, never a differential one,
+    because the oracle replays the same blocking; closed in r12 and
+    pinned by the boundary-straddling completeness test. A pair split
+    by its FIRST TOKEN is still missed by design (mutants keep
+    token 0).
 
     All bit arithmetic is JVM-side integer ops — one explode + one
     groupBy for signatures, chunk-bucket join for candidates. Portable
@@ -466,6 +473,12 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("chunk_no", "chunk_val"),
+    ).withColumn(
+        # two-sided length band (oracle-replayed): each doc joins
+        # under BOTH its bucket and the next, so a pair straddling a
+        # 64-token boundary still co-blocks
+        "len_band",
+        F.explode(F.array(F.col("len_bucket"), F.col("len_bucket") + 1)),
     ).cache()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -474,7 +487,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col("a.first_tok") == F.col("b.first_tok"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -850,7 +863,8 @@ def _embedding_oracle() -> str:
 # sketch→band→verify stage must run ONCE, not once per key. A single
 # slot (not a dict) bounds held executor memory to one small pair
 # relation; switching sf_dir or session evicts and unpersists.
-_EMB_PAIRS_MEMO: list = []  # [(app_id, sf_dir, pairs_df, sk_df)] — at most 1
+# [(app_id, (sf_dir, fixture_fp), pairs_df, sk_df)] — at most 1 entry
+_EMB_PAIRS_MEMO: list = []
 
 
 def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,9 +872,15 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_a, vec_b, cosine >= 0.99) for ``sf_dir``. See
     :func:`ext_dedup_embedding` for the algorithm contract."""
     app_id = spark.sparkContext.applicationId
+    # memo key includes the fixture fingerprint: a fixture regenerated
+    # in place within one session must not return stale pairs (the
+    # staleness class sources._source_fp closes for stream caches)
+    from streamingdemo_spark.streaming.sources import _source_fp
+
+    m_key = (sf_dir, _source_fp(f"{sf_dir}/embeddings.parquet"))
     if _EMB_PAIRS_MEMO:
         m_app, m_dir, m_pairs, m_sk = _EMB_PAIRS_MEMO[0]
-        if m_app == app_id and m_dir == sf_dir:
+        if m_app == app_id and m_dir == m_key:
             return m_pairs
         if m_app == app_id:
             # same session, new sf_dir: release BOTH cached relations —
@@ -986,7 +1006,7 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.99)
         .persist()  # small verified-pair relation; reused by decontam
     )
-    _EMB_PAIRS_MEMO.append((app_id, sf_dir, pairs, sk))
+    _EMB_PAIRS_MEMO.append((app_id, m_key, pairs, sk))
     return pairs
 
 
@@ -2409,23 +2429,37 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs guaranteed-complete pairs (legal holds, eval sets) rather
     than probabilistic recall.
 
-    The scale structure is the prefix filter: order every set by
-    GLOBAL shingle rarity (ascending document frequency, shingle
-    tiebreak) and index only each set's first l − ceil(τ·l) + 1
-    shingles. If two sets are τ-similar, their ≥ τ·max(la,lb) common
-    shingles cannot all hide in either suffix, so every qualifying
-    pair collides on some indexed-prefix shingle — candidates are
-    generated by joining PREFIXES against full sets (rarest shingles
-    → smallest postings), then verified with one exact intersection
-    count. On this corpus that is ~1k candidate pairs instead of the
-    ~11.5k share-any pairs (and the gap widens with corpus size —
-    the all-pairs 25M-pair blowup never exists). The ORACLE computes
-    the same result exhaustively: the prefix filter is plan
-    structure, provably lossless, and the hash check proves it.
+    The scale structure is the FULL PPJoin filter stack, each stage
+    provably lossless at τ = 1/2:
+
+    - **prefix filter**: order every set by GLOBAL shingle rarity
+      (ascending document frequency, shingle tiebreak) and index only
+      each set's first l − ceil(τ·l) + 1 shingles. If two sets are
+      τ-similar their common shingles cannot all hide in both
+      suffixes, so every qualifying pair collides on some shared
+      PREFIX shingle — the join is prefix-against-prefix (rarest
+      shingles → smallest postings, and BOTH posting lists are
+      prefix-sized, not corpus-sized: the r11 form joined prefixes
+      against full sets and carried ~4× the candidate volume).
+    - **length filter**: Jaccard ≥ 1/2 forces
+      2·min(la,lb) ≥ max(la,lb); applied inside the candidate join
+      before the pair ever materializes.
+    - **positional filter**: if shingle s sits at 1-based rarity
+      position i in A and j in B, the overlap can't exceed
+      1 + min(la−i, lb−j); a τ-similar pair needs overlap
+      ≥ ceil((la+lb)/3), and its FIRST common shingle always
+      satisfies the bound (the remaining I−1 common shingles all sit
+      in both suffixes), so EXISTS-semantics over colliding prefix
+      shingles is exact.
+
+    Survivors are verified with one exact intersection count. The
+    ORACLE computes the same result exhaustively: the filters are
+    plan structure, provably lossless, and the hash check proves it.
 
     Integer discipline: τ = 1/2 makes every bound integer-exact
-    (ceil(τ·l) = (l+1) DIV 2); the Jaccard compare is integer
-    division on both engines.
+    (ceil(τ·l) = (l+1) DIV 2, required overlap ceil((la+lb)/3) =
+    (la+lb+2) DIV 3); the Jaccard compare is integer division on
+    both engines.
 
     Reference parity: north-star extension beyond the reference's SQL
     surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
@@ -2468,25 +2502,67 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("arr", lambda o: o["s"]).alias("toks"),
         F.size("arr").alias("l"),
     )
-    # prefix length for tau = 1/2: l - ceil(l/2) + 1
+    # per_doc feeds THREE consumers (the prefix explode and both
+    # verify joins); without truncation each consumer re-runs the
+    # whole explode→dfreq-join→collect→sort chain (~2 s each at
+    # sf0.1, 3× the key's total wall). localCheckpoint materializes
+    # it once — the pagerank lineage-truncation pattern
+    # (extensions/graph.py): doc-granular rows, memory+disk blocks,
+    # released by the ContextCleaner when the DF goes out of scope.
+    per_doc = per_doc.localCheckpoint()
+    # prefix length for tau = 1/2: l - ceil(l/2) + 1; posexplode keeps
+    # the 0-based rarity position for the positional filter
     pre = per_doc.select(
         "doc_id",
         "l",
-        F.explode(
+        F.posexplode(
             F.expr("slice(toks, 1, l - ((l + 1) DIV 2) + 1)")
-        ).alias("s"),
+        ).alias("pos", "s"),
     )
-    full = per_doc.select(
-        F.col("doc_id").alias("doc_f"), F.explode("toks").alias("s")
+    pre_b = pre.select(
+        F.col("doc_id").alias("doc_f"),
+        F.col("l").alias("l_f"),
+        F.col("pos").alias("pos_f"),
+        "s",
     )
+    # Accumulated positional filter: both prefixes are ranked by the
+    # SAME global (df, s) total order, so a pair's common shingles
+    # appear in the same relative order in both docs — every common
+    # shingle not colliding in the prefixes sits strictly after the
+    # LAST prefix collision in BOTH docs. Hence for c prefix
+    # collisions with final positions (i, j):
+    #   overlap <= c + min(la - i, lb - j)   (1-based positions)
+    # and a tau = 1/2 pair needs overlap >= ceil((la+lb)/3). The
+    # groupBy replaces the pair-distinct (same shuffle key), so the
+    # filter costs nothing extra and is strictly tighter than the
+    # per-collision EXISTS bound.
     cand = (
-        pre.join(full, "s")
-        .filter(F.col("doc_id") != F.col("doc_f"))
-        .select(
-            F.least("doc_id", "doc_f").alias("doc_a"),
-            F.greatest("doc_id", "doc_f").alias("doc_b"),
+        pre.join(pre_b, "s")
+        .filter(F.col("doc_id") < F.col("doc_f"))
+        # length filter: 2*min >= max
+        .filter(
+            F.lit(2) * F.least("l", "l_f") >= F.greatest("l", "l_f")
         )
-        .distinct()
+        .groupBy(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_f").alias("doc_b"),
+            F.col("l").alias("l_a"),
+            F.col("l_f").alias("l_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pos").alias("i_max"),
+            F.max("pos_f").alias("j_max"),
+        )
+        .filter(
+            F.col("c")
+            + F.least(
+                F.col("l_a") - (F.col("i_max") + 1),
+                F.col("l_b") - (F.col("j_max") + 1),
+            )
+            >= F.expr("(l_a + l_b + 2) DIV 3")
+        )
+        .select("doc_a", "doc_b", "l_a", "l_b")
     )
     # Verify with ONE in-row array_intersect per candidate pair against
     # the per-doc token arrays that already exist for the prefix step —
@@ -2498,12 +2574,10 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_a = per_doc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
-        F.col("l").alias("l_a"),
     )
     pd_b = per_doc.select(
         F.col("doc_id").alias("doc_b"),
         F.col("toks").alias("toks_b"),
-        F.col("l").alias("l_b"),
     )
     jac = F.expr("inter * 1000000 DIV (l_a + l_b - inter)")
     return (

@@ -98,9 +98,16 @@ def exact_cosine_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_udf(n_tables: int, n_planes: int):
+def _bucket_udf(n_tables: int, n_planes: int, multiprobe: bool = False):
     """All-tables random-hyperplane sketch as ONE Arrow-batched matrix
-    multiply: returns array<int> of bucket ids, one per table.
+    multiply: returns array<int> of bucket ids, one per table — with
+    ``multiprobe``, followed by one PROBE bucket per table (the bucket
+    id with the lowest-|margin| sign bit flipped; ties break to the
+    lowest plane index, matching the oracle's ``ORDER BY abs(d), p``).
+    The margin |q·w| is an int64, so the argmin is integer-exact and
+    engine-portable like the sign itself — multi-probe recovers the
+    neighbor pairs that sit one marginal plane apart without widening
+    every bucket.
 
     The sketch is integer-exact end-to-end so a DuckDB oracle can
     replay it bit-for-bit: vectors are quantized to int64 milli-units
@@ -138,8 +145,14 @@ def _bucket_udf(n_tables: int, n_planes: int):
             + np.arange(dims, dtype=np.int64)[None, :]
         )  # flat plane·dim index, (T*P, dims)
         w = ((k + 1) * 2654435761) % 4294967296 % 2001 - 1000
-        signs = (q @ w.T >= 0).reshape(len(q), n_tables, n_planes)
+        proj = (q @ w.T).reshape(len(q), n_tables, n_planes)
+        signs = proj >= 0
         ids = (signs * (1 << np.arange(n_planes))).sum(axis=2)  # (batch, T)
+        if multiprobe:
+            # np.argmin takes the FIRST min — lowest plane on ties
+            flip = np.abs(proj).argmin(axis=2)  # (batch, T)
+            probes = ids ^ (1 << flip)
+            ids = np.concatenate([ids, probes], axis=1)  # (batch, 2T)
         return pd.Series([row.astype("int32").tolist() for row in ids])
 
     return buckets
@@ -525,6 +538,7 @@ def ext_sim_knn_join(
     sf_dir: str,
     tile_rows: int | None = None,
     probe_mod: int | None = None,
+    probe_rem: int = 0,
 ) -> DataFrame:
     """Exact k-NN self-join: the top-3 cosine neighbors of EVERY vector
     (the kNN-graph construction step of near-dup clustering and
@@ -647,14 +661,16 @@ def ext_sim_knn_join(
         return knn
 
     schema = "vec_id long, nbr_id long, cosine_raw double"
-    # probe_mod: deterministic probe slice (vec_id % probe_mod == 0)
-    # for the sf10 slice certificate — the build side, tiles, GEMM
-    # kernel, margin cut, and re-rank are the registered key's own
-    # machinery; only the probe stream narrows. None = all vectors.
+    # probe_mod/probe_rem: deterministic probe slice
+    # (vec_id % probe_mod == probe_rem) for the sf10 slice certificate
+    # — the build side, tiles, GEMM kernel, margin cut, and re-rank
+    # are the registered key's own machinery; only the probe stream
+    # narrows, and the certificate rotates probe_rem per round so each
+    # round certifies fresh rows. None = all vectors.
     probe = (
         corpus
         if probe_mod is None
-        else corpus.filter(F.col("vec_id") % probe_mod == 0)
+        else corpus.filter(F.col("vec_id") % probe_mod == probe_rem)
     )
     cand = probe.mapInPandas(knn_against(0), schema)
     for tile_no in range(1, n_tiles):
@@ -1413,7 +1429,10 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_label_noise_knn(
-    spark: SparkSession, sf_dir: str, probe_mod: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    probe_mod: int | None = None,
+    probe_rem: int = 0,
 ) -> DataFrame:
     """Label-noise detection by neighborhood vote — the confident-
     learning screen an ML-data pipeline runs before training: a vector
@@ -1435,7 +1454,9 @@ def ext_label_noise_knn(
     the graph's ROUND(cosine,4)+id ranking is engine-portable, and
     the vote is pure integer counting on top of it.
     """
-    knn = ext_sim_knn_join(spark, sf_dir, probe_mod=probe_mod).select(
+    knn = ext_sim_knn_join(
+        spark, sf_dir, probe_mod=probe_mod, probe_rem=probe_rem
+    ).select(
         "vec_id", "nbr_id"
     )
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -1480,9 +1501,11 @@ _LN_BUCKETS_MEMO: list = []  # [(app_id, sf_dir, DataFrame)] — at most 1
 def _label_noise_ann_oracle() -> str:
     """DuckDB replay of the ANN-graph label-noise screen: the
     integer-exact sign-LSH sketch of ``ANN_LSH_CTE`` (same weight
-    PRNG, same data-derived plane count) with ALL vectors as queries,
-    a bucket-cap skew guard, kNN rank <= 3, then the agreement vote of
-    ``ext_label_noise_knn``'s oracle."""
+    PRNG, same data-derived plane count) with ALL vectors as queries
+    and ONE multi-probe per table (flip the lowest-|margin| sign bit —
+    int64 margins, so the argmin is exact; ties to the lowest plane),
+    a bucket-cap skew guard on the INDEX side, kNN rank <= 3, then the
+    agreement vote of ``ext_label_noise_knn``'s oracle."""
     return f"""
     WITH params AS (
       SELECT GREATEST(6, length(bin(COUNT(*) // 64 + 1))) AS np
@@ -1493,18 +1516,32 @@ def _label_noise_ann_oracle() -> str:
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
                AS qv
       FROM embeddings
-    ), sk AS MATERIALIZED (
-      SELECT vec_id, t.tbl,
+    ), planes AS MATERIALIZED (
+      SELECT vec_id, t.tbl, p.p,
         list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(0, params.np), p ->
-            CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-                list_transform(range(1, len(qv) + 1), i ->
-                  qv[i] * ((((t.tbl * params.np + p) * 64 + i)
-                            * 2654435761) % 4294967296 % 2001 - 1000))),
-              (a, b) -> a + b) >= 0
-            THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
-          (a, b) -> a + b) AS bucket
-      FROM vecs, (SELECT unnest(range(0, 4)) AS tbl) t, params
+          list_transform(range(1, len(qv) + 1), i ->
+            qv[i] * ((((t.tbl * params.np + p.p) * 64 + i)
+                      * 2654435761) % 4294967296 % 2001 - 1000))),
+          (a, b) -> a + b) AS d
+      FROM vecs, (SELECT unnest(range(0, 4)) AS tbl) t, params,
+           (SELECT unnest(range(0, (SELECT np FROM params))) AS p) p
+    ), sk AS MATERIALIZED (
+      SELECT vec_id, tbl,
+             SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p)
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM planes GROUP BY vec_id, tbl
+    ), flip AS (
+      SELECT vec_id, tbl, p AS flip_p FROM (
+        SELECT vec_id, tbl, p,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, tbl
+                                  ORDER BY abs(d), p) AS r
+        FROM planes) WHERE r = 1
+    ), qrows AS (
+      SELECT vec_id, tbl, bucket FROM sk
+      UNION ALL
+      SELECT sk.vec_id, sk.tbl,
+             xor(sk.bucket, CAST(1 AS BIGINT) << f.flip_p) AS bucket
+      FROM sk JOIN flip f ON f.vec_id = sk.vec_id AND f.tbl = sk.tbl
     ), capped AS (
       SELECT vec_id, tbl, bucket FROM (
         SELECT vec_id, tbl, bucket,
@@ -1513,7 +1550,7 @@ def _label_noise_ann_oracle() -> str:
       ) WHERE bn <= {_LN_BUCKET_CAP}
     ), cand AS (
       SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-      FROM capped a JOIN capped b
+      FROM qrows a JOIN capped b
         ON a.tbl = b.tbl AND a.bucket = b.bucket
        AND a.vec_id <> b.vec_id
     ), scored AS (
@@ -1552,7 +1589,14 @@ def ext_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors as queries) instead of the exact all-pairs kNN, so the
     cost is O(n · tables · bucket_load) with a hard ``_LN_BUCKET_CAP``
     ceiling — the shape that survives 100 TB, where the exact twin is
-    a fixture-scale recall auditor.
+    a fixture-scale recall auditor. Each vector additionally PROBES
+    one neighboring bucket per table — the bucket id with its
+    lowest-|margin| sign bit flipped (int64 margins, so the choice is
+    integer-exact and oracle-replayable) — which targets exactly the
+    LSH failure mode (a true neighbor one marginal plane away) at 2×
+    query fanout instead of wider buckets everywhere; the cap applies
+    to the index side, so worst-case candidates stay <=
+    2·tables·cap·n.
 
     Differences from the exact twin, both deliberate and visible in
     the schema: ``n_nbrs`` (<= 3) records how many ANN neighbors the
@@ -1577,38 +1621,54 @@ def ext_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = e.count()
     n_planes = max(6, (n_corpus // 64 + 1).bit_length())
     app_id = spark.sparkContext.applicationId
-    if _LN_BUCKETS_MEMO and _LN_BUCKETS_MEMO[0][:2] == (app_id, sf_dir):
-        buckets = _LN_BUCKETS_MEMO[0][2]
+    # memo key includes the fixture fingerprint: a fixture regenerated
+    # in place within one session must not return stale buckets (the
+    # staleness class sources._source_fp closes for stream caches)
+    from streamingdemo_spark.streaming.sources import _source_fp
+
+    memo_key = (app_id, sf_dir, _source_fp(f"{sf_dir}/embeddings.parquet"))
+    if _LN_BUCKETS_MEMO and _LN_BUCKETS_MEMO[0][0] == memo_key:
+        raw, index = _LN_BUCKETS_MEMO[0][1:]
     else:
-        if _LN_BUCKETS_MEMO and _LN_BUCKETS_MEMO[0][0] == app_id:
-            try:
-                _LN_BUCKETS_MEMO[0][2].unpersist()
-            except Exception:
-                pass
+        if _LN_BUCKETS_MEMO and _LN_BUCKETS_MEMO[0][0][0] == app_id:
+            for df in _LN_BUCKETS_MEMO[0][1:]:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         _LN_BUCKETS_MEMO.clear()
-        sketch = _bucket_udf(4, n_planes)
-        buckets = corpus.select(
+        sketch = _bucket_udf(4, n_planes, multiprobe=True)
+        # slots 0..3 are the main buckets (the INDEX — cap applies
+        # here), slots 4..7 the probe buckets (QUERY side only: a
+        # probe widens where a vector LOOKS, not where it is indexed,
+        # so per-query fanout stays <= 2·tables·cap for any input)
+        raw = corpus.select(
             "vec_id",
-            F.posexplode(sketch("embedding")).alias("tbl", "bucket"),
+            F.posexplode(sketch("embedding")).alias("slot", "bucket"),
         )
-        buckets = (
-            buckets.withColumn(
+        # cached: everything downstream (index cap window + both join
+        # sides) otherwise recomputes the Arrow sketch UDF per use;
+        # the relation is 3 ints per (vector, slot)
+        raw = raw.cache()
+        index = (
+            raw.filter(F.col("slot") < 4)
+            .select("vec_id", F.col("slot").alias("tbl"), "bucket")
+            .withColumn(
                 "bn",
                 F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket")),
             )
             .filter(F.col("bn") <= _LN_BUCKET_CAP)
             .drop("bn")
-            # cached: the self-join otherwise recomputes the Arrow
-            # sketch UDF and the cap window once per side (visible as
-            # two ArrowEvalPython nodes in the formatted plan); the
-            # capped relation is 3 longs per (vector, table)
             .cache()
         )
-        _LN_BUCKETS_MEMO.append((app_id, sf_dir, buckets))
+        _LN_BUCKETS_MEMO.append((memo_key, raw, index))
+    qrows = raw.select(
+        "vec_id", (F.col("slot") % 4).alias("tbl"), "bucket"
+    )
     cand = (
-        buckets.alias("a")
+        qrows.alias("a")
         .join(
-            buckets.alias("b"),
+            index.alias("b"),
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),

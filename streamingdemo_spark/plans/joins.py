@@ -452,9 +452,13 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAND_SALTS = 8
 
 
-def _range_banded(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
-    """The banded interval join at slice ``o_orderkey % mod`` (see
-    ``join_range_banded``; the probe runs wider slices)."""
+def _range_banded(
+    spark: SparkSession, sf_dir: str, mod: int, rem: int = 0
+) -> DataFrame:
+    """The banded interval join at slice ``o_orderkey % mod == rem``
+    (see ``join_range_banded``; the probe runs wider slices — the
+    sf10 slice certificate rotates ``rem`` per round so each round
+    certifies fresh rows)."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     epoch = F.lit("1990-01-01")
@@ -468,7 +472,7 @@ def _range_banded(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
     day = F.datediff(F.col("o_orderdate"), epoch)
     o = (
         t["orders"]
-        .filter(F.col("o_orderkey") % mod == 0)
+        .filter(F.col("o_orderkey") % mod == rem)
         .select(
             "o_orderkey",
             "o_orderdate",

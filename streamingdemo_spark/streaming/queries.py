@@ -621,34 +621,18 @@ def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, exactly-once sinks) is hash-certified by the other
     streaming keys.
     """
-    from streamingdemo_spark.scratch import scratch_dir
-    import uuid
-
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", 50).load()
         .withColumn("bucket", F.col("value") % 10)
     )
-    name = f"rate_{uuid.uuid4().hex[:8]}"
-    ckpt = scratch_dir(prefix=f"ckpt_{name}_")
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
-        .start()
+    # through the shared runner so the cadence path is the SAME code
+    # every other streaming key exercises, not a hand-rolled sink
+    return run_to_memory(
+        stream,
+        timeout_sec=30,
+        processing_time="1 second",
+        min_batches=2,
     )
-    try:
-        import time as _time
-
-        deadline = _time.time() + 10
-        while _time.time() < deadline:
-            if query.lastProgress and query.lastProgress["batchId"] >= 2:
-                break
-            _time.sleep(0.5)
-    finally:
-        query.stop()
-    return spark.table(name)
 
 
 def _anomaly_screen(key, pdf_iter, state):

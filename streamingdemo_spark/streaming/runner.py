@@ -9,8 +9,10 @@ is identical.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
+import time
 
 from streamingdemo_spark.scratch import scratch_dir
 import uuid
@@ -85,9 +87,22 @@ def run_to_memory(
     timeout_sec: int | None = None,
     state_partitions: int | None = 8,
     state_provider: str | None = None,
+    processing_time: str | None = None,
+    min_batches: int = 2,
 ) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into an
     in-memory table; returns the table as a batch DataFrame.
+
+    ``processing_time`` switches the query to a WALL-CLOCK
+    ``trigger(processingTime=...)`` — the reference container's fixed
+    batch interval (OpContainer.java:47-49, a 10 s Duration) — and
+    changes the completion contract: the query runs until
+    ``min_batches`` micro-batches have fired (liveness), then stops;
+    ``timeout_sec`` still bounds the wait. availableNow replays are
+    the DETERMINISTIC form used by every hash-certified key; the
+    processing-time path exists for cadence-driven production runs
+    and is witnessed by ``stream_rate_smoke`` + the trigger liveness
+    test.
 
     ``timeout_sec`` bounds the replay (partial results are an error,
     never silently returned); None defers to
@@ -123,19 +138,43 @@ def run_to_memory(
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query = (
+        writer = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
         )
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        else:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
         try:
+            if processing_time is not None:
+                # wall-clock cadence: wait for min_batches COMPLETED
+                # micro-batches (distinct batchIds in recentProgress),
+                # bounded by timeout_sec — a cadence query never
+                # terminates on its own
+                deadline = time.time() + timeout_sec
+                while time.time() < deadline:
+                    seen = {
+                        json.loads(p.json).get("batchId")
+                        for p in query.recentProgress
+                        if p is not None
+                    }
+                    seen.discard(None)
+                    if len(seen) >= min_batches:
+                        break
+                    time.sleep(0.25)
+                else:
+                    raise TimeoutError(
+                        f"processing-time query produced fewer than "
+                        f"{min_batches} micro-batches in {timeout_sec}s"
+                    )
             # awaitTermination returns False on timeout: the replay is
             # incomplete, and returning the partial memory table would
             # silently corrupt downstream equality assertions.
-            if not query.awaitTermination(timeout_sec):
+            elif not query.awaitTermination(timeout_sec):
                 raise TimeoutError(
                     f"streaming replay exceeded {timeout_sec}s "
                     f"(query {name} stopped with partial results)"

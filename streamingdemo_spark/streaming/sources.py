@@ -81,7 +81,23 @@ def _source_fp(path: str) -> str:
 def _cache_dir(sf_dir: str, source_file: str, leaf: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = _source_fp(os.path.join(sf_dir, source_file))
-    return os.path.join(_CACHE_ROOT, f"v{_CACHE_VERSION}", f"{tag}-{fp}", leaf)
+    root = os.path.join(_CACHE_ROOT, f"v{_CACHE_VERSION}")
+    cur = f"{tag}-{fp}"
+    # GC stale fingerprints of the SAME sf-dir tag: every fixture
+    # regeneration changes the fingerprint, and without this sweep the
+    # superseded chunk dirs strand under /tmp forever on long-lived
+    # hosts. Only sibling dirs of this tag are touched, so concurrent
+    # sessions on OTHER fixtures are unaffected; a concurrent reader
+    # of the stale generation would be replaying a fixture that no
+    # longer exists — removing it converts silent staleness into a
+    # rebuild.
+    try:
+        for d in os.listdir(root):
+            if d.startswith(f"{tag}-") and d != cur and ".tmp-" not in d:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(root, cur, leaf)
 
 
 def _complete_atomically(tmp_dir: str, out_dir: str) -> bool:

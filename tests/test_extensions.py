@@ -61,6 +61,113 @@ class TestDedup:
         )
         assert planted > 0
 
+    def test_simhash_two_sided_band_recovers_boundary_straddlers(
+        self, spark, sf_dir
+    ):
+        """A planted pair whose original and ~4%-shrunk mutant land in
+        ADJACENT floor(len/64) buckets must still be recovered whenever
+        its signatures qualify (hamming <= 3 and >= 1 equal 10-bit
+        chunk) — exactly the class the r11 one-sided band silently
+        dropped. Signatures are recomputed in DuckDB (independent
+        engine) from the same portable hash convention."""
+        import duckdb
+
+        from streamingdemo_spark.extensions.dedup import (
+            _SH_BITS,
+            _SH_CHUNK_BITS,
+            _SH_CHUNKS,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        votes = ", ".join(
+            f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+            for b in range(_SH_BITS)
+        )
+        sig = " + ".join(
+            f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(_SH_BITS)
+        )
+        mask = (1 << _SH_CHUNK_BITS) - 1
+        chunk_eq = " OR ".join(
+            f"((sig_o >> {_SH_CHUNK_BITS * c}) & {mask}) = "
+            f"((sig_m >> {_SH_CHUNK_BITS * c}) & {mask})"
+            for c in range(_SH_CHUNKS)
+        )
+        must = con.execute(f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(list_filter(string_split(text, ' '),
+                                             (t, i) -> i % 25 <> 0), ' ')
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        toklist AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+        ),
+        tokocc AS (
+          SELECT doc_id, t.tok FROM toklist, UNNEST(toks) AS t(tok)
+        ),
+        th AS (
+          SELECT tok,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(tok, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+          FROM (SELECT DISTINCT tok FROM tokocc)
+        ),
+        sigs AS (
+          SELECT doc_id, {sig} AS sig FROM (
+            SELECT doc_id, {votes}
+            FROM tokocc o JOIN th USING (tok) GROUP BY doc_id)
+        ),
+        lens AS (
+          SELECT doc_id, len(toks) // 64 AS lb FROM toklist
+        )
+        SELECT o.doc_id
+        FROM sigs o JOIN sigs m ON m.doc_id = o.doc_id + 1000000
+        JOIN lens lo ON lo.doc_id = o.doc_id
+        JOIN lens lm ON lm.doc_id = m.doc_id
+        WHERE abs(lo.lb - lm.lb) = 1
+          AND bit_count(xor(o.sig, m.sig)) <= 3
+          AND ({chunk_eq.replace('sig_o', 'o.sig').replace('sig_m', 'm.sig')})
+        """).fetchall()
+        out = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["ext_dedup_simhash"](spark, sf_dir).collect()
+        }
+        missing = [
+            d for (d,) in must if (d, d + 1000000) not in out
+        ]
+        assert not missing, f"boundary straddlers dropped: {missing}"
+
+        # The fixture sf may plant no QUALIFYING straddler (sf0.001
+        # has none) — a crafted corpus makes the check non-vacuous:
+        # 65 copies of one token per doc → the mutant (63 copies,
+        # 65//64=1 vs 63//64=0) straddles the boundary with an
+        # IDENTICAL signature, so the two-sided band is the only
+        # thing standing between it and a silent drop.
+        import os
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="simhash_straddle_")
+        spark.createDataFrame(
+            [(d, "en", " ".join([f"tok{d}"] * 65)) for d in range(10)],
+            "doc_id long, lang string, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out2 = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["ext_dedup_simhash"](spark, tmp).collect()
+        }
+        for d in (0, 5):  # the planted straddler pairs
+            assert (d, d + 1000000) in out2, (d, sorted(out2))
+
     def test_containment_recovers_planted_mutants(self, spark, sf_dir):
         """A mutant keeps ~24/25 of its source's shingles, so the
         planted (doc, doc+offset) pairs must clear the 0.5 containment
@@ -1533,11 +1640,12 @@ def test_label_noise_knn_votes_bounded_and_consistent(spark, sf_dir):
 
 def test_label_noise_ann_tracks_exact_twin(spark, sf_dir):
     """The ANN-graph label screen (production path) must find most of
-    the exact twin's suspects: suspect recall >= 0.6 (measured
-    0.77/0.81 at sf0.01/0.1 — the floor leaves LSH-variance headroom),
-    cover every corpus vector that has at least one ANN candidate,
-    and keep votes internally consistent (n_agree <= n_nbrs <= 3,
-    is_suspect == zero agreement)."""
+    the exact twin's suspects: suspect recall >= 0.75 (measured
+    0.81/0.84 at sf0.01/0.1 with r12's lowest-margin multi-probe, up
+    from 0.77/0.81 single-probe — the floor leaves LSH-variance
+    headroom), cover every corpus vector that has at least one ANN
+    candidate, and keep votes internally consistent
+    (n_agree <= n_nbrs <= 3, is_suspect == zero agreement)."""
     from streamingdemo_spark.registry import QUERIES
 
     exact = {
@@ -1557,7 +1665,7 @@ def test_label_noise_ann_tracks_exact_twin(spark, sf_dir):
     ann_suspects = {v for v, r in ann.items() if r["is_suspect"]}
     if exact_suspects:
         recall = len(exact_suspects & ann_suspects) / len(exact_suspects)
-        assert recall >= 0.6, recall
+        assert recall >= 0.75, recall
 
 
 def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):

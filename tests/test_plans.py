@@ -1990,10 +1990,23 @@ def test_embedding_dedup_plan_is_bucketed_not_cartesian(spark, sf_dir):
     by key, so every join in the plan is hash-based."""
     from streamingdemo_spark.extensions.dedup import _EMB_PAIRS_MEMO
 
-    _EMB_PAIRS_MEMO.clear()  # force a fresh plan (memo returns a
-    # persisted DF whose plan string would hide the join shape)
+    def _evict_memo():
+        # unpersist the memoized pairs/sketch relations BEFORE
+        # clearing — the memo's eviction path is the only place they
+        # are released, so a bare clear() would leave both cached for
+        # the rest of the session
+        if _EMB_PAIRS_MEMO:
+            for df in _EMB_PAIRS_MEMO[0][2:]:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        _EMB_PAIRS_MEMO.clear()
+
+    _evict_memo()  # force a fresh plan (memo returns a persisted DF
+    # whose plan string would hide the join shape)
     plan = _plan(QUERIES["ext_dedup_embedding"](spark, sf_dir))
-    _EMB_PAIRS_MEMO.clear()  # don't leak this unpersisted build
+    _evict_memo()  # don't leak this build's cached relations
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (

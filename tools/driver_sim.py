@@ -171,27 +171,39 @@ def main() -> int:
             done = threading.Event()
 
             def _watchdog(key=key, phase=phase, done=done):
-                if not done.wait(timeout):
-                    # Re-check RIGHT before firing: if the key finished
-                    # between the wait expiring and this line, a stale
-                    # cancel/interrupt would abort the NEXT key (the
-                    # Spark session and DuckDB connection are shared
-                    # across keys) and record a spurious failure.
-                    if done.is_set():
-                        return
-                    phase["timed_out"] = True
-                    # record WHICH phase the deadline hit: the except
-                    # handler must tag the timeout with this, not with
-                    # whatever phase is current when an exception
-                    # finally surfaces
-                    p = phase["fired_in"] = phase["p"]
-                    if p == "spark":
-                        spark.sparkContext.cancelJobGroup(key)
-                    elif p == "oracle":
-                        con.interrupt()
-                    # p == "canon": single-threaded pandas — nothing
-                    # cancellable without killing the process; the
-                    # post-canon timed_out check below ends the key.
+                if done.wait(timeout):
+                    return
+                # Re-check RIGHT before firing: if the key finished
+                # between the wait expiring and this line, a stale
+                # cancel/interrupt would abort the NEXT key (the
+                # Spark session and DuckDB connection are shared
+                # across keys) and record a spurious failure.
+                if done.is_set():
+                    return
+                phase["timed_out"] = True
+                # record WHICH phase the deadline hit: the except
+                # handler must tag the timeout with this, not with
+                # whatever phase is current when an exception
+                # finally surfaces
+                phase["fired_in"] = phase["p"]
+                # LOOP until the key actually ends: a single shot can
+                # race the spark->oracle transition (the cancel lands
+                # on a job group that just finished, and the oracle
+                # then runs unbounded). Fire at most once per phase —
+                # a second interrupt on the shared DuckDB connection
+                # could stick to an idle socket and poison the NEXT
+                # key — and never during canon (single-threaded
+                # pandas; the post-canon timed_out check ends it).
+                fired = set()
+                while not done.is_set():
+                    p = phase["p"]
+                    if p not in fired:
+                        fired.add(p)
+                        if p == "spark":
+                            spark.sparkContext.cancelJobGroup(key)
+                        elif p == "oracle":
+                            con.interrupt()
+                    done.wait(2.0)
 
             threading.Thread(target=_watchdog, daemon=True).start()
         try:

@@ -637,14 +637,20 @@ def cert_semdedup(spark, con, sf_dir: str) -> dict:
 # arithmetic are the registered key's own machinery; only the probe
 # or interval slice narrows.
 
-_SLICE_MOD = 4096  # deterministic slice: key % 4096 == 0
+_SLICE_MOD = 4096  # deterministic slice: key % 4096 == _SLICE_REM
+
+# Rotated per round via --seed (recorded in each certificate): a FIXED
+# probe slice would certify the same rows every round, so a defect
+# outside the residue class could hide forever. The seed folds to a
+# remainder; seed 0 reproduces the r11 certificates.
+_SLICE_REM = 0
 
 
 def cert_join_range_banded_slice(spark, con, sf_dir: str) -> dict:
     from streamingdemo_spark.plans.joins import _range_banded
     from streamingdemo_spark.registry import osum
 
-    out = _range_banded(spark, sf_dir, mod=_SLICE_MOD)
+    out = _range_banded(spark, sf_dir, mod=_SLICE_MOD, rem=_SLICE_REM)
     path = f"{WORK}/join_range_banded_slice"
     out.write.mode("overwrite").parquet(path)
     con.execute(
@@ -658,7 +664,7 @@ def cert_join_range_banded_slice(spark, con, sf_dir: str) -> dict:
       FROM orders o JOIN lineitem l
         ON l.l_shipdate >= o.o_orderdate
        AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
-      WHERE o.o_orderkey % {_SLICE_MOD} = 0
+      WHERE o.o_orderkey % {_SLICE_MOD} = {_SLICE_REM}
       GROUP BY o.o_orderkey
     )
     SELECT COUNT(*) FROM expect e FULL OUTER JOIN rb_out r
@@ -670,18 +676,21 @@ def cert_join_range_banded_slice(spark, con, sf_dir: str) -> dict:
     return {
         "cert_pass": mismatches == 0 and n_rows > 0,
         "method": f"BOUNDED slice certificate: the banded+salted plan "
-                  f"run at o_orderkey % {_SLICE_MOD} over the FULL "
+                  f"run at o_orderkey % {_SLICE_MOD} == "
+                  f"{_SLICE_REM} over the FULL "
                   f"60M-row lineitem, exact count+cents compare vs "
                   f"DuckDB's interval join on the same slice",
-        "checks": {"slice_mismatches": mismatches, "slice_rows": n_rows},
+        "checks": {"slice_mismatches": mismatches, "slice_rows": n_rows,
+                   "slice_rem": _SLICE_REM},
         "spark_rows": n_rows,
     }
 
 
-_KNN_SLICE_SQL = f"""
+def _knn_slice_sql() -> str:
+    return f"""
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
-    p AS (SELECT * FROM c WHERE vec_id % {_SLICE_MOD} = 0),
+    p AS (SELECT * FROM c WHERE vec_id % {_SLICE_MOD} = {_SLICE_REM}),
     scored AS (
       SELECT p.vec_id, b.vec_id AS nbr_id,
              ROUND(list_cosine_similarity(p.emb, b.emb), 4) AS cosine
@@ -698,7 +707,9 @@ _KNN_SLICE_SQL = f"""
 def cert_sim_knn_join_slice(spark, con, sf_dir: str) -> dict:
     from streamingdemo_spark.extensions.similarity import ext_sim_knn_join
 
-    out = ext_sim_knn_join(spark, sf_dir, probe_mod=_SLICE_MOD)
+    out = ext_sim_knn_join(
+        spark, sf_dir, probe_mod=_SLICE_MOD, probe_rem=_SLICE_REM
+    )
     path = f"{WORK}/knn_slice"
     out.write.mode("overwrite").parquet(path)
     con.execute(
@@ -706,7 +717,7 @@ def cert_sim_knn_join_slice(spark, con, sf_dir: str) -> dict:
         f"SELECT * FROM read_parquet('{path}/*.parquet')"
     )
     mismatches = _one(con, f"""
-    {_KNN_SLICE_SQL}
+    {_knn_slice_sql()}
     SELECT COUNT(*) FROM (SELECT * FROM knn WHERE rank <= 3) e
     FULL OUTER JOIN knn_out o
       ON e.vec_id = o.vec_id AND e.rank = o.rank
@@ -717,10 +728,12 @@ def cert_sim_knn_join_slice(spark, con, sf_dir: str) -> dict:
     return {
         "cert_pass": mismatches == 0 and n_rows > 0,
         "method": f"BOUNDED slice certificate: the registered "
-                  f"blocked-GEMM kernel probing vec_id % {_SLICE_MOD} "
+                  f"blocked-GEMM kernel probing vec_id % "
+                  f"{_SLICE_MOD} == {_SLICE_REM} "
                   f"against the FULL 200k-vector build side, exact "
                   f"top-3 compare vs DuckDB brute force",
-        "checks": {"slice_mismatches": mismatches, "slice_rows": n_rows},
+        "checks": {"slice_mismatches": mismatches, "slice_rows": n_rows,
+                   "slice_rem": _SLICE_REM},
         "spark_rows": n_rows,
     }
 
@@ -730,7 +743,9 @@ def cert_label_noise_knn_slice(spark, con, sf_dir: str) -> dict:
         ext_label_noise_knn,
     )
 
-    out = ext_label_noise_knn(spark, sf_dir, probe_mod=_SLICE_MOD)
+    out = ext_label_noise_knn(
+        spark, sf_dir, probe_mod=_SLICE_MOD, probe_rem=_SLICE_REM
+    )
     path = f"{WORK}/label_noise_slice"
     out.write.mode("overwrite").parquet(path)
     con.execute(
@@ -738,7 +753,7 @@ def cert_label_noise_knn_slice(spark, con, sf_dir: str) -> dict:
         f"SELECT * FROM read_parquet('{path}/*.parquet')"
     )
     mismatches = _one(con, f"""
-    {_KNN_SLICE_SQL},
+    {_knn_slice_sql()},
     votes AS (
       SELECT k.vec_id,
              CAST(SUM(CASE WHEN nl.label = el.label THEN 1 ELSE 0 END)
@@ -764,9 +779,11 @@ def cert_label_noise_knn_slice(spark, con, sf_dir: str) -> dict:
         "cert_pass": mismatches == 0 and n_rows > 0,
         "method": f"BOUNDED slice certificate: the registered vote "
                   f"composition over the GEMM kernel's "
-                  f"vec_id % {_SLICE_MOD} probe slice, exact "
+                  f"vec_id % {_SLICE_MOD} == {_SLICE_REM} "
+                  f"probe slice, exact "
                   f"agreement-count compare vs DuckDB",
-        "checks": {"slice_mismatches": mismatches, "slice_rows": n_rows},
+        "checks": {"slice_mismatches": mismatches, "slice_rows": n_rows,
+                   "slice_rem": _SLICE_REM},
         "spark_rows": n_rows,
     }
 
@@ -798,6 +815,13 @@ def main() -> int:
             i += 2
         elif a == "--out":
             out_path = args[i + 1]
+            i += 2
+        elif a == "--seed":
+            # rotates the bounded-key probe slice (recorded in each
+            # certificate); pass the round number so every round
+            # certifies a fresh residue class
+            global _SLICE_REM
+            _SLICE_REM = int(args[i + 1]) % _SLICE_MOD
             i += 2
         else:
             sf_dir = a
