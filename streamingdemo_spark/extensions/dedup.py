@@ -697,6 +697,8 @@ def emb_bands_udf(bits: int, refine: bool = True):
 
     @pandas_udf("array<long>")
     def bands(emb):
+        if len(emb) == 0:  # np.vstack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         e = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dims)
         dims = e.shape[1]
         q = np.floor(e * 1000.0 + 0.5).astype(np.int64)  # milli-quantized

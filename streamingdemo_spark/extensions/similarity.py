@@ -137,6 +137,8 @@ def _bucket_udf(n_tables: int, n_planes: int, multiprobe: bool = False):
     # argument alone fixes the eval type (scalar pandas UDF)
     @pandas_udf("array<int>")
     def buckets(emb):
+        if len(emb) == 0:  # np.vstack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         e = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dims)
         dims = e.shape[1]
         q = np.floor(e * 1000.0 + 0.5).astype(np.int64)  # milli-quantized
