@@ -526,15 +526,19 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
                      AS sh
             FROM corpus)
+    ),
+    banded AS (
+      SELECT f.*, f.len_bucket + d.d AS len_band
+      FROM feat f, (SELECT unnest([-1, 0, 1]) AS d) d
     )
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                    4) AS jaccard
-      FROM feat a JOIN feat b
+      FROM feat a JOIN banded b
         ON a.lang = b.lang AND a.first_tok = b.first_tok
-       AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+       AND a.len_bucket = b.len_band AND a.doc_id < b.doc_id)
     WHERE jaccard >= 0.4
     """,
 )
@@ -552,7 +556,12 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The block key is a pure equi-join key (never a range predicate:
     Catalyst would demote that to a post-filtered near-cross-join).
     Block-key choice is corpus-dependent; here (lang, first token)
-    splits ~30× while near-dup mutants keep both.
+    splits ~30× while near-dup mutants keep both. The length band is
+    TWO-SIDED like ``ext_dedup_simhash``'s (r12): the b side explodes
+    into {lb−1, lb, lb+1}, so a pair one bucket apart (straddling a
+    64-token boundary — the ~4%-shrunk mutants do) still co-blocks,
+    each qualifying pair matches on EXACTLY one band value (no
+    dedup), and the predicate stays a hash-joinable equality.
     """
     docs = _docs_with_mutants(spark, sf_dir).select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
@@ -565,12 +574,22 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_tok"),
         (F.size(toks) / 64).cast("int").alias("len_bucket"),
     ).cache()
-    a, b = with_sh.alias("a"), with_sh.alias("b")
+    a = with_sh.alias("a")
+    b = with_sh.withColumn(
+        "len_band",
+        F.explode(
+            F.array(
+                F.col("len_bucket") - 1,
+                F.col("len_bucket"),
+                F.col("len_bucket") + 1,
+            )
+        ),
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.first_tok") == F.col("b.first_tok"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.len_bucket") == F.col("b.len_band"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -858,6 +877,44 @@ def _embedding_oracle() -> str:
     """
 
 
+def two_level_cap(
+    bands: DataFrame, cap: int = _EMB_BUCKET_CAP
+) -> DataFrame:
+    """Two-level bucket-cap skew guard (see _EMB_BUCKET_CAP /
+    _EMB_REFINE_BITS) over a ``(vec_id, band_no, band_val,
+    refine_val)`` relation: an over-cap (band_no, band_val) bucket is
+    SPLIT by the refine value and the cap re-applied — drop-whole only
+    after the split. Returns ``(vec_id, band_no, band_val, sub)``
+    where ``sub`` is −1 for under-cap buckets (members join on the
+    plain band key) and the refine value otherwise; rows whose refined
+    bucket still exceeds the cap are dropped. Both count windows
+    shuffle by (band, bucket[, sub]) — the same key the candidate
+    self-join hashes on, so AQE coalesces rather than adding an extra
+    exchange. Factored out so the cap semantics are unit-testable on
+    crafted buckets (no fixture bucket exceeds the cap below sf10)."""
+    from pyspark.sql.window import Window
+
+    return (
+        bands.withColumn(
+            "bn",
+            F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_val")),
+        )
+        .withColumn(
+            "sub",
+            F.when(F.col("bn") <= cap, F.lit(-1).cast("long"))
+            .otherwise(F.col("refine_val")),
+        )
+        .withColumn(
+            "bn2",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("band_no", "band_val", "sub")
+            ),
+        )
+        .filter(F.col("bn2") <= cap)
+        .select("vec_id", "band_no", "band_val", "sub")
+    )
+
+
 # One-slot memo of the verified near-dup pair output, keyed by
 # (applicationId, sf_dir): ext_semantic_decontam is a projection of
 # ext_dedup_embedding's output, and when both keys run in one session
@@ -940,33 +997,7 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "band_no", F.col("bv.band_val"), F.col("bv.refine_val")
     )
-    # Two-level bucket-cap skew guard (see _EMB_BUCKET_CAP /
-    # _EMB_REFINE_BITS): an over-cap bucket is split by the refine
-    # value and re-capped — drop-whole only after the split. Both
-    # windows shuffle by (band, bucket[, sub]) — the same key the
-    # candidate self-join hashes on, so AQE coalesces rather than
-    # adding an extra exchange.
-    from pyspark.sql.window import Window
-
-    bands = (
-        bands.withColumn(
-            "bn",
-            F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_val")),
-        )
-        .withColumn(
-            "sub",
-            F.when(F.col("bn") <= _EMB_BUCKET_CAP, F.lit(-1).cast("long"))
-            .otherwise(F.col("refine_val")),
-        )
-        .withColumn(
-            "bn2",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("band_no", "band_val", "sub")
-            ),
-        )
-        .filter(F.col("bn2") <= _EMB_BUCKET_CAP)
-        .select("vec_id", "band_no", "band_val", "sub")
-    )
+    bands = two_level_cap(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -167,6 +167,17 @@ class TestDedup:
         }
         for d in (0, 5):  # the planted straddler pairs
             assert (d, d + 1000000) in out2, (d, sorted(out2))
+        # the ngram-jaccard key shares the blocking discipline and got
+        # the same two-sided band in r12 — identical straddler corpus,
+        # jaccard 1.0 (one distinct 2-gram per doc), must be emitted
+        out3 = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["ext_dedup_ngram_jaccard"](
+                spark, tmp
+            ).collect()
+        }
+        for d in (0, 5):
+            assert (d, d + 1000000) in out3, (d, sorted(out3))
 
     def test_containment_recovers_planted_mutants(self, spark, sf_dir):
         """A mutant keeps ~24/25 of its source's shingles, so the
@@ -2564,3 +2575,42 @@ def test_embedding_cluster_consistent_with_pairs(spark, sf_dir):
         assert r["canonical_id"] == min(members[r["canonical_id"]])
         assert r["cluster_size"] >= 2
     assert clus  # planted mutants guarantee non-empty clusters
+
+
+def test_two_level_cap_splits_crowds_and_drops_only_dense_remainder(
+    spark,
+):
+    """The r12 cap semantics on crafted buckets (no fixture bucket
+    exceeds the cap below sf10, so this is the unit witness for the
+    refinement path): an over-cap bucket whose refine values SPREAD
+    keeps its members (sub = refine — a planted pair sharing a refine
+    value still joins), an over-cap bucket whose refine values all
+    COLLIDE is dropped whole (the hard candidate-volume bound), and
+    an under-cap bucket passes untouched with sub = -1."""
+    from streamingdemo_spark.extensions.dedup import two_level_cap
+
+    rows = []
+    # bucket A: 40 rows, refine spread over 0..19 -> splits to <= 2
+    # per refined bucket; ids 0/1 share refine 99 (the planted pair)
+    rows += [(i, 0, 111, (i % 20) + 100) for i in range(2, 40)]
+    rows += [(0, 0, 111, 99), (1, 0, 111, 99)]
+    # bucket B: 40 rows, ALL refine 7 -> still over cap, dropped whole
+    rows += [(100 + i, 0, 222, 7) for i in range(40)]
+    # bucket C: 5 rows, under cap -> untouched, sub = -1
+    rows += [(200 + i, 0, 333, i) for i in range(5)]
+    bands = spark.createDataFrame(
+        rows, "vec_id long, band_no int, band_val long, refine_val long"
+    )
+    out = two_level_cap(bands, cap=16).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["band_val"], []).append(r)
+    # A split: all 40 survive, planted pair shares (band_val, sub)
+    assert len(by_bucket.get(111, [])) == 40
+    subs = {r["vec_id"]: r["sub"] for r in by_bucket[111]}
+    assert subs[0] == subs[1] == 99
+    assert all(s != -1 for s in subs.values())
+    # B dropped whole
+    assert 222 not in by_bucket
+    # C untouched
+    assert [r["sub"] for r in by_bucket.get(333, [])] == [-1] * 5

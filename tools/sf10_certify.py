@@ -457,7 +457,7 @@ def cert_dedup_ngram_jaccard(spark, con, sf_dir: str) -> dict:
     SELECT COUNT(*) FROM ng_out o
     JOIN feat a ON a.doc_id = o.doc_a JOIN feat b ON b.doc_id = o.doc_b
     WHERE a.lang <> b.lang OR a.first_tok <> b.first_tok
-       OR a.len_bucket <> b.len_bucket OR o.doc_a >= o.doc_b
+       OR abs(a.len_bucket - b.len_bucket) > 1 OR o.doc_a >= o.doc_b
        OR ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                 4) <> o.jaccard
@@ -480,7 +480,7 @@ def cert_dedup_ngram_jaccard(spark, con, sf_dir: str) -> dict:
       FROM feat a JOIN feat b ON b.doc_id = a.doc_id + 1000000
       WHERE a.doc_id < 1000000
         AND a.lang = b.lang AND a.first_tok = b.first_tok
-        AND a.len_bucket = b.len_bucket
+        AND abs(a.len_bucket - b.len_bucket) <= 1
         AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / (len(a.sh) + len(b.sh)
                      - len(list_intersect(a.sh, b.sh))), 4) >= 0.4
