@@ -627,19 +627,28 @@ _EMB_ALL_PLANES = _EMB_BANDS * _EMB_SLOT_BITS  # oracle computes all 56
 # Refinement planes: an over-cap bucket is no longer dropped whole —
 # its members are SPLIT by 8 extra sign planes (per band, disjoint
 # plane ranges after the two slots) and the cap is re-applied to the
-# refined buckets. The r11 sf10 certificate showed the drop-whole cap
-# was the dominant recall loss (planted recall 0.5855 against a
-# theoretical 0.9575 at bits=16): the 100-replica jittered families
-# crowd BOTH bands' buckets past the cap simultaneously, so the
-# "other band rescues the pair" argument fails exactly on the inputs
-# that need it. Refinement recovers those pairs: a planted mutant
-# pair agrees on all 8 refine planes w.p. .9857^8 = .891, while the
-# sub-threshold crowd (pairwise flip prob ~.05/plane at cosine ~.99)
-# spreads across the 256 refine values. Worst-case candidate volume
-# is UNCHANGED: each row lands in exactly one final bucket per band
-# (its (band_val, sub) pair), every final bucket is <= cap, so
-# candidates <= n·bands·(cap-1)/2 for ANY distribution.
+# refined buckets; a bucket STILL over the cap splits once more by a
+# second, independent 8-plane refine value before drop-whole. The r11
+# sf10 certificate showed the drop-whole cap was the dominant recall
+# loss (planted recall 0.5855 against a theoretical 0.9575 at
+# bits=16): the 100-replica jittered families crowd BOTH bands'
+# buckets past the cap simultaneously, so the "other band rescues the
+# pair" argument fails exactly on the inputs that need it. Refinement
+# recovers those pairs GRADUATEDLY: a planted mutant pair agrees on
+# an 8-plane refine value w.p. .9857^8 = .891 (.794 when both levels
+# are needed), while a sub-threshold crowd (pairwise flip prob
+# ~.05-.07/plane) spreads by ~2-3x per level — so light crowds cost
+# pairs one small factor and only ultra-dense crowds (which a
+# bounded-candidate dedup cannot enumerate anyway) are dropped. The
+# r12 x400 forward-probe (1M corpus, 400-deep replica families)
+# measured the one-level form at 0.7746 planted recall with band
+# collisions at 0.9365 — the second level exists to close exactly
+# that crowd-residue gap. Worst-case candidate volume is UNCHANGED:
+# each row lands in exactly one final bucket per band, every final
+# bucket is <= cap, so candidates <= n·bands·(cap-1)/2 for ANY
+# distribution.
 _EMB_REFINE_BITS = 8
+_EMB_REFINE_LEVELS = 2
 _EMB_REFINE_BASE = _EMB_ALL_PLANES  # refine planes start after the slots
 
 
@@ -681,12 +690,13 @@ def emb_bands_udf(bits: int, refine: bool = True):
     streaming LSH index maintenance key (a scalar pandas UDF is
     stateless, so it runs unchanged on an unbounded relation).
 
-    Returns ``array<long>`` of length ``2 * _EMB_BANDS`` when
-    ``refine`` (band values then refine values) or ``_EMB_BANDS``
-    without. Band b plane j is flat plane index p = b*28 + j (the
-    fixed slot convention, so the oracle can compute all 28 slot
-    planes and mask the used ``bits`` dynamically); refine band b
-    plane j is p = 56 + b*8 + j. Plane p weight for dim i (0-based)
+    Returns ``array<long>`` of length ``(1 + _EMB_REFINE_LEVELS) *
+    _EMB_BANDS`` when ``refine`` (band values, then one refine value
+    per level per band) or ``_EMB_BANDS`` without. Band b plane j is
+    flat plane index p = b*28 + j (the fixed slot convention, so the
+    oracle can compute all 28 slot planes and mask the used ``bits``
+    dynamically); refine level l band b plane j is
+    p = 56 + (l*bands + b)*8 + j. Plane p weight for dim i (0-based)
     is ``((p*64 + i + 1) * 2654435761) % 2^32 % 2001 - 1000`` — the
     Knuth-hash integer PRNG shared with ``similarity._bucket_udf`` —
     and vectors are quantized to int64 milli-units
@@ -707,12 +717,17 @@ def emb_bands_udf(bits: int, refine: bool = True):
     ]
     if refine:
         plane_ids += [
-            _EMB_REFINE_BASE + b * _EMB_REFINE_BITS + j
+            _EMB_REFINE_BASE
+            + (lvl * _EMB_BANDS + b) * _EMB_REFINE_BITS
+            + j
+            for lvl in range(_EMB_REFINE_LEVELS)
             for b in range(_EMB_BANDS)
             for j in range(_EMB_REFINE_BITS)
         ]
     planes = np.asarray(plane_ids, dtype=np.int64)
-    n_out = 2 * _EMB_BANDS if refine else _EMB_BANDS
+    n_out = (
+        (1 + _EMB_REFINE_LEVELS) * _EMB_BANDS if refine else _EMB_BANDS
+    )
 
     @pandas_udf("array<long>")
     def bands(emb):
@@ -734,9 +749,9 @@ def emb_bands_udf(bits: int, refine: bool = True):
             pos += bits
         if refine:
             rw = np.int64(1) << np.arange(_EMB_REFINE_BITS, dtype=np.int64)
-            for b in range(_EMB_BANDS):
+            for slot in range(_EMB_REFINE_LEVELS * _EMB_BANDS):
                 seg = signs[:, pos : pos + _EMB_REFINE_BITS]
-                vals[:, _EMB_BANDS + b] = seg @ rw
+                vals[:, _EMB_BANDS + slot] = seg @ rw
                 pos += _EMB_REFINE_BITS
         return pd.Series([row.tolist() for row in vals])
 
@@ -767,13 +782,14 @@ def emb_sketch_sql() -> str:
 
 
 def emb_rsketch_sql() -> str:
-    """Oracle fragment: the 16 refine planes (8 per band, flat plane
-    indices 56..71) packed into the low 16 bits of a BIGINT — band
-    b's refine value is ``(rsketch >> 8*b) & 255``."""
+    """Oracle fragment: the 32 refine planes (8 per band per level,
+    flat plane indices 56..87) packed into the low 32 bits of a
+    BIGINT — level l band b's refine value is
+    ``(rsketch >> 8*(l*bands + b)) & 255``."""
     return " + ".join(
         f"CASE WHEN {_emb_dot_sql(_EMB_REFINE_BASE + j)} >= 0 "
         f"THEN {1 << j}::BIGINT ELSE 0 END"
-        for j in range(_EMB_BANDS * _EMB_REFINE_BITS)
+        for j in range(_EMB_REFINE_LEVELS * _EMB_BANDS * _EMB_REFINE_BITS)
     )
 
 
@@ -815,12 +831,14 @@ def _embedding_oracle() -> str:
     only the used planes — identical band values either way."""
     sketch = emb_sketch_sql()
     rsketch = emb_rsketch_sql()
+    rmask = (1 << _EMB_REFINE_BITS) - 1
     bands = "\n      UNION ALL ".join(
         f"SELECT vec_id, {b} AS band_no, "
         f"(sketch >> {_EMB_SLOT_BITS * b}) & "
         f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val, "
-        f"(rsketch >> {_EMB_REFINE_BITS * b}) & "
-        f"{(1 << _EMB_REFINE_BITS) - 1} AS refine_val "
+        f"(rsketch >> {_EMB_REFINE_BITS * b}) & {rmask} AS refine_val, "
+        f"(rsketch >> {_EMB_REFINE_BITS * (_EMB_BANDS + b)}) & {rmask} "
+        f"AS refine2_val "
         f"FROM sk"
         for b in range(_EMB_BANDS)
     )
@@ -849,24 +867,32 @@ def _embedding_oracle() -> str:
       {bands}
     ),
     counted AS (
-      SELECT vec_id, band_no, band_val,
+      SELECT vec_id, band_no, band_val, refine2_val,
              CASE WHEN COUNT(*) OVER (PARTITION BY band_no, band_val)
                        <= {_EMB_BUCKET_CAP}
                   THEN -1 ELSE refine_val END AS sub
       FROM bands
     ),
+    counted2 AS (
+      SELECT vec_id, band_no, band_val, sub,
+             CASE WHEN COUNT(*) OVER (PARTITION BY band_no, band_val,
+                                      sub) <= {_EMB_BUCKET_CAP}
+                  THEN -1 ELSE refine2_val END AS sub2
+      FROM counted
+    ),
     bands_capped AS (
-      SELECT vec_id, band_no, band_val, sub FROM (
+      SELECT vec_id, band_no, band_val, sub, sub2 FROM (
         SELECT *,
-               COUNT(*) OVER (PARTITION BY band_no, band_val, sub) AS bn2
-        FROM counted
-      ) WHERE bn2 <= {_EMB_BUCKET_CAP}
+               COUNT(*) OVER (PARTITION BY band_no, band_val, sub, sub2)
+                 AS bn3
+        FROM counted2
+      ) WHERE bn3 <= {_EMB_BUCKET_CAP}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands_capped a JOIN bands_capped b
         ON a.band_no = b.band_no AND a.band_val = b.band_val
-       AND a.sub = b.sub AND a.vec_id < b.vec_id
+       AND a.sub = b.sub AND a.sub2 = b.sub2 AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM (
       SELECT vec_a, vec_b,
@@ -877,21 +903,24 @@ def _embedding_oracle() -> str:
     """
 
 
-def two_level_cap(
+def refine_capped_bands(
     bands: DataFrame, cap: int = _EMB_BUCKET_CAP
 ) -> DataFrame:
-    """Two-level bucket-cap skew guard (see _EMB_BUCKET_CAP /
-    _EMB_REFINE_BITS) over a ``(vec_id, band_no, band_val,
-    refine_val)`` relation: an over-cap (band_no, band_val) bucket is
-    SPLIT by the refine value and the cap re-applied — drop-whole only
-    after the split. Returns ``(vec_id, band_no, band_val, sub)``
-    where ``sub`` is −1 for under-cap buckets (members join on the
-    plain band key) and the refine value otherwise; rows whose refined
-    bucket still exceeds the cap are dropped. Both count windows
-    shuffle by (band, bucket[, sub]) — the same key the candidate
-    self-join hashes on, so AQE coalesces rather than adding an extra
-    exchange. Factored out so the cap semantics are unit-testable on
-    crafted buckets (no fixture bucket exceeds the cap below sf10)."""
+    """Graduated bucket-cap skew guard (see _EMB_BUCKET_CAP /
+    _EMB_REFINE_BITS / _EMB_REFINE_LEVELS) over a ``(vec_id, band_no,
+    band_val, refine_val, refine2_val)`` relation: an over-cap
+    (band_no, band_val) bucket is SPLIT by the level-1 refine value
+    and the cap re-applied; a bucket STILL over the cap splits once
+    more by the independent level-2 refine value — drop-whole only
+    after both splits. Returns ``(vec_id, band_no, band_val, sub,
+    sub2)`` where each sub is −1 at the levels a bucket never needed
+    (so under-cap members join on the plain band key); rows whose
+    twice-refined bucket still exceeds the cap are dropped. Every
+    count window shuffles by (band, bucket[, sub[, sub2]]) — the same
+    key the candidate self-join hashes on, so AQE coalesces rather
+    than adding an extra exchange. Factored out so the cap semantics
+    are unit-testable on crafted buckets (no fixture bucket exceeds
+    the cap below sf10)."""
     from pyspark.sql.window import Window
 
     return (
@@ -910,8 +939,19 @@ def two_level_cap(
                 Window.partitionBy("band_no", "band_val", "sub")
             ),
         )
-        .filter(F.col("bn2") <= cap)
-        .select("vec_id", "band_no", "band_val", "sub")
+        .withColumn(
+            "sub2",
+            F.when(F.col("bn2") <= cap, F.lit(-1).cast("long"))
+            .otherwise(F.col("refine2_val")),
+        )
+        .withColumn(
+            "bn3",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("band_no", "band_val", "sub", "sub2")
+            ),
+        )
+        .filter(F.col("bn3") <= cap)
+        .select("vec_id", "band_no", "band_val", "sub", "sub2")
     )
 
 
@@ -989,15 +1029,22 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.col("bvals")[b].alias("band_val"),
                         F.col("bvals")[_EMB_BANDS + b].alias("refine_val"),
+                        F.col("bvals")[2 * _EMB_BANDS + b].alias(
+                            "refine2_val"
+                        ),
                     )
                     for b in range(_EMB_BANDS)
                 ]
             )
         ).alias("band_no", "bv"),
     ).select(
-        "vec_id", "band_no", F.col("bv.band_val"), F.col("bv.refine_val")
+        "vec_id",
+        "band_no",
+        F.col("bv.band_val"),
+        F.col("bv.refine_val"),
+        F.col("bv.refine2_val"),
     )
-    bands = two_level_cap(bands)
+    bands = refine_capped_bands(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1005,6 +1052,7 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.sub2") == F.col("b.sub2"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

@@ -2577,40 +2577,53 @@ def test_embedding_cluster_consistent_with_pairs(spark, sf_dir):
     assert clus  # planted mutants guarantee non-empty clusters
 
 
-def test_two_level_cap_splits_crowds_and_drops_only_dense_remainder(
-    spark,
-):
+def test_refine_capped_bands_graduated_split_and_drop(spark):
     """The r12 cap semantics on crafted buckets (no fixture bucket
     exceeds the cap below sf10, so this is the unit witness for the
-    refinement path): an over-cap bucket whose refine values SPREAD
-    keeps its members (sub = refine — a planted pair sharing a refine
-    value still joins), an over-cap bucket whose refine values all
-    COLLIDE is dropped whole (the hard candidate-volume bound), and
-    an under-cap bucket passes untouched with sub = -1."""
-    from streamingdemo_spark.extensions.dedup import two_level_cap
+    refinement path): an over-cap bucket whose LEVEL-1 refine values
+    spread keeps its members (sub = refine, sub2 = -1 — a planted
+    pair sharing a refine value still joins); a bucket whose level-1
+    values collide but level-2 values spread survives via the SECOND
+    split (sub2 = refine2); a bucket colliding at BOTH levels is
+    dropped whole (the hard candidate-volume bound); an under-cap
+    bucket passes untouched with sub = sub2 = -1."""
+    from streamingdemo_spark.extensions.dedup import refine_capped_bands
 
     rows = []
-    # bucket A: 40 rows, refine spread over 0..19 -> splits to <= 2
-    # per refined bucket; ids 0/1 share refine 99 (the planted pair)
-    rows += [(i, 0, 111, (i % 20) + 100) for i in range(2, 40)]
-    rows += [(0, 0, 111, 99), (1, 0, 111, 99)]
-    # bucket B: 40 rows, ALL refine 7 -> still over cap, dropped whole
-    rows += [(100 + i, 0, 222, 7) for i in range(40)]
-    # bucket C: 5 rows, under cap -> untouched, sub = -1
-    rows += [(200 + i, 0, 333, i) for i in range(5)]
+    # bucket A: 40 rows, level-1 refine spread -> one split suffices;
+    # ids 0/1 share refine 99 (the planted pair)
+    rows += [(i, 0, 111, (i % 20) + 100, 0) for i in range(2, 40)]
+    rows += [(0, 0, 111, 99, 0), (1, 0, 111, 99, 0)]
+    # bucket B: 40 rows, ALL level-1 refine 7, level-2 spread ->
+    # survives via the second split; ids 100/101 share refine2 88
+    rows += [(102 + i, 0, 222, 7, (i % 20) + 100) for i in range(38)]
+    rows += [(100, 0, 222, 7, 88), (101, 0, 222, 7, 88)]
+    # bucket D: 40 rows colliding at BOTH levels -> dropped whole
+    rows += [(300 + i, 0, 444, 7, 9) for i in range(40)]
+    # bucket C: 5 rows, under cap -> untouched
+    rows += [(200 + i, 0, 333, i, i) for i in range(5)]
     bands = spark.createDataFrame(
-        rows, "vec_id long, band_no int, band_val long, refine_val long"
+        rows,
+        "vec_id long, band_no int, band_val long, "
+        "refine_val long, refine2_val long",
     )
-    out = two_level_cap(bands, cap=16).collect()
+    out = refine_capped_bands(bands, cap=16).collect()
     by_bucket = {}
     for r in out:
         by_bucket.setdefault(r["band_val"], []).append(r)
-    # A split: all 40 survive, planted pair shares (band_val, sub)
+    # A: one split suffices — all survive, pair shares (val, sub, sub2)
     assert len(by_bucket.get(111, [])) == 40
-    subs = {r["vec_id"]: r["sub"] for r in by_bucket[111]}
-    assert subs[0] == subs[1] == 99
-    assert all(s != -1 for s in subs.values())
-    # B dropped whole
-    assert 222 not in by_bucket
-    # C untouched
-    assert [r["sub"] for r in by_bucket.get(333, [])] == [-1] * 5
+    a = {r["vec_id"]: (r["sub"], r["sub2"]) for r in by_bucket[111]}
+    assert a[0] == a[1] == (99, -1)
+    assert all(s != -1 and s2 == -1 for s, s2 in a.values())
+    # B: second split rescues — all survive, pair shares sub2
+    assert len(by_bucket.get(222, [])) == 40
+    bmap = {r["vec_id"]: (r["sub"], r["sub2"]) for r in by_bucket[222]}
+    assert bmap[100] == bmap[101] == (7, 88)
+    assert all(s == 7 and s2 != -1 for s, s2 in bmap.values())
+    # D: collides at both levels -> dropped whole
+    assert 444 not in by_bucket
+    # C: untouched
+    assert [(r["sub"], r["sub2"]) for r in by_bucket.get(333, [])] == [
+        (-1, -1)
+    ] * 5
