@@ -624,6 +624,70 @@ _EMB_MIN_BITS, _EMB_MAX_BITS = 12, _EMB_SLOT_BITS
 _EMB_TARGET_LOAD = 4  # target expected vectors per bucket
 _EMB_ALL_PLANES = _EMB_BANDS * _EMB_SLOT_BITS  # oracle computes all 56
 
+# The band COUNT is data-derived alongside the width (r12's x400
+# forward-probe showed planted recall decaying 0.9497 -> 0.8435 one
+# density step past sf10, because the dial adapted cost — width — but
+# not recall — bands): per-band planted-pair collision is .9857^bits,
+# so as the width ladder climbs, two bands stop covering the pair
+# (2 bands at bits=18: .947 collision; at the 28-bit ceiling: .890).
+# A THIRD band engages when bits exceeds 16 — exactly one step past
+# the certified sf10 point (bits=16 at 250k vectors), keeping every
+# certified-scale output bit-identical while holding expected
+# collision >= .95 up to the 28-bit ceiling (3 bands at bits=28:
+# .963). Candidate volume scales linearly in bands (<= n·nb·cap under
+# the graduated cap for ANY distribution) — the classical LSH recall
+# lever, unlike query-side multi-probing whose probe rows land inside
+# straddling crowd families and regenerate the quadratic candidate
+# mass the cap exists to prevent (measured: the probe-leg prototype
+# spilled >70 GB at the x400 density; three bands add ~50% candidates).
+_EMB_MAX_BANDS = 3
+# Extra bands live at plane indices AFTER the legacy 2-band layout
+# (slots 0..55, refine 56..87), so engaging them never renumbers the
+# planes certified at nb=2: band k >= 2 occupies a 44-plane block at
+# 88 + (k-2)*44 — 28 slot planes, then 2 levels x 8 refine planes.
+_EMB_EXTRA_BASE = 88
+_EMB_EXTRA_STRIDE = _EMB_SLOT_BITS + 2 * 8
+
+
+def _emb_band_count(bits: int) -> int:
+    """Band count for a ``bits``-wide dial: 2 through the certified
+    sf10 point, 3 beyond. Integer threshold (no float), replayed by
+    the oracle's CASE on its own params.bits."""
+    return _EMB_BANDS + (1 if bits > 16 else 0)
+
+
+def _emb_nbands_sql(bits_expr: str) -> str:
+    """Oracle fragment replaying :func:`_emb_band_count`."""
+    return (
+        f"({_EMB_BANDS} + CASE WHEN {bits_expr} > 16 THEN 1 ELSE 0 END)"
+    )
+
+
+def _emb_slot_plane(b: int, j: int) -> int:
+    """Flat plane index of band ``b``'s slot plane ``j``."""
+    if b < _EMB_BANDS:
+        return b * _EMB_SLOT_BITS + j
+    return _EMB_EXTRA_BASE + (b - _EMB_BANDS) * _EMB_EXTRA_STRIDE + j
+
+
+def _emb_refine_plane(b: int, lvl: int, j: int) -> int:
+    """Flat plane index of band ``b``'s level-``lvl`` refine plane
+    ``j`` (legacy bands keep the certified 56..87 block; extra bands
+    carry their refine planes inside their own 44-plane block)."""
+    if b < _EMB_BANDS:
+        return (
+            _EMB_REFINE_BASE
+            + (lvl * _EMB_BANDS + b) * _EMB_REFINE_BITS
+            + j
+        )
+    return (
+        _EMB_EXTRA_BASE
+        + (b - _EMB_BANDS) * _EMB_EXTRA_STRIDE
+        + _EMB_SLOT_BITS
+        + lvl * _EMB_REFINE_BITS
+        + j
+    )
+
 # Refinement planes: an over-cap bucket is no longer dropped whole —
 # its members are SPLIT by 8 extra sign planes (per band, disjoint
 # plane ranges after the two slots) and the cap is re-applied to the
@@ -684,19 +748,24 @@ def _emb_bits_sql(n_expr: str) -> str:
     return f"({_EMB_MIN_BITS} + {ladder})"
 
 
-def emb_bands_udf(bits: int, refine: bool = True):
+def emb_bands_udf(
+    bits: int, refine: bool = True, n_bands: int = _EMB_BANDS
+):
     """Banded integer-exact sign sketch as ONE Arrow-batched matrix
     multiply — the shared primitive of the batch near-dup keys and the
     streaming LSH index maintenance key (a scalar pandas UDF is
     stateless, so it runs unchanged on an unbounded relation).
 
     Returns ``array<long>`` of length ``(1 + _EMB_REFINE_LEVELS) *
-    _EMB_BANDS`` when ``refine`` (band values, then one refine value
-    per level per band) or ``_EMB_BANDS`` without. Band b plane j is
-    flat plane index p = b*28 + j (the fixed slot convention, so the
-    oracle can compute all 28 slot planes and mask the used ``bits``
-    dynamically); refine level l band b plane j is
-    p = 56 + (l*bands + b)*8 + j. Plane p weight for dim i (0-based)
+    n_bands`` when ``refine`` (band values, then one refine value
+    per level per band: ``[bv_0..bv_nb-1, r1_0.., r2_0..]``) or
+    ``n_bands`` without. Band b's slot plane j and refine plane
+    (lvl, j) are the flat indices of :func:`_emb_slot_plane` /
+    :func:`_emb_refine_plane` — the legacy 2-band layout (slots
+    b*28 + j, refine 56 + (l*bands + b)*8 + j) is preserved exactly,
+    extra bands append their own 44-plane blocks, so a 2-band sketch
+    is bit-identical whatever ``_EMB_MAX_BANDS`` grows to. Plane p
+    weight for dim i (0-based)
     is ``((p*64 + i + 1) * 2654435761) % 2^32 % 2001 - 1000`` — the
     Knuth-hash integer PRNG shared with ``similarity._bucket_udf`` —
     and vectors are quantized to int64 milli-units
@@ -713,21 +782,17 @@ def emb_bands_udf(bits: int, refine: bool = True):
     from pyspark.sql.functions import pandas_udf
 
     plane_ids = [
-        b * _EMB_SLOT_BITS + j for b in range(_EMB_BANDS) for j in range(bits)
+        _emb_slot_plane(b, j) for b in range(n_bands) for j in range(bits)
     ]
     if refine:
         plane_ids += [
-            _EMB_REFINE_BASE
-            + (lvl * _EMB_BANDS + b) * _EMB_REFINE_BITS
-            + j
+            _emb_refine_plane(b, lvl, j)
             for lvl in range(_EMB_REFINE_LEVELS)
-            for b in range(_EMB_BANDS)
+            for b in range(n_bands)
             for j in range(_EMB_REFINE_BITS)
         ]
     planes = np.asarray(plane_ids, dtype=np.int64)
-    n_out = (
-        (1 + _EMB_REFINE_LEVELS) * _EMB_BANDS if refine else _EMB_BANDS
-    )
+    n_out = (1 + _EMB_REFINE_LEVELS) * n_bands if refine else n_bands
 
     @pandas_udf("array<long>")
     def bands(emb):
@@ -743,15 +808,15 @@ def emb_bands_udf(bits: int, refine: bool = True):
         signs = q @ w.T >= 0  # (batch, n_planes_total)
         vals = np.zeros((len(q), n_out), dtype=np.int64)
         pos = 0
-        for b in range(_EMB_BANDS):
+        for b in range(n_bands):
             seg = signs[:, pos : pos + bits]
             vals[:, b] = seg @ (np.int64(1) << np.arange(bits, dtype=np.int64))
             pos += bits
         if refine:
             rw = np.int64(1) << np.arange(_EMB_REFINE_BITS, dtype=np.int64)
-            for slot in range(_EMB_REFINE_LEVELS * _EMB_BANDS):
+            for slot in range(_EMB_REFINE_LEVELS * n_bands):
                 seg = signs[:, pos : pos + _EMB_REFINE_BITS]
-                vals[:, _EMB_BANDS + slot] = seg @ rw
+                vals[:, n_bands + slot] = seg @ rw
                 pos += _EMB_REFINE_BITS
         return pd.Series([row.tolist() for row in vals])
 
@@ -816,32 +881,47 @@ def emb_bands_sql(select_cols: str = "vec_id") -> str:
     )
 
 
+def _emb_used_planes_sql() -> str:
+    """Oracle fragment: the USED-planes relation ``(p, band_no, j,
+    kind, lvl)`` — one row per (band, plane) actually computed at the
+    data-derived (bits, nb) point, enumerated per band as literal
+    plane bases (:func:`_emb_slot_plane` / :func:`_emb_refine_plane`)
+    and guarded by the params scalars, so the SQL text is static while
+    the plane set tracks the data exactly like Spark's UDF."""
+    parts = []
+    for b in range(_EMB_MAX_BANDS):
+        parts.append(
+            f"SELECT {_emb_slot_plane(b, 0)} + j AS p, {b} AS band_no, "
+            f"j, 'slot' AS kind, -1 AS lvl "
+            f"FROM (SELECT unnest(range(0, {_EMB_SLOT_BITS})) AS j) "
+            f"WHERE j < (SELECT bits FROM params) "
+            f"AND {b} < (SELECT nb FROM params)"
+        )
+        for lvl in range(_EMB_REFINE_LEVELS):
+            parts.append(
+                f"SELECT {_emb_refine_plane(b, lvl, 0)} + j, {b}, "
+                f"j, 'refine', {lvl} "
+                f"FROM (SELECT unnest(range(0, {_EMB_REFINE_BITS})) AS j) "
+                f"WHERE {b} < (SELECT nb FROM params)"
+            )
+    return "\n      UNION ALL ".join(parts)
+
+
 def _embedding_oracle() -> str:
     """DuckDB replay of the banded sign-LSH embedding dedup: mutants,
-    integer-exact hyperplane sign bits in 2 fixed 28-bit slots, a
-    data-derived band width (the :func:`_emb_band_bits` CASE ladder on
-    COUNT(*) of the corpus — same integer thresholds as Spark), band
-    equi-join on the masked low bits of each slot with over-cap
+    integer-exact hyperplane sign bits in fixed 28-bit slots, a
+    data-derived band WIDTH (the :func:`_emb_band_bits` CASE ladder on
+    COUNT(*) of the corpus — same integer thresholds as Spark) and a
+    data-derived band COUNT (:func:`_emb_band_count` on the same
+    scalar), band equi-join on each band's used planes with over-cap
     buckets SPLIT by the refine planes (then re-capped), exact cosine
     verify. Bitwise-replayable because the sketch is int64 arithmetic
     end-to-end — milli-quantized vectors against integer PRNG weights,
     so no float summation-order or libm last-ulp hazard can flip a
-    sign. The oracle materializes all 56 slot planes and masks
-    dynamically (SQL text can't depend on the data); Spark computes
-    only the used planes — identical band values either way."""
-    sketch = emb_sketch_sql()
-    rsketch = emb_rsketch_sql()
-    rmask = (1 << _EMB_REFINE_BITS) - 1
-    bands = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band_no, "
-        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
-        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val, "
-        f"(rsketch >> {_EMB_REFINE_BITS * b}) & {rmask} AS refine_val, "
-        f"(rsketch >> {_EMB_REFINE_BITS * (_EMB_BANDS + b)}) & {rmask} "
-        f"AS refine2_val "
-        f"FROM sk"
-        for b in range(_EMB_BANDS)
-    )
+    sign. The per-plane dots are materialized as a (vec_id, band,
+    plane, d) relation filtered to the USED planes (a WHERE on the
+    params scalars — cheaper than the old compute-all-56-and-mask
+    form), so band and refine values come from one pass."""
     return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -853,18 +933,43 @@ def _embedding_oracle() -> str:
       FROM embeddings WHERE vec_id % 4 = 0
     ),
     params AS (
-      SELECT {_emb_bits_sql('n')} AS bits
-      FROM (SELECT COUNT(*) AS n FROM corpus)
+      SELECT bits, {_emb_nbands_sql('bits')} AS nb FROM (
+        SELECT {_emb_bits_sql('n')} AS bits
+        FROM (SELECT COUNT(*) AS n FROM corpus))
     ),
     qcorp AS (
       SELECT vec_id, emb, {emb_quant_sql()} AS qv FROM corpus
     ),
-    sk AS MATERIALIZED (
-      SELECT vec_id, emb, {sketch} AS sketch, {rsketch} AS rsketch
-      FROM qcorp
+    used AS (
+      {_emb_used_planes_sql()}
+    ),
+    planes AS MATERIALIZED (
+      SELECT vec_id, u.band_no, u.j, u.kind, u.lvl,
+             {_emb_dot_sql('u.p')} AS d
+      FROM qcorp, used u
+    ),
+    bvals AS (
+      SELECT vec_id, band_no,
+             SUM(CASE WHEN d >= 0 THEN 1::BIGINT << j
+                      ELSE 0::BIGINT END) AS band_val
+      FROM planes WHERE kind = 'slot'
+      GROUP BY vec_id, band_no
+    ),
+    rvals AS (
+      SELECT vec_id, band_no, lvl,
+             SUM(CASE WHEN d >= 0 THEN 1::BIGINT << j
+                      ELSE 0::BIGINT END) AS rv
+      FROM planes WHERE kind = 'refine'
+      GROUP BY vec_id, band_no, lvl
     ),
     bands AS (
-      {bands}
+      SELECT b.vec_id, b.band_no, b.band_val,
+             r1.rv AS refine_val, r2.rv AS refine2_val
+      FROM bvals b
+      JOIN rvals r1 ON r1.vec_id = b.vec_id
+                   AND r1.band_no = b.band_no AND r1.lvl = 0
+      JOIN rvals r2 ON r2.vec_id = b.vec_id
+                   AND r2.band_no = b.band_no AND r2.lvl = 1
     ),
     counted AS (
       SELECT vec_id, band_no, band_val, refine2_val,
@@ -897,8 +1002,8 @@ def _embedding_oracle() -> str:
     SELECT vec_a, vec_b, cosine FROM (
       SELECT vec_a, vec_b,
              ROUND(list_cosine_similarity(sa.emb, sb.emb), 4) AS cosine
-      FROM cand JOIN sk sa ON cand.vec_a = sa.vec_id
-                JOIN sk sb ON cand.vec_b = sb.vec_id)
+      FROM cand JOIN qcorp sa ON cand.vec_a = sa.vec_id
+                JOIN qcorp sb ON cand.vec_b = sb.vec_id)
     WHERE cosine >= 0.99
     """
 
@@ -1006,20 +1111,27 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allv = emb.unionByName(mutants).select("vec_id", "embedding")
 
-    # Data-derived band width: one bounded driver-edge aggregate (a
-    # single count scalar) fixes bits = _emb_band_bits(n) before the
-    # plan is built, so every downstream expression is a compile-time
-    # constant for Catalyst. The oracle replays the same integer
-    # ladder on its own COUNT(*) — exact agreement, no float log2.
+    # Data-derived band width AND count: one bounded driver-edge
+    # aggregate (a single count scalar) fixes bits = _emb_band_bits(n)
+    # and nb = _emb_band_count(bits) before the plan is built, so
+    # every downstream expression is a compile-time constant for
+    # Catalyst. The oracle replays the same integer ladders on its own
+    # COUNT(*) — exact agreement, no float log2. The band count is the
+    # RECALL dial (per-band collision .9857^bits decays as the width
+    # ladder climbs; a third band engages past the bits=16 point to
+    # hold expected collision >= .95 through the 28-bit ceiling); the
+    # width is the COST dial (expected load <= 4).
     n_corpus = allv.count()
     bits = _emb_band_bits(n_corpus)
+    nb = _emb_band_count(bits)
 
-    # Only the USED planes are computed: band b occupies slot planes
-    # [b*SLOT, b*SLOT + bits) plus its 8 refine planes. The oracle
-    # computes all 56 slot planes and masks — identical band values
-    # because the mask zeroes exactly the planes Spark skipped. The
-    # whole sketch is one Arrow-batched int64 matmul per batch.
-    vals = emb_bands_udf(bits)("embedding")
+    # Only the USED planes are computed: band b occupies its slot
+    # planes plus its refine planes (legacy layout preserved at
+    # nb = 2, extra bands in appended blocks). The oracle materializes
+    # per-plane dots for the same used planes (a WHERE on its params
+    # scalars) — identical band and refine values. The whole sketch is
+    # one Arrow-batched int64 matmul per batch.
+    vals = emb_bands_udf(bits, n_bands=nb)("embedding")
     sk = allv.withColumn("bvals", vals).cache()
     bands = sk.select(
         "vec_id",
@@ -1028,12 +1140,10 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.col("bvals")[b].alias("band_val"),
-                        F.col("bvals")[_EMB_BANDS + b].alias("refine_val"),
-                        F.col("bvals")[2 * _EMB_BANDS + b].alias(
-                            "refine2_val"
-                        ),
+                        F.col("bvals")[nb + b].alias("refine_val"),
+                        F.col("bvals")[2 * nb + b].alias("refine2_val"),
                     )
-                    for b in range(_EMB_BANDS)
+                    for b in range(nb)
                 ]
             )
         ).alias("band_no", "bv"),
@@ -1094,19 +1204,29 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ext_dedup_embedding", oracle=_embedding_oracle())
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via BANDED random-hyperplane (sign)
-    LSH with a DATA-DERIVED band width: per vector, a sign sketch in
-    2 fixed 28-bit slots of which the low ``bits`` planes are used,
-    where bits = smallest b in [12, 28] with n <= 4·2^b (n = corpus
-    count, one driver-edge aggregate) → per-band bucket equi-join
-    (candidate if EITHER band matches — the MinHash-LSH band
+    LSH with a DATA-DERIVED band width AND band count: per vector, a
+    sign sketch in fixed 28-bit slots of which the low ``bits`` planes
+    are used, where bits = smallest b in [12, 28] with n <= 4·2^b
+    (n = corpus count, one driver-edge aggregate) and the band count
+    nb = 2 + (bits > 16) → per-band bucket equi-join
+    (candidate if ANY band matches — the MinHash-LSH band
     discipline applied to sign sketches) → exact cosine verify →
-    pairs with cosine ≥ 0.99. Band width is the scale dial: expected
+    pairs with cosine ≥ 0.99. Band width is the COST dial: expected
     bucket load stays <= 4 as n grows, so candidate volume stays
-    O(n·bands·load) instead of saturating — the old compile-time
+    O(n·nb·load) instead of saturating — the old compile-time
     constant saturated once at 60M rows (8-bit) and would have again
     at the next 100× (12-bit: ~61 vectors/bucket → ~30M pairs at
-    250k vectors). The [12, 28] clamp covers n up to ~1e9 at load 4;
-    beyond that widen _EMB_SLOT_BITS / add a band. A deterministic
+    250k vectors). Band COUNT is the RECALL dial: per-band planted
+    collision is .9857^bits, which decays as the width ladder climbs
+    (2 bands cover .975 at bits=12 but only .947 at 18 and .890 at
+    the ceiling — r12's x400 forward-probe measured recall 0.8435 one
+    density step past sf10); the third band engages exactly one step
+    past the certified sf10 point (so every certified-scale output is
+    bit-identical) and holds expected collision >= .95 through the
+    28-bit ceiling. The [12, 28] clamp covers n up to ~1e9 at load 4;
+    beyond that widen _EMB_SLOT_BITS / raise _EMB_MAX_BANDS (extra
+    bands occupy appended plane blocks, so the certified layout never
+    renumbers). A deterministic
     TWO-LEVEL bucket cap (``_EMB_BUCKET_CAP`` + ``_EMB_REFINE_BITS``,
     oracle-replayed like the minhash guard) bounds worst-case
     candidate volume against DISTRIBUTION skew the load formula can't
@@ -1122,7 +1242,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.p. theta/pi = .0143; a band recovers the pair when its bucket
     is under cap (p = .9857^b — .842 at b=12, .668 at the b=28
     ceiling) or, over cap, when the 8 refine planes also agree
-    (×.9857^8 = .891) and the refined bucket fits; either of the two
+    (×.9857^8 = .891) and the refined bucket fits; ANY of the nb
     bands suffices.
 
     The sketch is integer-exact end-to-end (:func:`emb_bands_udf`):

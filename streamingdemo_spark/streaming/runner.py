@@ -157,8 +157,13 @@ def run_to_memory(
                 # terminates on its own
                 deadline = time.time() + timeout_sec
                 while time.time() < deadline:
+                    # Same shape-tolerant conversion as the capture
+                    # path below: older PySpark returns dicts from
+                    # recentProgress, not StreamingQueryProgress.
                     seen = {
-                        json.loads(p.json).get("batchId")
+                        (p if isinstance(p, dict) else json.loads(p.json)).get(
+                            "batchId"
+                        )
                         for p in query.recentProgress
                         if p is not None
                     }

@@ -82,18 +82,27 @@ def _cache_dir(sf_dir: str, source_file: str, leaf: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = _source_fp(os.path.join(sf_dir, source_file))
     root = os.path.join(_CACHE_ROOT, f"v{_CACHE_VERSION}")
-    cur = f"{tag}-{fp}"
-    # GC stale fingerprints of the SAME sf-dir tag: every fixture
-    # regeneration changes the fingerprint, and without this sweep the
-    # superseded chunk dirs strand under /tmp forever on long-lived
-    # hosts. Only sibling dirs of this tag are touched, so concurrent
-    # sessions on OTHER fixtures are unaffected; a concurrent reader
-    # of the stale generation would be replaying a fixture that no
-    # longer exists — removing it converts silent staleness into a
+    # The cache key (and the GC sweep prefix below) must include the
+    # SOURCE FILE, not just the sf-dir tag: the fingerprint is
+    # per-file, so a tag-only sweep would let each stream build wipe
+    # the OTHER sources' live chunk caches for the same fixture
+    # (documents vs embeddings vs events), causing perpetual rebuild
+    # thrash and deleting an active file-stream's source dir
+    # mid-replay in a concurrent session.
+    src = os.path.splitext(os.path.basename(source_file))[0]
+    cur = f"{tag}-{src}-{fp}"
+    # GC stale fingerprints of the SAME (sf-dir tag, source file):
+    # every fixture regeneration changes the fingerprint, and without
+    # this sweep the superseded chunk dirs strand under /tmp forever
+    # on long-lived hosts. Only sibling generations of this exact
+    # source are touched, so concurrent sessions on other fixtures or
+    # other sources of this fixture are unaffected; a concurrent
+    # reader of the stale generation would be replaying a fixture that
+    # no longer exists — removing it converts silent staleness into a
     # rebuild.
     try:
         for d in os.listdir(root):
-            if d.startswith(f"{tag}-") and d != cur and ".tmp-" not in d:
+            if d.startswith(f"{tag}-{src}-") and d != cur and ".tmp-" not in d:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     except OSError:
         pass
