@@ -835,49 +835,12 @@ def _emb_dot_sql(p) -> str:
     )
 
 
-def emb_sketch_sql() -> str:
-    """Oracle fragment: the full 56-slot-plane sign sketch over a
-    quantized ``qv`` BIGINT[] column — all slot planes materialized
-    because SQL text can't depend on the data; consumers mask the
-    used low bits of each 28-bit slot dynamically."""
-    return " + ".join(
-        f"CASE WHEN {_emb_dot_sql(p)} >= 0 THEN {1 << p}::BIGINT ELSE 0 END"
-        for p in range(_EMB_ALL_PLANES)
-    )
-
-
-def emb_rsketch_sql() -> str:
-    """Oracle fragment: the 32 refine planes (8 per band per level,
-    flat plane indices 56..87) packed into the low 32 bits of a
-    BIGINT — level l band b's refine value is
-    ``(rsketch >> 8*(l*bands + b)) & 255``."""
-    return " + ".join(
-        f"CASE WHEN {_emb_dot_sql(_EMB_REFINE_BASE + j)} >= 0 "
-        f"THEN {1 << j}::BIGINT ELSE 0 END"
-        for j in range(_EMB_REFINE_LEVELS * _EMB_BANDS * _EMB_REFINE_BITS)
-    )
-
-
 def emb_quant_sql(emb_expr: str = "emb") -> str:
     """Oracle fragment: milli-unit int64 quantization of a DOUBLE[]
     embedding — `floor(x*1000 + 0.5)`, the shared convention."""
     return (
         f"list_transform({emb_expr}, "
         f"x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
-    )
-
-
-def emb_bands_sql(select_cols: str = "vec_id") -> str:
-    """Oracle fragment: per-band (band_no, band_val) extraction from a
-    ``sk`` relation's sketch, masked to the dynamic ``params.bits``
-    width — the other half of the batch/stream 'identical band
-    values' contract, shared so the two oracles can never drift."""
-    return "\n      UNION ALL ".join(
-        f"SELECT {select_cols}, {b} AS band_no, "
-        f"(sketch >> {_EMB_SLOT_BITS * b}) & "
-        f"((1::BIGINT << (SELECT bits FROM params)) - 1) AS band_val "
-        f"FROM sk"
-        for b in range(_EMB_BANDS)
     )
 
 
@@ -907,6 +870,55 @@ def _emb_used_planes_sql() -> str:
     return "\n      UNION ALL ".join(parts)
 
 
+def emb_banded_cte() -> str:
+    """Oracle fragment: the shared params→planes→bands CTE chain over
+    an already-defined ``corpus(vec_id, emb)`` relation — data-derived
+    (bits, nb) from the corpus count, per-plane int64 dots for exactly
+    the used planes, and the per-(vec, band) band/refine values. Ends
+    in ``bands(vec_id, band_no, band_val, refine_val, refine2_val)``.
+    Shared by the batch near-dup oracle and the streaming index
+    oracle so the two replays can never drift."""
+    return f"""params AS (
+      SELECT bits, {_emb_nbands_sql('bits')} AS nb FROM (
+        SELECT {_emb_bits_sql('n')} AS bits
+        FROM (SELECT COUNT(*) AS n FROM corpus))
+    ),
+    qcorp AS (
+      SELECT vec_id, emb, {emb_quant_sql()} AS qv FROM corpus
+    ),
+    used AS (
+      {_emb_used_planes_sql()}
+    ),
+    planes AS MATERIALIZED (
+      SELECT vec_id, u.band_no, u.j, u.kind, u.lvl,
+             {_emb_dot_sql('u.p')} AS d
+      FROM qcorp, used u
+    ),
+    bvals AS (
+      SELECT vec_id, band_no,
+             CAST(SUM(CASE WHEN d >= 0 THEN 1::BIGINT << j
+                           ELSE 0::BIGINT END) AS BIGINT) AS band_val
+      FROM planes WHERE kind = 'slot'
+      GROUP BY vec_id, band_no
+    ),
+    rvals AS (
+      SELECT vec_id, band_no, lvl,
+             CAST(SUM(CASE WHEN d >= 0 THEN 1::BIGINT << j
+                           ELSE 0::BIGINT END) AS BIGINT) AS rv
+      FROM planes WHERE kind = 'refine'
+      GROUP BY vec_id, band_no, lvl
+    ),
+    bands AS (
+      SELECT b.vec_id, b.band_no, b.band_val,
+             r1.rv AS refine_val, r2.rv AS refine2_val
+      FROM bvals b
+      JOIN rvals r1 ON r1.vec_id = b.vec_id
+                   AND r1.band_no = b.band_no AND r1.lvl = 0
+      JOIN rvals r2 ON r2.vec_id = b.vec_id
+                   AND r2.band_no = b.band_no AND r2.lvl = 1
+    )"""
+
+
 def _embedding_oracle() -> str:
     """DuckDB replay of the banded sign-LSH embedding dedup: mutants,
     integer-exact hyperplane sign bits in fixed 28-bit slots, a
@@ -932,45 +944,7 @@ def _embedding_oracle() -> str:
                                            ELSE v END)
       FROM embeddings WHERE vec_id % 4 = 0
     ),
-    params AS (
-      SELECT bits, {_emb_nbands_sql('bits')} AS nb FROM (
-        SELECT {_emb_bits_sql('n')} AS bits
-        FROM (SELECT COUNT(*) AS n FROM corpus))
-    ),
-    qcorp AS (
-      SELECT vec_id, emb, {emb_quant_sql()} AS qv FROM corpus
-    ),
-    used AS (
-      {_emb_used_planes_sql()}
-    ),
-    planes AS MATERIALIZED (
-      SELECT vec_id, u.band_no, u.j, u.kind, u.lvl,
-             {_emb_dot_sql('u.p')} AS d
-      FROM qcorp, used u
-    ),
-    bvals AS (
-      SELECT vec_id, band_no,
-             SUM(CASE WHEN d >= 0 THEN 1::BIGINT << j
-                      ELSE 0::BIGINT END) AS band_val
-      FROM planes WHERE kind = 'slot'
-      GROUP BY vec_id, band_no
-    ),
-    rvals AS (
-      SELECT vec_id, band_no, lvl,
-             SUM(CASE WHEN d >= 0 THEN 1::BIGINT << j
-                      ELSE 0::BIGINT END) AS rv
-      FROM planes WHERE kind = 'refine'
-      GROUP BY vec_id, band_no, lvl
-    ),
-    bands AS (
-      SELECT b.vec_id, b.band_no, b.band_val,
-             r1.rv AS refine_val, r2.rv AS refine2_val
-      FROM bvals b
-      JOIN rvals r1 ON r1.vec_id = b.vec_id
-                   AND r1.band_no = b.band_no AND r1.lvl = 0
-      JOIN rvals r2 ON r2.vec_id = b.vec_id
-                   AND r2.band_no = b.band_no AND r2.lvl = 1
-    ),
+    {emb_banded_cte()},
     counted AS (
       SELECT vec_id, band_no, band_val, refine2_val,
              CASE WHEN COUNT(*) OVER (PARTITION BY band_no, band_val)
@@ -1057,6 +1031,70 @@ def refine_capped_bands(
         )
         .filter(F.col("bn3") <= cap)
         .select("vec_id", "band_no", "band_val", "sub", "sub2")
+    )
+
+
+def graduated_occupancy(
+    fin: DataFrame, cap: int = _EMB_BUCKET_CAP
+) -> DataFrame:
+    """Weighted form of :func:`refine_capped_bands` over an OCCUPANCY
+    relation ``(band_no, band_val, refine_val, refine2_val, n_vecs,
+    lo_vec, hi_vec)`` (one row per non-empty finest bucket, e.g. the
+    streaming index's state table): an over-cap (band_no, band_val)
+    bucket is SPLIT by the level-1 refine value and the cap
+    re-applied; a bucket STILL over the cap splits once more by the
+    independent level-2 value; a bucket over the cap at BOTH refine
+    levels is dropped whole — identical graduated-cap semantics to the
+    batch candidate generator, but computed from sub-bucket COUNTS
+    instead of member rows, so it runs on a state-sized relation
+    without ever touching vectors. Returns ``(band_no, band_val, sub,
+    sub2, n_vecs, lo_vec, hi_vec)`` candidate buckets with
+    ``n_vecs >= 2`` — each sub is −1 at the levels the bucket never
+    needed, so an insert-time prober joins on exactly the key the
+    batch pipeline hashes on. Factored out (like refine_capped_bands)
+    so the cap semantics are unit-testable on crafted occupancies with
+    a small cap."""
+    from pyspark.sql.window import Window
+
+    w0 = Window.partitionBy("band_no", "band_val")
+    w1 = Window.partitionBy("band_no", "band_val", "refine_val")
+    w2 = Window.partitionBy(
+        "band_no", "band_val", "refine_val", "refine2_val"
+    )
+    neg1 = F.lit(-1).cast("long")
+    graded = (
+        fin.withColumn("n0", F.sum("n_vecs").over(w0))
+        .withColumn("n1", F.sum("n_vecs").over(w1))
+        .withColumn("n2", F.sum("n_vecs").over(w2))
+        .filter(
+            ~(
+                (F.col("n0") > cap)
+                & (F.col("n1") > cap)
+                & (F.col("n2") > cap)
+            )
+        )
+        .select(
+            "band_no",
+            "band_val",
+            F.when(F.col("n0") <= cap, neg1)
+            .otherwise(F.col("refine_val"))
+            .alias("sub"),
+            F.when((F.col("n0") <= cap) | (F.col("n1") <= cap), neg1)
+            .otherwise(F.col("refine2_val"))
+            .alias("sub2"),
+            "n_vecs",
+            "lo_vec",
+            "hi_vec",
+        )
+    )
+    return (
+        graded.groupBy("band_no", "band_val", "sub", "sub2")
+        .agg(
+            F.sum("n_vecs").alias("n_vecs"),
+            F.min("lo_vec").alias("lo_vec"),
+            F.max("hi_vec").alias("hi_vec"),
+        )
+        .filter(F.col("n_vecs") >= 2)
     )
 
 

@@ -1461,33 +1461,47 @@ def substring_dedup_agg(stream: DataFrame) -> DataFrame:
 
 def _stream_dedup_embedding_oracle() -> str:
     from streamingdemo_spark.extensions.dedup import (
-        _emb_bits_sql,
-        emb_bands_sql,
-        emb_quant_sql,
-        emb_sketch_sql,
+        _EMB_BUCKET_CAP,
+        emb_banded_cte,
     )
 
-    bands = emb_bands_sql("vec_id")
     return f"""
-    WITH vecs AS (
-      SELECT vec_id,
-             {emb_quant_sql("CAST(embedding AS DOUBLE[])")} AS qv
-      FROM embeddings
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ),
-    params AS (
-      SELECT {_emb_bits_sql('n')} AS bits
-      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    {emb_banded_cte()},
+    fin AS (
+      SELECT band_no, band_val, refine_val, refine2_val,
+             COUNT(*) AS n_vecs,
+             MIN(vec_id) AS lo_vec, MAX(vec_id) AS hi_vec
+      FROM bands GROUP BY 1, 2, 3, 4
     ),
-    sk AS MATERIALIZED (
-      SELECT vec_id, {emb_sketch_sql()} AS sketch FROM vecs
+    g AS (
+      SELECT *,
+        SUM(n_vecs) OVER (PARTITION BY band_no, band_val) AS n0,
+        SUM(n_vecs) OVER (PARTITION BY band_no, band_val, refine_val)
+          AS n1,
+        SUM(n_vecs) OVER (PARTITION BY band_no, band_val, refine_val,
+                          refine2_val) AS n2
+      FROM fin
     ),
-    bands AS (
-      {bands}
+    graded AS (
+      SELECT band_no, band_val,
+             CASE WHEN n0 <= {_EMB_BUCKET_CAP} THEN CAST(-1 AS BIGINT)
+                  ELSE refine_val END AS sub,
+             CASE WHEN n0 <= {_EMB_BUCKET_CAP}
+                    OR n1 <= {_EMB_BUCKET_CAP} THEN CAST(-1 AS BIGINT)
+                  ELSE refine2_val END AS sub2,
+             n_vecs, lo_vec, hi_vec
+      FROM g
+      WHERE NOT (n0 > {_EMB_BUCKET_CAP} AND n1 > {_EMB_BUCKET_CAP}
+                 AND n2 > {_EMB_BUCKET_CAP})
     )
-    SELECT band_no, band_val, COUNT(*) AS n_vecs,
-           MIN(vec_id) AS lo_vec, MAX(vec_id) AS hi_vec
-    FROM bands GROUP BY band_no, band_val
-    HAVING COUNT(*) >= 2
+    SELECT band_no, band_val, sub, sub2,
+           CAST(SUM(n_vecs) AS BIGINT) AS n_vecs,
+           MIN(lo_vec) AS lo_vec, MAX(hi_vec) AS hi_vec
+    FROM graded GROUP BY 1, 2, 3, 4
+    HAVING SUM(n_vecs) >= 2
     """
 
 
@@ -1505,59 +1519,85 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch bucket histogram exactly, so DuckDB hash-checks
     a real multi-batch streaming execution of the index build.
 
-    Output: every candidate bucket (band_no, band_val) with its
-    occupancy and id span — the live state a production near-dup
-    service probes on insert (a new vector pairs against only its
-    buckets' members) and the exact candidate-generation stage the
-    batch key verifies with cosine. The verify stage is deliberately
+    Output: every candidate bucket of the GRADUATED index — (band_no,
+    band_val, sub, sub2) with occupancy and id span, where sub/sub2
+    are the refine-split coordinates an over-cap bucket graduates
+    into (−1 at levels a bucket never needed — exactly the key the
+    batch candidate join hashes on). The live state a production
+    near-dup service probes on insert (a new vector pairs against
+    only its buckets' members) carries the refine structure, so a
+    prober applies the batch key's graduated cap discipline instead
+    of dropping an over-cap bucket whole: a crowd-dense batch that
+    pushes a bucket past the cap splits by the level-1 (then level-2)
+    refine values, and only a bucket dense at BOTH levels is dropped
+    (the r12 batch fix, extended here per the r12 verdict). The
+    verify stage is deliberately
     NOT in the stream: at 100 TB it is a point lookup against this
     index per arrival (and the batch family certifies its math);
     folding all historical embeddings into stream state to verify
     in-stream would make state corpus-sized, the one thing an index
-    build must never do. State here is one row per NON-EMPTY bucket —
-    bounded by corpus/bucket-load, not by pairs.
+    build must never do. State here is one row per NON-EMPTY finest
+    (band, band_val, refine, refine2) bucket — bounded by
+    nb·corpus, never pair-sized; the graduated rollup
+    (:func:`graduated_occupancy`, the weighted twin of the batch
+    key's refine_capped_bands) runs AFTER the replay on the
+    state-sized table, because chaining a second stateful windowed
+    count onto a streaming aggregate is exactly the multi-stateful
+    plan Structured Streaming forbids.
 
-    Band width is fixed per index generation (derived from the
-    corpus-size metadata count at plan time, the same [12, 28] ladder
-    as the batch key): a production deployment re-indexes with wider
-    bands when the corpus outgrows the dial — the streaming query IS
-    the re-index job.
+    Band width and count are fixed per index generation (derived from
+    the corpus-size metadata count at plan time, the same [12, 28] /
+    2-3 band ladders as the batch key): a production deployment
+    re-indexes with a wider dial when the corpus outgrows it — the
+    streaming query IS the re-index job.
     """
     from streamingdemo_spark.extensions.dedup import (
-        _EMB_BANDS,
+        _EMB_REFINE_LEVELS,
         _emb_band_bits,
+        _emb_band_count,
         emb_bands_udf,
+        graduated_occupancy,
     )
     from streamingdemo_spark.streaming.sources import embeddings_stream
 
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     bits = _emb_band_bits(n)
+    nb = _emb_band_count(bits)
     stream = embeddings_stream(spark, sf_dir, n_chunks=4).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     # the shared integer-exact matmul sketch (emb_bands_udf) is a
     # stateless scalar pandas UDF, so it runs unchanged per
-    # micro-batch on the unbounded relation; the index histogram
-    # needs only the level-1 band values (refine=False)
+    # micro-batch on the unbounded relation; refine values ride along
+    # so the index carries the graduated sub-bucket structure
     sk = stream.withColumn(
-        "bvals", emb_bands_udf(bits, refine=False)("embedding")
+        "bvals", emb_bands_udf(bits, n_bands=nb)("embedding")
     )
+    assert _EMB_REFINE_LEVELS == 2  # bvals layout below
     bands = sk.select(
         "vec_id",
         F.posexplode(
-            F.array(*[F.col("bvals")[b] for b in range(_EMB_BANDS)])
-        ).alias("band_no", "band_val"),
+            F.array(
+                *[
+                    F.struct(
+                        F.col("bvals")[b].alias("band_val"),
+                        F.col("bvals")[nb + b].alias("refine_val"),
+                        F.col("bvals")[2 * nb + b].alias("refine2_val"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("band_no", "bv"),
+    ).select("vec_id", "band_no", "bv.*")
+    fin = bands.groupBy(
+        "band_no", "band_val", "refine_val", "refine2_val"
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("lo_vec"),
+        F.max("vec_id").alias("hi_vec"),
     )
-    occupancy = (
-        bands.groupBy("band_no", "band_val")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.min("vec_id").alias("lo_vec"),
-            F.max("vec_id").alias("hi_vec"),
-        )
-        .filter(F.col("n_vecs") >= 2)
-    )
-    return run_to_memory(occupancy, output_mode="complete")
+    state = run_to_memory(fin, output_mode="complete")
+    return graduated_occupancy(state)
 
 
 _BOTTOMK_STREAM_K = 20

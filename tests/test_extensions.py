@@ -2577,6 +2577,57 @@ def test_embedding_cluster_consistent_with_pairs(spark, sf_dir):
     assert clus  # planted mutants guarantee non-empty clusters
 
 
+def test_graduated_occupancy_recovers_planted_pair_in_dense_batch(spark):
+    """The streaming index's graduated rollup (r12 verdict: the
+    streaming leg ran refine=False, so a crowd-dense micro-batch whose
+    band bucket exceeded the cap dropped whole with no second chance,
+    losing planted pairs the batch key's r12 fix protects): feed the
+    OCCUPANCY of a synthetic crowd-dense micro-batch — one band bucket
+    holding a 38-member crowd plus a planted pair sharing a refine
+    value — through :func:`graduated_occupancy` and assert the pair's
+    refined sub-bucket survives as a probe-able (n_vecs >= 2) index
+    row, while a bucket dense at BOTH refine levels still drops whole
+    (the candidate-volume bound) and an under-cap bucket stays
+    unsplit. Weighted twin of refine_capped_bands: same fates, driven
+    by sub-bucket counts instead of member rows."""
+    from streamingdemo_spark.extensions.dedup import graduated_occupancy
+
+    # (band_no, band_val, refine_val, refine2_val, n_vecs, lo, hi)
+    fin_rows = []
+    # bucket 111: 76-member crowd spread over 19 refine values (4 per
+    # level-1 sub-bucket), plus the planted pair (vec ids 0 and 1)
+    # sharing refine 99 -> over cap at level 0 (78 > 16), every
+    # level-1 sub-bucket under cap
+    fin_rows += [(0, 111, (i % 19) + 100, i // 19, 2, 1000 + i,
+                  1075 - i) for i in range(38)]
+    fin_rows += [(0, 111, 99, 0, 2, 0, 1)]  # the pair's finest bucket
+    # bucket 222: 40 members dense at both levels -> dropped whole
+    fin_rows += [(0, 222, 7, 9, 40, 2000, 2039)]
+    # bucket 333: under cap -> untouched, sub = sub2 = -1
+    fin_rows += [(0, 333, 5, 6, 5, 3000, 3004)]
+    fin = spark.createDataFrame(
+        fin_rows,
+        "band_no int, band_val long, refine_val long, refine2_val long,"
+        " n_vecs long, lo_vec long, hi_vec long",
+    )
+    out = {
+        (r["band_val"], r["sub"], r["sub2"]): r
+        for r in graduated_occupancy(fin, cap=16).collect()
+    }
+    # the planted pair's refined bucket IS in the index (pre-r13 the
+    # coarse 80-member bucket was one over-cap row a cap-disciplined
+    # prober had to drop whole)
+    pair = out[(111, 99, -1)]
+    assert pair["n_vecs"] == 2
+    assert (pair["lo_vec"], pair["hi_vec"]) == (0, 1)
+    # every crowd sub-bucket also survives (spread level-1 values)
+    assert all(k[1] != -1 for k in out if k[0] == 111)
+    # both-levels-dense bucket dropped whole
+    assert not any(k[0] == 222 for k in out)
+    # under-cap bucket unsplit
+    assert out[(333, -1, -1)]["n_vecs"] == 5
+
+
 def test_refine_capped_bands_graduated_split_and_drop(spark):
     """The r12 cap semantics on crafted buckets (no fixture bucket
     exceeds the cap below sf10, so this is the unit witness for the

@@ -634,6 +634,11 @@ def test_stream_dedup_embedding_is_multibatch_and_consistent(spark, sf_dir):
         assert r["n_vecs"] >= 2
         assert r["lo_vec"] < r["hi_vec"]
         assert 0 <= r["band_no"] <= 1
+        # no fixture bucket exceeds the cap below sf10, so the
+        # graduated index must leave every bucket unsplit here; the
+        # crowd-dense refine path is unit-witnessed on crafted
+        # occupancies (test_extensions.test_graduated_occupancy_*)
+        assert r["sub"] == -1 and r["sub2"] == -1
     assert out  # jittered fixtures always share some sign buckets
 
 
