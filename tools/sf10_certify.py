@@ -788,6 +788,57 @@ def cert_label_noise_knn_slice(spark, con, sf_dir: str) -> dict:
     }
 
 
+def cert_label_noise_ann_slice(spark, con, sf_dir: str) -> dict:
+    """Slice certificate for the PRODUCTION ANN label-noise key: the
+    REGISTERED key runs in full (its per-bucket GEMM + margin-cut
+    machinery untouched), and DuckDB recomputes the exact contract
+    for the probe slice ``vec_id % 4096 == _SLICE_REM`` — all-corpus
+    sketches and bucket cap (the index must be full), candidate
+    scoring and vote only for slice queries. The r12 full replay
+    completed at 1494 s with 65 GB of DuckDB spill and was one probe
+    doubling away from starving the sweep; slicing the QUERY side
+    commutes with the per-vector contract, so this bounds the
+    verification cost at unchanged kernel coverage."""
+    from streamingdemo_spark.extensions.similarity import (
+        _label_noise_ann_oracle,
+    )
+
+    out_glob, n_rows = _spark_parquet(spark, "ext_label_noise_ann", sf_dir)
+    con.execute(
+        f"CREATE OR REPLACE VIEW ln_ann_out AS "
+        f"SELECT * FROM read_parquet('{out_glob}')"
+    )
+    expected = _label_noise_ann_oracle(
+        slice_mod=_SLICE_MOD, slice_rem=_SLICE_REM
+    )
+    mismatches = _one(con, f"""
+    WITH expect AS ({expected})
+    SELECT COUNT(*) FROM expect e
+    FULL OUTER JOIN (SELECT * FROM ln_ann_out
+                     WHERE vec_id % {_SLICE_MOD} = {_SLICE_REM}) o
+      ON e.vec_id = o.vec_id
+    WHERE e.vec_id IS NULL OR o.vec_id IS NULL
+       OR e.label <> o.label OR e.n_agree <> o.n_agree
+       OR e.n_nbrs <> o.n_nbrs OR e.is_suspect <> o.is_suspect
+    """)
+    slice_rows = _one(
+        con,
+        f"SELECT COUNT(*) FROM ln_ann_out "
+        f"WHERE vec_id % {_SLICE_MOD} = {_SLICE_REM}",
+    )
+    return {
+        "cert_pass": mismatches == 0 and slice_rows > 0 and n_rows > 0,
+        "method": f"slice certificate: the REGISTERED per-bucket GEMM "
+                  f"pipeline's full output, exact vote compare vs a "
+                  f"DuckDB replay sliced to queries vec_id % "
+                  f"{_SLICE_MOD} == {_SLICE_REM} (index side full)",
+        "checks": {"slice_mismatches": mismatches,
+                   "slice_rows": slice_rows,
+                   "slice_rem": _SLICE_REM},
+        "spark_rows": n_rows,
+    }
+
+
 CERTS = {
     "ext_graph_pagerank": cert_graph_pagerank,
     "ext_attribution_shapley": cert_attribution_shapley,
@@ -799,6 +850,7 @@ CERTS = {
     "join_range_banded": cert_join_range_banded_slice,
     "ext_sim_knn_join": cert_sim_knn_join_slice,
     "ext_label_noise_knn": cert_label_noise_knn_slice,
+    "ext_label_noise_ann": cert_label_noise_ann_slice,
 }
 
 
