@@ -206,6 +206,13 @@ def main() -> None:
         out["headline_normalized"] = round(
             total / out["anchor_median"], 3
         )
+    # Registry-wide wall pass (r12 verdict #4): one Spark-only wall
+    # per registry key at sf0.01, so a plan regression on a
+    # NON-headline key surfaces as a bench delta instead of waiting
+    # for an sf10 watchdog/byte-pin trip. Lives in the sidecar only.
+    registry_walls, registry_truncated = _registry_walls(spark, queries)
+    registry_flags = _registry_flags(registry_walls)
+
     # The ~60-key per-query dict goes to a SIDECAR file, not stdout:
     # round 9's headline value was lost because the driver's tail
     # capture truncated the head of one very large JSON line
@@ -213,6 +220,10 @@ def main() -> None:
     # compact; _anchor_ratios reads the sidecar next round.
     full = dict(out)
     full["queries"] = timings
+    full["registry_walls"] = registry_walls
+    full["registry_walls_sf"] = 0.01
+    full["registry_truncated"] = registry_truncated
+    full["registry_flags_1p5x"] = registry_flags
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_FULL_r{_current_round()}.json",
@@ -236,6 +247,76 @@ def _round_of(path: str) -> int:
     import re
 
     return int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+
+
+def _registry_walls(
+    spark, queries, budget_sec: float = 420.0
+) -> tuple[dict, bool]:
+    """One warm-session Spark-only wall per registry key at sf0.01 —
+    cheap cross-round drift coverage for the ~300 keys outside the
+    headline set (the headline measures the scale-critical paths at
+    sf0.1 with reps; this pass trades precision for COVERAGE: a plan
+    regression that doubles a key's wall is visible even when the key
+    is sub-second). No oracle, one rep, cache cleared per key so
+    memoizing keys measure their own pipeline. Deterministic key
+    order; a hard time budget bounds the driver's bench step, and
+    hitting it is recorded loudly (``registry_truncated``) rather than
+    silently narrowing coverage. A key that raises records ``null`` —
+    visible in the artifact, not skipped."""
+    sf_dir = "/root/testdata/sf0.01"
+    walls: dict[str, float | None] = {}
+    t_start = time.perf_counter()
+    truncated = False
+    for key in sorted(queries):
+        if time.perf_counter() - t_start > budget_sec:
+            truncated = True
+            print(
+                f"# registry walls truncated at {len(walls)}/"
+                f"{len(queries)} keys (budget {budget_sec}s)",
+                file=sys.stderr,
+            )
+            break
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _drain(queries[key](spark, sf_dir))
+            walls[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # visible in the artifact, not silent
+            print(f"# registry wall ERROR {key}: {exc}", file=sys.stderr)
+            walls[key] = None
+    return walls, truncated
+
+
+def _registry_flags(walls: dict) -> list:
+    """Keys whose sf0.01 wall grew >= 1.5x vs the newest prior round's
+    registry pass AND by more than 0.5 s absolute (sub-second keys
+    jitter by scheduler noise; a flag must mean real growth). Sorted
+    worst-first as (key, prev_sec, now_sec) triples."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev: dict = {}
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
+        key=_round_of,
+        reverse=True,
+    ):
+        if _round_of(path) >= _current_round():
+            continue
+        try:
+            doc = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if doc.get("registry_walls"):
+            prev = doc["registry_walls"]
+            break
+    flags = [
+        (k, prev[k], walls[k])
+        for k in walls
+        if walls.get(k) and prev.get(k)
+        and walls[k] >= 1.5 * prev[k] and walls[k] - prev[k] > 0.5
+    ]
+    return sorted(flags, key=lambda t: -(t[2] / t[1]))
 
 
 def _current_round() -> int:
