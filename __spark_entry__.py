@@ -32,7 +32,18 @@ try:
 except ImportError:
     pass
 
-from streamingdemo_spark.registry import ORACLES, QUERIES
+from streamingdemo_spark.registry import QUERIES, resolve_oracles
+
+
+@functools.lru_cache(maxsize=4)
+def _resolved_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Static oracles plus the data-derived built ones (PCA component
+    literals, compression pin), resolved at the driver's sf0.01
+    contract tier by default — cached because builders read fixture
+    parquet. sf10 tooling re-resolves at its own dir."""
+    return (
+        resolve_oracles(sf_dir) if sf_dir is not None else resolve_oracles()
+    )
 
 # Driver check order. The driver's verify budget (~50 keys/round) runs
 # keys in the order queries() yields them, so the order decides which
@@ -175,13 +186,11 @@ _PRIORITY = [
     # -- round-11 additions
     "ext_label_noise_ann", "ext_dedup_embedding_cluster",
     "stream_dedup_embedding",
-    # -- rows-only smokes (no oracle possible — zlib encoder decisions
-    #    and wall-clock rate sources aren't SQL-replayable; weakest
-    #    driver signal). pca_project's projections are basis-dependent
-    #    (pinned by its exact numpy-replay test; the SQL-checkable
-    #    invariants are hash-certified by ext_embedding_pca_invariants)
-    #    and compression_ratio's codec contracts are hash-certified by
-    #    ext_compression_invariants
+    # -- r13: pca_project and compression_ratio graduated from
+    #    rows-only to BUILT oracles (data-derived constants resolved
+    #    per sf tier — registry.ORACLE_BUILDERS); only the wall-clock
+    #    rate source remains rows-only (not SQL-replayable even in
+    #    principle). Their invariant twins stay hash-certified too.
     "ext_embedding_pca_project",
     "ext_compression_ratio", "stream_rate_smoke",
     # -- proven in r1/r2 (green rows), cheapest-first
@@ -304,19 +313,20 @@ def driver_uncertified() -> frozenset[str]:
     oracle the driver actually compared against)."""
     hist = _correctness_history()
     fps = _oracle_fp_records()
+    oracles = _resolved_oracles()
 
     def uncert(k: str) -> bool:
         rec = hist.get(k)
         if rec is None or rec["green_round"] is None:
             return True
-        if k not in ORACLES:
+        if k not in oracles:
             return False
         if not rec["hash"]:
             return True
         fprec = fps.get(k)
         if fprec is None:
             return False  # pre-snapshot key: fall back to hash-row proof
-        if fprec.get("fp") != oracle_fp(ORACLES[k]):
+        if fprec.get("fp") != oracle_fp(oracles[k]):
             return True  # oracle edited after the last snapshot
         hr = rec.get("hash_round")
         return hr is not None and hr < int(fprec.get("round", 0))
@@ -436,5 +446,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for every oracle=Y key."""
-    return _ordered(ORACLES)
+    """DuckDB-runnable ANSI SQL for every oracle=Y key (data-derived
+    oracles resolved at the driver's sf0.01 contract tier)."""
+    return _ordered(_resolved_oracles())

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import query
+from streamingdemo_spark.registry import DEFAULT_ORACLE_SF_DIR, query
 
 N_QUERIES = 8
 TOP_K = 5
@@ -1130,6 +1130,22 @@ def _pca_top4(spark: SparkSession, sf_dir: str):
     for r in gram_rows:
         gram[r["i"], r["j"]] = r["c_ij"]
         gram[r["j"], r["i"]] = r["c_ij"]
+    wq, explained = _pca_components_from_gram(gram)
+    return q, wq, explained
+
+
+def _pca_components_from_gram(gram) -> tuple[list[list[int]], float]:
+    """Gram (float64 d×d, exact-integer-valued) → sign-pinned top-4
+    components quantized to micro-unit int64, plus top-4 explained-
+    variance ratio. ONE function shared by the Spark pipeline
+    (``_pca_top4``) and the oracle builder (``_pca_oracle``): the
+    oracle derives the gram independently (numpy over the raw
+    parquet vs Spark's distributed integer sum — a true differential
+    on the only distributed stage), but the eigh → sign-pin →
+    quantize tail must be byte-identical math, which sharing the code
+    makes true by construction."""
+    import numpy as np
+
     eigvals, vecs = np.linalg.eigh(gram)
     explained = float(eigvals[::-1][:4].sum() / eigvals.sum())
     comps = vecs[:, ::-1][:, :4].T  # top-4, largest eigenvalue first
@@ -1139,7 +1155,60 @@ def _pca_top4(spark: SparkSession, sf_dir: str):
         fixed.append((-c if c[pivot] < 0 else c))
     # micro-unit integer components -> exact integer dot products
     wq = [[int(np.floor(v * 1_000_000 + 0.5)) for v in c] for c in fixed]
-    return q, wq, explained
+    return wq, explained
+
+
+def _pca_oracle(sf_dir: str = DEFAULT_ORACLE_SF_DIR) -> str:
+    """DuckDB replay of ``ext_embedding_pca_project`` with the top-4
+    micro-unit integer components embedded as literals — the
+    ``_embedding_oracle`` pattern (Python-built SQL with integer
+    constants), except the constants are DATA-derived: the builder
+    recomputes the exact integer Gram from the raw parquet in numpy
+    (an independent, collect-free path vs Spark's distributed
+    posexplode sum — if Spark's shuffle dropped or duplicated a
+    partial, the grams differ and every projection hash diverges) and
+    runs the SHARED eigh → sign-pin → quantize tail
+    (:func:`_pca_components_from_gram`), so the basis is identical by
+    construction on this environment's numpy/BLAS. DuckDB then
+    re-quantizes every vector and replays each projection as an exact
+    int64 dot product — no float tolerance anywhere.
+
+    Scope: the components are only valid for the corpus at ``sf_dir``
+    (default: the driver's sf0.01 contract tier); the sf10 sweep
+    re-resolves the builder at its own dir via
+    ``registry.resolve_oracles``."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    col = t["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    X = flat.reshape(len(col), -1)
+    Q = np.floor(X * 1000.0 + 0.5).astype(np.int64)
+    gram = (Q.T @ Q).astype(np.float64)  # exact: |c_ij| << 2^53
+    wq, _ = _pca_components_from_gram(gram)
+
+    def dot(wk: list[int], k: int) -> str:
+        lits = ",".join(str(w) for w in wk)
+        return (
+            "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip(qv, [{lits}]::BIGINT[]), "
+            "s -> s[1] * s[2])), (a, b) -> a + b) "
+            f"AS BIGINT) AS pc{k}_nano"
+        )
+
+    cols = ",\n           ".join(dot(wk, k + 1) for k, wk in enumerate(wq))
+    return f"""
+    SELECT vec_id, label,
+           {cols}
+    FROM (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    )
+    """
 
 
 def _pca_proj_cols(wq: list[list[int]]) -> list:
@@ -1156,7 +1225,7 @@ def _pca_proj_cols(wq: list[list[int]]) -> list:
     ]
 
 
-@query("ext_embedding_pca_project")
+@query("ext_embedding_pca_project", oracle=_pca_oracle)
 def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-4 principal
     directions — the dimensionality-reduction step a production vector
@@ -1187,16 +1256,21 @@ def ext_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy/pure-Python integer replay in-process). Components quantize
     to micro-unit int64 before broadcast, so each projection is an
     EXACT integer dot product (|q|≤~2e3 × |w|≤1e6 × 64 terms ≪ 2^63)
-    — the only float step is the driver-side eigh itself. No DuckDB oracle by contract (eigendecomposition
-    is not expressible in SQL); correctness is pinned by that test.
+    — the only float step is the driver-side eigh itself.
 
-    FINAL CONTRACT: permanently rows-only — the output is BASIS-
-    dependent (any orthonormal basis of a degenerate eigenspace is an
-    equally correct answer), so a value-hash across engines is not a
-    meaningful claim even in principle; the basis-FREE facts of this
-    pipeline (Gram exactness, eigenvalue spectrum, reconstruction
-    error, orthonormality) are what
-    ``ext_embedding_pca_invariants`` hash-certifies.
+    ORACLE CONTRACT (r13 — supersedes the r6 rows-only contract per
+    the r12 verdict): eigendecomposition is not expressible in SQL,
+    but it does not need to be — the components are d×4 CONSTANTS, so
+    the oracle builder (:func:`_pca_oracle`) derives them from the
+    same corpus through an INDEPENDENT gram path (numpy over the raw
+    parquet, no Spark) plus the shared eigh tail, embeds them as
+    int64 literals, and DuckDB replays every per-row projection as an
+    exact integer dot product. The hash claim is scoped to one
+    environment's numpy/BLAS (the driver compares both engines inside
+    one container, where the scoping holds); the basis-FREE facts
+    (Gram exactness, Bessel, explained variance) remain independently
+    hash-certified by ``ext_embedding_pca_invariants``, and the
+    in-process exact-replay test still pins the full pipeline.
     """
     q, wq, _ = _pca_top4(spark, sf_dir)
     return q.select("vec_id", "label", *_pca_proj_cols(wq))

@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from streamingdemo_spark.io import load_tables
-from streamingdemo_spark.registry import poly_hash, query
+from streamingdemo_spark.registry import (
+    DEFAULT_ORACLE_SF_DIR,
+    poly_hash,
+    query,
+)
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 
@@ -1248,7 +1252,84 @@ def ext_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_compression_ratio")  # rows-only: zlib output is library-specific
+def _compression_oracle(sf_dir: str = DEFAULT_ORACLE_SF_DIR) -> str:
+    """The COMPRESSION_FP.json byte-pin, registered as a runnable
+    oracle (r12 verdict #7): the builder replays zlib level 6 over the
+    raw parquet documents in plain Python — no Spark, no pandas UDF
+    batching, so a Spark-side row drop/dup, UDF batch-boundary bug, or
+    text-encoding divergence flips the hash — and emits the expected
+    rows as a literal ``VALUES`` table (the SQL text IS the pin, and
+    ``ORACLE_FP.json`` fingerprints it like every other oracle).
+
+    The DEFLATE stream itself is still an encoder decision sequence
+    only zlib defines — the independence claim is therefore about the
+    EXECUTION PATH (pyarrow read + per-doc zlib vs Spark scan + Arrow
+    batches + UDF), not about a second codec; the container pins one
+    zlib build (COMPRESSION_FP.json records 1.2.13, test-gated), which
+    both paths share by construction. Above the driver tier the VALUES
+    text would be megabytes, so the builder switches to a parquet
+    sidecar under /tmp read by ``read_parquet`` — same rows, same
+    comparison."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars", "text"],
+    )
+    doc_id = t["doc_id"].to_pylist()
+    lang = t["lang"].to_pylist()
+    n_chars = t["n_chars"].to_pylist()
+    text = t["text"].to_pylist()
+
+    def ppk(s: str | None) -> int:
+        raw = (s or "").encode("utf-8")
+        if not raw:
+            return 1000
+        return len(zlib.compress(raw, 6)) * 1000 // len(raw)
+
+    order = sorted(range(len(doc_id)), key=lambda i: doc_id[i])
+    rows = [(doc_id[i], lang[i], n_chars[i], ppk(text[i])) for i in order]
+    if len(rows) > 20_000:
+        import hashlib
+
+        import pyarrow as pa
+
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        path = f"/tmp/compression_oracle_{tag}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": pa.array([r[1] for r in rows], pa.string()),
+                    "raw_chars": pa.array([r[2] for r in rows], pa.int64()),
+                    "compress_ppk": pa.array(
+                        [r[3] for r in rows], pa.int32()
+                    ),
+                }
+            ),
+            path,
+        )
+        return (
+            "SELECT doc_id, lang, raw_chars, compress_ppk "
+            f"FROM read_parquet('{path}')"
+        )
+    vals = ",\n      ".join(
+        "({}, '{}', {}, {})".format(d, str(la).replace("'", "''"), n, p)
+        for d, la, n, p in rows
+    )
+    return f"""
+    SELECT CAST(col0 AS BIGINT) AS doc_id, col1 AS lang,
+           CAST(col2 AS BIGINT) AS raw_chars,
+           CAST(col3 AS INTEGER) AS compress_ppk
+    FROM (VALUES
+      {vals}
+    ) t(col0, col1, col2, col3)
+    """
+
+
+@query("ext_compression_ratio", oracle=_compression_oracle)
 def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal: deflate each document and
     report compressed/raw size in integer parts-per-thousand — the
@@ -1259,11 +1340,12 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas UDF (zlib level 6, fixed, so results are
     reproducible run-to-run); one scan, no shuffle — the screen
     composes with ``ext_quality_prune``-style percentile cuts
-    downstream. Rows-only by contract: the VALUE of a DEFLATE stream
+    downstream. The VALUE of a DEFLATE stream
     is an encoder decision sequence (match lengths, lazy-match
     heuristics, Huffman table splits) that only zlib itself defines —
-    no SQL engine can replay it, so there is nothing for a DuckDB
-    oracle to compute. What IS verifiable is verified elsewhere: the
+    no SQL engine can compute it independently, so the oracle is the
+    registered byte-pin replayed through a Spark-free path (see
+    :func:`_compression_oracle`). What else is verifiable is verified elsewhere: the
     monotonicity contract (repetitive ≪ prose < random) is pinned by
     ``tests/test_extensions.py::test_compression_ratio_orders_texts``;
     ``ext_compression_invariants`` hash-certifies the codec's
@@ -1274,13 +1356,15 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the same redundancy signal through the portable integer
     discipline.
 
-    FINAL CONTRACT: permanently rows-only — a DEFLATE stream's value
-    exists only inside zlib, so no independent engine can ever replay
-    it; certification is (a) the two hash-certified siblings above,
-    (b) the ordering contract in tests, and (c) COMPRESSION_FP.json:
-    a zlib-version-keyed byte fingerprint of the full sf0.01 output,
-    pinned by tests/test_extensions.py — the output can no longer
-    drift silently even within one zlib version.
+    ORACLE CONTRACT (r13 — supersedes the r6 rows-only contract per
+    the r12 verdict): the COMPRESSION_FP.json pin is now REGISTERED
+    as the key's oracle — ``_compression_oracle`` replays zlib over
+    the raw parquet in plain Python (no Spark, no Arrow UDF batching)
+    and the driver value-hashes Spark against that replay, so the
+    full sf0.01 output is hash-gated every round, not just
+    sha256-pinned in tests. Certification remains layered: (a) the
+    two hash-certified siblings above, (b) the ordering contract in
+    tests, (c) the version-keyed COMPRESSION_FP.json byte pin.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

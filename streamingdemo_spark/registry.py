@@ -23,20 +23,53 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Oracles whose SQL embeds DATA-DERIVED constants (eigenvector
+# components, codec pins) register a BUILDER ``sf_dir -> SQL`` here
+# instead of static text: the constants must come from the same corpus
+# the oracle will be compared at, so the text is resolved lazily per
+# scale tier (the driver's contract tier is sf0.01; the sf10 sweep
+# re-resolves at its own dir).
+ORACLE_BUILDERS: dict[str, Callable[[str], str]] = {}
+
+#: the driver's correctness-gate scale: oracle_sql() resolves here.
+DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query builder (and optional DuckDB oracle SQL)."""
+def query(
+    key: str, oracle: str | Callable[[str], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query builder (and optional DuckDB oracle SQL —
+    static text, or an ``sf_dir -> SQL`` builder for oracles with
+    data-derived constants)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
             raise ValueError(f"duplicate query key: {key}")
         QUERIES[key] = fn
         if oracle is not None:
-            ORACLES[key] = oracle
+            if callable(oracle):
+                ORACLE_BUILDERS[key] = oracle
+            else:
+                ORACLES[key] = oracle
         return fn
 
     return deco
+
+
+def resolve_oracles(sf_dir: str = DEFAULT_ORACLE_SF_DIR) -> dict[str, str]:
+    """Static oracles plus the sf-dir-aware built ones. A builder that
+    fails (e.g. its fixture parquet is absent in a stripped checkout)
+    logs loudly and degrades that key to rows-only for the run instead
+    of taking down every caller of ``oracle_sql()``."""
+    import sys
+
+    out = dict(ORACLES)
+    for k, build in sorted(ORACLE_BUILDERS.items()):
+        try:
+            out[k] = build(sf_dir)
+        except Exception as exc:  # degraded, visible — never fatal
+            print(f"# oracle builder failed for {k}: {exc}", file=sys.stderr)
+    return out
 
 
 POLY_MOD = 1_000_000_007

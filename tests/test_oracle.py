@@ -6,19 +6,27 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from streamingdemo_spark.registry import ORACLES, QUERIES
+from streamingdemo_spark.registry import ORACLE_BUILDERS, ORACLES, QUERIES
 
 from tests.oracle_compare import assert_matches_oracle, assert_scalar_schema
 
-ORACLE_KEYS = sorted(ORACLES)
-ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLES))
+ORACLE_KEYS = sorted(set(ORACLES) | set(ORACLE_BUILDERS))
+ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_KEYS))
+
+
+def _oracle_for(key: str, sf_dir: str) -> str:
+    """Static oracle text, or the data-derived builder resolved at the
+    suite's sf_dir — the builders embed corpus-derived constants, so
+    the text must match the tier the comparison runs at."""
+    sql = ORACLES.get(key)
+    return sql if sql is not None else ORACLE_BUILDERS[key](sf_dir)
 
 
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_matches_oracle(key, spark, duck, sf_dir):
     df = QUERIES[key](spark, sf_dir)
     assert_scalar_schema(df, key)
-    assert_matches_oracle(df, duck, ORACLES[key], key)
+    assert_matches_oracle(df, duck, _oracle_for(key, sf_dir), key)
 
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
@@ -39,8 +47,12 @@ def test_no_hugeint_oracle_columns(duck):
     column; wrap the offending aggregate in CAST(... AS BIGINT)."""
     banned = ("HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
     offenders = {}
+    from tests.conftest import SF_DIR
+
     for key in ORACLE_KEYS:
-        desc = duck.execute(f"DESCRIBE ({ORACLES[key]})").fetchall()
+        desc = duck.execute(
+            f"DESCRIBE ({_oracle_for(key, SF_DIR)})"
+        ).fetchall()
         hits = [
             (col, typ)
             for col, typ, *_ in desc
@@ -102,16 +114,21 @@ def test_oracle_fingerprints_current():
     hash' hole: a strengthened oracle riding an old hash row."""
     fps = entrymod._oracle_fp_records()
     assert fps, "ORACLE_FP.json missing — run python tools/oracle_fp.py"
-    missing = sorted(set(ORACLES) - set(fps))
+    # fingerprints cover the DRIVER-tier text: built oracles resolve
+    # at the sf0.01 contract dir, same as tools/oracle_fp.py
+    oracles = entrymod._resolved_oracles()
+    missing = sorted(set(oracles) - set(fps))
     assert not missing, f"oracles without fingerprint snapshot: {missing}"
     stale = sorted(
-        k for k in ORACLES if fps[k].get("fp") != entrymod.oracle_fp(ORACLES[k])
+        k
+        for k in oracles
+        if fps[k].get("fp") != entrymod.oracle_fp(oracles[k])
     )
     assert not stale, (
         f"oracle text changed without snapshot update: {stale} — "
         "run python tools/oracle_fp.py"
     )
-    dangling = sorted(set(fps) - set(ORACLES))
+    dangling = sorted(set(fps) - set(oracles))
     assert not dangling, f"snapshot entries for unregistered keys: {dangling}"
 
 

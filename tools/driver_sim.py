@@ -132,7 +132,10 @@ def main() -> int:
 
     spark = get_spark()
     queries = entry.queries()
-    oracles = entry.oracle_sql()
+    # data-derived oracles (PCA components, compression pin) must be
+    # resolved against the corpus they will be compared at — the sf10
+    # sweep passes its own dir here
+    oracles = entry._resolved_oracles(sf_dir)
 
     con = duckdb.connect()
     # Bound the oracle engine: an unbounded DuckDB (default 80% of

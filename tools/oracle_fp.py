@@ -35,7 +35,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entry  # noqa: E402
-from streamingdemo_spark.registry import ORACLES  # noqa: E402
+
+# Resolved at the driver's sf0.01 contract tier: data-derived oracles
+# (PCA component literals, compression pin) are fingerprinted on the
+# exact text the driver will run.
+ORACLES = entry.oracle_sql()
 
 
 def current_round() -> int:

@@ -19,7 +19,14 @@ sys.path.insert(0, str(ROOT))
 import streamingdemo_spark.plans  # noqa: E402,F401
 import streamingdemo_spark.extensions  # noqa: E402,F401
 import streamingdemo_spark.streaming.queries  # noqa: E402,F401
-from streamingdemo_spark.registry import ORACLES, QUERIES  # noqa: E402
+from streamingdemo_spark.registry import (  # noqa: E402
+    ORACLE_BUILDERS,
+    ORACLES,
+    QUERIES,
+)
+
+# built oracles (data-derived constants) are hash-kind too
+_ORACLE_KEYS = set(ORACLES) | set(ORACLE_BUILDERS)
 
 
 def first_sentence(doc: str | None) -> str:
@@ -42,8 +49,8 @@ def main() -> None:
         "contract (approx / engine-specific / side-effecting).",
         "",
         f"Total keys: **{len(QUERIES)}** "
-        f"({sum(1 for k in QUERIES if k in ORACLES)} hash, "
-        f"{sum(1 for k in QUERIES if k not in ORACLES)} rows-only).",
+        f"({sum(1 for k in QUERIES if k in _ORACLE_KEYS)} hash, "
+        f"{sum(1 for k in QUERIES if k not in _ORACLE_KEYS)} rows-only).",
         "",
         "| key | impl | oracle | summary |",
         "|---|---|---|---|",
@@ -56,7 +63,7 @@ def main() -> None:
             where = f"{path}:{line}"
         except (TypeError, OSError, ValueError):
             where = "?"
-        kind = "hash" if key in ORACLES else "rows"
+        kind = "hash" if key in _ORACLE_KEYS else "rows"
         summary = first_sentence(fn.__doc__).replace("|", "\\|")
         if kind == "rows":
             # rows-only keys must state WHY that is final: surface the
