@@ -48,6 +48,16 @@ STREAM_PLANS: dict[str, str] = {}
 LAST_STREAM_PROGRESS: list[dict] = []
 
 
+def _progress_dict(p) -> dict:
+    """Normalize one ``recentProgress`` entry to a dict: PySpark 4
+    yields ``StreamingQueryProgress`` objects (``.json`` payload),
+    older builds yield plain dicts — BOTH the cadence poll loop and
+    the post-run capture must accept either shape (the r12 ADVICE
+    found the poll loop assuming objects while the capture defended
+    dicts)."""
+    return p if isinstance(p, dict) else json.loads(p.json)
+
+
 def _capture_plan(query) -> str:
     """Public-API plan capture: ``StreamingQuery.explain()`` prints the
     runtime plan via Python ``print``; redirect stdout to harvest it."""
@@ -157,13 +167,8 @@ def run_to_memory(
                 # terminates on its own
                 deadline = time.time() + timeout_sec
                 while time.time() < deadline:
-                    # Same shape-tolerant conversion as the capture
-                    # path below: older PySpark returns dicts from
-                    # recentProgress, not StreamingQueryProgress.
                     seen = {
-                        (p if isinstance(p, dict) else json.loads(p.json)).get(
-                            "batchId"
-                        )
+                        _progress_dict(p).get("batchId")
                         for p in query.recentProgress
                         if p is not None
                     }
@@ -191,11 +196,8 @@ def run_to_memory(
                 LAST_STREAM_PLAN = ""
             STREAM_PLANS[name] = LAST_STREAM_PLAN
             try:
-                import json as _json
-
                 LAST_STREAM_PROGRESS = [
-                    p if isinstance(p, dict) else _json.loads(p.json)
-                    for p in query.recentProgress
+                    _progress_dict(p) for p in query.recentProgress
                 ]
             except Exception:  # progress capture is best-effort
                 LAST_STREAM_PROGRESS = []

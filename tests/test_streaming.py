@@ -662,3 +662,55 @@ def test_processing_time_trigger_fires_repeated_batches(spark, sf_dir):
         p.get("batchId") for p in runner.LAST_STREAM_PROGRESS
     } - {None}
     assert len(batch_ids) >= 2, runner.LAST_STREAM_PROGRESS
+
+
+def test_progress_dict_accepts_both_shapes():
+    """r12 ADVICE: the cadence poll loop assumed StreamingQueryProgress
+    objects while the capture path defended dict-shaped progress
+    (older PySpark). Both now share _progress_dict — pin the contract
+    on both shapes."""
+    from streamingdemo_spark.streaming.runner import _progress_dict
+
+    assert _progress_dict({"batchId": 7})["batchId"] == 7
+
+    class _Obj:  # StreamingQueryProgress look-alike: .json payload
+        json = '{"batchId": 9}'
+
+    assert _progress_dict(_Obj())["batchId"] == 9
+
+
+def test_cache_gc_is_scoped_per_source_file(sf_dir, monkeypatch, tmp_path):
+    """r12 ADVICE: the replay-cache GC swept every '{tag}-*' sibling,
+    so documents/embeddings/events caches of ONE fixture wiped each
+    other (perpetual rebuild thrash; a concurrent stream's live source
+    dir deleted mid-replay). The sweep is now keyed on (tag, source
+    file): building one source's cache must remove only STALE
+    generations of that same source and leave every other source's
+    cache untouched."""
+    import os
+
+    from streamingdemo_spark.streaming import sources as src
+
+    monkeypatch.setattr(src, "_CACHE_ROOT", str(tmp_path))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = tmp_path / f"v{src._CACHE_VERSION}"
+    root.mkdir()
+    stale_docs = root / f"{tag}-documents-0-0"
+    live_embs = root / f"{tag}-embeddings-12345-67890"
+    other_fixture = root / f"other-documents-1-1"
+    tmp_gen = root / f"{tag}-documents-.tmp-999"
+    for d in (stale_docs, live_embs, other_fixture, tmp_gen):
+        d.mkdir()
+
+    cur = src._cache_dir(sf_dir, "documents.parquet", "chunks")
+
+    assert not stale_docs.exists(), "stale generation of SAME source swept"
+    assert live_embs.exists(), "other source's cache must survive"
+    assert other_fixture.exists(), "other fixture tag must survive"
+    assert tmp_gen.exists(), "in-flight .tmp builds must survive"
+    # the returned dir is keyed on tag AND source file AND fingerprint
+    leafdir = os.path.basename(os.path.dirname(cur))
+    fp = src._source_fp(os.path.join(sf_dir, "documents.parquet"))
+    assert leafdir == f"{tag}-documents-{fp}"
+    # a second call with the same fixture is stable (no self-GC)
+    assert src._cache_dir(sf_dir, "documents.parquet", "chunks") == cur
