@@ -1193,46 +1193,126 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bv.refine2_val"),
     )
     bands = refine_capped_bands(bands)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.sub2") == F.col("b.sub2"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    ea = sk.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = sk.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Verify INSIDE each capped bucket instead of self-joining into a
+    # pair list that then drags a 64-float embedding per pair through
+    # two more joins: the r13 measurement put that array-carrying pair
+    # exchange at 4.7 GB shuffled / 2.8 GB sort-spilled at sf10 — the
+    # pipeline's only spilling stage — while the arrays themselves are
+    # only ~0.3 GB. Per-bucket verification (the same restructure the
+    # ANN key got this round) ships each embedding to its <=nb bucket
+    # rows ONCE and emits only near-threshold pairs, so the shuffle
+    # carries O(n·nb) array rows and O(output) pair rows, never
+    # O(candidates) arrays, at ANY corpus size. A pair co-bucketed in
+    # both bands is verified twice (the old plan deduped candidates
+    # first) — at load <= 4 per bucket that is a few extra vector ops
+    # per row, far cheaper than the dedup-then-rejoin exchanges, and
+    # the duplicate emissions collapse in the final dropDuplicates
+    # (bit-identical cosine: same sequential fold on the same arrays).
+    #
+    # Bucket groups are salted into ~n/500 applyInPandas groups (one
+    # pandas group per BUCKET would pay ~0.15 ms group overhead x
+    # n·nb/load groups — group count must scale with n, not be a
+    # constant); inside a group, numpy segments the buckets and
+    # enumerates in-bucket pairs vectorized.
+    n_salt = max(64, n_corpus // 500)
+    grouped = bands.join(
+        sk.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id"
+    ).withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("band_no", "band_val", "sub", "sub2"),
+            F.lit(n_salt),
+        ),
     )
 
-    def norm(col: str) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.col(col), F.lit(0.0), lambda acc, x: acc + x * x
+    def bucket_verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine_raw": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        # order rows by (bucket key, vec_id): buckets become segments
+        # and in-segment pair enumeration yields vec_a < vec_b
+        order = np.lexsort(
+            (
+                pdf["vec_id"].to_numpy(),
+                pdf["sub2"].to_numpy(),
+                pdf["sub"].to_numpy(),
+                pdf["band_val"].to_numpy(),
+                pdf["band_no"].to_numpy(),
             )
         )
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.vstack(pdf["embedding"].to_numpy()[order]).astype(
+            np.float64
+        )
+        bkey = pdf[["band_no", "band_val", "sub", "sub2"]].to_numpy()[order]
+        new_seg = np.ones(len(ids), dtype=bool)
+        new_seg[1:] = (bkey[1:] != bkey[:-1]).any(axis=1)
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.append(seg_starts[1:], len(ids))
+        # all in-segment (i < j) index pairs, vectorized per segment
+        ii_parts, jj_parts = [], []
+        for s, e in zip(seg_starts, seg_ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            ii_parts.append(iu + s)
+            jj_parts.append(ju + s)
+        if not ii_parts:
+            return empty
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        A, B = mat[ii], mat[jj]
+        # Same expression SHAPE as the fold this replaces —
+        # dot / (sqrt(norm2_a) * sqrt(norm2_b)) with left-to-right
+        # element accumulation — computed in float64 like the oracle's
+        # CAST(embedding AS DOUBLE[]) replay. numpy's own reductions
+        # use 8-way unrolled partial sums (different last-ulp), so the
+        # fold is vectorized across the PAIR axis and kept sequential
+        # in the element axis; F.round below applies Spark's own
+        # rounding. (The 4-dp contract is what both engines must
+        # agree on; verified hash-identical at sf0.001/0.01/0.1/sf10.)
+        d = np.zeros(len(ii))
+        na = np.zeros(len(ii))
+        nb_ = np.zeros(len(ii))
+        for j in range(mat.shape[1]):
+            d += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb_ += B[:, j] * B[:, j]
+        cos = d / (np.sqrt(na) * np.sqrt(nb_))
+        # loose pre-filter: everything that could still round up to
+        # the 0.99 contract survives; the exact cut is Spark's round
+        keep = cos >= 0.9899
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ii[keep]],
+                "vec_b": ids[jj[keep]],
+                "cosine_raw": cos[keep],
+            }
+        )
 
+    near = grouped.groupBy("salt").applyInPandas(
+        bucket_verify, "vec_a long, vec_b long, cosine_raw double"
+    )
     pairs = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
+        near.select(
             "vec_a",
             "vec_b",
-            F.round(dot / (norm("emb_a") * norm("emb_b")), 4).alias("cosine"),
+            F.round(F.col("cosine_raw"), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.99)
+        .dropDuplicates(["vec_a", "vec_b"])
         .persist()  # small verified-pair relation; reused by decontam
     )
     _EMB_PAIRS_MEMO.append((app_id, m_key, pairs, sk))
