@@ -25,7 +25,42 @@ from pyspark.sql import functions as F
 from streamingdemo_spark.io import load_tables
 from streamingdemo_spark.registry import POLY_MOD, opoly, poly_hash, query
 
+# Planted-mutant id offset for the DOC-space keys. Fixed: every
+# certified doc corpus keeps base doc_ids below 1e6 (sf10 replicas are
+# 1e8-spaced), so doc-space planting never aliases. The EMBEDDING
+# family outgrew the constant — see _emb_mutant_offset.
 MUTANT_OFFSET = 1_000_000
+
+
+def _emb_mutant_offset(max_vid: int) -> int:
+    """Planted-mutant id offset for the embedding corpus: the smallest
+    power of 10 STRICTLY above the corpus's max vec_id, floored at the
+    legacy 1e6 — every certified tier's vec_ids sit below 1e6, so all
+    certified outputs are bit-identical to the constant-offset era.
+    Data-derived because the r13 x1600 forward-probe (3.2M contiguous
+    vec_ids) showed the constant ALIASING mutant ids onto real
+    vectors — duplicate vec_ids corrupt every downstream join — the
+    same failure class as the old compile-time band width, fixed the
+    same way: an integer ladder both engines replay exactly
+    (:data:`_EMB_OFF_SQL` is the oracle's CASE form)."""
+    off = 1_000_000
+    while off <= max_vid:
+        off *= 10
+    return off
+
+
+# DuckDB replay of _emb_mutant_offset over the corpus's own MAX —
+# integer CASE ladder, no float log10. The 1e15 ceiling keeps mutant
+# ids (< 2·off) far inside int64; past it the ladder yields NULL and
+# the oracle fails LOUDLY instead of wrapping.
+_EMB_OFF_SQL = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN mx < {10 ** p} THEN CAST({10 ** p} AS BIGINT)"
+        for p in range(6, 16)
+    )
+    + " END FROM (SELECT MAX(vec_id) AS mx FROM embeddings))"
+)
 
 
 def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,7 +708,17 @@ def _emb_slot_plane(b: int, j: int) -> int:
 def _emb_refine_plane(b: int, lvl: int, j: int) -> int:
     """Flat plane index of band ``b``'s level-``lvl`` refine plane
     ``j`` (legacy bands keep the certified 56..87 block; extra bands
-    carry their refine planes inside their own 44-plane block)."""
+    carry their first two refine levels inside their own 44-plane
+    block; DEEP levels >= 2 live in appended per-level blocks after
+    the extra-band region — see _EMB_DEEP_BASE — so engaging them
+    never renumbers a certified plane)."""
+    if lvl >= 2:
+        return (
+            _EMB_DEEP_BASE
+            + (lvl - 2) * (_EMB_MAX_BANDS * _EMB_REFINE_BITS)
+            + b * _EMB_REFINE_BITS
+            + j
+        )
     if b < _EMB_BANDS:
         return (
             _EMB_REFINE_BASE
@@ -715,6 +760,29 @@ _EMB_REFINE_BITS = 8
 _EMB_REFINE_LEVELS = 2
 _EMB_REFINE_BASE = _EMB_ALL_PLANES  # refine planes start after the slots
 
+# The BATCH pipeline refines DEEPER than the legacy two levels: the
+# r13 x1600 forward-probe (4M corpus, 1600-deep replica families)
+# decomposed the 0.7245 planted recall into 21.3 pts DROP-WHOLE vs
+# 3.9 pts refine-disagreement + 2.3 pts slot-miss — the crowd CORE
+# (members with no flipped refine planes, ~(.9857^8)^levels of a
+# family) survives BOTH splits above the cap and drops whole, and
+# that core grows linearly with crowd depth while the split depth was
+# a constant. Two more graduated levels split the surviving core
+# twice more (engaged per bucket only when the shallower split is
+# still over cap, so every corpus whose crowds fit at two levels —
+# all certified tiers below sf10 — is bit-identical). Levels 3-4
+# occupy APPENDED plane blocks after the extra-band region
+# ((lvl-2)·(max_bands·8) + band·8 + j from _EMB_DEEP_BASE), so no
+# certified plane ever renumbers. The streaming leg keeps the
+# two-level layout (its asserts pin it): a micro-batch's crowd depth
+# is bounded by the batch size, and its state/oracle contract is
+# certified at two levels — deepening it tracks this constant when
+# that changes.
+_EMB_DEEP_LEVELS = 4
+_EMB_DEEP_BASE = (
+    _EMB_EXTRA_BASE + (_EMB_MAX_BANDS - _EMB_BANDS) * _EMB_EXTRA_STRIDE
+)
+
 
 # Worst-case bound, not a tuning knob: no data distribution can push
 # candidate volume past cap·n·bands/2 (the 100-TB discipline — the
@@ -749,17 +817,22 @@ def _emb_bits_sql(n_expr: str) -> str:
 
 
 def emb_bands_udf(
-    bits: int, refine: bool = True, n_bands: int = _EMB_BANDS
+    bits: int,
+    refine: bool = True,
+    n_bands: int = _EMB_BANDS,
+    levels: int = _EMB_REFINE_LEVELS,
 ):
     """Banded integer-exact sign sketch as ONE Arrow-batched matrix
     multiply — the shared primitive of the batch near-dup keys and the
     streaming LSH index maintenance key (a scalar pandas UDF is
     stateless, so it runs unchanged on an unbounded relation).
 
-    Returns ``array<long>`` of length ``(1 + _EMB_REFINE_LEVELS) *
-    n_bands`` when ``refine`` (band values, then one refine value
-    per level per band: ``[bv_0..bv_nb-1, r1_0.., r2_0..]``) or
-    ``n_bands`` without. Band b's slot plane j and refine plane
+    Returns ``array<long>`` of length ``(1 + levels) * n_bands`` when
+    ``refine`` (band values, then one refine value per level per
+    band: ``[bv_0..bv_nb-1, r1_0.., r2_0.., ...]``) or ``n_bands``
+    without. ``levels`` defaults to the certified two-level layout
+    (the streaming leg pins it); the batch pipeline passes
+    ``_EMB_DEEP_LEVELS``. Band b's slot plane j and refine plane
     (lvl, j) are the flat indices of :func:`_emb_slot_plane` /
     :func:`_emb_refine_plane` — the legacy 2-band layout (slots
     b*28 + j, refine 56 + (l*bands + b)*8 + j) is preserved exactly,
@@ -787,12 +860,12 @@ def emb_bands_udf(
     if refine:
         plane_ids += [
             _emb_refine_plane(b, lvl, j)
-            for lvl in range(_EMB_REFINE_LEVELS)
+            for lvl in range(levels)
             for b in range(n_bands)
             for j in range(_EMB_REFINE_BITS)
         ]
     planes = np.asarray(plane_ids, dtype=np.int64)
-    n_out = (1 + _EMB_REFINE_LEVELS) * n_bands if refine else n_bands
+    n_out = (1 + levels) * n_bands if refine else n_bands
 
     @pandas_udf("array<long>")
     def bands(emb):
@@ -814,7 +887,7 @@ def emb_bands_udf(
             pos += bits
         if refine:
             rw = np.int64(1) << np.arange(_EMB_REFINE_BITS, dtype=np.int64)
-            for slot in range(_EMB_REFINE_LEVELS * n_bands):
+            for slot in range(levels * n_bands):
                 seg = signs[:, pos : pos + _EMB_REFINE_BITS]
                 vals[:, n_bands + slot] = seg @ rw
                 pos += _EMB_REFINE_BITS
@@ -844,7 +917,7 @@ def emb_quant_sql(emb_expr: str = "emb") -> str:
     )
 
 
-def _emb_used_planes_sql() -> str:
+def _emb_used_planes_sql(levels: int = _EMB_REFINE_LEVELS) -> str:
     """Oracle fragment: the USED-planes relation ``(p, band_no, j,
     kind, lvl)`` — one row per (band, plane) actually computed at the
     data-derived (bits, nb) point, enumerated per band as literal
@@ -860,7 +933,7 @@ def _emb_used_planes_sql() -> str:
             f"WHERE j < (SELECT bits FROM params) "
             f"AND {b} < (SELECT nb FROM params)"
         )
-        for lvl in range(_EMB_REFINE_LEVELS):
+        for lvl in range(levels):
             parts.append(
                 f"SELECT {_emb_refine_plane(b, lvl, 0)} + j, {b}, "
                 f"j, 'refine', {lvl} "
@@ -870,14 +943,25 @@ def _emb_used_planes_sql() -> str:
     return "\n      UNION ALL ".join(parts)
 
 
-def emb_banded_cte() -> str:
+def emb_banded_cte(levels: int = _EMB_REFINE_LEVELS) -> str:
     """Oracle fragment: the shared params→planes→bands CTE chain over
     an already-defined ``corpus(vec_id, emb)`` relation — data-derived
     (bits, nb) from the corpus count, per-plane int64 dots for exactly
     the used planes, and the per-(vec, band) band/refine values. Ends
-    in ``bands(vec_id, band_no, band_val, refine_val, refine2_val)``.
-    Shared by the batch near-dup oracle and the streaming index
-    oracle so the two replays can never drift."""
+    in ``bands(vec_id, band_no, band_val, refine_val..
+    refine{levels}_val)``. Shared by the batch near-dup oracle
+    (``levels=_EMB_DEEP_LEVELS``) and the streaming index oracle
+    (certified two-level default) so the two replays can never
+    drift."""
+    rjoins = "\n".join(
+        f"      JOIN rvals r{k + 1} ON r{k + 1}.vec_id = b.vec_id\n"
+        f"                   AND r{k + 1}.band_no = b.band_no "
+        f"AND r{k + 1}.lvl = {k}"
+        for k in range(levels)
+    )
+    rcols = ", ".join(
+        f"r{k + 1}.rv AS {_refine_col(k)}" for k in range(levels)
+    )
     return f"""params AS (
       SELECT bits, {_emb_nbands_sql('bits')} AS nb FROM (
         SELECT {_emb_bits_sql('n')} AS bits
@@ -887,7 +971,7 @@ def emb_banded_cte() -> str:
       SELECT vec_id, emb, {emb_quant_sql()} AS qv FROM corpus
     ),
     used AS (
-      {_emb_used_planes_sql()}
+      {_emb_used_planes_sql(levels)}
     ),
     planes AS MATERIALIZED (
       SELECT vec_id, u.band_no, u.j, u.kind, u.lvl,
@@ -910,12 +994,9 @@ def emb_banded_cte() -> str:
     ),
     bands AS (
       SELECT b.vec_id, b.band_no, b.band_val,
-             r1.rv AS refine_val, r2.rv AS refine2_val
+             {rcols}
       FROM bvals b
-      JOIN rvals r1 ON r1.vec_id = b.vec_id
-                   AND r1.band_no = b.band_no AND r1.lvl = 0
-      JOIN rvals r2 ON r2.vec_id = b.vec_id
-                   AND r2.band_no = b.band_no AND r2.lvl = 1
+{rjoins}
     )"""
 
 
@@ -934,44 +1015,60 @@ def _embedding_oracle() -> str:
     plane, d) relation filtered to the USED planes (a WHERE on the
     params scalars — cheaper than the old compute-all-56-and-mask
     form), so band and refine values come from one pass."""
+    lv = _EMB_DEEP_LEVELS
+    cap = _EMB_BUCKET_CAP
+    chain = []
+    prev = "bands"
+    for k in range(lv):
+        part = ", ".join(
+            ["band_no", "band_val"] + [_sub_col(i) for i in range(k)]
+        )
+        carry = ", ".join(
+            [_refine_col(i) for i in range(k + 1, lv)]
+            + [_sub_col(i) for i in range(k)]
+        )
+        carry = (carry + ", ") if carry else ""
+        chain.append(
+            f"""counted{k + 1} AS (
+      SELECT vec_id, band_no, band_val, {carry}
+             CASE WHEN COUNT(*) OVER (PARTITION BY {part})
+                       <= {cap}
+                  THEN -1 ELSE {_refine_col(k)} END AS {_sub_col(k)}
+      FROM {prev}
+    )"""
+        )
+        prev = f"counted{k + 1}"
+    all_subs = ", ".join(_sub_col(i) for i in range(lv))
+    final_part = f"band_no, band_val, {all_subs}"
+    cand_keys = " AND ".join(
+        f"a.{c} = b.{c}"
+        for c in ["band_no", "band_val"] + [_sub_col(i) for i in range(lv)]
+    )
+    chain_sql = ",\n    ".join(chain)
     return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       UNION ALL
-      SELECT vec_id + 1000000,
+      SELECT vec_id + {_EMB_OFF_SQL},
              list_transform(CAST(embedding AS DOUBLE[]),
                             (v, i) -> CASE WHEN i = 1 THEN v + 0.05
                                            ELSE v END)
       FROM embeddings WHERE vec_id % 4 = 0
     ),
-    {emb_banded_cte()},
-    counted AS (
-      SELECT vec_id, band_no, band_val, refine2_val,
-             CASE WHEN COUNT(*) OVER (PARTITION BY band_no, band_val)
-                       <= {_EMB_BUCKET_CAP}
-                  THEN -1 ELSE refine_val END AS sub
-      FROM bands
-    ),
-    counted2 AS (
-      SELECT vec_id, band_no, band_val, sub,
-             CASE WHEN COUNT(*) OVER (PARTITION BY band_no, band_val,
-                                      sub) <= {_EMB_BUCKET_CAP}
-                  THEN -1 ELSE refine2_val END AS sub2
-      FROM counted
-    ),
+    {emb_banded_cte(levels=lv)},
+    {chain_sql},
     bands_capped AS (
-      SELECT vec_id, band_no, band_val, sub, sub2 FROM (
+      SELECT vec_id, band_no, band_val, {all_subs} FROM (
         SELECT *,
-               COUNT(*) OVER (PARTITION BY band_no, band_val, sub, sub2)
-                 AS bn3
-        FROM counted2
-      ) WHERE bn3 <= {_EMB_BUCKET_CAP}
+               COUNT(*) OVER (PARTITION BY {final_part})
+                 AS bn_final
+        FROM {prev}
+      ) WHERE bn_final <= {cap}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands_capped a JOIN bands_capped b
-        ON a.band_no = b.band_no AND a.band_val = b.band_val
-       AND a.sub = b.sub AND a.sub2 = b.sub2 AND a.vec_id < b.vec_id
+        ON {cand_keys} AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM (
       SELECT vec_a, vec_b,
@@ -982,55 +1079,58 @@ def _embedding_oracle() -> str:
     """
 
 
+def _sub_col(lvl: int) -> str:
+    """Column name of the level-``lvl`` (0-based) split value."""
+    return "sub" if lvl == 0 else f"sub{lvl + 1}"
+
+
+def _refine_col(lvl: int) -> str:
+    """Column name of the level-``lvl`` (0-based) refine value."""
+    return "refine_val" if lvl == 0 else f"refine{lvl + 1}_val"
+
+
 def refine_capped_bands(
-    bands: DataFrame, cap: int = _EMB_BUCKET_CAP
+    bands: DataFrame,
+    cap: int = _EMB_BUCKET_CAP,
+    levels: int = _EMB_REFINE_LEVELS,
 ) -> DataFrame:
     """Graduated bucket-cap skew guard (see _EMB_BUCKET_CAP /
-    _EMB_REFINE_BITS / _EMB_REFINE_LEVELS) over a ``(vec_id, band_no,
-    band_val, refine_val, refine2_val)`` relation: an over-cap
-    (band_no, band_val) bucket is SPLIT by the level-1 refine value
-    and the cap re-applied; a bucket STILL over the cap splits once
-    more by the independent level-2 refine value — drop-whole only
-    after both splits. Returns ``(vec_id, band_no, band_val, sub,
-    sub2)`` where each sub is −1 at the levels a bucket never needed
-    (so under-cap members join on the plain band key); rows whose
-    twice-refined bucket still exceeds the cap are dropped. Every
-    count window shuffles by (band, bucket[, sub[, sub2]]) — the same
-    key the candidate self-join hashes on, so AQE coalesces rather
-    than adding an extra exchange. Factored out so the cap semantics
-    are unit-testable on crafted buckets (no fixture bucket exceeds
-    the cap below sf10)."""
+    _EMB_REFINE_BITS / _EMB_REFINE_LEVELS / _EMB_DEEP_LEVELS) over a
+    ``(vec_id, band_no, band_val, refine_val.. refine{levels}_val)``
+    relation: an over-cap (band_no, band_val) bucket is SPLIT by the
+    next level's independent refine value and the cap re-applied,
+    level by level — drop-whole only after ALL ``levels`` splits.
+    Returns ``(vec_id, band_no, band_val, sub.. sub{levels})`` where
+    each sub is −1 at the levels a bucket never needed (so under-cap
+    members join on the plain band key); rows whose deepest-refined
+    bucket still exceeds the cap are dropped. Every count window
+    shuffles by (band, bucket[, subs...]) — the same key the
+    candidate stage hashes on, so AQE coalesces rather than adding an
+    extra exchange. At ``levels=2`` this is plan-identical to the
+    certified two-level form. Factored out so the cap semantics are
+    unit-testable on crafted buckets (no fixture bucket exceeds the
+    cap below sf10)."""
     from pyspark.sql.window import Window
 
+    cur = bands
+    part = ["band_no", "band_val"]
+    subs = []
+    for lvl in range(levels):
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*part))
+        sub = _sub_col(lvl)
+        cur = cur.withColumn(
+            sub,
+            F.when(cnt <= cap, F.lit(-1).cast("long")).otherwise(
+                F.col(_refine_col(lvl))
+            ),
+        )
+        part.append(sub)
+        subs.append(sub)
+    final_cnt = F.count(F.lit(1)).over(Window.partitionBy(*part))
     return (
-        bands.withColumn(
-            "bn",
-            F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_val")),
-        )
-        .withColumn(
-            "sub",
-            F.when(F.col("bn") <= cap, F.lit(-1).cast("long"))
-            .otherwise(F.col("refine_val")),
-        )
-        .withColumn(
-            "bn2",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("band_no", "band_val", "sub")
-            ),
-        )
-        .withColumn(
-            "sub2",
-            F.when(F.col("bn2") <= cap, F.lit(-1).cast("long"))
-            .otherwise(F.col("refine2_val")),
-        )
-        .withColumn(
-            "bn3",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("band_no", "band_val", "sub", "sub2")
-            ),
-        )
-        .filter(F.col("bn3") <= cap)
-        .select("vec_id", "band_no", "band_val", "sub", "sub2")
+        cur.withColumn("_bn_final", final_cnt)
+        .filter(F.col("_bn_final") <= cap)
+        .select("vec_id", "band_no", "band_val", *subs)
     )
 
 
@@ -1136,9 +1236,30 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EMB_PAIRS_MEMO.clear()
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # ONE bounded driver-edge aggregate fixes every data-derived
+    # constant before the plan is built: max vec_id -> the mutant-id
+    # offset (_emb_mutant_offset — the constant 1e6 aliased real ids
+    # past 1e6-id corpora, found by the r13 x1600 probe), and corpus
+    # count (base + every-4th mutant) -> band width bits and band
+    # count nb. The oracle replays the same three integer ladders on
+    # its own MAX/COUNT scalars — exact agreement, no float log.
+    # Band count is the RECALL dial (per-band collision .9857^bits
+    # decays as the width ladder climbs; a third band engages past the
+    # bits=16 point to hold expected collision >= .95 through the
+    # 28-bit ceiling); width is the COST dial (expected load <= 4).
+    scalars = emb.agg(
+        F.max("vec_id").alias("mx"),
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum((F.col("vec_id") % 4 == 0).cast("long")).alias("n_mut"),
+    ).collect()[0]
+    offset = _emb_mutant_offset(int(scalars["mx"]))
+    n_corpus = int(scalars["n_base"]) + int(scalars["n_mut"])
+    bits = _emb_band_bits(n_corpus)
+    nb = _emb_band_count(bits)
+
     mutants = (
         emb.filter(F.col("vec_id") % 4 == 0)
-        .withColumn("vec_id", F.col("vec_id") + MUTANT_OFFSET)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(offset))
         .withColumn(
             "embedding",
             F.transform(
@@ -1149,27 +1270,14 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allv = emb.unionByName(mutants).select("vec_id", "embedding")
 
-    # Data-derived band width AND count: one bounded driver-edge
-    # aggregate (a single count scalar) fixes bits = _emb_band_bits(n)
-    # and nb = _emb_band_count(bits) before the plan is built, so
-    # every downstream expression is a compile-time constant for
-    # Catalyst. The oracle replays the same integer ladders on its own
-    # COUNT(*) — exact agreement, no float log2. The band count is the
-    # RECALL dial (per-band collision .9857^bits decays as the width
-    # ladder climbs; a third band engages past the bits=16 point to
-    # hold expected collision >= .95 through the 28-bit ceiling); the
-    # width is the COST dial (expected load <= 4).
-    n_corpus = allv.count()
-    bits = _emb_band_bits(n_corpus)
-    nb = _emb_band_count(bits)
-
     # Only the USED planes are computed: band b occupies its slot
     # planes plus its refine planes (legacy layout preserved at
     # nb = 2, extra bands in appended blocks). The oracle materializes
     # per-plane dots for the same used planes (a WHERE on its params
     # scalars) — identical band and refine values. The whole sketch is
     # one Arrow-batched int64 matmul per batch.
-    vals = emb_bands_udf(bits, n_bands=nb)("embedding")
+    lv = _EMB_DEEP_LEVELS
+    vals = emb_bands_udf(bits, n_bands=nb, levels=lv)("embedding")
     sk = allv.withColumn("bvals", vals).cache()
     bands = sk.select(
         "vec_id",
@@ -1178,8 +1286,12 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.col("bvals")[b].alias("band_val"),
-                        F.col("bvals")[nb + b].alias("refine_val"),
-                        F.col("bvals")[2 * nb + b].alias("refine2_val"),
+                        *[
+                            F.col("bvals")[(1 + k) * nb + b].alias(
+                                _refine_col(k)
+                            )
+                            for k in range(lv)
+                        ],
                     )
                     for b in range(nb)
                 ]
@@ -1189,10 +1301,9 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "band_no",
         F.col("bv.band_val"),
-        F.col("bv.refine_val"),
-        F.col("bv.refine2_val"),
+        *[F.col(f"bv.{_refine_col(k)}") for k in range(lv)],
     )
-    bands = refine_capped_bands(bands)
+    bands = refine_capped_bands(bands, levels=lv)
     # Verify INSIDE each capped bucket instead of self-joining into a
     # pair list that then drags a 64-float embedding per pair through
     # two more joins: the r13 measurement put that array-carrying pair
@@ -1215,12 +1326,13 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant); inside a group, numpy segments the buckets and
     # enumerates in-bucket pairs vectorized.
     n_salt = max(64, n_corpus // 500)
+    sub_cols = [_sub_col(k) for k in range(lv)]
     grouped = bands.join(
         sk.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id"
     ).withColumn(
         "salt",
         F.pmod(
-            F.xxhash64("band_no", "band_val", "sub", "sub2"),
+            F.xxhash64("band_no", "band_val", *sub_cols),
             F.lit(n_salt),
         ),
     )
@@ -1240,20 +1352,18 @@ def _emb_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         # order rows by (bucket key, vec_id): buckets become segments
         # and in-segment pair enumeration yields vec_a < vec_b
+        key_cols = ["band_no", "band_val", *sub_cols]
         order = np.lexsort(
-            (
-                pdf["vec_id"].to_numpy(),
-                pdf["sub2"].to_numpy(),
-                pdf["sub"].to_numpy(),
-                pdf["band_val"].to_numpy(),
-                pdf["band_no"].to_numpy(),
+            tuple(
+                pdf[c].to_numpy()
+                for c in ["vec_id", *reversed(key_cols)]
             )
         )
         ids = pdf["vec_id"].to_numpy()[order]
         mat = np.vstack(pdf["embedding"].to_numpy()[order]).astype(
             np.float64
         )
-        bkey = pdf[["band_no", "band_val", "sub", "sub2"]].to_numpy()[order]
+        bkey = pdf[key_cols].to_numpy()[order]
         new_seg = np.ones(len(ids), dtype=bool)
         new_seg[1:] = (bkey[1:] != bkey[:-1]).any(axis=1)
         seg_starts = np.flatnonzero(new_seg)

@@ -2678,3 +2678,55 @@ def test_refine_capped_bands_graduated_split_and_drop(spark):
     assert [(r["sub"], r["sub2"]) for r in by_bucket.get(333, [])] == [
         (-1, -1)
     ] * 5
+
+
+def test_refine_capped_bands_deep_levels_split_doubly_dense_core(spark):
+    """r13 x1600 forward-probe decomposition: 21.3 of the 27.6 lost
+    recall points were crowd CORES that survived BOTH certified refine
+    levels above the cap and dropped whole — the split depth was a
+    constant while crowd depth grows with density. The batch pipeline
+    now refines up to _EMB_DEEP_LEVELS graduated levels: a crowd dense
+    at levels 1-2 but split by level 3 keeps its members (and a
+    planted pair sharing the level-3 cell co-buckets), while a crowd
+    dense at ALL four levels still drops whole (the candidate-volume
+    bound is depth-independent). At levels=2 the function must remain
+    the certified two-level form: the same crafted crowd drops whole."""
+    from streamingdemo_spark.extensions.dedup import refine_capped_bands
+
+    cap = 16
+    rows = []
+    # one band bucket, 40 members: identical refine values at levels
+    # 1-2 (the surviving core), spread 4-per-cell by level 3; the
+    # planted pair (vec 0, 1) shares level-3 cell 100
+    for i in range(38):
+        rows.append((1000 + i, 0, 111, 7, 9, (i % 10) + 101, 5))
+    rows += [(0, 0, 111, 7, 9, 100, 5), (1, 0, 111, 7, 9, 100, 5)]
+    # a second bucket dense at every level -> dropped whole even deep
+    rows += [(2000 + i, 0, 222, 1, 2, 3, 4) for i in range(40)]
+    # an under-cap bucket -> all subs stay -1
+    rows += [(3000 + i, 0, 333, 1, 2, 3, 4) for i in range(5)]
+    bands = spark.createDataFrame(
+        rows,
+        "vec_id long, band_no int, band_val long, refine_val long,"
+        " refine2_val long, refine3_val long, refine4_val long",
+    )
+    deep = refine_capped_bands(bands, cap=cap, levels=4)
+    got = {r["vec_id"]: r for r in deep.collect()}
+    assert 0 in got and 1 in got, "level-3 split must keep the pair"
+    assert (
+        got[0]["sub3"] == got[1]["sub3"] == 100
+        and got[0]["sub4"] == got[1]["sub4"] == -1
+    )
+    assert not any(2000 <= v < 2040 for v in got), "all-level-dense drops"
+    assert got[3000]["sub"] == -1 and got[3000]["sub4"] == -1
+    # certified two-level behavior unchanged: the same core drops
+    shallow = refine_capped_bands(
+        bands.select(
+            "vec_id", "band_no", "band_val", "refine_val", "refine2_val"
+        ),
+        cap=cap,
+        levels=2,
+    )
+    kept = {r["vec_id"] for r in shallow.collect()}
+    assert 0 not in kept and 1 not in kept
+    assert any(3000 <= v < 3005 for v in kept)

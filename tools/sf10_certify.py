@@ -302,23 +302,33 @@ def cert_phash_cluster(spark, con, sf_dir: str) -> dict:
 # ext_dedup_embedding — full emitted-pair soundness + planted recall
 
 
-def _emb_vecs_cte(ids_from: str) -> str:
+def _emb_offset(con) -> int:
+    """The key's data-derived mutant-id offset, replayed on the cert
+    connection's own corpus (same integer ladder as the engine)."""
+    from streamingdemo_spark.extensions.dedup import _emb_mutant_offset
+
+    mx = con.execute("SELECT MAX(vec_id) FROM embeddings").fetchone()[0]
+    return _emb_mutant_offset(int(mx))
+
+
+def _emb_vecs_cte(ids_from: str, off: int) -> str:
     """Corpus-with-mutants reconstruction restricted to the ids
     referenced by ``ids_from`` — the mutant rule of the key's fixture
-    (every 4th vector re-appears at +1e6 with dim 1 nudged)."""
+    (every 4th vector re-appears at +offset with dim 1 nudged; the
+    offset is data-derived since r13, see _emb_mutant_offset)."""
     return f"""
     ids AS (SELECT DISTINCT id FROM {ids_from}),
     vecs AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
       FROM embeddings WHERE vec_id IN (SELECT id FROM ids)
       UNION ALL
-      SELECT vec_id + 1000000,
+      SELECT vec_id + {off},
              list_transform(CAST(embedding AS DOUBLE[]),
                             (v, i) -> CASE WHEN i = 1 THEN v + 0.05
                                            ELSE v END)
       FROM embeddings
       WHERE vec_id % 4 = 0
-        AND vec_id + 1000000 IN (SELECT id FROM ids)
+        AND vec_id + {off} IN (SELECT id FROM ids)
     )"""
 
 
@@ -328,10 +338,11 @@ def cert_dedup_embedding(spark, con, sf_dir: str) -> dict:
         f"CREATE OR REPLACE VIEW emb_out AS "
         f"SELECT * FROM read_parquet('{out_glob}')"
     )
+    off = _emb_offset(con)
     unsound = _one(con, f"""
     WITH {_emb_vecs_cte(
         "(SELECT vec_a AS id FROM emb_out "
-        "UNION ALL SELECT vec_b FROM emb_out)")}
+        "UNION ALL SELECT vec_b FROM emb_out)", off)}
     SELECT COUNT(*) FROM emb_out o
     JOIN vecs a ON a.id = o.vec_a JOIN vecs b ON b.id = o.vec_b
     WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) <> o.cosine
@@ -340,7 +351,7 @@ def cert_dedup_embedding(spark, con, sf_dir: str) -> dict:
     dangling = _one(con, f"""
     WITH {_emb_vecs_cte(
         "(SELECT vec_a AS id FROM emb_out "
-        "UNION ALL SELECT vec_b FROM emb_out)")}
+        "UNION ALL SELECT vec_b FROM emb_out)", off)}
     SELECT COUNT(*) FROM emb_out o
     LEFT JOIN vecs a ON a.id = o.vec_a LEFT JOIN vecs b ON b.id = o.vec_b
     WHERE a.id IS NULL OR b.id IS NULL OR o.vec_a >= o.vec_b
@@ -348,9 +359,9 @@ def cert_dedup_embedding(spark, con, sf_dir: str) -> dict:
     n_planted = _one(
         con, "SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 = 0"
     )
-    n_found = _one(con, """
+    n_found = _one(con, f"""
     SELECT COUNT(*) FROM emb_out
-    WHERE vec_a % 4 = 0 AND vec_b = vec_a + 1000000
+    WHERE vec_a % 4 = 0 AND vec_b = vec_a + {off}
     """)
     recall = n_found / max(n_planted, 1)
     return {

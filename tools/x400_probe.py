@@ -95,19 +95,26 @@ def main() -> int:
         f"read_parquet('{out_dir}/*.parquet')"
     )
     n_rows = con.execute("SELECT COUNT(*) FROM emb_out").fetchone()[0]
-    vecs_cte = """
+    # data-derived mutant offset, same ladder as the engine (the
+    # constant 1e6 aliased real ids at this probe's 3.2M-id x1600
+    # fixture — the bug this probe exists to catch)
+    from streamingdemo_spark.extensions.dedup import _emb_mutant_offset
+
+    mx = con.execute("SELECT MAX(vec_id) FROM embeddings").fetchone()[0]
+    off = _emb_mutant_offset(int(mx))
+    vecs_cte = f"""
     ids AS (SELECT DISTINCT id FROM (SELECT vec_a AS id FROM emb_out
                                      UNION ALL SELECT vec_b FROM emb_out)),
     vecs AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
       FROM embeddings WHERE vec_id IN (SELECT id FROM ids)
       UNION ALL
-      SELECT vec_id + 1000000,
+      SELECT vec_id + {off},
              list_transform(CAST(embedding AS DOUBLE[]),
                             (v, i) -> CASE WHEN i = 1 THEN v + 0.05
                                            ELSE v END)
       FROM embeddings
-      WHERE vec_id % 4 = 0 AND vec_id + 1000000 IN (SELECT id FROM ids)
+      WHERE vec_id % 4 = 0 AND vec_id + {off} IN (SELECT id FROM ids)
     )"""
     unsound = con.execute(f"""
     WITH {vecs_cte}
@@ -119,9 +126,9 @@ def main() -> int:
     n_planted = con.execute(
         "SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 = 0"
     ).fetchone()[0]
-    n_found = con.execute("""
+    n_found = con.execute(f"""
     SELECT COUNT(*) FROM emb_out
-    WHERE vec_a % 4 = 0 AND vec_b = vec_a + 1000000
+    WHERE vec_a % 4 = 0 AND vec_b = vec_a + {off}
     """).fetchone()[0]
     recall = n_found / max(n_planted, 1)
 
