@@ -121,11 +121,14 @@ def main() -> int:
     ok &= gate_fingerprints()
     ok &= gate_registry_doc()
     ok &= gate_bench_walls()
-    ok &= gate_tree_clean()
+    # x400 BEFORE tree-clean: the probe refreshes X400_PROBE.json, and
+    # an uncommitted refresh must trip tree-clean so it gets committed
+    # (running it last hid the refresh until the NEXT gate run).
     if skip_x400:
         print("[SKIP] x400-probe (--skip-x400: mid-round partial check)")
     else:
         ok &= gate_x400()
+    ok &= gate_tree_clean()
     print("round-close:", "ALL GATES PASS" if ok else "GATE FAILURE")
     return 0 if ok else 1
 
