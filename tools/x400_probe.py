@@ -151,9 +151,27 @@ def main() -> int:
         "spark_rows": n_rows,
         "sec": round(wall, 1),
     }
-    with open(out, "w") as f:
-        json.dump(result, f, indent=2)
-        f.write("\n")
+    # Idempotent artifact: when every VALUE field matches the existing
+    # artifact, keep its recorded wall and don't rewrite — a
+    # round-close gate run with unchanged results must leave the tree
+    # clean (only `sec` varies run-to-run, and a stale-by-seconds wall
+    # is not a finding).
+    try:
+        prev = json.loads(Path(out).read_text())
+    except (OSError, ValueError):
+        prev = None
+    value_fields = (
+        "fixture", "planted_recall", "recall_floor", "floor_pass",
+        "unsound_pairs", "spark_rows",
+    )
+    if prev is not None and all(
+        prev.get(f) == result[f] for f in value_fields
+    ):
+        result["sec"] = prev.get("sec", result["sec"])
+    else:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2)
+            f.write("\n")
     print(json.dumps(result, indent=2))
     spark.stop()
     if unsound != 0:
