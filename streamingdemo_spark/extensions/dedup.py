@@ -773,11 +773,11 @@ _EMB_REFINE_BASE = _EMB_ALL_PLANES  # refine planes start after the slots
 # all certified tiers below sf10 — is bit-identical). Levels 3-4
 # occupy APPENDED plane blocks after the extra-band region
 # ((lvl-2)·(max_bands·8) + band·8 + j from _EMB_DEEP_BASE), so no
-# certified plane ever renumbers. The streaming leg keeps the
-# two-level layout (its asserts pin it): a micro-batch's crowd depth
-# is bounded by the batch size, and its state/oracle contract is
-# certified at two levels — deepening it tracks this constant when
-# that changes.
+# certified plane ever renumbers. The streaming index leg carries
+# the SAME deep levels (state one row per finest non-empty cell, the
+# graduated rollup generalized alongside), so an insert-time prober
+# can split a crowd-dense bucket as deep as the batch candidate
+# generator does.
 _EMB_DEEP_LEVELS = 4
 _EMB_DEEP_BASE = (
     _EMB_EXTRA_BASE + (_EMB_MAX_BANDS - _EMB_BANDS) * _EMB_EXTRA_STRIDE
@@ -1135,60 +1135,61 @@ def refine_capped_bands(
 
 
 def graduated_occupancy(
-    fin: DataFrame, cap: int = _EMB_BUCKET_CAP
+    fin: DataFrame,
+    cap: int = _EMB_BUCKET_CAP,
+    levels: int = _EMB_REFINE_LEVELS,
 ) -> DataFrame:
     """Weighted form of :func:`refine_capped_bands` over an OCCUPANCY
-    relation ``(band_no, band_val, refine_val, refine2_val, n_vecs,
-    lo_vec, hi_vec)`` (one row per non-empty finest bucket, e.g. the
-    streaming index's state table): an over-cap (band_no, band_val)
-    bucket is SPLIT by the level-1 refine value and the cap
-    re-applied; a bucket STILL over the cap splits once more by the
-    independent level-2 value; a bucket over the cap at BOTH refine
-    levels is dropped whole — identical graduated-cap semantics to the
-    batch candidate generator, but computed from sub-bucket COUNTS
-    instead of member rows, so it runs on a state-sized relation
-    without ever touching vectors. Returns ``(band_no, band_val, sub,
-    sub2, n_vecs, lo_vec, hi_vec)`` candidate buckets with
-    ``n_vecs >= 2`` — each sub is −1 at the levels the bucket never
-    needed, so an insert-time prober joins on exactly the key the
-    batch pipeline hashes on. Factored out (like refine_capped_bands)
-    so the cap semantics are unit-testable on crafted occupancies with
-    a small cap."""
+    relation ``(band_no, band_val, refine_val.. refine{levels}_val,
+    n_vecs, lo_vec, hi_vec)`` (one row per non-empty finest bucket,
+    e.g. the streaming index's state table): an over-cap (band_no,
+    band_val) bucket is SPLIT by the next level's independent refine
+    value and the cap re-applied, level by level; a bucket over the
+    cap at EVERY level is dropped whole — identical graduated-cap
+    semantics to the batch candidate generator, but computed from
+    sub-bucket COUNTS instead of member rows, so it runs on a
+    state-sized relation without ever touching vectors. Returns
+    ``(band_no, band_val, sub.. sub{levels}, n_vecs, lo_vec,
+    hi_vec)`` candidate buckets with ``n_vecs >= 2`` — each sub is −1
+    at the levels the bucket never needed, so an insert-time prober
+    joins on exactly the key the batch pipeline hashes on. At
+    ``levels=2`` this is the certified two-level form. Factored out
+    (like refine_capped_bands) so the cap semantics are unit-testable
+    on crafted occupancies with a small cap."""
+    import functools
+
     from pyspark.sql.window import Window
 
-    w0 = Window.partitionBy("band_no", "band_val")
-    w1 = Window.partitionBy("band_no", "band_val", "refine_val")
-    w2 = Window.partitionBy(
-        "band_no", "band_val", "refine_val", "refine2_val"
-    )
     neg1 = F.lit(-1).cast("long")
-    graded = (
-        fin.withColumn("n0", F.sum("n_vecs").over(w0))
-        .withColumn("n1", F.sum("n_vecs").over(w1))
-        .withColumn("n2", F.sum("n_vecs").over(w2))
-        .filter(
-            ~(
-                (F.col("n0") > cap)
-                & (F.col("n1") > cap)
-                & (F.col("n2") > cap)
-            )
+    part = ["band_no", "band_val"]
+    cur = fin
+    counts = []
+    for k in range(levels + 1):
+        cur = cur.withColumn(
+            f"_n{k}", F.sum("n_vecs").over(Window.partitionBy(*part))
         )
-        .select(
-            "band_no",
-            "band_val",
-            F.when(F.col("n0") <= cap, neg1)
-            .otherwise(F.col("refine_val"))
-            .alias("sub"),
-            F.when((F.col("n0") <= cap) | (F.col("n1") <= cap), neg1)
-            .otherwise(F.col("refine2_val"))
-            .alias("sub2"),
-            "n_vecs",
-            "lo_vec",
-            "hi_vec",
+        counts.append(f"_n{k}")
+        if k < levels:
+            part.append(_refine_col(k))
+    over_all = functools.reduce(
+        lambda a, b: a & b, (F.col(c) > cap for c in counts)
+    )
+    sub_exprs = []
+    stopped = F.col("_n0") <= cap
+    for k in range(levels):
+        sub_exprs.append(
+            F.when(stopped, neg1)
+            .otherwise(F.col(_refine_col(k)))
+            .alias(_sub_col(k))
         )
+        stopped = stopped | (F.col(f"_n{k + 1}") <= cap)
+    graded = cur.filter(~over_all).select(
+        "band_no", "band_val", *sub_exprs, "n_vecs", "lo_vec", "hi_vec"
     )
     return (
-        graded.groupBy("band_no", "band_val", "sub", "sub2")
+        graded.groupBy(
+            "band_no", "band_val", *[_sub_col(k) for k in range(levels)]
+        )
         .agg(
             F.sum("n_vecs").alias("n_vecs"),
             F.min("lo_vec").alias("lo_vec"),

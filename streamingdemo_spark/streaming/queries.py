@@ -1462,45 +1462,60 @@ def substring_dedup_agg(stream: DataFrame) -> DataFrame:
 def _stream_dedup_embedding_oracle() -> str:
     from streamingdemo_spark.extensions.dedup import (
         _EMB_BUCKET_CAP,
+        _EMB_DEEP_LEVELS,
+        _refine_col,
+        _sub_col,
         emb_banded_cte,
     )
 
+    lv = _EMB_DEEP_LEVELS
+    cap = _EMB_BUCKET_CAP
+    rcols = ", ".join(_refine_col(k) for k in range(lv))
+    n_wins = ",\n        ".join(
+        f"SUM(n_vecs) OVER (PARTITION BY band_no, band_val"
+        + "".join(f", {_refine_col(i)}" for i in range(k))
+        + f") AS n{k}"
+        for k in range(lv + 1)
+    )
+    over_all = " AND ".join(f"n{k} > {cap}" for k in range(lv + 1))
+    sub_cases = []
+    stopped = f"n0 <= {cap}"
+    for k in range(lv):
+        sub_cases.append(
+            f"CASE WHEN {stopped} THEN CAST(-1 AS BIGINT)\n"
+            f"                  ELSE {_refine_col(k)} END AS {_sub_col(k)}"
+        )
+        stopped = f"{stopped} OR n{k + 1} <= {cap}"
+    subs_sql = ",\n             ".join(sub_cases)
+    all_subs = ", ".join(_sub_col(k) for k in range(lv))
+    group_nums = ", ".join(str(i + 1) for i in range(2 + lv))
     return f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ),
-    {emb_banded_cte()},
+    {emb_banded_cte(levels=lv)},
     fin AS (
-      SELECT band_no, band_val, refine_val, refine2_val,
+      SELECT band_no, band_val, {rcols},
              COUNT(*) AS n_vecs,
              MIN(vec_id) AS lo_vec, MAX(vec_id) AS hi_vec
-      FROM bands GROUP BY 1, 2, 3, 4
+      FROM bands GROUP BY ALL
     ),
     g AS (
       SELECT *,
-        SUM(n_vecs) OVER (PARTITION BY band_no, band_val) AS n0,
-        SUM(n_vecs) OVER (PARTITION BY band_no, band_val, refine_val)
-          AS n1,
-        SUM(n_vecs) OVER (PARTITION BY band_no, band_val, refine_val,
-                          refine2_val) AS n2
+        {n_wins}
       FROM fin
     ),
     graded AS (
       SELECT band_no, band_val,
-             CASE WHEN n0 <= {_EMB_BUCKET_CAP} THEN CAST(-1 AS BIGINT)
-                  ELSE refine_val END AS sub,
-             CASE WHEN n0 <= {_EMB_BUCKET_CAP}
-                    OR n1 <= {_EMB_BUCKET_CAP} THEN CAST(-1 AS BIGINT)
-                  ELSE refine2_val END AS sub2,
+             {subs_sql},
              n_vecs, lo_vec, hi_vec
       FROM g
-      WHERE NOT (n0 > {_EMB_BUCKET_CAP} AND n1 > {_EMB_BUCKET_CAP}
-                 AND n2 > {_EMB_BUCKET_CAP})
+      WHERE NOT ({over_all})
     )
-    SELECT band_no, band_val, sub, sub2,
+    SELECT band_no, band_val, {all_subs},
            CAST(SUM(n_vecs) AS BIGINT) AS n_vecs,
            MIN(lo_vec) AS lo_vec, MAX(hi_vec) AS hi_vec
-    FROM graded GROUP BY 1, 2, 3, 4
+    FROM graded GROUP BY {group_nums}
     HAVING SUM(n_vecs) >= 2
     """
 
@@ -1528,16 +1543,18 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     only its buckets' members) carries the refine structure, so a
     prober applies the batch key's graduated cap discipline instead
     of dropping an over-cap bucket whole: a crowd-dense batch that
-    pushes a bucket past the cap splits by the level-1 (then level-2)
-    refine values, and only a bucket dense at BOTH levels is dropped
-    (the r12 batch fix, extended here per the r12 verdict). The
+    pushes a bucket past the cap splits by the next level's refine
+    value, level by level up to _EMB_DEEP_LEVELS, and only a bucket
+    dense at EVERY level is dropped (the r12 batch fix extended here
+    per the r12 verdict, deepened to four levels with the batch side
+    after the r13 x1600 probe's drop-whole decomposition). The
     verify stage is deliberately
     NOT in the stream: at 100 TB it is a point lookup against this
     index per arrival (and the batch family certifies its math);
     folding all historical embeddings into stream state to verify
     in-stream would make state corpus-sized, the one thing an index
     build must never do. State here is one row per NON-EMPTY finest
-    (band, band_val, refine, refine2) bucket — bounded by
+    (band, band_val, refine_1..refine_levels) bucket — bounded by
     nb·corpus, never pair-sized; the graduated rollup
     (:func:`graduated_occupancy`, the weighted twin of the batch
     key's refine_capped_bands) runs AFTER the replay on the
@@ -1552,9 +1569,10 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query IS the re-index job.
     """
     from streamingdemo_spark.extensions.dedup import (
-        _EMB_REFINE_LEVELS,
+        _EMB_DEEP_LEVELS,
         _emb_band_bits,
         _emb_band_count,
+        _refine_col,
         emb_bands_udf,
         graduated_occupancy,
     )
@@ -1563,17 +1581,20 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     bits = _emb_band_bits(n)
     nb = _emb_band_count(bits)
+    lv = _EMB_DEEP_LEVELS
     stream = embeddings_stream(spark, sf_dir, n_chunks=4).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     # the shared integer-exact matmul sketch (emb_bands_udf) is a
     # stateless scalar pandas UDF, so it runs unchanged per
-    # micro-batch on the unbounded relation; refine values ride along
-    # so the index carries the graduated sub-bucket structure
+    # micro-batch on the unbounded relation; refine values for every
+    # graduated level ride along (r13: the batch side's deep levels —
+    # the x1600 probe's drop-whole fix — carry through to the index,
+    # so an insert-time prober can split a crowd-dense bucket as deep
+    # as the batch candidate generator does)
     sk = stream.withColumn(
-        "bvals", emb_bands_udf(bits, n_bands=nb)("embedding")
+        "bvals", emb_bands_udf(bits, n_bands=nb, levels=lv)("embedding")
     )
-    assert _EMB_REFINE_LEVELS == 2  # bvals layout below
     bands = sk.select(
         "vec_id",
         F.posexplode(
@@ -1581,8 +1602,12 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.col("bvals")[b].alias("band_val"),
-                        F.col("bvals")[nb + b].alias("refine_val"),
-                        F.col("bvals")[2 * nb + b].alias("refine2_val"),
+                        *[
+                            F.col("bvals")[(1 + k) * nb + b].alias(
+                                _refine_col(k)
+                            )
+                            for k in range(lv)
+                        ],
                     )
                     for b in range(nb)
                 ]
@@ -1590,14 +1615,14 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_no", "bv"),
     ).select("vec_id", "band_no", "bv.*")
     fin = bands.groupBy(
-        "band_no", "band_val", "refine_val", "refine2_val"
+        "band_no", "band_val", *[_refine_col(k) for k in range(lv)]
     ).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("lo_vec"),
         F.max("vec_id").alias("hi_vec"),
     )
     state = run_to_memory(fin, output_mode="complete")
-    return graduated_occupancy(state)
+    return graduated_occupancy(state, levels=lv)
 
 
 _BOTTOMK_STREAM_K = 20

@@ -2730,3 +2730,40 @@ def test_refine_capped_bands_deep_levels_split_doubly_dense_core(spark):
     kept = {r["vec_id"] for r in shallow.collect()}
     assert 0 not in kept and 1 not in kept
     assert any(3000 <= v < 3005 for v in kept)
+
+
+def test_graduated_occupancy_deep_levels_split_doubly_dense_core(spark):
+    """Streaming twin of the deep-level batch test: an occupancy whose
+    crowd is dense at the two certified refine levels but split by
+    level 3 must keep its planted pair's cell probe-able at levels=4
+    (one graduated index row), while an every-level-dense bucket still
+    drops whole and an under-cap bucket stays unsplit with all four
+    subs at -1 — the streaming index now carries the same deep
+    graduated structure as the batch candidate generator."""
+    from streamingdemo_spark.extensions.dedup import graduated_occupancy
+
+    rows = []
+    # band bucket 111: 40 members share refine levels 1-2 (7, 9);
+    # level 3 spreads them 4-per-cell; the pair's cell is 100
+    for i in range(10):
+        rows.append((0, 111, 7, 9, 101 + i, 5, 4, 1000 + i, 1039 - i))
+    rows.append((0, 111, 7, 9, 100, 5, 2, 0, 1))
+    # bucket 222: dense at every level -> dropped
+    rows.append((0, 222, 1, 2, 3, 4, 40, 2000, 2039))
+    # bucket 333: under cap -> untouched
+    rows.append((0, 333, 1, 2, 3, 4, 5, 3000, 3004))
+    fin = spark.createDataFrame(
+        rows,
+        "band_no int, band_val long, refine_val long, refine2_val long,"
+        " refine3_val long, refine4_val long, n_vecs long,"
+        " lo_vec long, hi_vec long",
+    )
+    out = {
+        (r["band_val"], r["sub"], r["sub2"], r["sub3"], r["sub4"]): r
+        for r in graduated_occupancy(fin, cap=16, levels=4).collect()
+    }
+    pair = out[(111, 7, 9, 100, -1)]
+    assert pair["n_vecs"] == 2 and pair["lo_vec"] == 0
+    assert not any(k[0] == 222 for k in out), "all-level-dense drops"
+    under = out[(333, -1, -1, -1, -1)]
+    assert under["n_vecs"] == 5
