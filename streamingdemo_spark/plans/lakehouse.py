@@ -31,6 +31,7 @@ from streamingdemo_spark.scratch import scratch_dir
 from streamingdemo_spark.plans.scans import (
     _orderkey_quantiles,
     _cow_merge_txn,
+    _footer_stats,
     _txn_log_commit_count,
     _txn_log_replay,
     _txn_log_replay_actions,
@@ -86,33 +87,33 @@ def _zorder_stage(
     # are non-uniform (TPC-H keys are stride-patterned) and a plain
     # multiply overflows int64 at the 10x corpus's key offsets
     bucket = F.pmod(F.xxhash64("o_orderkey"), F.lit(n_files))
-    stats = {
-        int(r["b"]): r
-        for r in o.groupBy(bucket.alias("b"))
-        .agg(
-            F.min("o_orderkey").alias("kmn"),
-            F.max("o_orderkey").alias("kmx"),
-            F.min("o_custkey").alias("cmn"),
-            F.max("o_custkey").alias("cmx"),
-        )
-        .collect()  # n_files rows — writer-side stats
-    }
+    data_dir = os.path.join(base, "data")
     o.withColumn("b", bucket).write.mode("overwrite").partitionBy(
         "b"
-    ).parquet(os.path.join(base, "data"))
+    ).parquet(data_dir)
+    # per-file 2-D min/max from the written files' own FOOTERS (exact
+    # for int64) — the previous groupBy+collect re-scanned the table a
+    # second time for stats the writer had already landed
+    stats = {
+        int(d.split("=", 1)[1]): _footer_stats(
+            [os.path.join(data_dir, d)], ("o_orderkey", "o_custkey")
+        )[1]
+        for d in os.listdir(data_dir)
+        if d.startswith("b=")
+    }
     log_dir = os.path.join(base, "_txn_log")
     os.makedirs(log_dir)
     lines = []
     for part in sorted(stats):
-        r = stats[part]
+        st = stats[part]
         lines.append(
             json.dumps(
                 {
                     "add": f"data/b={part}",
-                    "min_key": int(r["kmn"]),
-                    "max_key": int(r["kmx"]),
-                    "min_ck": int(r["cmn"]),
-                    "max_ck": int(r["cmx"]),
+                    "min_key": int(st["o_orderkey"][0]),
+                    "max_key": int(st["o_orderkey"][1]),
+                    "min_ck": int(st["o_custkey"][0]),
+                    "max_ck": int(st["o_custkey"][1]),
                 }
             )
             + "\n"
@@ -197,23 +198,23 @@ def _zorder_txn(
     out_name = f"zorder{base_version}"
     zb = (z * n_files / F.lit(1 << 32)).cast("long").alias("zb")
     clustered = src.withColumn("zb", zb)
-    clustered.write.mode("overwrite").partitionBy("zb").parquet(
-        os.path.join(base, out_name)
-    )
-    stats = {
-        int(r["zb"]): r
-        for r in clustered.groupBy("zb")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("o_orderkey").alias("kmn"),
-            F.max("o_orderkey").alias("kmx"),
-            F.min("o_custkey").alias("cmn"),
-            F.max("o_custkey").alias("cmx"),
+    out_dir = os.path.join(base, out_name)
+    clustered.write.mode("overwrite").partitionBy("zb").parquet(out_dir)
+    # Writer-side stats + identity check from FOOTERS on both sides
+    # (exact int64 metadata): the old form re-ran the whole Morton
+    # lineage once for the per-bucket stats and once more for
+    # src.count() — two full extra passes for numbers the input and
+    # output files already carry; the check now compares real input
+    # bytes against real output bytes instead of lineage vs lineage.
+    n_in, _ = _footer_stats([os.path.join(base, p) for p in live])
+    stats: dict[int, tuple[int, dict]] = {
+        int(d.split("=", 1)[1]): _footer_stats(
+            [os.path.join(out_dir, d)], ("o_orderkey", "o_custkey")
         )
-        .collect()  # n_files rows — writer-side stats
+        for d in os.listdir(out_dir)
+        if d.startswith("zb=")
     }
-    n_in = src.count()
-    n_out = sum(int(r["n"]) for r in stats.values())
+    n_out = sum(n for n, _st in stats.values())
     if n_out != n_in:
         raise RuntimeError(
             f"Z-ORDER must be data-identical: read {n_in}, wrote {n_out}"
@@ -222,14 +223,14 @@ def _zorder_txn(
         json.dumps(
             {
                 "add": f"{out_name}/zb={part}",
-                "min_key": int(r["kmn"]),
-                "max_key": int(r["kmx"]),
-                "min_ck": int(r["cmn"]),
-                "max_ck": int(r["cmx"]),
+                "min_key": int(st["o_orderkey"][0]),
+                "max_key": int(st["o_orderkey"][1]),
+                "min_ck": int(st["o_custkey"][0]),
+                "max_ck": int(st["o_custkey"][1]),
             }
         )
         + "\n"
-        for part, r in sorted(stats.items())
+        for part, (_n, st) in sorted(stats.items())
     ]
     return base_version, set(live), actions
 
@@ -597,28 +598,39 @@ def _bloom_stage(
         m *= 2
     base = scratch_dir(prefix="txnlog_bloom_")
     bucket = F.expr(f"((o_orderkey - {lo}) * {n_files}) DIV {span}")
-    o.withColumn("b", bucket).write.mode("overwrite").partitionBy(
-        "b"
-    ).parquet(os.path.join(base, "data"))
-    keys = o.select(bucket.alias("b"), "o_custkey").distinct()
-    pos = keys.select(
-        "b",
-        F.explode(
-            F.array(
-                (F.col("o_custkey") * _BLOOM_H1_MULT) % m,
-                (F.col("o_custkey") * _BLOOM_H2_MULT + _BLOOM_H2_ADD)
-                % m,
-            )
-        ).alias("p"),
-    )
-    words = (
-        pos.select("b", F.expr("p DIV 64").alias("w"),
-                   F.expr("shiftleft(1L, CAST(p % 64 AS INT))")
-                   .alias("bit"))
-        .groupBy("b", "w")
-        .agg(F.bit_or("bit").alias("word"))
-        .collect()  # index-sized: n_files * m/64 words max
-    )
+    # The partitioned data write and the distributed bloom build are
+    # independent jobs over the same source — run them concurrently so
+    # the staging wall is max(write, index build), not their sum
+    # (guide §2.6, overlap independent jobs).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_data() -> None:
+        o.withColumn("b", bucket).write.mode("overwrite").partitionBy(
+            "b"
+        ).parquet(os.path.join(base, "data"))
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        write_fut = pool.submit(_write_data)
+        keys = o.select(bucket.alias("b"), "o_custkey").distinct()
+        pos = keys.select(
+            "b",
+            F.explode(
+                F.array(
+                    (F.col("o_custkey") * _BLOOM_H1_MULT) % m,
+                    (F.col("o_custkey") * _BLOOM_H2_MULT + _BLOOM_H2_ADD)
+                    % m,
+                )
+            ).alias("p"),
+        )
+        words = (
+            pos.select("b", F.expr("p DIV 64").alias("w"),
+                       F.expr("shiftleft(1L, CAST(p % 64 AS INT))")
+                       .alias("bit"))
+            .groupBy("b", "w")
+            .agg(F.bit_or("bit").alias("word"))
+            .collect()  # index-sized: n_files * m/64 words max
+        )
+        write_fut.result()  # re-raises any write failure
     blooms: dict[int, dict[int, int]] = {}
     for r in words:
         blooms.setdefault(int(r["b"]), {})[int(r["w"])] = int(r["word"])

@@ -489,6 +489,60 @@ def src_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _footer_stats(
+    paths: list[str], cols: tuple[str, ...] = ()
+) -> tuple[int, dict[str, tuple[int, int]]]:
+    """Writer-side stats straight from the parquet FOOTERS of the data
+    files under ``paths`` (dirs or files): total row count plus exact
+    per-column min/max. This is the Delta convention — the bytes a
+    writer just landed already carry their statistics, so recomputing
+    them with a second Spark pass over the lineage (or a read-back
+    aggregate) is a wasted full pass (optimization guide §1.2: fix the
+    algorithm's pass count before anything else). Driver-side metadata,
+    O(files), no row data read; int64 columns only (footer min/max is
+    exact there). A data-carrying file with no stats for a requested
+    column raises loudly — the log must never silently under-cover."""
+    import pyarrow.parquet as _pq
+
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, f)
+                    for f in names
+                    if f.endswith(".parquet")
+                )
+        else:
+            files.append(p)
+    n_rows = 0
+    mins: dict[str, int] = {}
+    maxs: dict[str, int] = {}
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                name = c.path_in_schema
+                if name not in cols:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    raise RuntimeError(
+                        f"parquet footer of {f} has no min/max for "
+                        f"{name}: writer-side stats require a "
+                        f"stats-writing writer"
+                    )
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+    missing = [c for c in cols if c not in mins]
+    if missing and n_rows:
+        raise RuntimeError(f"no footer stats found for {missing}")
+    return n_rows, {c: (mins[c], maxs[c]) for c in mins}
+
+
 def _txn_log_stage(
     spark: SparkSession, sf_dir: str, prefix: str, commits: list[list[dict]]
 ) -> tuple[str, str]:
@@ -497,15 +551,25 @@ def _txn_log_stage(
     ordered JSON commit log of add/remove actions. Returns
     (table base dir, log dir)."""
     import json
+    from concurrent.futures import ThreadPoolExecutor
 
     base = scratch_dir(prefix=prefix)
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    for part in range(4):
+
+    def _write_part(part: int) -> None:
         o.filter(F.col("o_orderkey") % 4 == part).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, f"part{part}"))
+
+    # The four staged part-writes are independent single-file-scan jobs
+    # (the fixture is one parquet file -> one task each); running them
+    # sequentially leaves the box idle 3/4 of the staging wall. Submit
+    # them together and let the scheduler back-fill (guide §2.6,
+    # overlap independent jobs). pool.map re-raises any write error.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_write_part, range(4)))
     log_dir = os.path.join(base, "_txn_log")
     os.makedirs(log_dir)
     for i, actions in enumerate(commits):
@@ -945,22 +1009,40 @@ def src_txn_log_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _file_totals(paths: list[str]) -> tuple[int, int]:
-        if not paths:
-            return 0, 0
-        row = (
-            spark.read.parquet(*paths)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-                        "long"
-                    )
-                ).alias("cents"),
-            )
-            .collect()[0]
+    def _side_totals(
+        adds: list[str], removes: list[str]
+    ) -> tuple[int, int, int, int]:
+        """Row/cents totals of one commit's added and removed files in
+        ONE Spark job: the two delta scans are unioned under a side tag
+        and aggregated together (previously two sequential
+        driver-blocking jobs per commit — guide §1.2, pass count
+        first). Returns (n_add, c_add, n_rem, c_rem)."""
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
         )
-        return int(row["n"]), int(row["cents"] or 0)
+        sides = [
+            spark.read.parquet(*paths).select(
+                F.lit(tag).alias("side"), cents.alias("cents")
+            )
+            for tag, paths in (("a", adds), ("r", removes))
+            if paths
+        ]
+        if not sides:
+            return 0, 0, 0, 0
+        df = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+        rows = {
+            r["side"]: r
+            for r in df.groupBy("side")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+            .collect()  # <= 2 rows — per-commit aggregate metadata
+        }
+
+        def _get(tag: str) -> tuple[int, int]:
+            r = rows.get(tag)
+            return (int(r["n"]), int(r["c"] or 0)) if r else (0, 0)
+
+        (n_add, c_add), (n_rem, c_rem) = _get("a"), _get("r")
+        return n_add, c_add, n_rem, c_rem
 
     deltas: dict[int, tuple[int, int, int]] = {}
 
@@ -975,8 +1057,9 @@ def src_txn_log_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["remove"] is not None:
                 acts["remove"].append(os.path.join(base, r["remove"]))
         for v in sorted(by_version):
-            n_add, c_add = _file_totals(by_version[v]["add"])
-            n_rem, c_rem = _file_totals(by_version[v]["remove"])
+            n_add, c_add, n_rem, c_rem = _side_totals(
+                by_version[v]["add"], by_version[v]["remove"]
+            )
             deltas[v] = (n_add, n_rem, c_add - c_rem)
 
     ckpt = scratch_dir(prefix="ckpt_txnlog_inc_")
@@ -1081,19 +1164,23 @@ def _txn_log_stats_stage(
     # integer DIV, not float division: the bucket split is part of the
     # staged layout and should be bit-deterministic by construction
     bucket = F.expr(f"((o_orderkey - {lo}) * {n_files}) DIV {span}")
-    stats = {
-        int(r["b"]): (int(r["mn"]), int(r["mx"]))
-        for r in o.groupBy(bucket.alias("b"))
-        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
-        .collect()  # n_files rows — writer-side stats
-    }
     # ONE partitioned write produces all n_files range buckets in a
     # single scan (the previous 8 filtered writes re-read orders 8
     # times; at the 10x probe corpus the staging write is this key's
     # dominant wall)
+    data_dir = os.path.join(base, "data")
     o.withColumn("b", bucket).write.mode("overwrite").partitionBy(
         "b"
-    ).parquet(os.path.join(base, "data"))
+    ).parquet(data_dir)
+    # per-bucket min/max from the written files' own footers — exact
+    # int64 stats, no second aggregation pass over the table
+    stats = {
+        int(d.split("=", 1)[1]): _footer_stats(
+            [os.path.join(data_dir, d)], ("o_orderkey",)
+        )[1]["o_orderkey"]
+        for d in os.listdir(data_dir)
+        if d.startswith("b=")
+    }
     log_dir = os.path.join(base, "_txn_log")
     os.makedirs(log_dir)
     with open(os.path.join(log_dir, "00000000.json"), "w") as f:
@@ -1321,17 +1408,21 @@ def _cow_merge_txn(
         )
     )
     rewritten.write.mode("overwrite").parquet(os.path.join(base, out_name))
-    stats = rewritten.agg(
-        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
-    ).collect()[0]  # 2 scalars — writer-side stats
+    # writer-side stats from the landed file's own footer: the old
+    # read-back aggregate re-ran the whole rewrite lineage a second
+    # time for 2 scalars the parquet metadata already holds
+    _n, fstats = _footer_stats(
+        [os.path.join(base, out_name)], ("o_orderkey",)
+    )
+    mn, mx = fstats["o_orderkey"]
     actions = [
         json.dumps({"remove": p}) + "\n" for p, _, _ in affected
     ] + [
         json.dumps(
             {
                 "add": out_name,
-                "min_key": int(stats["mn"]),
-                "max_key": int(stats["mx"]),
+                "min_key": int(mn),
+                "max_key": int(mx),
             }
         )
         + "\n"
@@ -1647,12 +1738,19 @@ def snk_txn_log_stream_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     # 4 source files = 4 single-file micro-batches under
-    # maxFilesPerTrigger=1 (key-ranged so the staging is one scan and
-    # each epoch's content is deterministic)
-    for part in range(4):
+    # maxFilesPerTrigger=1 (key-ranged so each epoch's content is
+    # deterministic). The writes are independent single-task jobs —
+    # submitted concurrently so staging costs ~one write, not four
+    # (guide §2.6, overlap independent jobs).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage_src(part: int) -> None:
         o.filter(F.col("o_orderkey") % 4 == part).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(incoming, f"src{part}"))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_stage_src, range(4)))
     log_dir = os.path.join(base, "_txn_log")
     os.makedirs(log_dir)
     app_id = "orders_ingest"
@@ -2168,9 +2266,12 @@ def snk_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rewritten.write.mode("overwrite").parquet(os.path.join(base, "rewrite1"))
-    stats_r = rewritten.agg(
-        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
-    ).collect()[0]
+    # writer-side stats from the landed file's footer (no second pass
+    # through the rewrite lineage — guide §1.2)
+    _n, fstats = _footer_stats(
+        [os.path.join(base, "rewrite1")], ("o_orderkey",)
+    )
+    mn_r, mx_r = fstats["o_orderkey"]
     import json
 
     with open(os.path.join(log_dir, "00000001.json"), "w") as f:
@@ -2180,8 +2281,8 @@ def snk_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             json.dumps(
                 {
                     "add": "rewrite1",
-                    "min_key": int(stats_r["mn"]),
-                    "max_key": int(stats_r["mx"]),
+                    "min_key": int(mn_r),
+                    "max_key": int(mx_r),
                 }
             )
             + "\n"
@@ -2334,26 +2435,31 @@ def _compaction_txn(
     src.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(base, out_name)
     )
-    out = spark.read.parquet(os.path.join(base, out_name))
-    row = out.agg(
-        F.count("*").alias("n"),
-        F.min("o_orderkey").alias("mn"),
-        F.max("o_orderkey").alias("mx"),
-    ).collect()[0]  # 3 scalars — writer-side stats + identity check
-    n_in = src.count()
-    if int(row["n"]) != n_in:
+    # identity check + writer-side stats from FOOTERS on both sides:
+    # the immutable input files and the just-written output each carry
+    # exact row counts and int64 min/max in their metadata, so the old
+    # read-back aggregate AND the src.count() re-scan (two extra full
+    # passes per compaction) collapse into driver-side footer reads —
+    # and the check now compares real input bytes against real output
+    # bytes instead of one lineage against itself.
+    n_in, _ = _footer_stats([os.path.join(base, p) for p, _, _ in affected])
+    n_out, fstats = _footer_stats(
+        [os.path.join(base, out_name)], ("o_orderkey",)
+    )
+    if n_out != n_in:
         raise RuntimeError(
             f"compaction must be data-identical: read {n_in} rows, "
-            f"wrote {row['n']}"
+            f"wrote {n_out}"
         )
+    mn, mx = fstats["o_orderkey"]
     actions = [
         json.dumps({"remove": p}) + "\n" for p, _, _ in affected
     ] + [
         json.dumps(
             {
                 "add": out_name,
-                "min_key": int(row["mn"]),
-                "max_key": int(row["mx"]),
+                "min_key": int(mn),
+                "max_key": int(mx),
             }
         )
         + "\n"
