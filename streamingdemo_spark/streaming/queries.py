@@ -83,8 +83,17 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, so after an ``availableNow`` replay of the whole
     fixture the final memory table equals the batch aggregate — the
     stream/batch unification guarantee, checked value-for-value against
-    DuckDB rather than merely rows-counted."""
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    DuckDB rather than merely rows-counted.
+
+    files_per_trigger=4 → 2 micro-batches: the complete-mode result is
+    chunk-count-independent by construction (the final table IS the
+    full aggregate), and per-batch fixed cost dominates the replay
+    wall (measured ~0.55 s/batch against ~25k rows of real work), so
+    two batches exercise the cross-batch state merge at half the
+    overhead — the trigger-sizing lever every production stream tunes
+    (bigger micro-batches amortize fixed costs, same as Kafka
+    maxOffsetsPerTrigger)."""
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("val_sum"))
@@ -107,8 +116,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     every event updates 4 overlapping window states per micro-batch.
     Same stream/batch unification check as ``stream_tumbling`` — after
     the deterministic replay the memory table must equal the batch
-    sliding aggregate (``win_time_sliding``'s oracle, verbatim)."""
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    sliding aggregate (``win_time_sliding``'s oracle, verbatim).
+    files_per_trigger=4 → 2 micro-batches, per the ``stream_tumbling``
+    trigger-sizing note (complete mode is chunk-count-independent)."""
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     agg = (
         stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("val_sum"))
@@ -1083,8 +1094,10 @@ def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh — exactly how serving layers read a continuously-updated
     aggregate. After the deterministic full replay, the ranked output
     must hash-equal the all-batch computation.
+    files_per_trigger=4 → 2 micro-batches, per the ``stream_tumbling``
+    trigger-sizing note (complete mode is chunk-count-independent).
     """
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     counts = (
         stream.groupBy(
             F.window("ts", "1 hour").alias("w"), F.col("event_type")
@@ -1131,8 +1144,10 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked: after the deterministic availableNow replay the
     complete-mode table equals the batch COUNT(DISTINCT) per hour,
     value-for-value.
+    files_per_trigger=4 → 2 micro-batches, per the ``stream_tumbling``
+    trigger-sizing note (complete mode is chunk-count-independent).
     """
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.size(F.collect_set("user_id")).cast("long").alias("n_users"))
@@ -1166,8 +1181,12 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch aggregate exactly; it also implicitly proves update
     mode re-emitted every window's final state (a missing final
     emission would leave a stale smaller count and fail the hash).
+    files_per_trigger=4 → 2 micro-batches: the max-per-window
+    reconciliation is chunk-count-independent (counts are monotone
+    under replay, so the max emitted version is the final value at
+    ANY batching), and per-batch fixed cost dominates this replay.
     """
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1240,8 +1259,17 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (e.g. 2/trigger over 8+2 files) leaves the last watermark
     # advance with no following batch -- the final 1 h of sessions
     # never time out (caught by the oracle on first run).
+    # n_chunks=4 (2 real chunks + the 2 sentinels): the emitted set is
+    # chunk-count-independent (in-batch gaps split inside the
+    # function, cross-batch sessions merge through state, and the
+    # sentinels time out EVERY remaining session — the oracle has no
+    # watermark cutoff), while per-batch cost here is dominated by the
+    # fixed Arrow/python-state plumbing of applyInPandasWithState per
+    # state partition (measured 6-18 s/batch at sf0.01 with 1-row
+    # batches under the old 8+2 chunks x 32 partitions). Two real
+    # batches still exercise the cross-batch session merge.
     stream = events_stream(
-        spark, sf_dir, "flush", n_chunks=8, files_per_trigger=1
+        spark, sf_dir, "flush", n_chunks=4, files_per_trigger=1
     ).withWatermark("ts", "1 minute")
 
     def sessionize(key, pdf_iter, state: GroupState):
@@ -1295,13 +1323,23 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    # state_partitions=32: this is the one stateful key whose per-batch
-    # work is Python-side (Arrow transfer + pandas sessionize per user
-    # group); the default 8 state partitions leave 3/4 of the box idle
-    # in exactly the stage that dominates the 10M-event sweep wall.
-    # State rows stay bounded by open sessions regardless of partition
-    # count (asserted via LAST_STREAM_PROGRESS in test_streaming.py).
-    mem = run_to_memory(sessions, output_mode="append", state_partitions=32)
+    # Scale-adaptive state partitions (guide §2: never a constant tuned
+    # for one scale): this is the one stateful key whose per-batch work
+    # is Python-side (Arrow transfer + pandas sessionize per user
+    # group). At the 10M-event sweep corpus the default 8 partitions
+    # leave 3/4 of the box idle in exactly the dominating stage, so
+    # large corpora get 32; at replay/bench volumes EVERY state
+    # partition pays the fixed Arrow/python-state plumbing per
+    # micro-batch (EventTimeTimeout scans all partitions even with no
+    # input), so 32 partitions were ~4x pure overhead. The count() is
+    # parquet-metadata-only. State rows stay bounded by open sessions
+    # regardless of partition count (asserted via LAST_STREAM_PROGRESS
+    # in test_streaming.py).
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    parts = 32 if n_events >= 1_000_000 else 8
+    mem = run_to_memory(
+        sessions, output_mode="append", state_partitions=parts
+    )
     return mem.select(
         "user_id",
         F.timestamp_micros(F.col("start_us")).alias("session_start"),
@@ -1361,8 +1399,14 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     level dominates: 6 buckets/hour/type), both GC'd; the chained
     form halves end-to-end latency and removes the intermediate
     topic's storage and its at-least-once dedup burden.
+
+    files_per_trigger=4 → 2 micro-batches: the emitted set is the
+    two-level rollup cut at the FINAL watermark (which the no-data
+    final batch applies to both levels in one batch, per above), so
+    it is chunk-count-independent; fewer batches only cut the
+    per-batch fixed cost.
     """
-    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=2)
+    stream = events_stream(spark, sf_dir, "ordered", files_per_trigger=4)
     inner = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
@@ -1426,7 +1470,12 @@ def stream_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from streamingdemo_spark.streaming.sources import documents_stream
 
-    stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
+    # files_per_trigger=2 → 2 micro-batches: complete mode makes the
+    # final gram table chunk-count-independent, and the replay wall is
+    # per-batch fixed cost + full-state re-emission per batch
+    # (measured ~1.1 s/batch after the first), so two batches keep the
+    # cross-batch gram-state merge at half the overhead.
+    stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=2)
     return run_to_memory(
         substring_dedup_agg(stream), output_mode="complete"
     )
@@ -1582,7 +1631,12 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = _emb_band_bits(n)
     nb = _emb_band_count(bits)
     lv = _EMB_DEEP_LEVELS
-    stream = embeddings_stream(spark, sf_dir, n_chunks=4).select(
+    # files_per_trigger=2 → 2 micro-batches: complete mode makes the
+    # final bucket table chunk-count-independent; two batches keep the
+    # cross-batch occupancy merge at half the per-batch fixed cost.
+    stream = embeddings_stream(
+        spark, sf_dir, n_chunks=4, files_per_trigger=2
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     # the shared integer-exact matmul sketch (emb_bands_udf) is a
@@ -2001,5 +2055,8 @@ if GOPHER_ORACLE is not None:
         from streamingdemo_spark.extensions.text import gopher_rules_projection
         from streamingdemo_spark.streaming.sources import documents_stream
 
-        stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
+        # files_per_trigger=2 → 2 micro-batches: the gate is stateless
+        # append (every doc emits exactly once at any batching), so the
+        # only thing chunk count buys is per-batch fixed cost.
+        stream = documents_stream(spark, sf_dir, n_chunks=4, files_per_trigger=2)
         return run_to_memory(gopher_rules_projection(stream), output_mode="append")

@@ -613,12 +613,15 @@ def test_timeout_sessions_state_bounded_and_drained(spark, sf_dir):
 
 def test_stream_dedup_embedding_is_multibatch_and_consistent(spark, sf_dir):
     """The streaming LSH index build must (a) actually run as a
-    multi-batch replay (not one degenerate batch — 4 chunk files, one
-    per trigger), and (b) produce bucket occupancies that reconcile
-    with the corpus: each vector lands in exactly 2 bands, so total
-    band-slots across ALL buckets (including singletons the output
-    filters) bound the emitted mass, and every bucket's id span must
-    be ordered with occupancy >= 2."""
+    multi-batch replay (not one degenerate batch — 4 chunk files, two
+    per trigger since the r13 trigger-sizing pass: complete mode makes
+    the final table chunk-count-independent, so two batches keep the
+    cross-batch occupancy merge at half the per-batch fixed cost), and
+    (b) produce bucket occupancies that reconcile with the corpus:
+    each vector lands in exactly 2 bands, so total band-slots across
+    ALL buckets (including singletons the output filters) bound the
+    emitted mass, and every bucket's id span must be ordered with
+    occupancy >= 2."""
     from streamingdemo_spark.registry import QUERIES
     from streamingdemo_spark.streaming import runner
 
@@ -627,7 +630,7 @@ def test_stream_dedup_embedding_is_multibatch_and_consistent(spark, sf_dir):
         p for p in runner.LAST_STREAM_PROGRESS
         if p.get("numInputRows", 0) > 0
     ]
-    assert len(progress) >= 4, "expected one micro-batch per chunk file"
+    assert len(progress) >= 2, "expected a real multi-batch replay"
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert sum(r["n_vecs"] for r in out) <= 2 * n
     for r in out:
