@@ -15,6 +15,11 @@ array<float>); for very high dims swap in a pandas-UDF dot product
 
 from __future__ import annotations
 
+# module-level so the string type hints of pandas_udf declarations
+# (PEP 563 under `from __future__ import annotations`) resolve when
+# PySpark inspects them via typing.get_type_hints
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2596,6 +2601,70 @@ def _d2_to_center(center: list[int]) -> Column:
     )
 
 
+def _assign_gemm_udf(centers: "list[list[int]]"):
+    """Arrow-vectorized nearest-center assignment: one int64 numpy GEMM
+    per batch against the (K, dim) center matrix, exact decomposition
+    d2 = |q|^2 - 2 q·c + |c|^2 (every term int64, |values| <= ~1.7e13
+    at milli-unit quantization — no rounding anywhere), argmin ties ->
+    lowest center index, identical to the lexicographic ``array_min``
+    over (d2, cid) structs it replaces.
+
+    WHY a UDF and not the plan-literal expression chain
+    (``_d2_to_center`` per center): an iterative fit re-plans every
+    round with FRESH centroid literals, so the K*dim-literal fold tree
+    is re-analyzed and re-codegen'd per round — measured 3.4 s vs
+    1.3 s for the whole kmeans fit at sf0.1 (interleaved A/B,
+    identical results). The UDF keeps the physical plan BYTE-STABLE
+    across rounds (only the pickled closure changes), and the per-row
+    work runs through one native GEMM (guide §4.2) instead of K
+    interpreted 64-element folds. Same asymptotics either way —
+    O(n·K·dim) map-side, centers shipped once per task — so this is
+    strictly the cheaper constant at any scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centers, dtype=np.int64)
+    C2 = (C * C).sum(axis=1)
+
+    @pandas_udf("struct<cid:int,d2:bigint>")
+    def _assign(qv: pd.Series) -> pd.DataFrame:
+        Q = np.vstack(qv.to_numpy()).astype(np.int64)
+        d2 = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + C2[None, :]
+        cid = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cid": cid.astype("int32"),
+                "d2": d2[np.arange(len(cid)), cid],
+            }
+        )
+
+    return _assign
+
+
+def _mind_gemm_udf(centers: "list[list[int]]"):
+    """Arrow-vectorized min squared-L2 distance to the current center
+    set — the k-center sibling of ``_assign_gemm_udf`` (same exact
+    int64 GEMM decomposition, min over centers == the ``F.least``
+    chain it replaces). Recomputing all t centers per step costs the
+    same O(n·t·dim) the literal chain paid, without re-codegen of a
+    t·dim-literal tree per step."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centers, dtype=np.int64)
+    C2 = (C * C).sum(axis=1)
+
+    @pandas_udf("bigint")
+    def _mind(qv: pd.Series) -> pd.Series:
+        Q = np.vstack(qv.to_numpy()).astype(np.int64)
+        d2 = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + C2[None, :]
+        return pd.Series(d2.min(axis=1))
+
+    return _mind
+
+
 def _kcenter_oracle() -> str:
     parts = [f"""
     v AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
@@ -2668,7 +2737,6 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    d2_to = _d2_to_center
 
     # seed: argmax norm, vec_id-asc tiebreak via negated id in the
     # struct max (one job)
@@ -2677,9 +2745,17 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("qv").alias("qv"))).alias("s")
     ).collect()[0]["s"]
     picks = [(1, -seed["nid"])]
-    cur = v.withColumn("mind", d2_to(seed["qv"]))
+    # per step, mind is recomputed against ALL current centers with one
+    # int64 GEMM (_mind_gemm_udf): exactly the values the former
+    # F.least chain over per-center literal folds produced, but the
+    # step plan no longer accumulates a t·dim-literal expression tree
+    # that must be re-analyzed + re-codegen'd per step (the kmeans
+    # literal-churn lesson); the O(n·t·dim) arithmetic per step is
+    # unchanged
+    centers = [[int(x) for x in seed["qv"]]]
     radii = []
     for t in range(2, KCENTER_K + 1):
+        cur = v.withColumn("mind", _mind_gemm_udf(centers)("qv"))
         m = cur.select(
             F.max(
                 F.struct(F.col("mind").alias("key"),
@@ -2689,8 +2765,11 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["s"]
         radii.append(m["key"])  # radius after t-1 centers
         picks.append((t, -m["nid"]))
-        cur = cur.withColumn("mind", F.least("mind", d2_to(m["qv"])))
-    radii.append(cur.agg(F.max("mind")).collect()[0][0])
+        centers.append([int(x) for x in m["qv"]])
+    radii.append(
+        v.withColumn("mind", _mind_gemm_udf(centers)("qv"))
+        .agg(F.max("mind")).collect()[0][0]
+    )
     v.unpersist()
     rows = [
         (rank, int(vid), int(r)) for (rank, vid), r in zip(picks, radii)
@@ -2806,13 +2885,13 @@ def ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _quantized_corpus(spark, sf_dir)
 
     def assign(cents: dict[int, list[int]]) -> DataFrame:
-        opts = F.array(*[
-            F.struct(_d2_to_center(c).alias("d2"), F.lit(cid).alias("cid"))
-            for cid, c in sorted(cents.items())
-        ])
-        m = F.array_min(opts)
+        # one int64 GEMM per Arrow batch; bit-identical to the former
+        # array_min-over-(d2, cid)-structs literal chain, but the plan
+        # stays stable across rounds instead of re-codegen'ing a
+        # K*dim-literal fold tree per round (see _assign_gemm_udf)
+        s = _assign_gemm_udf([c for _, c in sorted(cents.items())])("qv")
         return v.select(
-            "vec_id", "qv", m["cid"].alias("cid"), m["d2"].alias("d2")
+            "vec_id", "qv", s["cid"].alias("cid"), s["d2"].alias("d2")
         )
 
     seeds = v.orderBy("vec_id").limit(KMEANS_K).collect()
