@@ -442,7 +442,19 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id", "user_id", "view_ts",
         "purchase_id", "purchase_ts", "purchase_value",
     )
-    replayed = run_to_memory(joined, output_mode="append", state_partitions=4)
+    # no_data_batches=False: by the time the trailing no-data batch
+    # would run, the watermark set after sentinel 1 (max_ts + 2 h) has
+    # already evicted-and-emitted every REAL unmatched view during
+    # sentinel 2's data batch; the no-data batch could only emit the
+    # sentinel views themselves (view_id -1/-2), which the filter
+    # below strips. Skipping it drops one of five micro-batches of
+    # pure fixed cost — oracle re-verified identical at 3 sfs.
+    replayed = run_to_memory(
+        joined,
+        output_mode="append",
+        state_partitions=4,
+        no_data_batches=False,
+    )
     # batch-side sentinel strip — pushdown-safe here (see docstring)
     return replayed.filter(F.col("view_id") >= 0)
 
@@ -1337,8 +1349,17 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in test_streaming.py).
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     parts = 32 if n_events >= 1_000_000 else 8
+    # no_data_batches=False: every real session's timeout fires during
+    # sentinel 2's DATA batch (watermark is already max_ts + 2 h − 1 min
+    # there, past any real last_event + 1 h gap) and sentinel rows never
+    # create state (filtered inside sessionize), so the trailing
+    # no-data batch can only scan empty state partitions — pure
+    # applyInPandasWithState plumbing. Oracle re-verified at 3 sfs.
     mem = run_to_memory(
-        sessions, output_mode="append", state_partitions=parts
+        sessions,
+        output_mode="append",
+        state_partitions=parts,
+        no_data_batches=False,
     )
     return mem.select(
         "user_id",

@@ -99,6 +99,7 @@ def run_to_memory(
     state_provider: str | None = None,
     processing_time: str | None = None,
     min_batches: int = 2,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into an
     in-memory table; returns the table as a batch DataFrame.
@@ -130,6 +131,15 @@ def run_to_memory(
     state-store backend for this stream (the conf is read at query
     start and pinned into the checkpoint); None defers to the
     ``STREAMINGDEMO_STATE_PROVIDER`` env var, else Spark's default.
+
+    ``no_data_batches=False`` disables Spark's trailing no-data
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``)
+    for this stream. Only safe for keys that PROVE the final batch
+    emits nothing they keep — e.g. ``stream_stream_outer_join``, whose
+    real evictions all happen in the second flush-sentinel's (data)
+    batch and whose no-data batch emits only the sentinel rows the
+    caller strips; watermark aggregates and session keys RELY on the
+    no-data batch for their final emission and must leave this True.
     """
     if timeout_sec is None:
         timeout_sec = int(
@@ -147,6 +157,10 @@ def run_to_memory(
         spark.conf.set(_PROVIDER_CONF, STATE_PROVIDERS[provider])
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    _NODATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(_NODATA_CONF, None)
+    if not no_data_batches:
+        spark.conf.set(_NODATA_CONF, "false")
     try:
         writer = (
             df.writeStream.format("memory")
@@ -205,6 +219,11 @@ def run_to_memory(
             query.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not no_data_batches:
+            if prev_nodata is None:
+                spark.conf.unset(_NODATA_CONF)
+            else:
+                spark.conf.set(_NODATA_CONF, prev_nodata)
         if provider:
             if prev_provider is None:
                 spark.conf.unset(_PROVIDER_CONF)
