@@ -3063,13 +3063,20 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("arr").alias("l"),
     )
     # per_doc feeds THREE consumers (the prefix explode and both
-    # verify joins); without truncation each consumer re-runs the
+    # verify joins); without materialization each consumer re-runs the
     # whole explode→dfreq-join→collect→sort chain (~2 s each at
-    # sf0.1, 3× the key's total wall). localCheckpoint materializes
-    # it once — the pagerank lineage-truncation pattern
-    # (extensions/graph.py): doc-granular rows, memory+disk blocks,
-    # released by the ContextCleaner when the DF goes out of scope.
-    per_doc = per_doc.localCheckpoint()
+    # sf0.1, 3× the key's total wall). r13-opt: lazy persist() beats
+    # the r12 eager localCheckpoint() here — the checkpoint ran a
+    # DEDICATED job (plan + schedule + serialize) before the real one,
+    # where persist materializes the same doc-granular blocks inside
+    # the first consuming stage (interleaved A/B at sf0.1:
+    # ckpt 3.3 s / persist 2.6 s / no-materialization 3.1 s, outputs
+    # identical). Same memory class as the checkpoint blocks
+    # (memory+disk, spillable); the bench/driver clear the cache
+    # between reps so nothing survives a run.
+    from pyspark import StorageLevel
+
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
     # prefix length for tau = 1/2: l - ceil(l/2) + 1; posexplode keeps
     # the 0-based rarity position for the positional filter
     pre = per_doc.select(
