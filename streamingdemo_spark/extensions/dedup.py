@@ -237,11 +237,14 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial min; candidate generation is O(n·bands); exact
     verification touches only in-bucket pairs. No all-pairs stage
     exists, and each hash is evaluated once (aggregate-form MinHash,
-    not per-band recomputation). Reused intermediates (shingle sets,
-    signatures, candidates) are persisted — the band self-join and the
-    verify join would otherwise recompute their whole lineage per
-    reference; at cluster scale these are exactly the datasets you
-    checkpoint. Buckets above ``_BUCKET_CAP`` are
+    not per-band recomputation). MULTI-consumer intermediates
+    (shingle sets, capped band rows) are persisted — the band
+    self-join and the verify join would otherwise recompute their
+    whole lineage per reference (38-48 s vs ~2.5 s at sf0.1 without
+    them); at cluster scale these are exactly the datasets you
+    checkpoint. Single-consumer intermediates (signatures, candidate
+    pairs) are NOT cached — caching them paid a cache-write pass for
+    zero reuse. Buckets above ``_BUCKET_CAP`` are
     dropped before pairing — a low-vocabulary corpus (like this
     fixture) makes some minhash values extremely common, and such
     buckets are non-discriminative noise that would otherwise create a
@@ -293,7 +296,12 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(*[F.min(f"h{k}").alias(f"h{k}") for k in range(n_hashes)])
-    ).cache()
+    )
+    # sigs and cand are single-consumer (banded resp. the verify join),
+    # so caching them bought nothing and paid the cache-write pass on
+    # every run (r13-opt: dropped; docs and banded keep their caches —
+    # each is read by 2-3 distinct consumers, and the no-cache form
+    # measured 38-48 s vs ~2.5 s at sf0.1).
 
     def _band_bucket(b: int) -> Column:
         acc: Column = F.col(f"h{b * rows_per_band}")
@@ -323,7 +331,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-    ).cache()
+    )
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
