@@ -758,6 +758,17 @@ def _bpe_fit(
     words = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("w")
     )
+    # Scale-adaptive vocabulary layout (guide §2): every merge round
+    # launches a stage PER CACHED PARTITION of the vocabulary, so a
+    # small vocab spread over the default 32 shuffle partitions pays
+    # ~32x pure task overhead per round (the fixture vocabulary is
+    # tiny; each round was ~0.45 s of scheduling for <1 ms of work).
+    # Partition count derives from corpus size (metadata-only count),
+    # so large corpora keep the parallel aggregate while bench scales
+    # coalesce to one task. coalesce() folds the agg's output without
+    # an extra shuffle.
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    vocab_parts = max(1, min(32, n_docs // 20_000))
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -768,6 +779,7 @@ def _bpe_fit(
                 F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
             ).alias("s"),
         )
+        .coalesce(vocab_parts)
         .persist()
     )
     merges: list[tuple[int, str, int]] = []
