@@ -2323,18 +2323,64 @@ def _gram_hash_batch(texts, hash_width: int, gram_width: int):
     return h, m
 
 
+def _block_sliding_min(a, W):
+    """``min`` over every length-``W`` window of ``a`` in O(n) — the
+    two-pass block decomposition (prefix minima left-to-right within
+    W-aligned blocks, suffix minima right-to-left): window [i, i+W-1]
+    spans at most two blocks, so its min is
+    ``min(suffix_min[i], prefix_min[i+W-1])``. Replaces the
+    ``sliding_window_view(...).min(axis=1)`` strided reduction, which
+    is O(n·W) — measured 2× faster at W=10 over 1-5 M positions and
+    exactness-free (pure min, no arithmetic). Tail padding uses the
+    dtype's max (neutral for min); callers' inter-document sentinels
+    are unaffected."""
+    import numpy as np
+
+    n = a.size
+    nw = n - W + 1
+    nb = -(-n // W)
+    pad = nb * W - n
+    if pad:
+        a = np.concatenate(
+            [a, np.full(pad, np.iinfo(a.dtype).max, dtype=a.dtype)]
+        )
+    blocks = a.reshape(nb, W)
+    pre = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:nw], pre[W - 1 : W - 1 + nw])
+
+
+def _block_sliding_max(a, W):
+    """Mirror of :func:`_block_sliding_min` for ``max`` (tail padding
+    = dtype min)."""
+    import numpy as np
+
+    n = a.size
+    nw = n - W + 1
+    nb = -(-n // W)
+    pad = nb * W - n
+    if pad:
+        a = np.concatenate(
+            [a, np.full(pad, np.iinfo(a.dtype).min, dtype=a.dtype)]
+        )
+    blocks = a.reshape(nb, W)
+    pre = np.maximum.accumulate(blocks, axis=1).ravel()
+    suf = np.maximum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.maximum(suf[:nw], pre[W - 1 : W - 1 + nw])
+
+
 def winnow_positions_batch(texts) -> list:
     """Batched :func:`winnow_positions`: one list of selected 1-based
     positions per input text, bit-identical to mapping the per-doc
     form (pinned by ``test_winnow_batch_matches_per_doc``). The two
-    winnowing passes run as sliding windows over ONE padded array for
+    winnowing passes run as O(n) block-decomposition sliding windows
+    (:func:`_block_sliding_min`/``_max``) over ONE padded array for
     the whole batch, with ``WINNOW_W − 1`` sentinel slots between
     documents reproducing the per-doc edge clipping exactly:
     POLY_MOD sentinels in the forward-min pass (doc-end windows clip
     short), −1 overwrites at the same slots before the backward-max
     pass (doc-start windows clip)."""
     import numpy as np
-    from numpy.lib.stride_tricks import sliding_window_view
 
     texts = ["" if t is None else t for t in texts]
     if sum(len(t) for t in texts) > _BATCH_CHAR_LIMIT:
@@ -2354,11 +2400,11 @@ def winnow_positions_batch(texts) -> list:
     P = int(h.size + (W - 1) * n_docs)
     fwd = np.full(P, POLY_MOD, dtype=np.int64)
     fwd[pad_idx] = h
-    mn = sliding_window_view(fwd, W).min(axis=1)  # length P - W + 1
+    mn = _block_sliding_min(fwd, W)  # length P - W + 1
     mn2 = np.full(P - W + 1, -1, dtype=np.int64)
     mn2[pad_idx] = mn[pad_idx]
     bwd = np.concatenate((np.full(W - 1, -1, dtype=np.int64), mn2))
-    mx = sliding_window_view(bwd, W).max(axis=1)
+    mx = _block_sliding_max(bwd, W)
     sel = np.nonzero(mx[pad_idx] == h)[0]
     pos1 = sel - np.repeat(hstart, m)[sel] + 1
     return [
