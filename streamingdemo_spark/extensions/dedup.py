@@ -1535,13 +1535,11 @@ def min_label_components(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     components of diameter ~2^max_rounds.
 
     The loop runs UNTIL A FIXPOINT: after each round a changed-label
-    probe (anti-equality join against the previous round's labels,
-    ``limit(1)``) decides whether another round is needed. Fixed round
+    probe decides whether another round is needed. Fixed round
     counts silently under-merge chain-shaped components (A≈B≈C≈…
     trains, common in crawl near-dup graphs) the moment the diameter
-    exceeds their reach; probing costs one cheap job per round on the
-    already-checkpointed label table and converts that silent
-    mislabeling into either a correct result or a loud error. If the
+    exceeds their reach; probing converts that silent mislabeling
+    into either a correct result or a loud error. If the
     probe still sees changes after ``max_rounds`` (diameter beyond
     ~2^max_rounds), raises RuntimeError rather than returning
     under-merged components. The default covers diameter ~65k; since
@@ -1550,6 +1548,17 @@ def min_label_components(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     r7 sf1 probe raised the default from 8 after a derived corpus
     produced a legitimate >2^8-diameter phash component (chained
     near-identical signatures), which the old cap rejected loudly.
+
+    Probe shape (r13-opt, guide §2.1): every per-row update is
+    ``least(old, …)``, so labels are MONOTONICALLY NON-INCREASING —
+    for numeric ids the exact ``sum(label)`` over the checkpointed
+    table is therefore unchanged iff NO label changed, and the probe
+    becomes one shuffle-free scan-and-reduce instead of the previous
+    doc_id equi-join against the prior round's labels (a full
+    label-table shuffle join per round at scale). The sum runs in
+    decimal(38,0): exact up to ~1e38, so no wraparound can fake a
+    fixpoint (ANSI mode would raise loudly first). Non-numeric ids
+    keep the join probe.
 
     Each round ends in an eager ``localCheckpoint``: iterative
     self-referencing plans double in size per round without lineage
@@ -1562,10 +1571,22 @@ def min_label_components(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
 
     Returns (doc_id, label) with label = component minimum.
     """
+    from pyspark.sql import types as T
+
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint(
         eager=True
     )
+    numeric_label = isinstance(
+        labels.schema["label"].dataType, T.NumericType
+    )
+
+    def _label_sum(df):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if numeric_label else None
     for _ in range(max_rounds):
         prev = labels
         # (a) one-hop neighbor minimum
@@ -1593,15 +1614,21 @@ def min_label_components(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
             .select("doc_id", F.least("label", "j_label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.alias("cur")
-            .join(prev.alias("prv"), "doc_id")
-            .filter(F.col("cur.label") != F.col("prv.label"))
-            .limit(1)
-            .count()
-        )
-        if changed == 0:
-            return labels
+        if numeric_label:
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
+        else:
+            changed = (
+                labels.alias("cur")
+                .join(prev.alias("prv"), "doc_id")
+                .filter(F.col("cur.label") != F.col("prv.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return labels
     raise RuntimeError(
         f"min_label_components did not converge in {max_rounds} rounds "
         f"(component diameter beyond ~2^{max_rounds}); raise max_rounds"

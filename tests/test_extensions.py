@@ -459,6 +459,25 @@ class TestPipelineOps:
             want = expected(max(nodes) + 1, edges)
             assert got == {v: want[v] for v in nodes}, f"edges={edges}"
 
+    def test_cluster_string_ids_use_join_probe_fallback(self, spark, sf_dir):
+        """r13-opt: the fixpoint probe is an exact monotonic label-sum
+        scan for NUMERIC ids; non-numeric ids must fall back to the
+        join probe and still converge to the component minimum (chain
+        shape, so a broken probe under-merges or never exits)."""
+        from streamingdemo_spark.extensions.dedup import min_label_components
+
+        ids = [f"d{i:02d}" for i in range(10)]
+        chain = spark.createDataFrame(
+            [(ids[i], ids[i + 1]) for i in range(9)]
+            + [(ids[i + 1], ids[i]) for i in range(9)],
+            "doc_a string, doc_b string",
+        )
+        labels = {
+            r["doc_id"]: r["label"]
+            for r in min_label_components(chain).collect()
+        }
+        assert labels == {i: "d00" for i in ids}
+
     def test_cluster_raises_when_rounds_exhausted(self, spark, sf_dir):
         """With max_rounds too low for the diameter, the loop must fail
         loudly instead of returning under-merged components."""
