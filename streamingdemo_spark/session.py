@@ -22,6 +22,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# glibc-malloc tuning for the Python workers (guide §4/§5): the numpy/
+# Arrow hot paths inside pandas UDFs allocate and free tens-to-hundreds
+# of MB of temporaries per batch. Above glibc's default mmap threshold
+# (128 KB) every such buffer is a fresh mmap that is munmap'd on free,
+# so EVERY batch re-pays kernel page-allocation + first-touch faulting
+# for its whole working set — pure allocator churn that first-touch-
+# expensive kernels (VM sandboxes such as gVisor, overcommitted hosts)
+# amplify brutally. Measured here: ext_dedup_substring's winnow UDF
+# held a steady 9-17 s/run while its worker cycled RSS 135→230 MB
+# (mmap/munmap per rep); with the thresholds below the same worker
+# reads 1.25 s/run steady-state (the one-time first-touch is paid at
+# worker birth, then pages stay in the arena). Set via environment so
+# the JVM and every pyspark.daemon worker it forks inherit them; each
+# is ``setdefault`` so deployments can override. Cost: worker RSS
+# high-water retention (~peak temp set per worker) — the normal glibc
+# arena behavior for sub-threshold allocations, sized far below
+# ``spark.executor.memoryOverhead`` on a real cluster.
+_CHILD_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),  # big temps stay in arena
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),  # don't return arena pages
+    "MALLOC_TOP_PAD_": str(64 << 20),  # grow the arena in big steps
+}
+for _k, _v in _CHILD_MALLOC_ENV.items():
+    os.environ.setdefault(_k, _v)
+
 
 def get_spark(
     app_name: str = "streamingdemo-spark",
