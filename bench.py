@@ -140,6 +140,27 @@ def main() -> None:
     # measure the engine, not first-touch initialization.
     queries["src_parquet_scan"](spark, sf_dir).collect()
     queries["join_broadcast"](spark, sf_dir).collect()
+    # Warm the Python-worker machinery the same way: fork one worker
+    # per core, import pandas/numpy, and write one ~16 MB numpy buffer
+    # per worker so each worker's malloc arena is faulted once up
+    # front (session.py pins the arena so those pages are then kept).
+    # Without this the FIRST UDF-bearing key's rep 1 measures worker
+    # birth + kernel first-touch (5-10 s on first-touch-expensive
+    # kernels), not the engine; no query logic runs here and nothing
+    # is cached — the warmup output is discarded.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _touch(s):
+        import numpy as np
+
+        arena = np.arange(2_000_000, dtype=np.int64)  # fault ~16 MB
+        return s * int(arena[0] + 1)
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores * 4, numPartitions=n_cores).select(
+        _touch("id")
+    ).collect()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
