@@ -3343,9 +3343,11 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     entry (src/sparkSQL/SparkSQLOperator.java:17-23), per SURVEY §2.F.
     """
-    from pyspark.sql.window import Window
-
-    from streamingdemo_spark.extensions.similarity import _centroid_means
+    from streamingdemo_spark.extensions.similarity import (
+        _cells_1row,
+        _centroid_means,
+        _ranked_cells,
+    )
 
     num, den = SEMDEDUP_TAU
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -3358,22 +3360,25 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ev")
     )
-    d = F.aggregate(
-        F.zip_with("ev", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cl")
     qv = F.transform(
         "ev", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long")
     )
+    # map-side argmin over the one-row broadcast codebook: the former
+    # crossJoin-explode + vec_id window shipped the FULL 64-double
+    # embedding k times per vector through an Exchange just to rank k
+    # distances already computable on the row (guide §2.1/§2.3)
     assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "ev", "cl", d.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        v.crossJoin(F.broadcast(_cells_1row(cent)))
         .select(
-            "vec_id", F.col("cl").alias("cell"), "d", qv.alias("qv")
+            "vec_id",
+            F.element_at(_ranked_cells("ev"), 1).alias("home"),
+            qv.alias("qv"),
+        )
+        .select(
+            "vec_id",
+            F.col("home.cl").alias("cell"),
+            F.col("home.d").alias("d"),
+            "qv",
         )
     )
 

@@ -873,6 +873,42 @@ def ext_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cells_1row(cent: DataFrame) -> DataFrame:
+    """Fold the whole codebook into ONE broadcastable row
+    (``cells: array<struct<cl,cvec>>`` sorted by cl). Per-vector
+    assignment against it is a map-side array fold — the former shape
+    (k-way crossJoin explode, then a vec_id-partitioned ROW_NUMBER
+    window) pushed n x k rows through an Exchange + Sort just to
+    argmin k values that were already sitting on the same row."""
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("cl", "cvec"))).alias("cells")
+    )
+
+
+def _ranked_cells(e_col: str) -> Column:
+    """``array<struct<d,cl>>`` of every cell's squared-L2 distance to
+    this row's vector column, ascending by (d, cl). Element arithmetic
+    is the module's exact fold convention (zip_with square-diff,
+    0.0-seeded left fold) and array_sort on struct<double,int> orders
+    exactly like the former ``ROW_NUMBER() OVER (ORDER BY d, cl)`` —
+    element 1 IS the old rn=1 winner, bit-identically; ``slice(.., 1,
+    N)`` is the old rn<=N probe set. No shuffle at any corpus size."""
+
+    def dist(cvec: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(e_col), cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return F.array_sort(
+        F.transform(
+            "cells",
+            lambda s: F.struct(dist(s["cvec"]).alias("d"), s["cl"].alias("cl")),
+        )
+    )
+
+
 @query(
     "ext_sim_ivf_assign",
     oracle=f"""
@@ -916,13 +952,14 @@ def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bitwise equal and the argmin (tie-broken by cell id) picks the
     same cell everywhere.
 
-    Scale shape: centroids are a k-row broadcast (the groupBy that
-    builds them shuffles labels × dim, nothing more); assignment is a
-    map-side cross join — n × k distance evaluations with NO shuffle of
-    the vector side — and the per-vector argmin is a k-row window.
-    This is exactly how a 100 TB corpus gets sharded onto IVF cells:
-    broadcast the codebook, one pass over the vectors, write
-    partitioned by cell.
+    Scale shape: the whole codebook is ONE broadcast row (k cells as
+    an array of structs); assignment is a map-side fold — n × k
+    distance evaluations with NO shuffle anywhere and the per-vector
+    argmin a k-element array_sort on the same row (the former
+    vec_id-partitioned window shipped n × k rows through an Exchange
+    for that argmin). This is exactly how a 100 TB corpus gets sharded
+    onto IVF cells: broadcast the codebook, one pass over the vectors,
+    write partitioned by cell.
     """
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     cmeans = _centroid_means(e).select(
@@ -936,24 +973,19 @@ def ext_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    d = F.aggregate(
-        F.zip_with("e", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "cl", d.alias("d")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cl")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        v.crossJoin(F.broadcast(_cells_1row(cent)))
         .select(
             "vec_id",
             "label",
-            F.col("cl").alias("cell"),
-            (F.round("d", 6) + F.lit(0.0)).alias("dist2"),
-            (F.col("label") == F.col("cl")).alias("is_home"),
+            F.element_at(_ranked_cells("e"), 1).alias("home"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("home.cl").alias("cell"),
+            (F.round("home.d", 6) + F.lit(0.0)).alias("dist2"),
+            (F.col("label") == F.col("home.cl")).alias("is_home"),
         )
     )
 
@@ -1926,13 +1958,21 @@ PQ_CAND = 40
 PQ_TOPK = 10
 
 
-def _pq_scored_frames(
+def _pq_code_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(v, scored): double-cast vectors and their per-(subspace,
-    codeword) squared distances against the deterministic class-mean
-    PQ codebook — the shared front half of ``ext_sim_pq_adc`` and
-    ``ext_sim_ivfpq_topk``."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(v, cb, vcodes): double-cast vectors, the class-mean PQ
+    codebook as (m, cw, cvec) rows, and the PQ-ENCODED corpus —
+    one row per vector carrying ``codes: array<struct<m,cw>>``,
+    computed entirely map-side against the codebook folded into ONE
+    broadcast row. The former shape (n × 80 crossJoin explode, then a
+    (vec_id, m)-partitioned ROW_NUMBER window) shipped every scored
+    row through an Exchange + Sort just to argmin 10 codewords that
+    sat on the same row; per-subspace element arithmetic is unchanged
+    (slice + zip_with square-diff, 0.0-seeded left fold) and
+    array_sort on struct<d,cw> reproduces the old ORDER BY d, cw
+    tie-break bit-identically. Shared front half of ``ext_sim_pq_adc``
+    and ``ext_sim_ivfpq_topk``."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     cb = (
         _centroid_means(e)
@@ -1948,6 +1988,49 @@ def _pq_scored_frames(
     v = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
+    cbm = cb.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("cw", "cvec"))).alias("cws")
+    ).agg(F.array_sort(F.collect_list(F.struct("m", "cws"))).alias("cbm"))
+
+    def _code_of(mm):  # mm: struct<m, cws: array<struct<cw, cvec>>>
+        sub = F.slice(F.col("e"), mm["m"] * PQ_DSUB + 1, F.lit(PQ_DSUB))
+        ranked = F.array_sort(
+            F.transform(
+                mm["cws"],
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub, c["cvec"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ).alias("d"),
+                    c["cw"].alias("cw"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["cw"]
+
+    vcodes = v.crossJoin(F.broadcast(cbm)).select(
+        "vec_id",
+        "label",
+        "e",
+        F.transform(
+            "cbm", lambda mm: F.struct(mm["m"].alias("m"), _code_of(mm).alias("cw"))
+        ).alias("codes"),
+    )
+    return v, cb, vcodes
+
+
+def _pq_query_tmap(v: DataFrame, cb: DataFrame, qid: int) -> DataFrame:
+    """ONE-row relation with the query's ADC lookup table as a map
+    {m * 100000 + cw -> t_micro} — the same per-(subspace, codeword)
+    squared distances as before (identical fold, floor(d*1e6+0.5)
+    int64 quantization), built from an 80-row broadcast crossJoin of
+    the single query vector. Broadcast back against the encoded
+    corpus, the per-vector ADC sum becomes an in-row int64 fold over
+    ``codes`` — the former shape re-shuffled (vec_id-grouped) n × PQ_M
+    joined rows just to add 8 integers per vector."""
     d = F.aggregate(
         F.zip_with(
             F.expr(f"slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB})"),
@@ -1957,10 +2040,34 @@ def _pq_scored_frames(
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    scored = v.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "label", "m", "cw", d.alias("d")
+    t = (
+        v.filter(F.col("vec_id") == qid)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            (F.col("m") * 100000 + F.col("cw")).cast("long").alias("k"),
+            F.floor(d * 1000000 + F.lit(0.5)).cast("long").alias("t_micro"),
+        )
     )
-    return v, scored
+    return t.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("k", "t_micro"))
+        ).alias("tmap")
+    )
+
+
+def _adc_micro_col() -> Column:
+    """In-row ADC sum: fold the vector's PQ codes against the
+    broadcast query tmap — exact int64 addition in fixed m order
+    (the old groupBy SUM over joined rows was the same 8 int64s,
+    order-free and overflow-free either way)."""
+    return F.aggregate(
+        "codes",
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.element_at(
+            F.col("tmap"), (c["m"] * 100000 + c["cw"]).cast("long")
+        ),
+    )
 
 
 @query(
@@ -2051,26 +2158,11 @@ def ext_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
     """
-    v, scored = _pq_scored_frames(spark, sf_dir)
-    wc = Window.partitionBy("vec_id", "m").orderBy("d", "cw")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "m", "cw")
-    )
-    t = scored.filter(F.col("vec_id") == PQ_QUERY).select(
-        F.col("m").alias("tm"),
-        F.col("cw").alias("tcw"),
-        F.floor(F.col("d") * 1000000 + F.lit(0.5)).cast("long").alias("t_micro"),
-    )
+    v, cb, vcodes = _pq_code_frames(spark, sf_dir)
     adc = (
-        codes.filter(F.col("vec_id") != PQ_QUERY)
-        .join(
-            F.broadcast(t),
-            (F.col("m") == F.col("tm")) & (F.col("cw") == F.col("tcw")),
-        )
-        .groupBy("vec_id", "label")
-        .agg(F.sum("t_micro").alias("adc_micro"))
+        vcodes.filter(F.col("vec_id") != PQ_QUERY)
+        .crossJoin(F.broadcast(_pq_query_tmap(v, cb, PQ_QUERY)))
+        .select("vec_id", "label", _adc_micro_col().alias("adc_micro"))
     )
     cand = adc.orderBy("adc_micro", "vec_id").limit(PQ_CAND)
     qv = v.filter(F.col("vec_id") == PQ_QUERY).select(F.col("e").alias("qe"))
@@ -2221,24 +2313,19 @@ def _ivf_assigned_and_qcells(
         ).alias("cvec")
     )
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    d = F.aggregate(
-        F.zip_with("e", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    vd = v.crossJoin(F.broadcast(cent)).select("vec_id", "e", "cl", d.alias("d"))
-    w_cell = Window.partitionBy("vec_id").orderBy("d", "cl")
-    ranked = vd.withColumn("rn", F.row_number().over(w_cell))
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "e", F.col("cl").alias("cell")
+    vd = v.crossJoin(F.broadcast(_cells_1row(cent)))
+    ranked = _ranked_cells("e")
+    assigned = vd.select(
+        "vec_id", "e", F.element_at(ranked, 1)["cl"].alias("cell")
     )
     qcells = (
-        ranked.filter((F.col("vec_id") < qmax) & (F.col("rn") <= N_PROBE))
+        vd.filter(F.col("vec_id") < qmax)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("e").alias("q_emb"),
-            F.col("cl").alias("cell"),
+            F.explode(F.slice(ranked, 1, N_PROBE)).alias("rc"),
         )
+        .select("q_id", "q_emb", F.col("rc.cl").alias("cell"))
     )
     return assigned, qcells
 
@@ -2403,27 +2490,12 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_cells = assigned.select("vec_id", "cell").join(
         F.broadcast(probe), "cell"
     )
-    v, scored = _pq_scored_frames(spark, sf_dir)
-    wc = Window.partitionBy("vec_id", "m").orderBy("d", "cw")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "m", "cw")
-    )
-    t = scored.filter(F.col("vec_id") == PQ_QUERY).select(
-        F.col("m").alias("tm"),
-        F.col("cw").alias("tcw"),
-        F.floor(F.col("d") * 1000000 + F.lit(0.5)).cast("long").alias("t_micro"),
-    )
+    v, cb, vcodes = _pq_code_frames(spark, sf_dir)
     adc = (
-        codes.join(in_cells.select("vec_id"), "vec_id")
+        vcodes.join(in_cells.select("vec_id"), "vec_id")
         .filter(F.col("vec_id") != PQ_QUERY)
-        .join(
-            F.broadcast(t),
-            (F.col("m") == F.col("tm")) & (F.col("cw") == F.col("tcw")),
-        )
-        .groupBy("vec_id", "label")
-        .agg(F.sum("t_micro").alias("adc_micro"))
+        .crossJoin(F.broadcast(_pq_query_tmap(v, cb, PQ_QUERY)))
+        .select("vec_id", "label", _adc_micro_col().alias("adc_micro"))
     )
     cand = adc.orderBy("adc_micro", "vec_id").limit(PQ_CAND)
     qv = v.filter(F.col("vec_id") == PQ_QUERY).select(F.col("e").alias("qe"))
