@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.io import load_tables, parquet_rows
 from streamingdemo_spark.registry import opoly, poly_hash, query
 
 
@@ -767,7 +767,7 @@ def _bpe_fit(
     # so large corpora keep the parallel aggregate while bench scales
     # coalesce to one task. coalesce() folds the agg's output without
     # an extra shuffle.
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_docs = parquet_rows(sf_dir, "documents")  # footer, no job
     vocab_parts = max(1, min(32, n_docs // 20_000))
     vocab = (
         words.groupBy("w")

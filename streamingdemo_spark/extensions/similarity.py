@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.io import load_tables, parquet_rows
 from streamingdemo_spark.registry import DEFAULT_ORACLE_SF_DIR, query
 
 N_QUERIES = 8
@@ -587,7 +587,9 @@ def ext_sim_knn_join(
 
     corpus, _ = _corpus_and_queries(spark, sf_dir)
     if tile_rows and tile_rows > 0:
-        n = corpus.count()
+        # raw-table row count from footer metadata (corpus is an
+        # unfiltered projection of embeddings, so n is identical)
+        n = parquet_rows(sf_dir, "embeddings")
         n_tiles = max(1, -(-n // tile_rows))
     else:
         n_tiles = 1
@@ -1768,9 +1770,9 @@ def ext_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("embedding"),
         "label",
     )
-    # count on the RAW parquet load (not the casted projection) so it
-    # stays a metadata-only job; the plane-width formula needs n only
-    n_corpus = e.count()
+    # n comes straight from the parquet footers (driver-side, no Spark
+    # job); the plane-width formula needs n only
+    n_corpus = parquet_rows(sf_dir, "embeddings")
     n_planes = max(6, (n_corpus // 64 + 1).bit_length())
     app_id = spark.sparkContext.applicationId
     # memo key includes the fixture fingerprint: a fixture regenerated

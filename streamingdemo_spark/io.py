@@ -38,6 +38,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from its parquet FOOTER
+    metadata — driver-side, no Spark job. Identical by definition to
+    an unfiltered ``count()`` over the same files (the footer is the
+    writer's own row accounting, the same source Spark's count-star
+    optimization reads inside its tasks); for the scale dials that
+    need only n (LSH band widths, partition counts, tile grids) the
+    count() JOB's fixed scheduling cost is pure overhead — the same
+    job-for-metadata swap as the txn family's ``_footer_stats``."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The events fixture stores TIMESTAMP(NANOS), which Spark's

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.io import load_tables, parquet_rows
 from streamingdemo_spark.registry import dsum, osum, query
 from streamingdemo_spark.streaming.runner import run_to_memory
 from streamingdemo_spark.streaming.sources import events_stream
@@ -1343,11 +1343,12 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # large corpora get 32; at replay/bench volumes EVERY state
     # partition pays the fixed Arrow/python-state plumbing per
     # micro-batch (EventTimeTimeout scans all partitions even with no
-    # input), so 32 partitions were ~4x pure overhead. The count() is
-    # parquet-metadata-only. State rows stay bounded by open sessions
-    # regardless of partition count (asserted via LAST_STREAM_PROGRESS
-    # in test_streaming.py).
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # input), so 32 partitions were ~4x pure overhead. The row count
+    # comes straight from the parquet footers (driver-side, no Spark
+    # job — a count() job cost ~0.5 s of pure scheduling here). State
+    # rows stay bounded by open sessions regardless of partition count
+    # (asserted via LAST_STREAM_PROGRESS in test_streaming.py).
+    n_events = parquet_rows(sf_dir, "events")
     parts = 32 if n_events >= 1_000_000 else 8
     # no_data_batches=False: every real session's timeout fires during
     # sentinel 2's DATA batch (watermark is already max_ts + 2 h − 1 min
@@ -1648,7 +1649,7 @@ def stream_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from streamingdemo_spark.streaming.sources import embeddings_stream
 
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n = parquet_rows(sf_dir, "embeddings")  # footer metadata, no job
     bits = _emb_band_bits(n)
     nb = _emb_band_count(bits)
     lv = _EMB_DEEP_LEVELS

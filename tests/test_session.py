@@ -32,3 +32,15 @@ def test_child_allocator_env_defaults():
     for k, v in _CHILD_MALLOC_ENV.items():
         assert os.environ.get(k), f"{k} not exported"
         assert int(v) > 0  # defaults are sane positive byte counts
+
+
+def test_parquet_rows_matches_count(spark, sf_dir):
+    """The footer-metadata row count that sizes the scale dials (LSH
+    band widths, state partitions, tile grids) must equal a real
+    count() over the same files — the dial inputs may never drift
+    from what a Spark job would see."""
+    from streamingdemo_spark.io import load_tables, parquet_rows
+
+    for name in ("embeddings", "documents", "events"):
+        df = load_tables(spark, sf_dir, (name,))[name]
+        assert parquet_rows(sf_dir, name) == df.count()
