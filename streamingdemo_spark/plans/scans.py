@@ -2684,14 +2684,27 @@ def snk_txn_log_multiwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, 0.40, 0.60, 0.50, 0.70, 0.45, 0.55
     )
     # all three writers plan against base version 1 (truly concurrent
-    # planning: none has seen any rival's commit)
-    a_plan = _cow_merge_txn(spark, base, log_dir, alo, ahi, 11, 10, "rewriteA")
-    b_plan = _cow_merge_txn(
-        spark, base, log_dir, blo, bhi, 9, 10, "rewriteB_stale"
-    )
-    c_plan = _cow_merge_txn(
-        spark, base, log_dir, clo, chi, 21, 20, "rewriteC_stale"
-    )
+    # planning: none has seen any rival's commit) — and they really do
+    # run concurrently: the three staging rewrites are independent
+    # jobs over the same snapshot (disjoint output dirs, read-only log
+    # replay), so they overlap on the scheduler instead of paying
+    # three sequential job walls (guide §2.6); the commit RACE below
+    # stays strictly sequential, that's the protocol under test
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        a_fut = pool.submit(
+            _cow_merge_txn, spark, base, log_dir, alo, ahi, 11, 10, "rewriteA"
+        )
+        b_fut = pool.submit(
+            _cow_merge_txn, spark, base, log_dir, blo, bhi, 9, 10,
+            "rewriteB_stale",
+        )
+        c_fut = pool.submit(
+            _cow_merge_txn, spark, base, log_dir, clo, chi, 21, 20,
+            "rewriteC_stale",
+        )
+        a_plan, b_plan, c_plan = a_fut.result(), b_fut.result(), c_fut.result()
     # pairwise overlap is what forces rebases instead of blind retries
     for name, (lhs, rhs) in {
         "A/B": (a_plan[1], b_plan[1]),
