@@ -1430,7 +1430,27 @@ def _cow_merge_txn(
     return base_version, {p for p, _, _ in affected}, actions
 
 
+def _stage_with_quantiles(
+    spark: SparkSession, sf_dir: str, *fracs: float
+) -> tuple[str, str, int, int, list[int]]:
+    """``_txn_log_stats_stage`` and ``_orderkey_quantiles`` run over
+    the same source but neither reads the other's output — run the
+    staging write on a worker thread while the quantile pass runs on
+    the main thread, so the fixture-staging wall is max(stage,
+    quantiles) instead of their sum (guide §2.6, overlap independent
+    jobs; protocol commits stay sequential downstream). Returns
+    ``(base, log_dir, lo, hi, quantiles)``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        stage_fut = pool.submit(_txn_log_stats_stage, spark, sf_dir)
+        qs = _orderkey_quantiles(spark, sf_dir, *fracs)
+        base, log_dir, lo, hi = stage_fut.result()
+    return base, log_dir, lo, hi, qs
+
+
 def _orderkey_quantile_span(
+
     spark: SparkSession, sf_dir: str, flo: float, fhi: float
 ) -> tuple[int, int]:
     """Update span [floor(Q(flo)), floor(Q(fhi))] over the ACTUAL
@@ -1520,8 +1540,7 @@ def snk_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. ``snk_txn_log_rebase`` is the productive alternative to
     aborting.
     """
-    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi, blo, bhi = _orderkey_quantiles(
+    base, log_dir, lo, hi, (alo, ahi, blo, bhi) = _stage_with_quantiles(
         spark, sf_dir, 0.40, 0.60, 0.50, 0.70
     )
     # both writers plan against the SAME base snapshot (version 1)
@@ -1615,8 +1634,7 @@ def snk_txn_log_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ONLY the currently-affected files — same asymptotics as the
     original MERGE attempt; no locks held at any point.
     """
-    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi, blo, bhi = _orderkey_quantiles(
+    base, log_dir, lo, hi, (alo, ahi, blo, bhi) = _stage_with_quantiles(
         spark, sf_dir, 0.40, 0.60, 0.50, 0.70
     )
     # both plan at base version 1; A wins the race
@@ -2000,8 +2018,9 @@ def src_txn_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json
 
-    base, log_dir, _, _ = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi = _orderkey_quantile_span(spark, sf_dir, 0.40, 0.60)
+    base, log_dir, _, _, (alo, ahi) = _stage_with_quantiles(
+        spark, sf_dir, 0.40, 0.60
+    )
     b_ver, _, actions = _cow_merge_txn(
         spark, base, log_dir, alo, ahi, 11, 10, "rewrite1"
     )
@@ -2167,8 +2186,7 @@ def src_txn_log_stats_prune_checkpointed(
     least one live file, and the scan re-applies the predicate as the
     residual filter.
     """
-    base, log_dir, _, _ = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi, qlo, qhi = _orderkey_quantiles(
+    base, log_dir, _, _, (alo, ahi, qlo, qhi) = _stage_with_quantiles(
         spark, sf_dir, 0.40, 0.60, 0.70, 0.90
     )
     m_ver, _, actions = _cow_merge_txn(
@@ -2517,8 +2535,7 @@ def snk_txn_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata re-read + re-plan — writers and OPTIMIZE never block each
     other; they serialize through validate -> rebase -> retry.
     """
-    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi, clo, chi = _orderkey_quantiles(
+    base, log_dir, lo, hi, (alo, ahi, clo, chi) = _stage_with_quantiles(
         spark, sf_dir, 0.40, 0.60, 0.35, 0.65
     )
     # both plan against base version 1
@@ -2679,9 +2696,10 @@ def snk_txn_log_multiwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
     table size. The bounded loop turns pathological livelock into a
     loud error instead of infinite spin.
     """
-    base, log_dir, lo, hi = _txn_log_stats_stage(spark, sf_dir)
-    alo, ahi, blo, bhi, clo, chi = _orderkey_quantiles(
-        spark, sf_dir, 0.40, 0.60, 0.50, 0.70, 0.45, 0.55
+    base, log_dir, lo, hi, (alo, ahi, blo, bhi, clo, chi) = (
+        _stage_with_quantiles(
+            spark, sf_dir, 0.40, 0.60, 0.50, 0.70, 0.45, 0.55
+        )
     )
     # all three writers plan against base version 1 (truly concurrent
     # planning: none has seen any rival's commit) — and they really do
