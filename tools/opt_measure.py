@@ -27,7 +27,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
+PLANS_DIR = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("OPT_PLANS_DIR", "r14")
+)
 
 
 def _capture_plan(df) -> str:
