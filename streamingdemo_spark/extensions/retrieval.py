@@ -730,6 +730,18 @@ def ext_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx.withColumn("rn", F.row_number().over(w_mmr))
             .filter(F.col("rn") == 1)
             .select("q_id", "c_id", "rel_u", F.lit(k).alias("mmr_rank"))
+            # Each step references `sel` THREE times (union + anti-join
+            # + selected-set join), so the lazy unrolled DAG holds
+            # ~3^(K-1) copies of the step-1 subtree — measured 722
+            # Exchange nodes in the K=5 plan, and a 4-5 s wall that is
+            # IDENTICAL at sf0.01 and sf0.1 (planning, not data).
+            # Checkpointing the one-row-per-query pick truncates the
+            # recursion: every later step plans against K tiny
+            # checkpointed frames plus the two already-checkpointed
+            # relations (cand, ps), so plan size is linear in K
+            # (after: 13 Exchanges). The checkpoint job IS the step's
+            # execution — the greedy loop is sequential by definition.
+            .localCheckpoint(eager=True)
         )
         sel = sel.unionAll(pick)
     return sel.select(
