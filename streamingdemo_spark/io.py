@@ -59,6 +59,35 @@ def parquet_rows(sf_dir: str, name: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def spread_scan(df: DataFrame, min_tasks_ratio: int = 2) -> DataFrame:
+    """Parallelism floor for heavy per-row work over few-file scans
+    (guide §2.5: "one huge unsplittable file … repartition immediately
+    after the read").
+
+    The bench fixtures are single-row-group parquet files, so every
+    stage up to the first exchange runs as ONE task regardless of core
+    count — shingle explodes, rolling-hash UDFs and signature builds
+    all serialize on one core. At production scale a table scan has
+    thousands of row-group splits and this helper is a metadata-only
+    no-op: it round-robin repartitions to the session's default
+    parallelism ONLY when the scan's own layout yields fewer than
+    1/``min_tasks_ratio`` of the cores (decided from the planned
+    partition count, no job). Results are unchanged by construction —
+    repartition moves rows, and every consumer is a key/group
+    computation. The cost when it fires is one shuffle of the
+    projected columns, so project/filter before calling (guide §2.3);
+    the deterministic sort-before-repartition default stays on so task
+    retries reproduce the same placement (guide §2.5).
+    """
+    if os.environ.get("STREAMINGDEMO_SPREAD_SCAN", "1") == "0":
+        return df  # site override / A-B measurement kill-switch
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_tasks_ratio <= target:
+        return df.repartition(target)
+    return df
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The events fixture stores TIMESTAMP(NANOS), which Spark's

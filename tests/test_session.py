@@ -44,3 +44,33 @@ def test_parquet_rows_matches_count(spark, sf_dir):
     for name in ("embeddings", "documents", "events"):
         df = load_tables(spark, sf_dir, (name,))[name]
         assert parquet_rows(sf_dir, name) == df.count()
+
+
+def test_spread_scan_floors_parallelism(spark, sf_dir):
+    """spread_scan round-robins a few-partition scan up to the
+    session's default parallelism (rows unchanged), no-ops when the
+    input already parallelizes, and honors the env kill-switch — the
+    guide §2.5 input-skew fix must never fire where it would add a
+    pointless shuffle."""
+    import os
+
+    from streamingdemo_spark.io import load_tables, spread_scan
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    target = spark.sparkContext.defaultParallelism
+    n_rows = docs.count()
+
+    spread = spread_scan(docs)
+    assert spread.rdd.getNumPartitions() == target
+    assert spread.count() == n_rows
+
+    # already-parallel input: untouched (identical plan object)
+    wide = docs.repartition(target)
+    assert spread_scan(wide) is wide
+
+    # kill-switch: untouched
+    os.environ["STREAMINGDEMO_SPREAD_SCAN"] = "0"
+    try:
+        assert spread_scan(docs) is docs
+    finally:
+        os.environ.pop("STREAMINGDEMO_SPREAD_SCAN", None)
