@@ -71,6 +71,22 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES; grouped numpy-UDF
+        # stages (per-bucket GEMM top-k, codebook scoring, k-means
+        # assign) are CPU-bound at ~KB/row, so the 1m default floor
+        # coalesced them to ~5 tasks on 32 cores (measured:
+        # ext_label_noise_ann's bucket GEMM stage). parallelismFirst
+        # (Spark default, left on) already targets cluster parallelism;
+        # lowering only the floor lets small-byte CPU-heavy shuffles
+        # keep their task count while GB-scale shuffles never feel it.
+        # Interleaved A/B at sf0.1: GEMM keys -10..-24 %
+        # (ext_dedup_embedding 1.30->0.99, ext_label_noise_ann
+        # 1.73->1.55, ext_cluster_kmeans 1.70->1.54), join/agg keys
+        # unchanged over 5 alternating reps. Env-overridable per site.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("STREAMINGDEMO_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.session.timeZone", "UTC")
