@@ -1606,7 +1606,18 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
     """
-    d = _docs(spark, sf_dir)
+    from streamingdemo_spark.io import spread_scan
+
+    # spread_scan here and NOT in _docs: this key re-runs the
+    # tokenize+poly-hash explode for BOTH passes (LM build and the
+    # per-doc sum), so the single-file fixture serialized ~2.3 s of
+    # per-token hashing on one core (profiled: every stage 1 task);
+    # interleaved A/B 2.41 -> 1.83 s. The other corpus keys are one
+    # cheap explode feeding an aggregate whose exchange already
+    # parallelizes — a blanket _docs spread measured REGRESSIONS there
+    # (ngram_pmi 1.04 -> 1.30, doc_shuffle_sharded 0.36 -> 0.49,
+    # tfidf 1.52 -> 1.77) and was reverted.
+    d = spread_scan(_docs(spark, sf_dir))
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
