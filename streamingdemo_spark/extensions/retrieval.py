@@ -636,21 +636,33 @@ def ext_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The greedy loop is SEQUENTIAL by definition, which usually exiles
     such operators to rows-only status. Here it is fully
-    oracle-checked by the ``ext_graph_pagerank`` discipline: the loop
-    is UNROLLED ({MMR_K} fixed steps), every score is integer
-    deci-milli units (``floor(cosine*1e4 + 0.5)`` — exact, since the
-    raw cosines are bitwise-equal across engines per this module's
-    float discipline), and each step's argmax ties break on id — so
-    DuckDB replays the greedy selection decision-for-decision.
+    oracle-checked: every score is integer deci-milli units
+    (``floor(cosine*1e4 + 0.5)`` — exact, since the raw cosines are
+    bitwise-equal across engines per this module's float discipline),
+    and each step's argmax ties break on id — so DuckDB replays the
+    greedy selection decision-for-decision through its unrolled
+    {MMR_K}-step CTE chain.
 
-    Scale shape: the candidate relation is (queries x {MMR_CAND})
-    rows and the pairwise-similarity relation (queries x {MMR_CAND}
-    x {MMR_CAND-1}) — the expensive part is the INITIAL top-{MMR_CAND}
+    Scale shape: the expensive part is the INITIAL top-{MMR_CAND}
     retrieval, which is exactly ``ext_sim_cosine_topk``'s broadcast
     scan (swap in the ANN keys at 100 TB; the MMR stage never sees
-    the corpus). The {MMR_K}-step loop runs on candidate-bounded
-    DataFrames — per-query work is O(K^2 * CAND), independent of
-    corpus size.
+    the corpus). The greedy stage is ONE grouped Arrow stage
+    (``applyInPandas`` per query): each group is {MMR_CAND} rows, the
+    pairwise cosines and the K-step argmax loop run in-process on
+    int64/float64 numpy — r14-opt; the prior dataflow form unrolled
+    the K steps as Spark jobs (plan grew 3^K until checkpointed, and
+    even checkpointed it paid K sequential driver-blocking jobs of
+    ~0.6 s fixed cost each for 8-row results: 3.3 s where this form
+    measures ~1 s). Exactness is preserved because the in-UDF math
+    replays Spark's expression semantics operation-for-operation:
+    embeddings are already double (cast before any math in
+    ``_corpus_and_queries``), ``_dot``/``_norm`` are seed-0.0 LEFT
+    FOLDS — reproduced by accumulating dim-by-dim across the group
+    matrix (``acc += outer(E[:,k], E[:,k])``), bit-identical since
+    float64 add/mul/div/sqrt are IEEE-exact given identical operand
+    order — and the quantization/argmax arithmetic is integer.
+    Per-query work is O(K·CAND + CAND²·d), independent of corpus
+    size; the only shuffle after retrieval is the groupBy(q_id).
     """
     from streamingdemo_spark.extensions.similarity import (
         _corpus_and_queries,
@@ -678,77 +690,65 @@ def ext_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= MMR_CAND)
         .drop("rn")
-        .localCheckpoint(eager=True)  # queries*CAND rows; reused K+1 times
     )
-    sim_u = F.floor(
-        _dot("ea", "eb") / (_norm("ea") * _norm("eb")) * 10000 + F.lit(0.5)
-    ).cast("long")
-    ps = (
-        cand.select("q_id", F.col("c_id").alias("ca"), F.col("embedding").alias("ea"))
-        .join(
-            cand.select(
-                F.col("q_id").alias("qb"),
-                F.col("c_id").alias("cb"),
-                F.col("embedding").alias("eb"),
-            ),
-            (F.col("q_id") == F.col("qb")) & (F.col("ca") != F.col("cb")),
+
+    def mmr_greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["c_id"].to_numpy()
+        rel = pdf["rel_u"].to_numpy()
+        E = np.vstack(pdf["embedding"].to_numpy())  # (n, d) float64
+        n, dims = E.shape
+        # Spark-exact pairwise sim_u: _dot/_norm are 0.0-seeded left
+        # folds, so accumulate dim-by-dim (same add order per pair);
+        # products/divisions/sqrt then match IEEE-exactly.
+        dot = np.zeros((n, n))
+        nsq = np.zeros(n)
+        for k in range(dims):
+            col = E[:, k]
+            dot += np.multiply.outer(col, col)
+            nsq += col * col
+        norm = np.sqrt(nsq)
+        sim = dot / np.multiply.outer(norm, norm)
+        sim_u = np.floor(sim * 10000 + 0.5).astype(np.int64)
+        q = int(pdf["q_id"].iloc[0])
+        avail = np.ones(n, dtype=bool)
+        out_c, out_r, out_k = [], [], []
+        picked: list = []
+        for step in range(1, MMR_K + 1):
+            if not avail.any():
+                break
+            ai = np.flatnonzero(avail)
+            if step == 1:
+                score = rel[ai]
+            else:
+                mx = sim_u[np.ix_(ai, picked)].max(axis=1)
+                score = lam * rel[ai] - mu * mx
+            # argmax with id tiebreak == ORDER BY score DESC, c_id ASC
+            j = ai[np.lexsort((ids[ai], -score))[0]]
+            picked.append(j)
+            avail[j] = False
+            out_c.append(ids[j])
+            out_r.append(rel[j])
+            out_k.append(step)
+        return pd.DataFrame(
+            {
+                "q_id": np.full(len(out_c), q, dtype=np.int64),
+                "c_id": np.asarray(out_c, dtype=np.int64),
+                "rel_u": np.asarray(out_r, dtype=np.int64),
+                "mmr_rank": np.asarray(out_k, dtype=np.int32),
+            }
         )
-        .select("q_id", "ca", "cb", sim_u.alias("sim_u"))
-        .localCheckpoint(eager=True)  # queries*CAND^2 rows; reused K-1 times
+
+    sel = cand.groupBy("q_id").applyInPandas(
+        mmr_greedy, "q_id long, c_id long, rel_u long, mmr_rank int"
     )
-    cand = cand.drop("embedding")
-    sel = (
-        cand.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select("q_id", "c_id", "rel_u", F.lit(1).alias("mmr_rank"))
-    )
-    for k in range(2, MMR_K + 1):
-        # candidates still unpicked: anti-join against the selected set
-        rem = cand.join(
-            sel.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
-        )
-        psr = ps.select(
-            F.col("q_id").alias("pq"), "ca", "cb", "sim_u"
-        )
-        mx = (
-            rem.join(
-                sel.select("q_id", F.col("c_id").alias("sc")), "q_id"
-            )
-            .join(
-                psr,
-                (F.col("q_id") == F.col("pq"))
-                & (F.col("c_id") == F.col("ca"))
-                & (F.col("sc") == F.col("cb")),
-            )
-            .groupBy("q_id", "c_id", "rel_u")
-            .agg(F.max("sim_u").alias("mx"))
-        )
-        w_mmr = Window.partitionBy("q_id").orderBy(
-            F.desc(lam * F.col("rel_u") - mu * F.col("mx")), F.asc("c_id")
-        )
-        pick = (
-            mx.withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select("q_id", "c_id", "rel_u", F.lit(k).alias("mmr_rank"))
-            # Each step references `sel` THREE times (union + anti-join
-            # + selected-set join), so the lazy unrolled DAG holds
-            # ~3^(K-1) copies of the step-1 subtree — measured 722
-            # Exchange nodes in the K=5 plan, and a 4-5 s wall that is
-            # IDENTICAL at sf0.01 and sf0.1 (planning, not data).
-            # Checkpointing the one-row-per-query pick truncates the
-            # recursion: every later step plans against K tiny
-            # checkpointed frames plus the two already-checkpointed
-            # relations (cand, ps), so plan size is linear in K
-            # (after: 13 Exchanges). The checkpoint job IS the step's
-            # execution — the greedy loop is sequential by definition.
-            .localCheckpoint(eager=True)
-        )
-        sel = sel.unionAll(pick)
     return sel.select(
         "q_id",
         F.col("c_id").alias("doc_id"),
         "rel_u",
-        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        F.col("mmr_rank").alias("mmr_rank"),
     )
 
 
