@@ -77,10 +77,26 @@ def spread_scan(df: DataFrame, min_tasks_ratio: int = 2) -> DataFrame:
     computation. The cost when it fires is one shuffle of the
     projected columns, so project/filter before calling (guide §2.3);
     the deterministic sort-before-repartition default stays on so task
-    retries reproduce the same placement (guide §2.5).
+    retries reproduce the same placement (guide §2.5). A size floor
+    (plan-statistics bytes, default 256 KiB, env
+    ``STREAMINGDEMO_SPREAD_MIN_BYTES``) keeps tiny inputs unspread —
+    below it the shuffle's fixed cost exceeds the per-row work it
+    parallelizes (measured: the same keys that win 1.3-7× at sf0.1
+    lose 15-35 % at sf0.01).
     """
     if os.environ.get("STREAMINGDEMO_SPREAD_SCAN", "1") == "0":
         return df  # site override / A-B measurement kill-switch
+    # Size floor: the repartition's fixed shuffle cost is only paid
+    # back when there is enough per-row work behind it. Interleaved
+    # A/B: at sf0.1 (~4 MB corpus) the heavy consumers win 1.3-7x, at
+    # sf0.01 (~0.4 MB) the same keys LOSE 15-35% — so tiny inputs stay
+    # unspread (plan-statistics estimate, driver-side, no job).
+    min_bytes = int(
+        os.environ.get("STREAMINGDEMO_SPREAD_MIN_BYTES", str(256 << 10))
+    )
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est < min_bytes:
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * min_tasks_ratio <= target:

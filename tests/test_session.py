@@ -60,17 +60,26 @@ def test_spread_scan_floors_parallelism(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     n_rows = docs.count()
 
-    spread = spread_scan(docs)
-    assert spread.rdd.getNumPartitions() == target
-    assert spread.count() == n_rows
+    # size floor: the sf0.001 fixture is tiny — spread must NOT fire
+    # (the repartition's fixed cost isn't paid back; measured at
+    # sf0.01: minhash/eval/containment lose 15-35% when it fires)
+    assert spread_scan(docs) is docs
 
-    # already-parallel input: untouched (identical plan object)
-    wide = docs.repartition(target)
-    assert spread_scan(wide) is wide
-
-    # kill-switch: untouched
-    os.environ["STREAMINGDEMO_SPREAD_SCAN"] = "0"
+    # with the floor lifted, a few-partition scan spreads to the
+    # session parallelism with rows unchanged
+    os.environ["STREAMINGDEMO_SPREAD_MIN_BYTES"] = "0"
     try:
+        spread = spread_scan(docs)
+        assert spread.rdd.getNumPartitions() == target
+        assert spread.count() == n_rows
+
+        # already-parallel input: untouched (identical plan object)
+        wide = docs.repartition(target)
+        assert spread_scan(wide) is wide
+
+        # kill-switch: untouched
+        os.environ["STREAMINGDEMO_SPREAD_SCAN"] = "0"
         assert spread_scan(docs) is docs
     finally:
+        os.environ.pop("STREAMINGDEMO_SPREAD_MIN_BYTES", None)
         os.environ.pop("STREAMINGDEMO_SPREAD_SCAN", None)
