@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streamingdemo_spark.io import load_tables, parquet_rows
+from streamingdemo_spark.io import load_tables, parquet_rows, spread_scan
 from streamingdemo_spark.registry import opoly, poly_hash, query
 
 
@@ -1606,8 +1606,6 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
     """
-    from streamingdemo_spark.io import spread_scan
-
     # spread_scan here and NOT in _docs: this key re-runs the
     # tokenize+poly-hash explode for BOTH passes (LM build and the
     # per-doc sum), so the single-file fixture serialized ~2.3 s of

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamingdemo_spark.io import load_tables
+from streamingdemo_spark.io import load_tables, spread_scan
 from streamingdemo_spark.registry import POLY_MOD, opoly, poly_hash, query
 
 # Planted-mutant id offset for the DOC-space keys. Fixed: every
@@ -77,8 +77,6 @@ def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + MUTANT_OFFSET)
         .withColumn("text", mutated)
     )
-    from streamingdemo_spark.io import spread_scan
-
     # the single-file fixture union plans as TWO tasks total, so every
     # consumer's token-hash/shingle stage serializes on ≤2 cores;
     # no-op for multi-row-group inputs (guide §2.5)
@@ -2516,8 +2514,6 @@ def _winnowed_grams(d: DataFrame) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
-    from streamingdemo_spark.io import spread_scan
-
     if not d.isStreaming:
         # single-file bench fixture → the winnow UDF otherwise runs as
         # ONE ArrowEvalPython task however many cores exist; no-op on
@@ -3010,9 +3006,6 @@ def ext_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(
             cdc_cut_positions_batch(texts.tolist()), index=texts.index
         )
-
-    from streamingdemo_spark.io import spread_scan
-
     d = spread_scan(
         load_tables(spark, sf_dir, ("documents",))["documents"]
     )
@@ -3139,8 +3132,6 @@ def ext_dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: north-star extension beyond the reference's SQL
     surface (src/sparkSQL/SparkSQLOperator.java:17-23), SURVEY §2.F.
     """
-    from streamingdemo_spark.io import spread_scan
-
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     # The single-file bench fixture otherwise runs the shingle explode,
     # document-frequency build and per-doc sort as ONE task each

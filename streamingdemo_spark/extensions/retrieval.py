@@ -710,6 +710,10 @@ def ext_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot += np.multiply.outer(col, col)
             nsq += col * col
         norm = np.sqrt(nsq)
+        # precondition (same as the oracle's list_cosine_similarity and
+        # the previous dataflow form): candidate norms are nonzero —
+        # the embeddings fixture generates non-degenerate vectors, and
+        # a zero vector has no defined cosine in either engine
         sim = dot / np.multiply.outer(norm, norm)
         sim_u = np.floor(sim * 10000 + 0.5).astype(np.int64)
         q = int(pdf["q_id"].iloc[0])
@@ -745,10 +749,7 @@ def ext_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_greedy, "q_id long, c_id long, rel_u long, mmr_rank int"
     )
     return sel.select(
-        "q_id",
-        F.col("c_id").alias("doc_id"),
-        "rel_u",
-        F.col("mmr_rank").alias("mmr_rank"),
+        "q_id", F.col("c_id").alias("doc_id"), "rel_u", "mmr_rank"
     )
 
 

@@ -60,15 +60,23 @@ def test_spread_scan_floors_parallelism(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     n_rows = docs.count()
 
-    # size floor: the sf0.001 fixture is tiny — spread must NOT fire
-    # (the repartition's fixed cost isn't paid back; measured at
-    # sf0.01: minhash/eval/containment lose 15-35% when it fires)
-    assert spread_scan(docs) is docs
-
-    # with the floor lifted, a few-partition scan spreads to the
-    # session parallelism with rows unchanged
-    os.environ["STREAMINGDEMO_SPREAD_MIN_BYTES"] = "0"
+    # pin the knobs for the duration (and restore whatever the caller
+    # had exported — this test must neither fail under a user-set
+    # kill-switch nor erase the user's configuration afterwards)
+    knobs = ("STREAMINGDEMO_SPREAD_SCAN", "STREAMINGDEMO_SPREAD_MIN_BYTES")
+    saved = {k: os.environ.get(k) for k in knobs}
     try:
+        os.environ["STREAMINGDEMO_SPREAD_SCAN"] = "1"
+
+        # size floor: the sf0.001 fixture is tiny — spread must NOT
+        # fire (the repartition's fixed cost isn't paid back; measured
+        # at sf0.01: minhash/eval/containment lose 15-35% if it does)
+        os.environ["STREAMINGDEMO_SPREAD_MIN_BYTES"] = str(256 << 10)
+        assert spread_scan(docs) is docs
+
+        # with the floor lifted, a few-partition scan spreads to the
+        # session parallelism with rows unchanged
+        os.environ["STREAMINGDEMO_SPREAD_MIN_BYTES"] = "0"
         spread = spread_scan(docs)
         assert spread.rdd.getNumPartitions() == target
         assert spread.count() == n_rows
@@ -81,5 +89,8 @@ def test_spread_scan_floors_parallelism(spark, sf_dir):
         os.environ["STREAMINGDEMO_SPREAD_SCAN"] = "0"
         assert spread_scan(docs) is docs
     finally:
-        os.environ.pop("STREAMINGDEMO_SPREAD_MIN_BYTES", None)
-        os.environ.pop("STREAMINGDEMO_SPREAD_SCAN", None)
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v

@@ -1,7 +1,8 @@
 """Optimization-round measurement harness (guide §1).
 
 For each requested key: build the DataFrame, capture
-``.explain("formatted")`` to ``plans/r13/<key>_<label>.txt``, and time
+``.explain("formatted")`` to ``plans/$OPT_PLANS_DIR/<key>_<label>.txt``
+(``OPT_PLANS_DIR`` defaults to the current round's dir), and time
 N reps of a noop-sink drain (guide §1.4 — computes every column of
 every row without sink cost). Streaming keys (whose builder executes
 the replay and returns a memory table) are timed end-to-end around the
